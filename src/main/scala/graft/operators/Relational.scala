@@ -1,0 +1,280 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.functions.Exprs._
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY.md §2.1-2.3, §2.7-2.8): scans, projections,
+  * filters, equi/semi/anti joins, rollup, pivot, windows, set ops, date/math
+  * functions, deterministic balanced sampling.
+  *
+  * Scale notes (100 TB):
+  *   - filters/projections are declared against the parquet scan so Catalyst
+  *     pushes them down (verify: `PushedFilters` in `.explain("formatted")`);
+  *   - dimension joins (region/nation/customer at TPC-H ratios) are broadcast
+  *     — no shuffle of the fact table; fact-fact joins shuffle on the join key
+  *     once and AQE handles skew;
+  *   - the sampler is a single hash-partitioned window, no global sort.
+  */
+object Relational {
+
+  private val SumPrice = "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val q01PricingSummary: QuerySpec = QuerySpec.oracle(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-01 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q02ScanProjectFilter: QuerySpec = QuerySpec.oracle(
+    "q02_scan_project_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_discount >= 0.05
+      |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05 &&
+        col("l_shipdate").between(
+          lit("1996-01-01 00:00:00").cast("timestamp"),
+          lit("1997-12-31 00:00:00").cast("timestamp")))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Star join: fact (orders) against broadcast dims (customer→nation→region).
+    * At scale the dims stay broadcast (nation/region are tiny; customer is the
+    * judgement call — at TPC-H ratios customer is ~1/10 of orders, so we let
+    * AQE decide there rather than forcing it). */
+  val q03JoinBroadcast: QuerySpec = QuerySpec.oracle(
+    "q03_join_broadcast",
+    s"""SELECT r_name, n_name, count(*) AS n_orders, $SumPrice AS total_price
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Fact-fact equi join: lineitem ⋈ orders — both sides large, Catalyst
+    * picks shuffle join; keys hash-partition so it scales linearly. */
+  val q04JoinSortMerge: QuerySpec = QuerySpec.oracle(
+    "q04_join_sortmerge",
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q05JoinSemiAnti: QuerySpec = QuerySpec.oracle(
+    "q05_join_semi_anti",
+    """WITH with_o AS (
+      |  SELECT c_nationkey, count(*) AS n_customers, 'with_orders' AS segment_kind
+      |  FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  GROUP BY c_nationkey),
+      |no_o AS (
+      |  SELECT c_nationkey, count(*) AS n_customers, 'no_orders' AS segment_kind
+      |  FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  GROUP BY c_nationkey)
+      |SELECT * FROM (SELECT * FROM with_o UNION ALL SELECT * FROM no_o) u
+      |ORDER BY segment_kind, c_nationkey""".stripMargin
+  ) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_custkey")
+    def agg0(kind: String, joinType: String) =
+      c.join(o, c("c_custkey") === o("o_custkey"), joinType)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+        .withColumn("segment_kind", lit(kind))
+    agg0("with_orders", "left_semi")
+      .unionByName(agg0("no_orders", "left_anti"))
+      .orderBy("segment_kind", "c_nationkey")
+  }
+
+  val q06AggRollup: QuerySpec = QuerySpec.oracle(
+    "q06_agg_rollup",
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       |  coalesce(o_orderpriority, 'ALL') AS priority,
+       |  count(*) AS n_orders, $SumPrice AS total_price
+       |FROM orders
+       |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+  }
+
+  /** Confusion-matrix-shaped pivot (reference A1, src/main.py:121-122, rebuilt
+    * as a real pivot instead of sklearn.confusion_matrix). */
+  val q07PivotConfusion: QuerySpec = QuerySpec.oracle(
+    "q07_pivot_confusion",
+    """SELECT event_type,
+      |  count(*) FILTER (WHERE value >= 100) AS hi,
+      |  count(*) FILTER (WHERE value < 100) AS lo
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("bucket", when(col("value") >= 100, "hi").otherwise("lo"))
+      .groupBy("event_type")
+      .pivot("bucket", Seq("hi", "lo"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("hi", "lo"))
+      .orderBy("event_type")
+  }
+
+  val q08WindowTopK: QuerySpec = QuerySpec.oracle(
+    "q08_window_topk",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", asLong(row_number().over(w)))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Running/lag window over event time: the exact-decimal running sum keeps
+    * the cumulative double bit-identical to DuckDB's. */
+  val q09WindowRunning: QuerySpec = QuerySpec.oracle(
+    "q09_window_running",
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+      |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      |FROM events
+      |ORDER BY user_id, ts, event_id""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(18,2)")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select("event_id", "user_id", "ts", "value", "running_value", "prev_value")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val q10SetOps: QuerySpec = QuerySpec.oracle(
+    "q10_setops",
+    """SELECT 'both' AS tag, nkey FROM (
+      |  SELECT c_nationkey AS nkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) a
+      |UNION ALL
+      |SELECT 'cust_only' AS tag, nkey FROM (
+      |  SELECT c_nationkey AS nkey FROM customer EXCEPT SELECT s_nationkey FROM supplier) b
+      |ORDER BY tag, nkey""".stripMargin
+  ) { (spark, dir) =>
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nkey"))
+    c.intersect(s).withColumn("tag", lit("both"))
+      .unionByName(c.except(s).withColumn("tag", lit("cust_only")))
+      .select("tag", "nkey")
+      .orderBy("tag", "nkey")
+  }
+
+  val q11DatesMath: QuerySpec = QuerySpec.oracle(
+    "q11_dates_math",
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       |  count(*) AS n_orders,
+       |  $SumPrice AS sum_price,
+       |  round($SumPrice / count(*), 2) AS avg_price,
+       |  CAST(date_diff('day', CAST(min(o_orderdate) AS DATE), CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS span_days,
+       |  round(CAST(sum(CAST(abs(o_totalprice - 1000.0) AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_abs_dev
+       |FROM orders
+       |GROUP BY 1, 2
+       |ORDER BY o_year, o_month""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(
+        asLong(year(col("o_orderdate"))).as("o_year"),
+        asLong(month(col("o_orderdate"))).as("o_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        davg(col("o_totalprice")).as("avg_price"),
+        asLong(datediff(max(col("o_orderdate")), min(col("o_orderdate")))).as("span_days"),
+        round(dsum(abs(col("o_totalprice") - 1000.0)), 2).as("sum_abs_dev"))
+      .orderBy("o_year", "o_month")
+  }
+
+  /** Deterministic balanced per-class sample (reference X1, src/main.py:67-69,
+    * made reproducible): order each class by a content hash and take the first
+    * n — one hash-partitioned window, no global sort, scales to any class
+    * cardinality. md5 is used (not rand(seed)) so DuckDB derives the identical
+    * sample. */
+  val q12BalancedSample: QuerySpec = QuerySpec.oracle(
+    "q12_balanced_sample",
+    """SELECT o_orderstatus, o_orderkey, sample_rank FROM (
+      |  SELECT o_orderstatus, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS sample_rank
+      |  FROM orders) t
+      |WHERE sample_rank <= 100
+      |ORDER BY o_orderstatus, sample_rank""".stripMargin
+  ) { (spark, dir) =>
+    Sampling.deterministicSample(
+      Tables.orders(spark, dir), Seq("o_orderstatus"), col("o_orderkey").cast("string"), 100)
+      .withColumn("sample_rank", asLong(col("sample_rank")))
+      .select("o_orderstatus", "o_orderkey", "sample_rank")
+      .orderBy("o_orderstatus", "sample_rank")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
+    q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
+    q09WindowRunning, q10SetOps, q11DatesMath, q12BalancedSample)
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling / split operators (SURVEY.md §2.3).
+  *
+  * The reference's balanced sampler (X1, src/main.py:67-69) is an unseeded
+  * per-class uniform sample; both variants here are deterministic — at 100 TB
+  * a nondeterministic sample makes every downstream result unreproducible.
+  *
+  * Both are a single hash-shuffle on the class key (window per class); no
+  * global sort, no driver collect.
+  */
+object Sampling {
+
+  /** Exact-n per-class sample ordered by a content hash: reproducible across
+    * engines (md5 exists in Spark and DuckDB alike). Adds `sample_rank`
+    * (1-based within class). */
+  def deterministicSample(df: DataFrame, classCols: Seq[String], hashKey: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(classCols.map(col): _*).orderBy(md5(hashKey), hashKey)
+    df.withColumn("sample_rank", row_number().over(w)).filter(col("sample_rank") <= n)
+  }
+
+  /** Exact-n per-class random sample with a seed (the reference's semantics,
+    * made deterministic). Single window over rand(seed). */
+  def balancedSample(df: DataFrame, classCol: String, nPerClass: Int, seed: Long): DataFrame = {
+    val w = Window.partitionBy(classCol).orderBy(rand(seed))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= nPerClass)
+      .drop("sample_rank")
+  }
+
+  /** 80/20-style split (reference X3, src/main.py:89). */
+  def trainValidSplit(df: DataFrame, trainFraction: Double, seed: Long): (DataFrame, DataFrame) = {
+    val Array(train, valid) = df.randomSplit(Array(trainFraction, 1.0 - trainFraction), seed)
+    (train, valid)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed loaders for the driver test tables plus the reference-shaped
+  * Sentiment140 CSV source.
+  *
+  * Parquet scans are the workhorse: Spark's vectorized parquet reader plus
+  * Catalyst pushdown means a `filter`/`select` downstream of these loaders
+  * reaches the scan (check `.explain`: `PushedFilters`, `ReadSchema`).
+  * At 100 TB these same calls parallelize over file splits; nothing here
+  * assumes single-node layout.
+  */
+object Tables {
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = load(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "lineitem")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as long (legacy conf) and convert
+    * to a micros timestamp with integral division (nanos exceed 2^53 — double
+    * division would lose precision). Oracle side mirrors this with
+    * `CAST(ts AS TIMESTAMP)` (TIMESTAMP_NS → TIMESTAMP_US).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw
+    }
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Sentiment140 schema (reference: src/main.py:64-65 — headerless CSV,
+    * columns assigned positionally). Explicit schema, never inferSchema:
+    * at 100 TB an inference pass is a full extra scan.
+    */
+  val sentiment140Schema: StructType = StructType(Seq(
+    StructField("sentiment", IntegerType),
+    StructField("id", LongType),
+    StructField("date", StringType),
+    StructField("from", StringType),
+    StructField("user", StringType),
+    StructField("tweet", StringType)
+  ))
+
+  /** CSV scan matching the reference's read (src/main.py:64):
+    * headerless, comma-delimited, latin-1.
+    */
+  def sentiment140(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(sentiment140Schema)
+      .option("header", "false")
+      .option("encoding", "ISO-8859-1")
+      .csv(path)
+
+  /** Versioned CSV sink (reference: src/main.py:71-73) — header on,
+    * directory named by the dataset fingerprint.
+    */
+  def writeVersionedCsv(df: DataFrame, baseDir: String, version: String): String = {
+    val path = s"$baseDir/$version"
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    path
+  }
+}
