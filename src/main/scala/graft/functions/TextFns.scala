@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline column combinators (SURVEY.md §2.4): the reference's
+  * `_clean_tweet` chain (src/main.py:51-61) re-expressed as pure built-in
+  * expressions — codegen'd, no UDFs, no per-row Python.
+  *
+  * Net semantics matched (SURVEY §2.4 quirks): whole-text clean, URL tokens
+  * dropped, case-SENSITIVE stopword filtering (the reference never
+  * lowercases), empty text → empty token array.
+  */
+object TextFns {
+
+  /** NLTK English stopword list (public corpus, 179 words) — the reference
+    * filters against it case-sensitively (src/main.py:45,59). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "you're", "you've", "you'll", "you'd", "your", "yours", "yourself",
+    "yourselves", "he", "him", "his", "himself", "she", "she's", "her",
+    "hers", "herself", "it", "it's", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom",
+    "this", "that", "that'll", "these", "those", "am", "is", "are", "was",
+    "were", "be", "been", "being", "have", "has", "had", "having", "do",
+    "does", "did", "doing", "a", "an", "the", "and", "but", "if", "or",
+    "because", "as", "until", "while", "of", "at", "by", "for", "with",
+    "about", "against", "between", "into", "through", "during", "before",
+    "after", "above", "below", "to", "from", "up", "down", "in", "out",
+    "on", "off", "over", "under", "again", "further", "then", "once",
+    "here", "there", "when", "where", "why", "how", "all", "any", "both",
+    "each", "few", "more", "most", "other", "some", "such", "no", "nor",
+    "not", "only", "own", "same", "so", "than", "too", "very", "s", "t",
+    "can", "will", "just", "don", "don't", "should", "should've", "now",
+    "d", "ll", "m", "o", "re", "ve", "y", "ain", "aren", "aren't",
+    "couldn", "couldn't", "didn", "didn't", "doesn", "doesn't", "hadn",
+    "hadn't", "hasn", "hasn't", "haven", "haven't", "isn", "isn't", "ma",
+    "mightn", "mightn't", "mustn", "mustn't", "needn", "needn't", "shan",
+    "shan't", "shouldn", "shouldn't", "wasn", "wasn't", "weren", "weren't",
+    "won", "won't", "wouldn", "wouldn't")
+
+  /** URL removal (T1, reference src/main.py:54-55: spaCy `like_url` tokens
+    * skipped — matched as a whole-text regex delete). */
+  def stripUrls(c: Column): Column =
+    regexp_replace(c, "(?i)\\bhttps?://\\S+|\\bwww\\.\\S+", "")
+
+  /** Punctuation strip (T2, src/main.py:57 — ASCII punctuation, matching
+    * Python's `string.punctuation`). */
+  def stripPunct(c: Column): Column =
+    regexp_replace(c, "[\\p{Punct}]", "")
+
+  /** Regex tokenize on non-word runs, empties dropped (T3, src/main.py:58). */
+  def tokenize(c: Column): Column =
+    filter(split(c, "\\W+"), t => t =!= "")
+
+  /** Case-sensitive stopword filter (T4, src/main.py:59) — `filter`, not
+    * `array_except`, because NLTK's list-comprehension keeps duplicates. */
+  def removeStopwords(tokens: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    filter(tokens, t => !t.isin(stopwords: _*))
+
+  /** Porter-stem each token (T5) via the codegen'd Catalyst expression. */
+  def stemTokens(tokens: Column): Column =
+    transform(tokens, t => StemExpression.stem(t))
+
+  /** The full clean chain T1→T4 (no stemming — kept separate because the
+    * stemmer has no DuckDB-oracle equivalent). */
+  def cleanTokens(text: Column): Column =
+    removeStopwords(tokenize(stripPunct(stripUrls(text))))
+
+  /** T1→T5: the reference's `_clean_tweet` end state. */
+  def cleanStemmedTokens(text: Column): Column =
+    stemTokens(cleanTokens(text))
+
+  /** Deterministic token→id encoding shared with DuckDB (F1 substitute):
+    * first 15 hex digits of md5, as a bigint, mod `vocabSize`.
+    * DuckDB mirror: `CAST(concat('0x', substring(md5(t),1,15)) AS BIGINT) % vocab`. */
+  def tokenId(t: Column, vocabSize: Int): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long") % vocabSize
+
+  def encodeTokens(tokens: Column, vocabSize: Int): Column =
+    transform(tokens, t => tokenId(t, vocabSize))
+
+  /** Right-pad with 0 / truncate to exactly `len` (F2, src/main.py:80). */
+  def padIds(ids: Column, len: Int): Column =
+    slice(concat(ids, array_repeat(lit(0L), len)), 1, len)
+
+  /** Attention mask: 1 where id non-zero (F3, src/main.py:81). */
+  def attentionMask(padded: Column): Column =
+    transform(padded, x => when(x =!= 0L, 1).otherwise(0))
+
+  /** Polynomial rolling fingerprint over token ids (north-star "document
+    * fingerprinting"): fold(acc*31 + id) mod 1e9+7 — order-sensitive, exact,
+    * and identical in DuckDB via list_reduce. */
+  def rollingFingerprint(tokenIds: Column): Column =
+    aggregate(tokenIds, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+}

@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.functions.Exprs._
+import graft.functions.TextFns
+import graft.functions.TextFns._
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text pipeline + text analysis (SURVEY.md §2.4-2.6 and the north-star
+  * text-analysis band): clean chain, quality scoring, language ID, token
+  * encoding (encode→pad→mask), document + dataset fingerprinting.
+  *
+  * Everything here is built-in expressions inside whole-stage codegen — no
+  * UDFs, no shuffles except the final presentation sort (and the dataset
+  * fingerprint, which is a single partial-aggregated global agg). At 100 TB
+  * these are embarrassingly parallel scans.
+  *
+  * Every query has a DuckDB mirror; the shared clean-tokens expression is
+  * rendered once for SQL so Spark and DuckDB filter through literally the
+  * same stopword list and regexes.
+  */
+object TextQueries {
+
+  /** Spark-side CSV rendering of a numeric array (concat_ws needs strings). */
+  private def csv(c: Column): Column =
+    concat_ws(",", transform(c, x => x.cast("string")))
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
+
+  /** DuckDB rendering of TextFns.cleanTokens (T1→T4). */
+  private val CleanToksSql: String =
+    raw"""list_filter(str_split_regex(regexp_replace(regexp_replace(text, '(?i)\bhttps?://\S+|\bwww\.\S+', '', 'g'), '[[:punct:]]', '', 'g'), '\W+'), t -> t <> '' AND NOT list_contains(${sqlList(EnglishStopwords)}, t))"""
+
+  /** DuckDB rendering of TextFns.tokenId. */
+  private def tokenIdSql(t: String, vocab: Int): String =
+    s"CAST(concat('0x', substring(md5($t), 1, 15)) AS BIGINT) % $vocab"
+
+  val q20CleanText: QuerySpec = QuerySpec.oracle(
+    "q20_clean_text",
+    s"""WITH toks AS (SELECT doc_id, $CleanToksSql AS ts FROM documents)
+       |SELECT doc_id, array_to_string(ts, ' ') AS cleaned,
+       |  CAST(len(ts) AS BIGINT) AS n_tokens
+       |FROM toks ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val toks = cleanTokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat_ws(" ", toks).as("cleaned"),
+        asLong(size(toks)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val q21TextStats: QuerySpec = QuerySpec.oracle(
+    "q21_text_stats",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(str_split_regex(text, '\\W+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+       |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       |    CAST(len(list_filter(str_split_regex(text, '\\W+'), x -> list_contains(${sqlList(EnglishStopwords)}, x))) AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, lang, source, n_chars, n_tokens,
+       |  round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       |  round(n_upper / greatest(n_chars, 1), 6) AS upper_ratio,
+       |  round(n_stop / greatest(n_tokens, 1), 6) AS stop_ratio,
+       |  round((n_chars - n_tokens + 1) / greatest(n_tokens, 1), 6) AS avg_token_len
+       |FROM t ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val rawToks = filter(split(col("text"), "\\W+"), x => x =!= "")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        asLong(length(col("text"))).as("n_chars"),
+        asLong(size(rawToks)).as("n_tokens"),
+        asLong(regexp_count(col("text"), lit("[\\p{Punct}]"))).as("n_punct"),
+        asLong(regexp_count(col("text"), lit("[A-Z]"))).as("n_upper"),
+        asLong(size(filter(rawToks, x => x.isin(EnglishStopwords: _*)))).as("n_stop"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("n_tokens"),
+        round(col("n_punct") / greatest(col("n_chars"), lit(1)), 6).as("punct_ratio"),
+        round(col("n_upper") / greatest(col("n_chars"), lit(1)), 6).as("upper_ratio"),
+        round(col("n_stop") / greatest(col("n_tokens"), lit(1)), 6).as("stop_ratio"),
+        round((col("n_chars") - col("n_tokens") + 1) / greatest(col("n_tokens"), lit(1)), 6).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Tiny per-language function-word lists for the n-gram/langid heuristic. */
+  private val LangWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "was", "for", "with", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "dans", "que", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "no", "con", "para", "por", "una"))
+
+  val q22LangId: QuerySpec = QuerySpec.oracle(
+    "q22_langid", {
+      val hitCols = LangWords.map { case (l, ws) =>
+        s"CAST(len(list_filter(str_split_regex(lower(text), '\\W+'), x -> list_contains(${sqlList(ws)}, x))) AS BIGINT) AS hits_$l"
+      }.mkString(",\n    ")
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    $hitCols
+         |  FROM documents)
+         |SELECT lang, CASE
+         |    WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+         |    WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+         |    WHEN hits_fr >= hits_es THEN 'fr'
+         |    ELSE 'es' END AS lang_pred,
+         |  count(*) AS n_docs
+         |FROM h GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val lowToks = filter(split(lower(col("text")), "\\W+"), x => x =!= "")
+    val withHits = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("lang")) ++ LangWords.map { case (l, ws) =>
+        asLong(size(filter(lowToks, x => x.isin(ws: _*)))).as(s"hits_$l")
+      }: _*)
+    val pred = when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr") && col("hits_en") >= col("hits_es"), "en")
+      .when(col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es"), "de")
+      .when(col("hits_fr") >= col("hits_es"), "fr")
+      .otherwise("es")
+    withHits.select(col("lang"), pred.as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  private val Vocab = 30000
+  private val MaxLen = 30
+
+  val q23TokenEncode: QuerySpec = QuerySpec.oracle(
+    "q23_token_encode",
+    s"""WITH toks AS (SELECT doc_id, $CleanToksSql AS ts FROM documents),
+       |ids AS (SELECT doc_id, ts,
+       |  list_concat(list_transform(ts, t -> ${tokenIdSql("t", Vocab)}), ${Seq.fill(MaxLen)("CAST(0 AS BIGINT)").mkString("[", ", ", "]")})[1:$MaxLen] AS padded
+       |  FROM toks)
+       |SELECT doc_id,
+       |  array_to_string(padded, ',') AS ids_csv,
+       |  array_to_string(list_transform(padded, x -> CASE WHEN x <> 0 THEN 1 ELSE 0 END), ',') AS mask_csv,
+       |  CAST(len(ts) AS BIGINT) AS n_tokens
+       |FROM ids ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val toks = cleanTokens(col("text"))
+    val padded = padIds(encodeTokens(toks, Vocab), MaxLen)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        csv(padded).as("ids_csv"),
+        csv(attentionMask(padded)).as("mask_csv"),
+        asLong(size(toks)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document fingerprints: content md5 (H1, src/main.py:71-72 semantic)
+    * plus an order-sensitive polynomial rolling hash over token ids. */
+  val q24DocFingerprint: QuerySpec = QuerySpec.oracle(
+    "q24_doc_fingerprint",
+    s"""WITH toks AS (SELECT doc_id, text, $CleanToksSql AS ts FROM documents)
+       |SELECT doc_id, md5(text) AS content_md5,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ts, t -> ${tokenIdSql("t", Vocab)})),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+       |FROM toks ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("content_md5"),
+        rollingFingerprint(encodeTokens(cleanTokens(col("text")), Vocab)).as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Whole-dataset content fingerprint (H1): order-independent aggregate of
+    * per-row hashes — the content-addressed dataset version id. */
+  val q25DatasetFingerprint: QuerySpec = QuerySpec.oracle(
+    "q25_dataset_fingerprint",
+    s"""WITH toks AS (SELECT doc_id, text, $CleanToksSql AS ts FROM documents),
+       |fp AS (SELECT doc_id, text,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ts, t -> ${tokenIdSql("t", Vocab)})),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+       |  FROM toks)
+       |SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+       |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+       |  bit_xor(rolling_fp) AS xor_fp
+       |FROM fp""".stripMargin
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        rollingFingerprint(encodeTokens(cleanTokens(col("text")), Vocab)).as("rolling_fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"),
+        min(md5(col("text"))).as("min_md5"),
+        max(md5(col("text"))).as("max_md5"),
+        expr("bit_xor(rolling_fp)").as("xor_fp"))
+  }
+
+  /** The reference's full `_clean_tweet` end state incl. Porter stemming
+    * (T1→T5) — no DuckDB porter, so rows-only here; exact stemmer vectors are
+    * covered in ScalaTest. */
+  val q26StemmedTokens: QuerySpec = QuerySpec.rowsOnly("q26_stemmed_tokens") { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat_ws(" ", cleanStemmedTokens(col("text"))).as("stemmed"),
+        asLong(size(TextFns.cleanStemmedTokens(col("text")))).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
+    q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens)
+}

@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class TextFnsSpec extends SparkSpec {
+  import TextFns._
+
+  private def cleanOne(s: String): Seq[String] = {
+    val df = spark.createDataFrame(Seq(Tuple1(s))).toDF("text")
+    df.select(cleanTokens(col("text")).as("t")).collect().head.getSeq[String](0)
+  }
+
+  test("clean chain: URLs dropped, punctuation stripped, stopwords case-sensitive") {
+    assert(cleanOne("Check https://x.co/ab and www.foo.com now!") === Seq("Check"))
+    // "The" survives (case-sensitive NLTK semantics), "the" is dropped
+    assert(cleanOne("The cat saw the dog") === Seq("The", "cat", "saw", "dog"))
+    // punctuation removed before tokenizing: "don't" -> "dont"
+    assert(cleanOne("don't stop me") === Seq("dont", "stop"))
+    assert(cleanOne("") === Seq.empty)
+    assert(cleanOne("https://only.url") === Seq.empty)
+  }
+
+  test("stemmed clean chain runs the Catalyst stem expression") {
+    val df = spark.createDataFrame(Seq(Tuple1("Connection troubles running happily"))).toDF("text")
+    val out = df.select(cleanStemmedTokens(col("text")).as("t")).collect().head.getSeq[String](0)
+    assert(out === Seq("Connect", "troubl", "run", "happili"))
+  }
+
+  test("encode/pad/mask shapes (F1-F3)") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1("alpha beta gamma"),
+      Tuple1(""),
+      Tuple1(Seq.fill(40)("word").mkString(" "))
+    )).toDF("text")
+    val out = df.select(
+      padIds(encodeTokens(cleanTokens(col("text")), 1000), 30).as("ids"),
+      attentionMask(padIds(encodeTokens(cleanTokens(col("text")), 1000), 30)).as("mask"))
+      .collect()
+    out.foreach { case Row(ids: scala.collection.Seq[_], mask: scala.collection.Seq[_]) =>
+      assert(ids.length == 30, "padded to exactly 30")
+      assert(mask.length == 30)
+      assert(mask.forall(m => m == 0 || m == 1))
+      assert(ids.forall { case i: Long => i >= 0 && i < 1000 })
+    }
+    // mask of empty text is all zeros
+    assert(out(1).getSeq[Int](1).forall(_ == 0))
+  }
+
+  test("rolling fingerprint is order-sensitive and stable") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1("alpha beta"), Tuple1("beta alpha"))).toDF("text")
+    val fps = df.select(rollingFingerprint(encodeTokens(cleanTokens(col("text")), 1000)).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) != fps(1), "order must matter")
+    val again = df.select(rollingFingerprint(encodeTokens(cleanTokens(col("text")), 1000)).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps.toSeq === again.toSeq)
+  }
+}

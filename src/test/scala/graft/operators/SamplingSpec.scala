@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("balancedSample returns exactly n per class, deterministically") {
+    val orders = Tables.orders(spark, sf)
+    val s1 = Sampling.balancedSample(orders, "o_orderstatus", 50, seed = 15)
+    val counts = s1.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet == Set(50L), s"got $counts")
+    val s2 = Sampling.balancedSample(orders, "o_orderstatus", 50, seed = 15)
+    assert(s1.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq ===
+      s2.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("deterministicSample ranks 1..n within each class") {
+    val s = Sampling.deterministicSample(
+      Tables.orders(spark, sf), Seq("o_orderstatus"), col("o_orderkey").cast("string"), 10)
+    val perClass = s.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), min("sample_rank").as("lo"), max("sample_rank").as("hi"))
+      .collect()
+    perClass.foreach { r =>
+      assert(r.getAs[Long]("n") == 10 && r.getAs[Int]("lo") == 1 && r.getAs[Int]("hi") == 10)
+    }
+  }
+
+  test("trainValidSplit partitions the data") {
+    val docs = Tables.documents(spark, sf)
+    val (train, valid) = Sampling.trainValidSplit(docs, 0.8, seed = 15)
+    assert(train.count() + valid.count() == docs.count())
+    assert(train.join(valid, "doc_id").count() == 0)
+  }
+}
