@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star band):
+  * exact, n-gram Jaccard, MinHash+LSH banding, SimHash, embedding-cosine
+  * (the last via Similarity.cosinePairs / lshNearDupPairs).
+  *
+  * Scale design: every path is shuffle-on-key (shingle, band key, simhash) —
+  * never an all-pairs product. Candidate generation joins only rows sharing
+  * a bucket; frequent-shingle filtering caps bucket fan-out, which is the
+  * standard guard against the quadratic blowup a stop-shingle causes at
+  * 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup keeping the smallest id per duplicate group (hash-groupBy;
+    * one shuffle on the dedup key). */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** Lowercased word tokens (dedup operators are case-insensitive by
+    * convention — unlike the reference's case-sensitive clean chain). */
+  private def lowToks(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => t =!= "")
+
+  /** Distinct word n-gram shingles of a text column. Guarded: Spark's
+    * `sequence(1, 0)` counts DOWN, so short texts must short-circuit to []. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = lowToks(text)
+    val grams = transform(sequence(lit(1), size(ts) - (n - 1)),
+      i => concat_ws(" ", slice(ts, i, lit(n))))
+    array_distinct(
+      when(size(ts) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** (doc_id, shingle) exploded, with shingles occurring in more than
+    * `maxDocFreq` docs dropped (stop-shingle guard). */
+  private def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, maxDocFreq: Long): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("sh")
+    sh.join(rare, "sh")
+  }
+
+  /** All pairs (i < j) with shingle-set Jaccard ≥ `minJaccard`.
+    * Intersections come from a self-join on the shingle key (co-partitioned,
+    * no product); sizes from a per-doc count over the same filtered table. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minJaccard: Double = 0.8,
+                        maxDocFreq: Long = 1000): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n, maxDocFreq).cache()
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "jaccard")
+  }
+
+  /** Portable 60-bit token/shingle hash: first 15 hex digits of md5, seeded —
+    * identical in DuckDB (`CAST(concat('0x', substring(md5(seed||s),1,15)) AS BIGINT)`),
+    * so MinHash signatures are cross-engine reproducible. */
+  def seededHash(s: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"), s)), 1, 15), 16, 10).cast("long")
+
+  def seededHashSql(s: String, seed: Int): String =
+    s"CAST(concat('0x', substring(md5(concat('$seed', ':', $s)), 1, 15)) AS BIGINT)"
+
+  /** MinHash signature: array of `numHashes` minima of seeded hashes over the
+    * doc's shingle set. Empty shingle set → all Long.MaxValue. */
+  def minHashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = shingles(text, n)
+    array((0 until numHashes).map { i =>
+      coalesce(array_min(transform(sh, s => seededHash(s, i))), lit(Long.MaxValue))
+    }: _*)
+  }
+
+  /** Candidate near-dup pairs via LSH banding over MinHash signatures:
+    * signature split into `numBands` bands, docs sharing any band key are
+    * candidates (joined on the band key — bucket join, no product), then
+    * exact Jaccard verifies. */
+  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, numHashes: Int = 16, numBands: Int = 4,
+                   minJaccard: Double = 0.5, maxDocFreq: Long = 1000): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sig = docs.select(col(idCol).as("doc"), col(textCol).as("text"))
+      .withColumn("sig", minHashSignature(col("text"), n, numHashes))
+    val bands = sig.select(col("doc"), explode(
+      array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    val verified = ngramJaccardPairs(docs, idCol, textCol, n, minJaccard, maxDocFreq)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    candidates.join(verified, Seq("id_a", "id_b"))
+  }
+
+  /** SimHash over token hashes: bit b is set iff more tokens have bit b set
+    * than clear (ties → 0). `bits` ≤ 60 (hash width). One pass, no shuffle. */
+  def simHash(text: Column, bits: Int = 16): Column = {
+    val ts = lowToks(text)
+    val hashes = transform(ts, t => seededHash(t, 0))
+    (0 until bits).map { b =>
+      val ones = size(filter(hashes, h => shiftright(h, b).bitwiseAND(1) === 1))
+      when(ones * 2 > size(hashes), lit(1L) * (1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Docs grouped by identical simhash (hamming-0 near-dup groups); pairs
+    * within hamming distance ≤ d are covered in DedupSpec via the library
+    * call. */
+  def simHashGroups(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+    docs.select(col(idCol).as("doc"), simHash(col(textCol), bits).as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("min_doc"))
+}

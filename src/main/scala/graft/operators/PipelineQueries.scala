@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.functions.{Exprs, VectorFns}
+import graft.functions.Exprs._
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** QuerySpecs for the LLM-data-pipeline band (dedup, similarity search, KNN)
+  * — the operators live in Dedup / Similarity / Knn; this module binds them
+  * to the driver tables and renders the DuckDB mirrors.
+  *
+  * The synthetic corpus has no true near-dups (max pairwise Jaccard ≈ 0.03,
+  * max cosine ≈ 0.46 — measured), so the oracle queries use top-N-pairs /
+  * top-k form, which is non-empty and deterministic at any threshold;
+  * threshold semantics are exercised in DedupSpec/SimilaritySpec with
+  * planted duplicates.
+  */
+object PipelineQueries {
+
+  /** DuckDB mirror of Dedup.lowToks. */
+  private val LowToksSql =
+    raw"""list_filter(str_split_regex(lower(text), '\W+'), t -> t <> '')"""
+
+  /** DuckDB mirror of Dedup.shingles(text, 3). */
+  private val ShinglesSql =
+    s"""CASE WHEN len(ts) >= 3
+       | THEN list_distinct(list_transform(generate_series(1, len(ts) - 2),
+       |        i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))
+       | ELSE [] END""".stripMargin.replace("\n", "")
+
+  val q30DedupExact: QuerySpec = QuerySpec.oracle(
+    "q30_dedup_exact",
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_dups, text
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", Seq("text"))
+      .select("doc_id", "n_dups", "text")
+      .orderBy("doc_id")
+  }
+
+  val q31NgramJaccard: QuerySpec = QuerySpec.oracle(
+    "q31_dedup_ngram_pairs",
+    s"""WITH toks AS (
+       |  SELECT doc_id, $LowToksSql AS ts FROM documents WHERE doc_id < 200),
+       |shl AS (SELECT doc_id, $ShinglesSql AS shs FROM toks),
+       |sh0 AS (SELECT doc_id AS doc, unnest(shs) AS sh FROM shl),
+       |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000),
+       |sh AS (SELECT doc, sh0.sh FROM sh0 JOIN rare USING (sh)),
+       |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+       |inter AS (
+       |  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2)
+       |SELECT id_a, id_b, inter,
+       |  inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc = id_a
+       |JOIN sizes sb ON sb.doc = id_b
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin
+  ) { (spark, dir) =>
+    Dedup.ngramJaccardPairs(
+      Tables.documents(spark, dir).filter(col("doc_id") < 200),
+      "doc_id", "text", n = 3, minJaccard = 0.0, maxDocFreq = 1000)
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  private val NumHashes = 16
+  private val NumBands = 4
+
+  val q32MinHash: QuerySpec = QuerySpec.oracle(
+    "q32_dedup_minhash_sig", {
+      val hashExprs = (0 until NumHashes).map { i =>
+        s"coalesce(list_min(list_transform(shs, s -> ${Dedup.seededHashSql("s", i)})), 9223372036854775807)"
+      }
+      val bandExprs = (0 until NumBands).map { b =>
+        val lo = b * (NumHashes / NumBands) + 1
+        val hi = lo + NumHashes / NumBands - 1
+        s"md5(array_to_string(sig[$lo:$hi], ',')) AS band$b"
+      }
+      s"""WITH toks AS (
+         |  SELECT doc_id, $LowToksSql AS ts FROM documents WHERE doc_id < 200),
+         |shl AS (SELECT doc_id, $ShinglesSql AS shs FROM toks),
+         |sigs AS (SELECT doc_id, ${hashExprs.mkString("[", ",\n  ", "]")} AS sig FROM shl)
+         |SELECT doc_id, array_to_string(sig, ',') AS sig_csv,
+         |  ${bandExprs.mkString(",\n  ")}
+         |FROM sigs ORDER BY doc_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val rowsPerBand = NumHashes / NumBands
+    val sig = Dedup.minHashSignature(col("text"), 3, NumHashes)
+    val csv = (c: Column) => concat_ws(",", transform(c, x => x.cast("string")))
+    Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .withColumn("sig", sig)
+      .select(Seq(col("doc_id"), csv(col("sig")).as("sig_csv")) ++
+        (0 until NumBands).map { b =>
+          md5(csv(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as(s"band$b")
+        }: _*)
+      .orderBy("doc_id")
+  }
+
+  val q33SimHash: QuerySpec = QuerySpec.oracle(
+    "q33_dedup_simhash", {
+      val bitExprs = (0 until 16).map { b =>
+        s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $b) & 1) = 1)) > len(hs) THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+      }
+      s"""WITH toks AS (SELECT doc_id, $LowToksSql AS ts FROM documents),
+         |hashed AS (SELECT doc_id, list_transform(ts, t -> ${Dedup.seededHashSql("t", 0)}) AS hs FROM toks)
+         |SELECT doc_id, ${bitExprs.mkString(" + ")} AS simhash
+         |FROM hashed ORDER BY doc_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.simHash(col("text"), 16).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val q34CosinePairs: QuerySpec = QuerySpec.oracle(
+    "q34_embedding_pairs",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${VectorFns.Sql.cosine("a.embedding", "b.embedding")} AS sim
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
+  ) { (spark, dir) =>
+    Similarity.cosinePairs(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 200), minCosine = -1.0)
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  val q40KnnTopK: QuerySpec = QuerySpec.oracle(
+    "q40_knn_bruteforce",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id, ${VectorFns.Sql.cosine("qe", "ce")} AS sim
+       |      FROM q, c WHERE query_id <> neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+       |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, sim
+       |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") % 25 === 0), emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rk"), col("sim"))
+      .orderBy("query_id", "rk")
+  }
+
+  val q41AnnLsh: QuerySpec = QuerySpec.rowsOnly("q41_ann_lsh") { (spark, dir) =>
+    Similarity.lshNearDupPairs(Tables.embeddings(spark, dir), maxL2 = 1.2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q42KnnClassify: QuerySpec = QuerySpec.oracle(
+    "q42_knn_classify",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+       |           FROM embeddings WHERE vec_id % 25 = 0),
+       |t AS (SELECT vec_id AS neighbor_id, embedding AS ce, label FROM embeddings WHERE vec_id % 25 <> 0),
+       |s AS (SELECT query_id, neighbor_id, label, ${VectorFns.Sql.cosine("qe", "ce")} AS sim FROM q, t),
+       |r AS (SELECT query_id, label,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s),
+       |v AS (SELECT query_id, label, count(*) AS n_votes FROM r WHERE rk <= 5 GROUP BY 1, 2),
+       |p AS (SELECT query_id, label, n_votes,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr FROM v)
+       |SELECT p.query_id, q.true_label, p.label AS pred_label, p.n_votes
+       |FROM p JOIN q ON p.query_id = q.query_id
+       |WHERE vr = 1 ORDER BY p.query_id""".stripMargin
+  ) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val train = emb.filter(col("vec_id") % 25 =!= 0)
+    Knn.classify(queries, train, k = 5)
+      .join(queries.select(col("vec_id").as("query_id"), col("label").as("true_label")), "query_id")
+      .select("query_id", "true_label", "pred_label", "n_votes")
+      .orderBy("query_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
+    q34CosinePairs, q40KnnTopK, q41AnnLsh, q42KnnClassify)
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star band).
+  *
+  * Two paths:
+  *   - `bruteForceTopK`: exact cosine top-k — the query side is broadcast
+  *     (queries ≪ corpus is the realistic shape), so the corpus streams
+  *     through one codegen'd scan, each partition keeping a local top-k via
+  *     the window; no corpus shuffle. The baseline and the oracle.
+  *   - `lshTopK`: approximate path for 100 TB — MLlib
+  *     BucketedRandomProjectionLSH buckets both sides so the join touches
+  *     only colliding buckets; recall is testable against the brute-force
+  *     baseline (SimilaritySpec).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query by cosine. `queries(id, embedding)`
+    * small, `corpus(id, embedding)` large. Ties break on corpus id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val joined = c.crossJoin(broadcast(q))
+    val filtered = if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    filtered
+      .withColumn("sim", VectorFns.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** All pairs (i < j) above a cosine threshold — the embedding near-dup
+    * primitive. Quadratic: use only on a blocked/bucketed subset; the scale
+    * path is `lshNearDupPairs`. */
+  def cosinePairs(vecs: DataFrame, minCosine: Double): DataFrame = {
+    val a = vecs.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFns.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= minCosine)
+      .select("id_a", "id_b", "sim")
+  }
+
+  private def toMlVector(df: DataFrame): DataFrame = {
+    val toVec = udf((xs: Seq[Float]) => Vectors.dense(xs.map(_.toDouble).toArray))
+    df.withColumn("features", toVec(col("embedding")))
+  }
+
+  /** Approximate neighbor join via random-projection LSH: only colliding
+    * buckets are joined, so cost scales with bucket occupancy, not |A|×|B|. */
+  def lshNearDupPairs(vecs: DataFrame, maxL2: Double, bucketLength: Double = 2.0,
+                      numTables: Int = 8, seed: Long = 42): DataFrame = {
+    val v = toMlVector(vecs)
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+    val model = lsh.fit(v)
+    model.approxSimilarityJoin(v, v, maxL2, "dist")
+      .select(
+        col("datasetA.vec_id").as("id_a"),
+        col("datasetB.vec_id").as("id_b"),
+        col("dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Approximate top-k for one query vector (LSH path of the ANN surface). */
+  def lshTopK(corpus: DataFrame, key: Vector, k: Int, bucketLength: Double = 2.0,
+              numTables: Int = 8, seed: Long = 42): DataFrame = {
+    val v = toMlVector(corpus)
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+    val model = lsh.fit(v)
+    model.approxNearestNeighbors(v, key, k)
+      .select(col("vec_id"), col("distCol").as("dist"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val planted = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),  // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend today"),  // near dup of 0
+    (3L, "completely different words about spark distributed query engines and shuffles"),
+    (4L, "another unrelated document mentioning parquet columnar storage formats"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today")   // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts the group") {
+    val out = Dedup.exact(planted, "doc_id", Seq("text"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    val big = out.find(_.getAs[Long]("n_dups") == 3).get
+    assert(big.getAs[Long]("doc_id") == 0L)
+  }
+
+  test("ngram jaccard finds planted near-dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(planted, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 5L)) && pairs.contains((1L, 5L)))
+    assert(pairs.contains((0L, 2L)), "near-dup (one word changed) above 0.5")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash banding proposes and verifies the same near-dups") {
+    val pairs = Dedup.minHashPairs(planted, "doc_id", "text",
+      n = 3, numHashes = 16, numBands = 4, minJaccard = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)), "identical docs always collide in every band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash groups exact dups together and separates distinct docs") {
+    val groups = Dedup.simHashGroups(planted, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("simhash") -> r.getAs[Long]("n_docs"))
+    // docs 0/1/5 are identical; doc 2 (one word changed) may legitimately
+    // collide at 16 bits too — so the dup group has ≥3 members
+    assert(groups.exists(_._2 >= 3), "identical docs share a simhash")
+    assert(groups.length >= 3, "distinct docs get distinct hashes")
+  }
+
+  test("shingles handle short and empty texts") {
+    val df = Seq((0L, "one two"), (1L, ""), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](1).isEmpty)
+    assert(out(1).getSeq[String](1).isEmpty)
+    assert(out(2).getSeq[String](1) == Seq("a b c", "b c d"))
+  }
+}
