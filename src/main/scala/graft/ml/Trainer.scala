@@ -1,0 +1,88 @@
+package graft.ml
+
+import org.apache.spark.ml.classification._
+import org.apache.spark.ml.util.MLWritable
+import org.apache.spark.ml.Transformer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's classifier surface (SURVEY.md §2.10 M1-M3, M5-M8):
+  * 5 models trained on the 80% split, evaluated on 20%, metrics logged to a
+  * queryable runs table, models persisted with a name→path registry manifest.
+  * (M4/KNN is relational — graft.operators.Knn.)
+  *
+  * Deviations documented in SURVEY §2.10: kernel SVC → LinearSVC (MLlib has
+  * no kernel SVM); GaussianNB → NaiveBayes(gaussian). The reference's
+  * transposed confusion-matrix bug (src/main.py:121) is NOT replicated —
+  * orientation here is the correct (label, prediction).
+  */
+object Trainer {
+
+  /** The reference's model set (src/main.py:91-114), KNN excepted. */
+  def models(seed: Long = 0): Seq[(String, Estimator)] = Seq(
+    "random_forest" -> new RandomForestClassifier().setMaxDepth(2).setSeed(seed),
+    "logistic_regression" -> new LogisticRegression(),
+    "linear_svc" -> new LinearSVC(),
+    "gaussian_nb" -> new NaiveBayes().setModelType("gaussian"))
+
+  type Estimator = org.apache.spark.ml.Estimator[_ <: Transformer]
+
+  /** Confusion matrix as one aggregate (A1, correct orientation) +
+    * precision/recall/accuracy scalars (A2). Binary labels {0,1}. */
+  def confusion(preds: DataFrame): DataFrame = {
+    def cell(l: Int, p: Int) =
+      count(when(col("label") === l && col("prediction") === p, 1)).as(
+        (l, p) match {
+          case (0, 0) => "tn"; case (0, 1) => "fp"
+          case (1, 0) => "fn"; case (1, 1) => "tp"
+        })
+    preds.agg(cell(0, 0), cell(0, 1), cell(1, 0), cell(1, 1))
+      .withColumn("precision",
+        round(col("tp") / greatest(col("tp") + col("fp"), lit(1)), 6))
+      .withColumn("recall",
+        round(col("tp") / greatest(col("tp") + col("fn"), lit(1)), 6))
+      .withColumn("accuracy",
+        round((col("tp") + col("tn")) / greatest(col("tp") + col("tn") + col("fp") + col("fn"), lit(1)), 6))
+  }
+
+  /** Train every model, score the validation split, and emit the M8 runs
+    * table: one row per (model, metric) — the queryable equivalent of the
+    * reference's MLflow log_metric calls (src/main.py:124-131). */
+  def trainAndEvaluate(train: DataFrame, valid: DataFrame, runId: String,
+                       datasetVersion: String, modelDir: Option[String] = None)
+      : (Map[String, Transformer], DataFrame) = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val n = train.count()
+    val fitted = models().map { case (name, est) =>
+      val m = est.fit(train)
+      modelDir.foreach(d => m.asInstanceOf[MLWritable].write.overwrite().save(s"$d/$name"))
+      name -> (m: Transformer)
+    }
+    val runRows = fitted.flatMap { case (name, m) =>
+      val row = confusion(m.transform(valid)).collect().head
+      Seq("tn", "fp", "fn", "tp", "precision", "recall", "accuracy")
+        .map(metric => (runId, name, metric, row.getAs[Any](metric).toString.toDouble, datasetVersion, n)) :+
+        ((runId, name, "data_size", n.toDouble, datasetVersion, n))
+    }
+    val runs = runRows.toDF("run_id", "model_name", "metric", "value", "dataset_version", "n")
+    (fitted.toMap, runs)
+  }
+
+  /** Registry manifest (M6): name → saved path, written as a small parquet
+    * table next to the models. */
+  def writeRegistry(spark: SparkSession, modelDir: String, names: Seq[String]): Unit = {
+    import spark.implicits._
+    names.map(n => (n, s"$modelDir/$n")).toDF("model_name", "path")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/_registry")
+  }
+
+  /** Multi-model fan-out scoring (M7, src/main.py:150-158): one pass, one
+    * added column per model — not the reference's per-row loop. */
+  def scoreAll(df: DataFrame, fitted: Map[String, Transformer]): DataFrame =
+    fitted.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (name, m)) =>
+      m.transform(acc)
+        .withColumnRenamed("prediction", s"pred_$name")
+        .drop("rawPrediction", "probability")
+    }
+}

@@ -1,0 +1,72 @@
+package graft.ml
+
+import graft.SparkSpec
+import java.nio.charset.Charset
+import java.nio.file.{Files, Paths}
+import scala.util.Random
+
+/** End-to-end test of the reference pipeline shape (SURVEY.md §3.1-3.2) on a
+  * generated Sentiment140-format CSV: headerless, latin-1, 6 columns, labels
+  * {0,4}, with learnable word signal.
+  */
+class SentimentPipelineSpec extends SparkSpec {
+
+  private val posWords = Seq("love", "great", "happy", "awesome", "best")
+  private val negWords = Seq("hate", "awful", "sad", "terrible", "worst")
+  private val fillers = Seq("today", "really", "just", "going", "weather", "coffee", "work")
+
+  private def makeCsv(n: Int): String = {
+    val rnd = new Random(42)
+    val dir = Files.createTempDirectory("graft_s140").toString
+    val path = s"$dir/tweets.csv"
+    val rows = (0 until n).map { i =>
+      val pos = i % 2 == 0
+      val signal = (if (pos) posWords else negWords)(rnd.nextInt(5))
+      val noise = Seq.fill(4)(fillers(rnd.nextInt(fillers.length))).mkString(" ")
+      val sentiment = if (pos) 4 else 0
+      // quoted tweet text with URL + punctuation to exercise the clean chain
+      s"""$sentiment,$i,"Mon Apr 06 22:19:45 PDT 2009",NO_QUERY,user$i,"I $signal this! $noise http://t.co/x$i""""
+    }
+    Files.write(Paths.get(path), rows.mkString("\n").getBytes(Charset.forName("ISO-8859-1")))
+    path
+  }
+
+  test("train entry point: balanced sample, 5 model metrics, learnable signal") {
+    val csv = makeCsv(600)
+    val modelDir = Files.createTempDirectory("graft_models").toString
+    val trained = SentimentPipeline.train(spark, csv, total = 400, modelDir = Some(modelDir))
+
+    // balanced sampler produced both classes (X1/X2)
+    assert(trained.version.nonEmpty)
+    val runs = trained.runs.collect()
+    val models = runs.map(_.getAs[String]("model_name")).distinct.sorted
+    assert(models.toSeq == Seq("gaussian_nb", "linear_svc", "logistic_regression", "random_forest"))
+    // 8 metrics per model (tn/fp/fn/tp/precision/recall/accuracy/data_size)
+    assert(runs.length == models.length * 8)
+    // the word signal is learnable: logistic regression beats 0.8 accuracy
+    val lrAcc = runs.find(r => r.getAs[String]("model_name") == "logistic_regression"
+      && r.getAs[String]("metric") == "accuracy").get.getAs[Double]("value")
+    assert(lrAcc > 0.8, s"logistic_regression accuracy $lrAcc")
+    // M6: models + registry persisted
+    assert(Files.exists(Paths.get(s"$modelDir/logistic_regression")))
+    assert(Files.exists(Paths.get(s"$modelDir/_registry")))
+  }
+
+  test("inference entry point: fan-out scoring adds one column per model") {
+    import spark.implicits._
+    val csv = makeCsv(300)
+    val trained = SentimentPipeline.train(spark, csv, total = 200)
+    val batch = Seq("I love this awesome day", "I hate this terrible thing")
+      .toDF("text")
+    val scored = SentimentPipeline.scoreBatch(batch, "text", trained)
+    val predCols = scored.columns.filter(_.startsWith("pred_")).sorted
+    assert(predCols.toSeq == Seq("pred_gaussian_nb", "pred_linear_svc",
+      "pred_logistic_regression", "pred_random_forest"))
+    val rows = scored.collect()
+    assert(rows.length == 2)
+    // lr learned the signal: positive text → 1.0, negative → 0.0
+    val lr = rows.map(r => r.getAs[String]("tweet") -> r.getAs[Double]("pred_logistic_regression")).toMap
+    assert(lr("I love this awesome day") == 1.0)
+    assert(lr("I hate this terrible thing") == 0.0)
+  }
+}
