@@ -12,7 +12,8 @@ object SparkEntry {
   /** Every verifiable operator surface, in SURVEY §2 order. */
   def specs: Seq[QuerySpec] =
     operators.Relational.all ++ operators.TextQueries.all ++
-      operators.PipelineQueries.all ++ ml.MlQueries.all
+      operators.PipelineQueries.all ++ ml.MlQueries.all ++
+      operators.EventQueries.all ++ multimodal.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

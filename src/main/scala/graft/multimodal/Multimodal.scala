@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (north-star band): image/audio/video as opaque
+  * `binary` columns with typed metadata, processed partition-at-a-time.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic STUB (`FakeCodec`) — the Spark-side plumbing
+  * is real and tested: binary schema, typed Dataset rows, iterator-to-
+  * iterator `mapPartitions` (the JVM analog of mapInPandas batch processing
+  * — no per-row serialization round trip, constant memory per partition),
+  * and partition-preserving output shape.
+  */
+object Multimodal {
+
+  /** One media asset: opaque payload + typed metadata. */
+  final case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte],
+                               width: Int, height: Int, n_frames: Int)
+
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                                 embedding: Array[Float])
+
+  final case class FrameSample(media_id: Long, frame_idx: Int, frame_fp: Long)
+
+  /** STUB codec: stands in for libjpeg/ffmpeg-style decode. Deterministic
+    * (content-addressed) so tests and benchmarks are reproducible. A real
+    * deployment swaps ONLY this object; all Spark plumbing stays. */
+  object FakeCodec {
+    /** "Decode" a payload to a dims-float embedding. */
+    def decode(bytes: Array[Byte], dims: Int): Array[Float] = {
+      val out = new Array[Float](dims)
+      var acc = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { acc = acc * 31 + bytes(i); i += 1 }
+      i = 0
+      while (i < dims) {
+        acc = acc * 6364136223846793005L + 1442695040888963407L
+        out(i) = ((acc >>> 40).toInt % 1000) / 1000.0f
+        i += 1
+      }
+      out
+    }
+
+    /** "Sample" every nth frame of a video payload as a fingerprint. */
+    def frameFingerprint(bytes: Array[Byte], frameIdx: Int): Long = {
+      var acc = 1125899906842597L + frameIdx
+      var i = 0
+      while (i < bytes.length) { acc = acc * 31 + bytes(i); i += 1 }
+      acc
+    }
+  }
+
+  /** Deterministic synthetic media table (no binary test fixture ships with
+    * the driver tables): payload = md5-derived bytes of the id. */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n).select(
+      col("id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("id") % 3 + 1).cast("int")).as("kind"),
+      unhex(md5(col("id").cast("string"))).as("bytes"),
+      (col("id") % 640 + 1).cast("int").as("width"),
+      (col("id") % 480 + 1).cast("int").as("height"),
+      (col("id") % 30 + 1).cast("int").as("n_frames"))
+      .as[MediaRecord]
+  }
+
+  /** Decode + feature-extract, one partition at a time (batch shape =
+    * partition; the iterator is lazy so memory stays bounded). */
+  def decodeFeatures(media: Dataset[MediaRecord], dims: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.bytes.length, FakeCodec.decode(m.bytes, dims))
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame —
+    * a flatMap (row fan-out), still iterator-to-iterator. */
+  def sampleFrames(media: Dataset[MediaRecord], everyN: Int): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").mapPartitions { it =>
+      it.flatMap { m =>
+        (0 until m.n_frames by everyN).iterator.map { f =>
+          FrameSample(m.media_id, f, FakeCodec.frameFingerprint(m.bytes, f))
+        }
+      }
+    }
+  }
+
+  /** "Resize": metadata-level transform kept in pure column expressions —
+    * payload untouched (a real resize would swap FakeCodec). */
+  def resizeMeta(media: Dataset[MediaRecord], maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height")))
+    media.toDF.withColumn("scale", round(scale, 6))
+      .withColumn("out_width", greatest(floor(col("width") * col("scale")), lit(1)).cast("int"))
+      .withColumn("out_height", greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.functions.Exprs._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Event-time operators in batch form (SURVEY.md §2.9): the same
+  * window/session_window expressions the streaming module uses, run over the
+  * events table so DuckDB can verify the semantics independently —
+  * session_window against a gaps-and-islands formulation.
+  */
+object EventQueries {
+
+  val q60TumblingWindow: QuerySpec = QuerySpec.oracle(
+    "q60_tumbling_window",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** session_window (10-minute gap) verified against an independent SQL
+    * sessionization: new session when the gap to the previous event of the
+    * same user exceeds 10 minutes; session end = last ts + gap. */
+  val q61SessionWindow: QuerySpec = QuerySpec.oracle(
+    "q61_session_window",
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |m AS (SELECT user_id, ts,
+      |  CASE WHEN prev IS NULL OR ts - prev > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM d),
+      |s AS (SELECT user_id, ts,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 10 MINUTE AS session_end, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q60TumblingWindow, q61SessionWindow)
+}

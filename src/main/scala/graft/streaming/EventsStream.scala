@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming rebuild of the reference's live path (SURVEY.md §2.9:
+  * tweepy poll → same transform chain → per-row Mongo insert, src/main.py:
+  * 133-158) plus the north-star event-time operators: watermarked tumbling
+  * windows, streaming dedup, session windows.
+  *
+  * Sources are file streams (the stand-in for the Twitter poll); every
+  * transform is the SAME lazy DataFrame code the batch path uses — the
+  * reference's "one transform chain for train and live" design, kept.
+  * State stores are bounded by watermarks; at scale each operator is
+  * hash-partitioned on its grouping key.
+  */
+object EventsStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-source stream of events (json lines per file — easy to generate
+    * deterministically in tests; parquet works identically).
+    *
+    * `maxFilesPerTrigger` splits the backlog into micro-batches; note the
+    * watermark only advances BETWEEN batches (append-mode windows emit once
+    * a later batch's watermark passes them — stream end does NOT flush open
+    * windows). */
+  def readEventStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(dir)
+
+  /** Watermarked tumbling-window counts per event type. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup on event_id, state bounded by the watermark. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Per-user session windows (gap-based). Same operator works in batch —
+    * Relational-side oracle q60/q61 verify the semantics against an
+    * independent gaps-and-islands SQL formulation. */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Run a streaming query to completion over whatever is in the source dir
+    * (Trigger.AvailableNow) and sink to parquet — the batched replacement for
+    * the reference's per-row insert loop. */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String,
+                   mode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** foreachBatch scoring hook (§3.2 streaming analog): apply any batch
+    * DataFrame→DataFrame transform (e.g. SentimentPipeline.scoreBatch) per
+    * micro-batch. */
+  def runForeachBatch(df: DataFrame, checkpointDir: String)
+                     (f: (DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => f(batch.toDF(), id))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

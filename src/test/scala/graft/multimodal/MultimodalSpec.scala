@@ -1,0 +1,45 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("synthetic media: binary payloads with typed metadata") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val rows = media.collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.bytes.length == 16), "md5-derived payload is 16 bytes")
+    assert(rows.map(_.kind).distinct.sorted.toSeq == Seq("audio", "image", "video"))
+  }
+
+  test("decodeFeatures: fixed-dims embedding per asset, deterministic") {
+    val media = Multimodal.syntheticMedia(spark, 50)
+    val f1 = Multimodal.decodeFeatures(media, dims = 64).collect().sortBy(_.media_id)
+    assert(f1.length == 50)
+    assert(f1.forall(_.embedding.length == 64))
+    val f2 = Multimodal.decodeFeatures(media, dims = 64).collect().sortBy(_.media_id)
+    assert(f1.zip(f2).forall { case (a, b) => a.embedding.sameElements(b.embedding) })
+  }
+
+  test("sampleFrames: only videos, every nth frame, fan-out rows") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val frames = Multimodal.sampleFrames(media, everyN = 5)
+    val byMedia = frames.collect().groupBy(_.media_id)
+    val vids = media.filter(col("kind") === "video").collect()
+    assert(byMedia.keySet == vids.map(_.media_id).toSet)
+    vids.foreach { v =>
+      val expected = (0 until v.n_frames by 5).size
+      assert(byMedia(v.media_id).length == expected)
+    }
+  }
+
+  test("resizeMeta clamps the longest side") {
+    val out = Multimodal.resizeMeta(Multimodal.syntheticMedia(spark, 100), maxDim = 100)
+    val rows = out.collect()
+    assert(rows.forall(r => r.getAs[Int]("out_width") <= 100 && r.getAs[Int]("out_height") <= 100))
+    // small assets are never upscaled
+    assert(rows.filter(r => r.getAs[Int]("width") <= 100 && r.getAs[Int]("height") <= 100)
+      .forall(r => r.getAs[Int]("out_width") == r.getAs[Int]("width")))
+  }
+}

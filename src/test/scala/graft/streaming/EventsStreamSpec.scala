@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** Drives real streaming queries (file source, AvailableNow trigger) over
+  * deterministic json micro-batches and checks event-time semantics against
+  * hand-computed expectations.
+  */
+class EventsStreamSpec extends SparkSpec {
+
+  private def writeBatch(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(s"$dir/$name"), lines.mkString("\n").getBytes)
+
+  private def evt(id: Long, ts: String, user: Long, typ: String, v: Double): String =
+    s"""{"event_id":$id,"ts":"$ts","user_id":$user,"event_type":"$typ","value":$v}"""
+
+  private def tempDirs(): (String, String, String) = (
+    Files.createTempDirectory("graft_src").toString,
+    Files.createTempDirectory("graft_out").toString,
+    Files.createTempDirectory("graft_ckpt").toString)
+
+  test("watermarked tumbling window aggregates per hour") {
+    val (src, out, ckpt) = tempDirs()
+    writeBatch(src, "b0.json", Seq(
+      evt(1, "2024-01-01 10:05:00", 1, "click", 10),
+      evt(2, "2024-01-01 10:55:00", 2, "click", 5),
+      evt(3, "2024-01-01 11:05:00", 1, "view", 7)))
+    // Append mode emits a window only once the watermark passes it, and the
+    // watermark persists in the checkpoint BETWEEN runs — so drive three
+    // AvailableNow runs (a restart-recovery pattern): data, then sentinels
+    // that push the watermark past the data windows.
+    def run(): Unit = EventsStream.runToParquet(
+      EventsStream.tumblingCounts(EventsStream.readEventStream(spark, src)), out, ckpt)
+    run()
+    writeBatch(src, "b1.json", Seq(evt(98, "2024-01-02 01:00:00", 99, "sentinel", 0)))
+    run()
+    writeBatch(src, "b2.json", Seq(evt(99, "2024-01-02 02:00:00", 99, "sentinel", 0)))
+    run()
+    val rows = spark.read.parquet(out)
+      .filter(col("event_type") =!= "sentinel")
+      .orderBy("window_start", "event_type").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2 && rows(0).getAs[Double]("sum_value") == 15.0)
+    assert(rows(1).getAs[String]("event_type") == "view")
+  }
+
+  test("streaming dedup drops re-delivered event_ids") {
+    val (src, out, ckpt) = tempDirs()
+    writeBatch(src, "b0.json", Seq(
+      evt(1, "2024-01-01 10:00:00", 1, "click", 1),
+      evt(1, "2024-01-01 10:00:00", 1, "click", 1), // exact redelivery
+      evt(2, "2024-01-01 10:01:00", 1, "click", 2)))
+    val stream = EventsStream.readEventStream(spark, src)
+    EventsStream.runToParquet(EventsStream.dedupEvents(stream), out, ckpt)
+    val ids = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("session windows split on gap > 10 minutes") {
+    val (src, out, ckpt) = tempDirs()
+    writeBatch(src, "b0.json", Seq(
+      evt(1, "2024-01-01 10:00:00", 1, "click", 1),
+      evt(2, "2024-01-01 10:05:00", 1, "click", 1), // same session
+      evt(3, "2024-01-01 10:30:00", 1, "click", 1), // gap 25m -> new session
+      evt(4, "2024-01-01 10:02:00", 2, "click", 1))) // other user
+    def run(): Unit = EventsStream.runToParquet(
+      EventsStream.sessionCounts(EventsStream.readEventStream(spark, src)), out, ckpt)
+    run()
+    writeBatch(src, "b1.json", Seq(evt(98, "2024-01-02 01:00:00", 99, "sentinel", 0)))
+    run()
+    writeBatch(src, "b2.json", Seq(evt(99, "2024-01-02 02:00:00", 99, "sentinel", 0)))
+    run()
+    val rows = spark.read.parquet(out)
+      .filter(col("user_id") < 10)
+      .orderBy("user_id", "session_start").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Long]("n_events") == 2, "first session has 2 events")
+    assert(rows(1).getAs[Long]("n_events") == 1)
+    assert(rows(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("foreachBatch applies a batch transform per micro-batch") {
+    val (src, out, ckpt) = tempDirs()
+    writeBatch(src, "b0.json", Seq(
+      evt(1, "2024-01-01 10:00:00", 1, "click", 10),
+      evt(2, "2024-01-01 10:01:00", 1, "view", 20)))
+    val stream = EventsStream.readEventStream(spark, src)
+    EventsStream.runForeachBatch(stream, ckpt) { (batch, _) =>
+      batch.withColumn("doubled", col("value") * 2)
+        .write.mode("append").parquet(out)
+    }
+    val rows = spark.read.parquet(out).orderBy("event_id").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Double]("doubled")).toSeq == Seq(20.0, 40.0))
+  }
+}
