@@ -19,9 +19,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Relational.q01PricingSummary.build(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (insertion-ordered
+    * so bench runs are comparable across rounds). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    specs.map(s => s.name -> s.build).toMap
+    scala.collection.immutable.ListMap(specs.map(s => s.name -> s.build): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -54,9 +54,14 @@ object TextFns {
     filter(split(c, "\\W+"), t => t =!= "")
 
   /** Case-sensitive stopword filter (T4, src/main.py:59) — `filter`, not
-    * `array_except`, because NLTK's list-comprehension keeps duplicates. */
+    * `array_except`, because NLTK's list-comprehension keeps duplicates.
+    * The default (NLTK) list goes through the O(1) hash-set expression; a
+    * custom list falls back to `isin`. */
   def removeStopwords(tokens: Column, stopwords: Seq[String] = EnglishStopwords): Column =
-    filter(tokens, t => !t.isin(stopwords: _*))
+    if (stopwords eq EnglishStopwords)
+      filter(tokens, t => !IsStopwordExpr.isStopword(t))
+    else
+      filter(tokens, t => !t.isin(stopwords: _*))
 
   /** Porter-stem each token (T5) via the codegen'd Catalyst expression. */
   def stemTokens(tokens: Column): Column =

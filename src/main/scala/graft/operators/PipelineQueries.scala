@@ -149,7 +149,10 @@ object PipelineQueries {
   }
 
   val q41AnnLsh: QuerySpec = QuerySpec.rowsOnly("q41_ann_lsh") { (spark, dir) =>
-    Similarity.lshNearDupPairs(Tables.embeddings(spark, dir), maxL2 = 1.2)
+    // deterministic banded sign-LSH (seeded planes): candidates only within
+    // matching (band, bucket); threshold low enough that the random corpus's
+    // similarity tail yields a non-empty, reproducible pair set
+    Similarity.signLshNearDupPairs(Tables.embeddings(spark, dir), minCosine = 0.2)
       .orderBy("id_a", "id_b")
   }
 

@@ -77,7 +77,7 @@ object TextQueries {
         asLong(size(rawToks)).as("n_tokens"),
         asLong(regexp_count(col("text"), lit("[\\p{Punct}]"))).as("n_punct"),
         asLong(regexp_count(col("text"), lit("[A-Z]"))).as("n_upper"),
-        asLong(size(filter(rawToks, x => x.isin(EnglishStopwords: _*)))).as("n_stop"))
+        asLong(size(filter(rawToks, x => graft.functions.IsStopwordExpr.isStopword(x)))).as("n_stop"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("n_tokens"),
         round(col("n_punct") / greatest(col("n_chars"), lit(1)), 6).as("punct_ratio"),
         round(col("n_upper") / greatest(col("n_chars"), lit(1)), 6).as("upper_ratio"),

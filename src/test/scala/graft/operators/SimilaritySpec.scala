@@ -33,16 +33,23 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1000L)), s"identical vector pair found: $pairs")
   }
 
-  test("LSH recall against brute force at loose radius") {
-    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
-    val exact = Similarity.cosinePairs(emb, minCosine = 0.3)
+  test("sign-LSH recall ≥0.9 on planted near-dups, few random survivors") {
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+    // jittered copy of each vector (cos ≈ 0.99) under vec_id + 10000
+    val jittered = base.select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x + lit(0.02f) * sin(col("vec_id") * 7 + i)).cast("float")).as("embedding"),
+      col("label"))
+    val vecs = base.unionByName(jittered)
+    val exact = Similarity.cosinePairs(vecs, minCosine = 0.98)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
-    val approx = Similarity.lshNearDupPairs(emb, maxL2 = 1.2, numTables = 16)
+    assert(exact.size >= 90, s"planted pairs exist: ${exact.size}")
+    val approx = Similarity.signLshNearDupPairs(vecs, minCosine = 0.98)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
-    if (exact.nonEmpty) {
-      val recall = exact.count(approx.contains).toDouble / exact.size
-      assert(recall >= 0.5, s"LSH recall $recall over ${exact.size} exact pairs")
-    }
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"sign-LSH recall $recall over ${exact.size} planted pairs")
+    assert(approx.subsetOf(exact), "verification step admits no false positives")
   }
 
   test("KNN classify predicts the planted label for a cloned cluster") {
