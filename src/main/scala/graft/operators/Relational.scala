@@ -273,8 +273,48 @@ object Relational {
       .orderBy("o_orderstatus", "sample_rank")
   }
 
+  /** CUBE over two dimensions (A4's other half; rollup is q06). */
+  val q13AggCube: QuerySpec = QuerySpec.oracle(
+    "q13_agg_cube",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+      |  coalesce(l_linestatus, 'ALL') AS lstatus,
+      |  count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rflag, lstatus""".stripMargin
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n_lines"), col("sum_qty"))
+      .orderBy("rflag", "lstatus")
+  }
+
+  /** Exact distinct aggregation (A5's oracle-able half; the HLL++
+    * approx_count_distinct bound is asserted in RelationalSpec). */
+  val q14Distinct: QuerySpec = QuerySpec.oracle(
+    "q14_distinct",
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
-    q09WindowRunning, q10SetOps, q11DatesMath, q12BalancedSample)
+    q09WindowRunning, q10SetOps, q11DatesMath, q12BalancedSample,
+    q13AggCube, q14Distinct)
 }

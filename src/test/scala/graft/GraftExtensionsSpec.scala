@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Builds a session WITH the extensions installed (isolated from the shared
+  * test session — extensions only apply at session construction). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("graft_* SQL functions resolve and compute") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // `.config("spark.sql.extensions", "graft.GraftExtensions")` is the
+      // production route, but it's a STATIC conf — ignored when a
+      // SparkContext already exists (as in this suite). withExtensions is
+      // the per-session API and exercises the same injection path.
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      try {
+        val row = spark.sql(
+          """SELECT graft_stem('connection') AS s,
+            |  graft_is_stopword('the') AS sw1, graft_is_stopword('The') AS sw2,
+            |  graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+            |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c
+            |""".stripMargin).collect().head
+        assert(row.getAs[String]("s") == "connect")
+        assert(row.getAs[Boolean]("sw1"))
+        assert(!row.getAs[Boolean]("sw2"), "case-sensitive")
+        assert(math.abs(row.getAs[Double]("c") - 1.0) < 1e-12)
+      } finally {
+        // the shared SparkContext lives on; just restore session bookkeeping
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

@@ -50,6 +50,15 @@ class SentimentPipelineSpec extends SparkSpec {
     // M6: models + registry persisted
     assert(Files.exists(Paths.get(s"$modelDir/logistic_regression")))
     assert(Files.exists(Paths.get(s"$modelDir/_registry")))
+    // M6 load-back: a fresh process would load by registry path and score
+    val registry = spark.read.parquet(s"$modelDir/_registry").collect()
+      .map(r => r.getAs[String]("model_name") -> r.getAs[String]("path")).toMap
+    val loaded = org.apache.spark.ml.classification.LogisticRegressionModel
+      .load(registry("logistic_regression"))
+    val reScored = loaded.transform(
+      trained.featurizer.transform(
+        spark.createDataFrame(Seq(Tuple1("I love this awesome great day"))).toDF("tweet"), "tweet"))
+    assert(reScored.select("prediction").collect().head.getDouble(0) == 1.0)
   }
 
   test("inference entry point: fan-out scoring adds one column per model") {
