@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (time-travel) join: for each left row, the most recent right row
+  * with `right.ts <= left.ts` per key — an operator Spark has no built-in
+  * for (SURVEY §2.8 custom-operator band; DuckDB verifies via native
+  * ASOF JOIN).
+  *
+  * Implementation is the union-window form, NOT a range join: both sides are
+  * tagged and unioned, then one window pass per key carries the latest right
+  * attributes forward (`last(..., ignoreNulls)`). Cost = one hash shuffle on
+  * the key + one sort per partition — linear at 100 TB, where a range-
+  * condition join would explode to |L|×|R| per key.
+  */
+object AsOfJoin {
+
+  /** @param rightValCols right columns carried to the matched left rows,
+    *                     emitted as `asof_<name>`. */
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           leftTs: String, rightTs: String, rightValCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val lAll = rightValCols.foldLeft(l)((d, c) => d.withColumn(s"__rv_$c", lit(null).cast(right.schema(c).dataType)))
+    val r0 = right.select(keyCols.map(col) ++ Seq(col(rightTs).as("__ts")) ++
+      rightValCols.map(c => col(c).as(s"__rv_$c")): _*)
+      .withColumn("__side", lit(0))
+    val rAll = leftCols.filterNot(keyCols.contains).foldLeft(r0)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = lAll.unionByName(rAll.select(lAll.columns.map(col): _*))
+    // right rows (side 0) sort before left rows at equal ts → ties match,
+    // i.e. right.ts <= left.ts inclusive, exactly DuckDB's ASOF semantics
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightValCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"asof_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(w))
+    }.withColumn("asof_ts",
+      when(col("__side") === 1,
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w)))
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ Seq(col("asof_ts")) ++
+        rightValCols.map(c => col(s"asof_$c")): _*)
+  }
+}

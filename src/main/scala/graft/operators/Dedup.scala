@@ -92,7 +92,7 @@ object Dedup {
     * exact Jaccard verifies. */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, numHashes: Int = 16, numBands: Int = 4,
-                   minJaccard: Double = 0.5, maxDocFreq: Long = 1000): DataFrame = {
+                   minJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val sig = docs.select(col(idCol).as("doc"), col(textCol).as("text"))
       .withColumn("sig", minHashSignature(col("text"), n, numHashes))
@@ -107,9 +107,17 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
-    val verified = ngramJaccardPairs(docs, idCol, textCol, n, minJaccard, maxDocFreq)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    candidates.join(verified, Seq("id_a", "id_b"))
+    // verify ONLY the candidate pairs: join their shingle sets back in and
+    // intersect per pair — cost scales with |candidates|, never |docs|²
+    val shingleSets = docs.select(col(idCol).as("doc"), shingles(col(textCol), n).as("shs"))
+    candidates
+      .join(shingleSets.select(col("doc").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(shingleSets.select(col("doc").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** SimHash over token hashes: bit b is set iff more tokens have bit b set

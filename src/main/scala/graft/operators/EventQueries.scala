@@ -57,5 +57,27 @@ object EventQueries {
       .orderBy("user_id", "session_start")
   }
 
-  val all: Seq[QuerySpec] = Seq(q60TumblingWindow, q61SessionWindow)
+  /** As-of join (clicks ⟕ most recent prior purchase per user) — the
+    * union-window operator verified against DuckDB's native ASOF JOIN. */
+  val q62AsOfJoin: QuerySpec = QuerySpec.oracle(
+    "q62_asof_join",
+    """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.value AS asof_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("value"))
+      .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q60TumblingWindow, q61SessionWindow, q62AsOfJoin)
 }
