@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.CosineSimilarityExpr
+import graft.functions.{CosineSimilarityExpr, TopKByScore}
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
@@ -22,19 +22,26 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact top-k neighbors per query by cosine. `queries(id, embedding)`
-    * small, `corpus(id, embedding)` large. Ties break on corpus id. */
+    * small, `corpus(id, embedding)` large. Ties break on corpus id.
+    *
+    * The per-query top-k is a bounded-heap aggregate (TopKByScore), NOT a
+    * window: map-side partial aggregation keeps ≤k candidates per query per
+    * partition, so the shuffle moves k·|Q| tuples — a window row_number
+    * would shuffle and sort the entire |Q|×|corpus| pair set. Same ordering
+    * (sim desc, id asc), so results are identical. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val joined = c.crossJoin(broadcast(q))
     val filtered = if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     filtered
       .withColumn("sim", CosineSimilarityExpr.cosine(col("q_emb"), col("c_emb")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .groupBy("query_id")
+      .agg(TopKByScore.topK(col("sim"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.score").as("sim"))
   }
 
   /** All pairs (i < j) above a cosine threshold — the embedding near-dup
