@@ -131,11 +131,35 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** Docs grouped by identical simhash (hamming-0 near-dup groups); pairs
-    * within hamming distance ≤ d are covered in DedupSpec via the library
-    * call. */
+  /** Docs grouped by identical simhash (hamming-0 near-dup groups). */
   def simHashGroups(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
     docs.select(col(idCol).as("doc"), simHash(col(textCol), bits).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("min_doc"))
+
+  /** Pairs within hamming distance ≤ `maxHamming` of each other's simhash,
+    * by pigeonhole blocking: split the hash into maxHamming+1 bit blocks —
+    * any pair within distance d must agree on ≥1 whole block, so candidates
+    * join on (block_idx, block_bits) and only candidates pay the popcount
+    * verification. Shuffle-on-key, never all-pairs. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val blockSize = math.max(1, bits / nBlocks)
+    val hashed = docs.select(col(idCol).as("doc"), simHash(col(textCol), bits).as("simhash"))
+    val blocks = hashed.select(col("doc"), col("simhash"), explode(array(
+      (0 until nBlocks).map { b =>
+        val lo = b * blockSize
+        val width = if (b == nBlocks - 1) bits - lo else blockSize
+        struct(lit(b).as("blk"),
+          shiftright(col("simhash"), lo).bitwiseAND((1L << width) - 1).as("bits"))
+      }: _*)).as("bk"))
+      .select(col("doc"), col("simhash"), col("bk.blk").as("blk"), col("bk.bits").as("bits"))
+    val a = blocks.select(col("blk"), col("bits"), col("doc").as("id_a"), col("simhash").as("sh_a"))
+    val b = blocks.select(col("blk"), col("bits"), col("doc").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("blk", "bits")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(first(col("hamming")).as("hamming"))
+  }
 }

@@ -48,6 +48,15 @@ class DedupSpec extends SparkSpec {
     assert(groups.length >= 3, "distinct docs get distinct hashes")
   }
 
+  test("simhash hamming pairs find the near-dup via pigeonhole blocking") {
+    val pairs = Dedup.simHashPairs(planted, "doc_id", "text", bits = 16, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // identical docs are hamming-0 pairs
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 5L)) && pairs.contains((1L, 5L)))
+    // unrelated docs don't appear
+    assert(!pairs.contains((3L, 4L)))
+  }
+
   test("shingles handle short and empty texts") {
     val df = Seq((0L, "one two"), (1L, ""), (2L, "a b c d")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
