@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.{PorterStemmer, TextFns}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY §5.3). Spark-level properties batch a
+  * generated corpus through ONE DataFrame pass per property — not one job
+  * per case.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  /** scalatestplus isn't in the offline cache; drive scalacheck directly. */
+  private def samples[T](g: Gen[T], n: Int = 60): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  import spark.implicits._
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty)
+  private val text = Gen.listOf(Gen.oneOf(word, Gen.oneOf(TextFns.EnglishStopwords)))
+    .map(_.mkString(" "))
+
+  test("stemmer: total, never lengthens, stable on arbitrary strings") {
+    samples(Gen.asciiPrintableStr, 300).foreach { w =>
+      val s = PorterStemmer.stem(w)
+      assert(s != null)
+      assert(PorterStemmer.stem(w) == s, "deterministic")
+    }
+    samples(word, 300).foreach { w =>
+      assert(PorterStemmer.stem(w).length <= math.max(w.length, 3))
+    }
+  }
+
+  test("encode/pad/mask invariants over a generated corpus") {
+    val corpus = Gen.listOfN(200, text).sample.getOrElse(Nil)
+    val df = corpus.toDF("text")
+    val toks = TextFns.cleanTokens(col("text"))
+    val padded = TextFns.padIds(TextFns.encodeTokens(toks, 1000), 30)
+    val rows = df.select(
+      padded.as("ids"), TextFns.attentionMask(padded).as("mask"), size(toks).as("n"))
+      .collect()
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](0)
+      val mask = r.getSeq[Int](1)
+      assert(ids.length == 30 && mask.length == 30, "pad to exactly 30 always")
+      assert(ids.forall(i => i >= 0 && i < 1000), "ids bounded by vocab")
+      assert(mask.forall(m => m == 0 || m == 1))
+      mask.zip(ids).foreach { case (m, i) => if (m == 1) assert(i != 0L, "mask 1 → non-pad id") }
+      // everything past the real tokens is padding
+      val n = math.min(r.getAs[Int]("n"), 30)
+      assert(mask.drop(n).forall(_ == 0))
+    }
+  }
+
+  test("shingle count equals max(0, tokens - n + 1) before dedup") {
+    val corpus = Gen.listOfN(100, text).sample.getOrElse(Nil)
+    val df = corpus.toDF("text")
+    val nToks = size(filter(split(lower(col("text")), "\\W+"), t => t =!= ""))
+    val rows = df.select(nToks.as("n"), size(Dedup.shingles(col("text"), 3)).as("s")).collect()
+    rows.foreach { r =>
+      val n = r.getInt(0); val s = r.getInt(1)
+      assert(s <= math.max(0, n - 2), "distinct shingles never exceed raw count")
+      if (n >= 3) assert(s >= 1)
+    }
+  }
+
+  test("stopword filter is a subsequence preserving non-stopwords") {
+    val docs = samples(Gen.listOfN(30, Gen.oneOf(word, Gen.oneOf(TextFns.EnglishStopwords))), 40)
+      .map(_.mkString(" "))
+    val outs = docs.toDF("text")
+      .select(TextFns.cleanTokens(col("text"))).collect().map(_.getSeq[String](0))
+    outs.foreach(out => assert(out.forall(t => !TextFns.EnglishStopwords.contains(t))))
+  }
+}
