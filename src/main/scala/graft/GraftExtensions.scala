@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.FuseCosineRule)
     ext.injectFunction((
       FunctionIdentifier("graft_stem"),
       new ExpressionInfo(classOf[StemExpression].getName, "graft_stem"),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -65,6 +65,32 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
+
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+                             max_value: Double, last_ts: java.sql.Timestamp)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * aggregates emitted on every update — the arbitrary-state API for
+    * semantics session_window/dropDuplicates can't express. State is
+    * per-key and lives in the state store; at scale it shards with the
+    * grouping hash partitioning. */
+  def runningUserStats(events: DataFrame): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    events.selectExpr("user_id", "ts", "value").as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OM.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0, Double.MinValue, new java.sql.Timestamp(0)))
+          val next = rows.foldLeft(prev) { (s, r) =>
+            UserStats(user, s.n_events + 1, s.total_value + r._3,
+              math.max(s.max_value, r._3),
+              if (r._2.after(s.last_ts)) r._2 else s.last_ts)
+          }
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 
   /** Run a streaming query to completion over whatever is in the source dir
     * (Trigger.AvailableNow) and sink to parquet — the batched replacement for

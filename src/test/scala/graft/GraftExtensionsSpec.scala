@@ -35,6 +35,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         assert(row.getAs[Boolean]("sw1"))
         assert(!row.getAs[Boolean]("sw2"), "case-sensitive")
         assert(math.abs(row.getAs[Double]("c") - 1.0) < 1e-12)
+
+        // FuseCosineRule: the composable HOF cosine optimizes into the
+        // fused expression, with identical values
+        import org.apache.spark.sql.functions.col
+        val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+          .limit(50)
+        val composed = emb.select(col("vec_id"),
+          graft.functions.VectorFns.cosine(col("embedding"), col("embedding")).as("c"))
+        val optimized = composed.queryExecution.optimizedPlan.toString
+        assert(optimized.contains("cosinesimilarityexpr") ||
+          optimized.contains("CosineSimilarityExpr"), s"rule did not fire:\n$optimized")
+        assert(composed.collect().forall(r => math.abs(r.getAs[Double]("c") - 1.0) < 1e-9))
       } finally {
         // the shared SparkContext lives on; just restore session bookkeeping
         SparkSession.clearActiveSession()

@@ -81,6 +81,27 @@ class EventsStreamSpec extends SparkSpec {
     assert(rows(2).getAs[Long]("user_id") == 2L)
   }
 
+  test("flatMapGroupsWithState keeps running per-user state across micro-batches") {
+    val (src, out, ckpt) = tempDirs()
+    writeBatch(src, "b0.json", Seq(
+      evt(1, "2024-01-01 10:00:00", 1, "click", 10),
+      evt(2, "2024-01-01 10:01:00", 1, "click", 30)))
+    def run(): Unit = EventsStream.runToParquet(
+      EventsStream.runningUserStats(EventsStream.readEventStream(spark, src)).toDF(),
+      out, ckpt)
+    run()
+    // second file in a SECOND run: state must survive the checkpoint restart
+    writeBatch(src, "b1.json", Seq(evt(3, "2024-01-01 10:02:00", 1, "view", 5)))
+    run()
+    val rows = spark.read.parquet(out)
+      .orderBy("n_events").collect()
+    assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 3L),
+      "one emission per batch, counts accumulate")
+    val last = rows.last
+    assert(last.getAs[Double]("total_value") == 45.0)
+    assert(last.getAs[Double]("max_value") == 30.0)
+  }
+
   test("foreachBatch applies a batch transform per micro-batch") {
     val (src, out, ckpt) = tempDirs()
     writeBatch(src, "b0.json", Seq(
