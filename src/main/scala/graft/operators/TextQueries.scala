@@ -203,7 +203,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-statistics join: global token document-frequencies joined back
+    * per token occurrence → a per-doc rarity (quality) score. The join is
+    * token-keyed (hash shuffle on the token), the global stats table is
+    * tiny → broadcast; per-term doubles are rounded then decimal-summed so
+    * the score is order-independent and engine-exact. */
+  val q27TokenRarity: QuerySpec = QuerySpec.oracle(
+    "q27_token_rarity",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct($CleanToksSql)) AS t FROM documents),
+       |df AS (SELECT t, count(*) AS dfreq FROM toks GROUP BY t),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT toks.doc_id,
+       |    CAST(round(1.0 - dfreq / n_docs, 8) AS DECIMAL(18,8)) AS rar
+       |  FROM toks JOIN df ON toks.t = df.t CROSS JOIN n)
+       |SELECT doc_id, count(*) AS n_distinct_tokens,
+       |  CAST(round(CAST(sum(rar) AS DOUBLE) / count(*), 6) AS DOUBLE) AS rarity
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(cleanTokens(col("text")))).as("t"))
+    val dfreq = toks.groupBy("t").agg(count(lit(1)).as("dfreq"))
+    val nDocs = docs.count()
+    toks.join(broadcast(dfreq), "t")
+      .withColumn("rar", round(lit(1.0) - col("dfreq") / nDocs, 8).cast("decimal(18,8)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        round(sum(col("rar")).cast("double") / count(lit(1)), 6).as("rarity"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
-    q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens)
+    q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity)
 }

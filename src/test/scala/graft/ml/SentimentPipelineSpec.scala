@@ -61,6 +61,26 @@ class SentimentPipelineSpec extends SparkSpec {
     assert(reScored.select("prediction").collect().head.getDouble(0) == 1.0)
   }
 
+  test("golden: balanced sampler reproduces the reference artifact shape") {
+    // the reference's only committed output is data/tweets_1000.csv — 1000
+    // rows, exactly 500 per class, sampler format (SURVEY §5 golden test)
+    val csv = makeCsv(4000)
+    val outDir = Files.createTempDirectory("graft_versioned").toString
+    val (sampled, version) = SentimentPipeline.readAndFetchData(
+      spark, csv, total = 1000, versionedDir = Some(outDir))
+    val counts = sampled.groupBy("sentiment").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0 -> 500L, 4 -> 500L), s"got $counts")
+    // versioned sink: directory named by the content fingerprint, header on
+    val back = spark.read.option("header", "true").csv(s"$outDir/$version")
+    assert(back.columns.toSeq == Seq("sentiment", "tweet"),
+      "sampler output format (no pandas index column — documented deviation)")
+    assert(back.count() == 1000)
+    // content-addressed: same inputs → same version id
+    val (_, v2) = SentimentPipeline.readAndFetchData(spark, csv, total = 1000)
+    assert(v2 == version)
+  }
+
   test("inference entry point: fan-out scoring adds one column per model") {
     import spark.implicits._
     val csv = makeCsv(300)
