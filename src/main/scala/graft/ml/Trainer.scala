@@ -21,8 +21,8 @@ object Trainer {
   /** The reference's model set (src/main.py:91-114), KNN excepted. */
   def models(seed: Long = 0): Seq[(String, Estimator)] = Seq(
     "random_forest" -> new RandomForestClassifier().setMaxDepth(2).setSeed(seed),
-    "logistic_regression" -> new LogisticRegression().setMaxIter(50),
-    "linear_svc" -> new LinearSVC().setMaxIter(30),
+    "logistic_regression" -> new LogisticRegression().setMaxIter(25),
+    "linear_svc" -> new LinearSVC().setMaxIter(15),
     "gaussian_nb" -> new NaiveBayes().setModelType("gaussian"))
 
   type Estimator = org.apache.spark.ml.Estimator[_ <: Transformer]

@@ -95,7 +95,7 @@ object Multimodal {
     * payload untouched (a real resize would swap FakeCodec). */
   def resizeMeta(media: Dataset[MediaRecord], maxDim: Int): DataFrame = {
     val scale = least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height")))
-    media.toDF.withColumn("scale", round(scale, 6))
+    media.toDF().withColumn("scale", round(scale, 6))
       .withColumn("out_width", greatest(floor(col("width") * col("scale")), lit(1)).cast("int"))
       .withColumn("out_height", greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
   }

@@ -31,7 +31,7 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
     val rAll = leftCols.filterNot(keyCols.contains).foldLeft(r0)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val unioned = lAll.unionByName(rAll.select(lAll.columns.map(col): _*))
+    val unioned = lAll.unionByName(rAll.select(lAll.columns.toIndexedSeq.map(col): _*))
     // right rows (side 0) sort before left rows at equal ts → ties match,
     // i.e. right.ts <= left.ts inclusive, exactly DuckDB's ASOF semantics
     val w = Window.partitionBy(keyCols.map(col): _*)
