@@ -27,15 +27,22 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    // best-of-2 per query: steady-state operator cost, not GC/scheduler noise
+    // best-of-2 per query: steady-state operator cost, not GC/scheduler
+    // noise. A failing query reports -1 (unmistakable), not its elapsed.
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val p1 = timedPass()
     val p2 = timedPass()
-    val results = SparkEntry.queries.keys.map(k => k -> math.min(p1(k), p2(k))).toSeq.toMap
+    // ListMap keeps SparkEntry's insertion order so bench lines diff cleanly
+    // across rounds
+    val results = scala.collection.immutable.ListMap(
+      SparkEntry.queries.keys.map { k =>
+        val (a, b) = (p1(k), p2(k))
+        k -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }.toSeq: _*)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

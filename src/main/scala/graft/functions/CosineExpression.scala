@@ -24,21 +24,36 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // null also on length mismatch / null elements (matching the HOF form)
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  /** Null/length semantics MATCH the composable HOF form exactly (so
+    * FuseCosineRule is value-preserving): unequal lengths or any null
+    * element → NULL (zip_with pads the shorter side with null; a null in
+    * any fold nulls the whole aggregate). */
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
-    var dot = 0.0
+    val n = xs.numElements()
+    if (ys.numElements() != n) return null
     var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      i += 1
+    }
+    var dot = 0.0
+    i = 0
     while (i < n) { dot += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble; i += 1 }
     var na = 0.0
     i = 0
-    while (i < xs.numElements()) { val x = xs.getFloat(i).toDouble; na += x * x; i += 1 }
+    while (i < n) { val x = xs.getFloat(i).toDouble; na += x * x; i += 1 }
     var nb = 0.0
     i = 0
-    while (i < ys.numElements()) { val y = ys.getFloat(i).toDouble; nb += y * y; i += 1 }
+    while (i < n) { val y = ys.getFloat(i).toDouble; nb += y * y; i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -50,18 +65,24 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
          |}
-         |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  double x = (double) $a.getFloat($i); $na += x * x;
+         |if (!${ev.isNull}) {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double x = (double) $a.getFloat($i); $na += x * x;
+         |  }
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double y = (double) $b.getFloat($i); $nb += y * y;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  double y = (double) $b.getFloat($i); $nb += y * y;
-         |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

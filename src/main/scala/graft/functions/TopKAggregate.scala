@@ -31,16 +31,23 @@ case class TopKByScore(scoreExpr: Expression, idExpr: Expression, k: Int,
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType), StructField("id", LongType))))
 
-  /** Min-heap on (score asc, id desc): the root is the WORST kept entry, so
-    * a better candidate replaces it in O(log k). */
+  /** Total order via java.lang.Double.compare — NaN ranks ABOVE every other
+    * score, matching how Spark's window sort and DuckDB order doubles, and
+    * keeping the heap's strict-weak-ordering contract intact when NaN
+    * scores (e.g. cosine of a zero vector) appear. */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
+
+  /** Min-heap: the root is the WORST kept entry, so a better candidate
+    * replaces it in O(log k). */
   private def ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+    (x: (Double, Long), y: (Double, Long)) =>
+      if (better(x, y)) -1 else if (better(y, x)) 1 else 0
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty[(Double, Long)](ord)
-
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
   private def add(heap: mutable.PriorityQueue[(Double, Long)], e: (Double, Long)): Unit = {
     if (heap.size < k) heap.enqueue(e)

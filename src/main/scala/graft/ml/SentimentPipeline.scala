@@ -1,6 +1,6 @@
 package graft.ml
 
-import graft.operators.{Knn, Sampling}
+import graft.operators.Sampling
 import graft.sources.Tables
 import org.apache.spark.ml.Transformer
 import org.apache.spark.sql.{DataFrame, SparkSession}

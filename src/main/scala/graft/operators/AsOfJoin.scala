@@ -33,9 +33,12 @@ object AsOfJoin {
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val unioned = lAll.unionByName(rAll.select(lAll.columns.toIndexedSeq.map(col): _*))
     // right rows (side 0) sort before left rows at equal ts → ties match,
-    // i.e. right.ts <= left.ts inclusive, exactly DuckDB's ASOF semantics
+    // i.e. right.ts <= left.ts inclusive, exactly DuckDB's ASOF semantics.
+    // The value columns join the sort key so two right rows sharing
+    // (key, ts) resolve deterministically (toward the larger value tuple)
+    // instead of by partition order.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(Seq(col("__ts"), col("__side")) ++ rightValCols.map(c => col(s"__rv_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightValCols.foldLeft(unioned) { (d, c) =>
       d.withColumn(s"asof_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(w))

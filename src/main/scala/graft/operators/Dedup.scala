@@ -55,7 +55,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.8,
                         maxDocFreq: Long = 1000): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n, maxDocFreq).cache()
+    // no cache: the table is consumed three times but each use is one
+    // scan+explode, and a cache here would pin executor storage for the
+    // whole session (operators must stay side-effect-free)
+    val sh = shingleTable(docs, idCol, textCol, n, maxDocFreq)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
@@ -94,7 +97,11 @@ object Dedup {
                    n: Int = 3, numHashes: Int = 16, numBands: Int = 4,
                    minJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / numBands
+    // drop docs with no shingles BEFORE banding: they would all share the
+    // identical all-MaxValue signature and collapse into one quadratic
+    // bucket (the hot-key blowup the frequency guard exists to prevent)
     val sig = docs.select(col(idCol).as("doc"), col(textCol).as("text"))
+      .filter(size(shingles(col(textCol), n)) > 0)
       .withColumn("sig", minHashSignature(col("text"), n, numHashes))
     val bands = sig.select(col("doc"), explode(
       array((0 until numBands).map { b =>

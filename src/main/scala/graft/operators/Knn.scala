@@ -21,8 +21,10 @@ object Knn {
     val neighbors = Similarity.bruteForceTopK(
       queries.select("vec_id", "embedding"),
       train.select("vec_id", "embedding"), k, excludeSelf = false)
-    val labeled = neighbors.join(
-      broadcast(train.select(col("vec_id").as("neighbor_id"), col("label"))), "neighbor_id")
+    // broadcast the SMALL side: neighbors is k·|queries| rows; the train
+    // label table can be the full corpus
+    val labeled = broadcast(neighbors).join(
+      train.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
     val votes = labeled.groupBy("query_id", "label").agg(count(lit(1)).as("n_votes"))
     val w = Window.partitionBy("query_id").orderBy(col("n_votes").desc, col("label"))
     votes.withColumn("vote_rank", row_number().over(w))

@@ -226,9 +226,12 @@ object TextQueries {
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(cleanTokens(col("text")))).as("t"))
     val dfreq = toks.groupBy("t").agg(count(lit(1)).as("dfreq"))
-    val nDocs = docs.count()
+    // lazy scalar: a 1-row broadcast cross join, not an eager docs.count()
+    // at build time (mirrors the oracle's CROSS JOIN n subquery)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     toks.join(broadcast(dfreq), "t")
-      .withColumn("rar", round(lit(1.0) - col("dfreq") / nDocs, 8).cast("decimal(18,8)"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rar", round(lit(1.0) - col("dfreq") / col("n_docs"), 8).cast("decimal(18,8)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_distinct_tokens"),
         round(sum(col("rar")).cast("double") / count(lit(1)), 6).as("rarity"))

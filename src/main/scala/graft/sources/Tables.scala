@@ -30,6 +30,11 @@ object Tables {
     * to a micros timestamp with integral division (nanos exceed 2^53 — double
     * division would lose precision). Oracle side mirrors this with
     * `CAST(ts AS TIMESTAMP)` (TIMESTAMP_NS → TIMESTAMP_US).
+    *
+    * NOTE: the legacy conf stays set on the session afterwards (it must be
+    * live when the lazy scan executes, so it cannot be restored here) —
+    * later nanos-parquet reads in the same session will also arrive as
+    * longs rather than erroring.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

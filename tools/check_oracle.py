@@ -46,7 +46,11 @@ def main(sf_dir, out_dir):
         if list(s.columns) != list(o.columns):
             print(f"  {name}: COLUMN MISMATCH spark={list(s.columns)} duck={list(o.columns)}"); n_bad += 1; continue
         if [str(t) for t in s.dtypes] != [str(t) for t in o.dtypes]:
+            # the driver compares schemas too — a dtype mismatch is a FAILURE
+            # here even when stringified values agree
             print(f"  {name}: DTYPE MISMATCH spark={list(map(str, s.dtypes))} duck={list(map(str, o.dtypes))}")
+            n_bad += 1
+            continue
         if len(s) != len(o):
             print(f"  {name}: ROWCOUNT MISMATCH spark={len(s)} duck={len(o)}"); n_bad += 1; continue
         try:
