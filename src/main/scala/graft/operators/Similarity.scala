@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{CosineSimilarityExpr, TopKByScore}
+import graft.functions.{CosineSimilarityExpr, DotProductExpr, TopKByScore, VectorFns}
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
@@ -31,12 +31,23 @@ object Similarity {
     * (sim desc, id asc), so results are identical. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    // norms once per ROW before the join (|Q|+|C| of them), only the dot
+    // product per PAIR — sim = dot/(qn·cn) multiplies the same sqrt values
+    // the all-in-one cosine would, so results stay bit-identical
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      sqrt(VectorFns.normSq(col("embedding"))).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      sqrt(VectorFns.normSq(col("embedding"))).as("c_norm"))
     val joined = c.crossJoin(broadcast(q))
     val filtered = if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined
+    // when-guard: ANSI mode makes Divide ERROR on a zero divisor even for
+    // doubles; a zero-norm vector must yield NaN (IEEE / DuckDB semantics),
+    // not kill the query
+    val norms = col("q_norm") * col("c_norm")
     filtered
-      .withColumn("sim", CosineSimilarityExpr.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("sim",
+        when(norms === 0.0, lit(Double.NaN))
+          .otherwise(DotProductExpr.dot(col("q_emb"), col("c_emb")) / norms))
       .groupBy("query_id")
       .agg(TopKByScore.topK(col("sim"), col("neighbor_id"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")))

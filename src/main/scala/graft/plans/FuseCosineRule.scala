@@ -13,12 +13,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *        * sqrt(aggregate(transform(b, …), 0.0, +)))
   *
   * — and fuse it into the single-pass codegen'd CosineSimilarityExpr.
-  * Sum-fold order and per-element casts are identical, so the rewrite is
-  * value-preserving bit-for-bit (see CosineExpression.scala); it turns five
-  * interpreted lambda walks into one primitive loop. Applies only to
-  * array<float> inputs (the expression's contract). Injected by
-  * graft.GraftExtensions, so `spark.sql` users writing the textbook HOF
-  * formula get the fused operator for free.
+  * Sum-fold order, per-element casts, and null semantics (unequal lengths /
+  * null elements → NULL) are identical, so the rewrite is value-preserving
+  * bit-for-bit; it turns five interpreted lambda walks into one primitive
+  * loop. One documented deviation: on a zero-norm vector the unfused form
+  * under ANSI mode raises DIVIDE_BY_ZERO, while the fused form returns IEEE
+  * NaN (matching non-ANSI and DuckDB) — the rewrite rescues that error.
+  * Applies only to array<float> inputs (the expression's contract).
+  * Injected by graft.GraftExtensions, so `spark.sql` users writing the
+  * textbook HOF formula get the fused operator for free.
   */
 object FuseCosineRule extends Rule[LogicalPlan] {
 
