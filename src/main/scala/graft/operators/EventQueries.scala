@@ -79,5 +79,29 @@ object EventQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q60TumblingWindow, q61SessionWindow, q62AsOfJoin)
+  /** Sliding windows (10 min length, 5 min slide): every event belongs to
+    * exactly two windows; the DuckDB mirror derives the covering starts as
+    * time_bucket(5min) and time_bucket(5min)−5min and unions them. */
+  val q63SlidingWindow: QuerySpec = QuerySpec.oracle(
+    "q63_sliding_window",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |cov AS (
+      |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type, value FROM e
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE, event_type, value FROM e)
+      |SELECT window_start, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM cov
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow)
 }
