@@ -312,9 +312,33 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Exact percentiles (linear interpolation — same definition in Spark's
+    * `percentile` and DuckDB's `quantile_cont`); rounded to absorb the final
+    * interpolation ulp. */
+  val q15Percentiles: QuerySpec = QuerySpec.oracle(
+    "q15_percentiles",
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
     q09WindowRunning, q10SetOps, q11DatesMath, q12BalancedSample,
-    q13AggCube, q14Distinct)
+    q13AggCube, q14Distinct, q15Percentiles)
 }
