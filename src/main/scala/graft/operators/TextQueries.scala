@@ -238,7 +238,33 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Token counting two ways (north-star "token counting: whitespace + a
+    * BPE-ish regex"): whitespace splits vs a GPT-2-style pre-tokenizer
+    * pattern (letter runs / digit runs / punctuation runs with leading
+    * space, contraction suffixes). RE2 (DuckDB) and Java regex agree on
+    * this subset — no lookaheads used. */
+  val q28TokenCounts: QuerySpec = QuerySpec.oracle(
+    "q28_token_counts", {
+      // leading '' escapes the contraction apostrophe inside the SQL literal
+      val bpeSql = raw"''[sdmt]| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(str_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$bpeSql')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val bpe = "'[sdmt]| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        asLong(size(filter(split(col("text"), "\\s+"), t => t =!= ""))).as("n_ws_tokens"),
+        asLong(regexp_count(col("text"), lit(bpe))).as("n_bpe_tokens"),
+        asLong(length(col("text"))).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
-    q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity)
+    q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
+    q28TokenCounts)
 }
