@@ -336,9 +336,37 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Data profiling: one stats row per column (nulls, distincts, typed
+    * min/max rendered as strings) — generated from the same column list on
+    * both engines. */
+  val q16Profile: QuerySpec = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    QuerySpec.oracle(
+      "q16_profile",
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    ) { (spark, dir) =>
+      val orders = Tables.orders(spark, dir)
+      cols.map { c =>
+        orders.agg(
+          count(lit(1)).minus(count(col(c))).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_val"),
+          max(col(c)).cast("string").as("max_val"))
+          .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
+            col("min_val"), col("max_val"))
+      }.reduce(_ unionByName _).orderBy("col_name")
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
     q09WindowRunning, q10SetOps, q11DatesMath, q12BalancedSample,
-    q13AggCube, q14Distinct, q15Percentiles)
+    q13AggCube, q14Distinct, q15Percentiles, q16Profile)
 }
