@@ -180,7 +180,16 @@ object PipelineQueries {
       .orderBy("query_id")
   }
 
+  /** IVF coarse-quantizer ANN (k-means cells, probe nearest 4 of 16) —
+    * seed-deterministic but k-means isn't SQL-expressible → rows-only;
+    * recall vs brute force is asserted in SimilaritySpec. */
+  val q43AnnIvf: QuerySpec = QuerySpec.rowsOnly("q43_ann_ivf") { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
-    q34CosinePairs, q40KnnTopK, q41AnnLsh, q42KnnClassify)
+    q34CosinePairs, q40KnnTopK, q41AnnLsh, q42KnnClassify, q43AnnIvf)
 }

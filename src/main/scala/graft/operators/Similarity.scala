@@ -138,6 +138,54 @@ object Similarity {
       .groupBy("id_a", "id_b").agg(first(col("sim")).as("sim"))
   }
 
+  /** IVF-style approximate top-k (the brief's "IVF variant as the scale
+    * path"): a k-means coarse quantizer assigns every corpus vector to one
+    * of `nLists` cells; each query probes only its `nProbe` nearest cells,
+    * so exact cosine runs against ~nProbe/nLists of the corpus instead of
+    * all of it. Cell assignment is one pass; centroids are tiny and ride
+    * into the plan as literals — queries never shuffle the corpus.
+    * Deterministic given the seed. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val v = toMlVector(corpus)
+    val km = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(v)
+    val corpusCells = model.transform(v)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("cell"), sqrt(VectorFns.normSq(col("embedding"))).as("c_norm"))
+    // centroid list as float-array literals: cosine via the fused expression
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }
+    val centroidCol = array(centroids.map { case (i, c) =>
+      struct(lit(i).as("cell"), typedlit(c).as("centroid"))
+    }: _*)
+    // per query: rank cells by centroid cosine, keep the nProbe nearest
+    val qCells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        sqrt(VectorFns.normSq(col("embedding"))).as("q_norm"))
+      .withColumn("cand", explode(centroidCol))
+      .withColumn("c_sim", CosineSimilarityExpr.cosine(col("q_emb"), col("cand.centroid")))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("c_sim").desc, col("cand.cell"))))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("cand.cell").as("cell"))
+    // exact cosine only within probed cells; bounded-heap top-k per query
+    val norms = col("q_norm") * col("c_norm")
+    qCells.join(corpusCells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        when(norms === 0.0, lit(Double.NaN))
+          .otherwise(DotProductExpr.dot(col("q_emb"), col("c_emb")) / norms))
+      .groupBy("query_id")
+      .agg(TopKByScore.topK(col("sim"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.score").as("sim"))
+  }
+
   /** Approximate top-k for one query vector (LSH path of the ANN surface). */
   def lshTopK(corpus: DataFrame, key: Vector, k: Int, bucketLength: Double = 2.0,
               numTables: Int = 8, seed: Long = 42): DataFrame = {

@@ -52,6 +52,21 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.subsetOf(exact), "verification step admits no false positives")
   }
 
+  test("IVF top-k: high recall vs brute force at nProbe=4/16 cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.ivfTopK(queries, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall (probing 4/16 cells)")
+    // determinism: same seed → same result
+    val again = Similarity.ivfTopK(queries, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(approx == again)
+  }
+
   test("KNN classify predicts the planted label for a cloned cluster") {
     import spark.implicits._
     // train: 10 copies of vec 0 with label 7; queries: vec 0 itself
