@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink-side layout control: at 100 TB the number and size of output files
+  * is a first-order concern (a million 1 MB files kills the next scan's
+  * planning; one 100 GB file kills parallelism).
+  */
+object Sinks {
+
+  /** Write parquet with bounded file sizes: `targetFiles` output partitions,
+    * each further split at `maxRecordsPerFile` rows — both knobs the
+    * planner can't infer on its own.
+    *
+    * Uses coalesce (no shuffle) when shrinking partition count; repartition
+    * (one round-robin shuffle) only when growing it.
+    */
+  def writeParquetSized(df: DataFrame, path: String, targetFiles: Int,
+                        maxRecordsPerFile: Long = 5000000L): Unit = {
+    val current = df.rdd.getNumPartitions
+    val sized = if (targetFiles < current) df.coalesce(targetFiles)
+                else if (targetFiles > current) df.repartition(targetFiles)
+                else df
+    sized.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(path)
+  }
+
+  /** Write parquet sorted within files by `sortCols` — clusters values so
+    * parquet row-group min/max statistics prune effectively on those
+    * columns (poor man's Z-order for a single sort dimension). */
+  def writeParquetClustered(df: DataFrame, path: String, partitions: Int,
+                            sortCols: Seq[String]): Unit = {
+    df.repartition(partitions)
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+}
