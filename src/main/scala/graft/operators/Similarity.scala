@@ -40,14 +40,8 @@ object Similarity {
       sqrt(VectorFns.normSq(col("embedding"))).as("c_norm"))
     val joined = c.crossJoin(broadcast(q))
     val filtered = if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined
-    // when-guard: ANSI mode makes Divide ERROR on a zero divisor even for
-    // doubles; a zero-norm vector must yield NaN (IEEE / DuckDB semantics),
-    // not kill the query
-    val norms = col("q_norm") * col("c_norm")
     filtered
-      .withColumn("sim",
-        when(norms === 0.0, lit(Double.NaN))
-          .otherwise(DotProductExpr.dot(col("q_emb"), col("c_emb")) / norms))
+      .withColumn("sim", pairSim)
       .groupBy("query_id")
       .agg(TopKByScore.topK(col("sim"), col("neighbor_id"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")))
@@ -90,6 +84,19 @@ object Similarity {
         col("datasetB.vec_id").as("id_b"),
         col("dist"))
       .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Pair similarity over precomputed norms (q_norm/c_norm columns):
+    * NULL first (length mismatch / null elements — matching the fused
+    * cosine, so invalid pairs drop out of top-k instead of ranking as NaN),
+    * then the zero-norm NaN guard (ANSI Divide would ERROR on a zero
+    * divisor; IEEE/DuckDB semantics want NaN), then the division. */
+  private def pairSim: Column = {
+    val dot = DotProductExpr.dot(col("q_emb"), col("c_emb"))
+    val norms = col("q_norm") * col("c_norm")
+    when(dot.isNull, lit(null).cast("double"))
+      .when(norms === 0.0, lit(Double.NaN))
+      .otherwise(dot / norms)
   }
 
   /** Deterministic random hyperplanes for sign-LSH (seeded driver-side;
@@ -172,13 +179,12 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("c_sim").desc, col("cand.cell"))))
       .filter(col("cell_rank") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("q_norm"), col("cand.cell").as("cell"))
-    // exact cosine only within probed cells; bounded-heap top-k per query
-    val norms = col("q_norm") * col("c_norm")
-    qCells.join(corpusCells, "cell")
+    // exact cosine only within probed cells; the query side broadcasts so
+    // the corpus NEVER shuffles (a plain join on the 16-value cell key
+    // would hash-partition the whole corpus into ≤16 skewed groups)
+    corpusCells.join(broadcast(qCells), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim",
-        when(norms === 0.0, lit(Double.NaN))
-          .otherwise(DotProductExpr.dot(col("q_emb"), col("c_emb")) / norms))
+      .withColumn("sim", pairSim)
       .groupBy("query_id")
       .agg(TopKByScore.topK(col("sim"), col("neighbor_id"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")))

@@ -12,16 +12,14 @@ object Sinks {
     * each further split at `maxRecordsPerFile` rows — both knobs the
     * planner can't infer on its own.
     *
-    * Uses coalesce (no shuffle) when shrinking partition count; repartition
-    * (one round-robin shuffle) only when growing it.
+    * Always one round-robin repartition: probing the current partition count
+    * (`df.rdd.getNumPartitions`) would force AQE to EXECUTE every upstream
+    * stage just to pick coalesce-vs-repartition, doubling job cost; a single
+    * predictable shuffle is the cheaper contract for a sink utility.
     */
   def writeParquetSized(df: DataFrame, path: String, targetFiles: Int,
                         maxRecordsPerFile: Long = 5000000L): Unit = {
-    val current = df.rdd.getNumPartitions
-    val sized = if (targetFiles < current) df.coalesce(targetFiles)
-                else if (targetFiles > current) df.repartition(targetFiles)
-                else df
-    sized.write
+    df.repartition(targetFiles).write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .parquet(path)
