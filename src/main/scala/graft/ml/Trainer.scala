@@ -69,6 +69,30 @@ object Trainer {
     (fitted.toMap, runs)
   }
 
+  /** Hyperparameter selection via k-fold cross-validation (beyond the
+    * reference, which trains every model at fixed defaults): grid over
+    * LogisticRegression regularization, areaUnderROC objective. Each fold's
+    * fits parallelize over the cluster; returns the refit best model and the
+    * per-candidate mean metrics. */
+  def tuneLogisticRegression(train: DataFrame, folds: Int = 3, seed: Long = 15)
+      : (org.apache.spark.ml.tuning.CrossValidatorModel, Array[Double]) = {
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val lr = new LogisticRegression().setMaxIter(25)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.0, 0.01, 0.1))
+      .addGrid(lr.elasticNetParam, Array(0.0, 0.5))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(lr)
+      .setEvaluator(new BinaryClassificationEvaluator().setMetricName("areaUnderROC"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(folds)
+      .setSeed(seed)
+    val model = cv.fit(train)
+    (model, model.avgMetrics)
+  }
+
   /** Registry manifest (M6): name → saved path, written as a small parquet
     * table next to the models. */
   def writeRegistry(spark: SparkSession, modelDir: String, names: Seq[String]): Unit = {

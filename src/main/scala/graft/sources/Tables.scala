@@ -70,6 +70,27 @@ object Tables {
       .option("encoding", "ISO-8859-1")
       .csv(path)
 
+  /** Fault-tolerant Sentiment140 scan: PERMISSIVE mode captures rows that
+    * don't parse (wrong arity, bad ints) in `_corrupt_record` instead of
+    * failing the job — on a 1M-row scraped-tweet CSV some rows WILL be
+    * malformed, and at 100 TB a single bad row must not kill the pipeline.
+    * Callers split on `_corrupt_record IS NULL` to route good/bad rows.
+    */
+  def sentiment140Permissive(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(sentiment140Schema.add(StructField("_corrupt_record", StringType)))
+      .option("header", "false")
+      .option("encoding", "ISO-8859-1")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  /** Schema-evolution-tolerant parquet read: union of all file schemas
+    * (columns absent in older files arrive as nulls) — the data-lake
+    * reality where a table's schema widens over time. */
+  def readMergedParquet(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Versioned CSV sink (reference: src/main.py:71-73) — header on,
     * directory named by the dataset fingerprint.
     */

@@ -61,6 +61,22 @@ class SentimentPipelineSpec extends SparkSpec {
     assert(reScored.select("prediction").collect().head.getDouble(0) == 1.0)
   }
 
+  test("cross-validation tunes regularization and beats majority baseline") {
+    val csv = makeCsv(400)
+    val trained = SentimentPipeline.train(spark, csv, total = 300)
+    val (sampled, _) = SentimentPipeline.readAndFetchData(spark, csv, total = 300)
+    val labeled = sampled.withColumn("label",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("sentiment") === 4, 1.0).otherwise(0.0))
+    val featurized = trained.featurizer.transform(labeled, "tweet")
+    val (cvModel, metrics) = Trainer.tuneLogisticRegression(featurized, folds = 3)
+    assert(metrics.length == 6, "one mean metric per grid candidate")
+    assert(metrics.max > 0.9, s"separable signal -> high AUC, got ${metrics.toSeq}")
+    val preds = cvModel.transform(featurized)
+    val acc = Trainer.confusion(preds).collect().head.getAs[Double]("accuracy")
+    assert(acc > 0.8, s"tuned accuracy $acc")
+  }
+
   test("golden: balanced sampler reproduces the reference artifact shape") {
     // the reference's only committed output is data/tweets_1000.csv — 1000
     // rows, exactly 500 per class, sampler format (SURVEY §5 golden test)

@@ -1,0 +1,38 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.charset.Charset
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+class TablesSpec extends SparkSpec {
+
+  test("permissive CSV scan quarantines malformed rows instead of failing") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val rows = Seq(
+      """4,1,"d",NO_QUERY,u1,"good tweet"""",
+      """notanint,2,"d",NO_QUERY,u2,"bad sentiment type"""",
+      """0,3,"d",NO_QUERY,u3,"another good one"""")
+    Files.write(Paths.get(s"$dir/t.csv"),
+      rows.mkString("\n").getBytes(Charset.forName("ISO-8859-1")))
+    val df = Tables.sentiment140Permissive(spark, s"$dir/t.csv").cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2)
+    assert(bad.count() == 1)
+    assert(bad.select("_corrupt_record").collect().head.getString(0).contains("notanint"))
+    df.unpersist()
+  }
+
+  test("mergeSchema read unions evolved parquet schemas") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/batch1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2_added_later").write.parquet(s"$dir/batch2")
+    val merged = Tables.readMergedParquet(spark, s"$dir/batch1", s"$dir/batch2")
+    assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2_added_later"))
+    val r1 = merged.filter(col("id") === 1).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("v2_added_later")), "old files null-fill new columns")
+    assert(merged.count() == 2)
+  }
+}
