@@ -19,9 +19,12 @@ object Exprs {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
-  /** Exact average: decimal sum divided by count, rounded to `digits`. */
-  def davg(c: Column, digits: Int = 2, scale: Int = 2): Column =
-    round(dsum(c, scale) / count(lit(1)), digits)
+  /** Exact average: decimal sum divided by count, UNROUNDED — money sums
+    * divided by counts land on decimal half-way points (….915) often, and
+    * there Spark (binary-double HALF_UP) and DuckDB (decimal half-away)
+    * round differently; the raw quotient is bit-identical in both. */
+  def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(lit(1))
 
   /** DuckDB `row_number()`/`year()`/... return BIGINT where Spark returns INT;
     * align Spark output to long so the schema compare passes. */

@@ -28,7 +28,7 @@ object Relational {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -231,7 +231,7 @@ object Relational {
        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
        |  count(*) AS n_orders,
        |  $SumPrice AS sum_price,
-       |  round($SumPrice / count(*), 2) AS avg_price,
+       |  $SumPrice / count(*) AS avg_price,
        |  CAST(date_diff('day', CAST(min(o_orderdate) AS DATE), CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS span_days,
        |  round(CAST(sum(CAST(abs(o_totalprice - 1000.0) AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_abs_dev
        |FROM orders
@@ -313,15 +313,18 @@ object Relational {
   }
 
   /** Exact percentiles (linear interpolation — same definition in Spark's
-    * `percentile` and DuckDB's `quantile_cont`); rounded to absorb the final
-    * interpolation ulp. */
+    * `percentile` and DuckDB's `quantile_cont`). Quantile positions are
+    * power-of-two fractions over an INTEGER column, so the interpolation
+    * `a + (b-a)·f` is exact in double arithmetic — bit-identical however
+    * either engine associates it; min/max prices are raw stored doubles. */
   val q15Percentiles: QuerySpec = QuerySpec.oracle(
     "q15_percentiles",
     """SELECT o_orderpriority,
-      |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
-      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
-      |  round(min(o_totalprice), 2) AS min_price,
-      |  round(max(o_totalprice), 2) AS max_price
+      |  quantile_cont(o_orderkey, 0.25) AS p25_orderkey,
+      |  quantile_cont(o_orderkey, 0.5) AS median_orderkey,
+      |  quantile_cont(o_orderkey, 0.75) AS p75_orderkey,
+      |  min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price
       |FROM orders
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
@@ -329,10 +332,11 @@ object Relational {
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
-        round(min(col("o_totalprice")), 2).as("min_price"),
-        round(max(col("o_totalprice")), 2).as("max_price"))
+        expr("percentile(o_orderkey, 0.25)").as("p25_orderkey"),
+        expr("percentile(o_orderkey, 0.5)").as("median_orderkey"),
+        expr("percentile(o_orderkey, 0.75)").as("p75_orderkey"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
       .orderBy("o_orderpriority")
   }
 
@@ -371,9 +375,94 @@ object Relational {
     }
   }
 
+  /** Correlated-aggregate semantics (orders above 1.5× their customer's
+    * average) — expressed as a join against the per-customer aggregate on
+    * both engines (Catalyst decorrelates a correlated subquery to exactly
+    * this shape). */
+  val q17CorrelatedAgg: QuerySpec = QuerySpec.oracle(
+    "q17_correlated_agg",
+    """WITH ca AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_orderkey, o_custkey, o_totalprice, avg_price AS cust_avg
+      |FROM orders JOIN ca ON o_custkey = ck
+      |WHERE o_totalprice > 1.5 * avg_price
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (spark, dir) =>
+    val orders = Tables.orders(spark, dir)
+    val ca = orders.groupBy(col("o_custkey").as("ck"))
+      .agg((dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+    orders.join(ca, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > lit(1.5) * col("avg_price"))
+      // cust_avg stays UNROUNDED: the exact-decimal-sum / count double is
+      // bit-identical across engines, while round() at a .xx5 boundary is
+      // not (Spark rounds the binary double, DuckDB the decimal rendering)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("avg_price").as("cust_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  /** argmin/argmax aggregates (min_by/max_by ↔ arg_min/arg_max), keyed on
+    * the unique order key so ties cannot arise. */
+  val q18ArgMinMax: QuerySpec = QuerySpec.oracle(
+    "q18_argminmax",
+    """SELECT o_orderpriority,
+      |  arg_max(o_custkey, o_orderkey) AS last_custkey,
+      |  arg_min(o_custkey, o_orderkey) AS first_custkey,
+      |  max(o_orderkey) AS last_orderkey,
+      |  min(o_orderkey) AS first_orderkey
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_custkey"), col("o_orderkey")).as("last_custkey"),
+        min_by(col("o_custkey"), col("o_orderkey")).as("first_custkey"),
+        max(col("o_orderkey")).as("last_orderkey"),
+        min(col("o_orderkey")).as("first_orderkey"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Scalar string-function sweep (shared semantics verified: case, trim,
+    * pad, substring, replace, reverse, repeat, split_part, position,
+    * edit distance). */
+  val q19StringFns: QuerySpec = QuerySpec.oracle(
+    "q19_string_fns",
+    """SELECT c_custkey,
+      |  upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+      |  trim(concat(' ', c_name, ' ')) AS trimmed,
+      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+      |  substring(c_name, 1, 8) AS prefix,
+      |  replace(c_name, '#', '-') AS replaced,
+      |  reverse(c_mktsegment) AS rseg,
+      |  repeat('ab', 3) AS repeated,
+      |  split_part(c_name, '#', 1) AS first_part,
+      |  CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+      |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS lev
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"), lower(col("c_mktsegment")).as("lseg"),
+        trim(concat(lit(" "), col("c_name"), lit(" "))).as("trimmed"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        regexp_replace(col("c_name"), "#", "-").as("replaced"),
+        reverse(col("c_mktsegment")).as("rseg"),
+        repeat(lit("ab"), 3).as("repeated"),
+        split_part(col("c_name"), lit("#"), lit(1)).as("first_part"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"))
+      .orderBy("c_custkey")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
     q09WindowRunning, q10SetOps, q11DatesMath, q12BalancedSample,
-    q13AggCube, q14Distinct, q15Percentiles, q16Profile)
+    q13AggCube, q14Distinct, q15Percentiles, q16Profile,
+    q17CorrelatedAgg, q18ArgMinMax, q19StringFns)
 }
