@@ -64,10 +64,10 @@ object TextQueries {
        |    CAST(len(list_filter(str_split_regex(text, '\\W+'), x -> list_contains(${sqlList(EnglishStopwords)}, x))) AS BIGINT) AS n_stop
        |  FROM documents)
        |SELECT doc_id, lang, source, n_chars, n_tokens,
-       |  round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
-       |  round(n_upper / greatest(n_chars, 1), 6) AS upper_ratio,
-       |  round(n_stop / greatest(n_tokens, 1), 6) AS stop_ratio,
-       |  round((n_chars - n_tokens + 1) / greatest(n_tokens, 1), 6) AS avg_token_len
+       |  n_punct / greatest(n_chars, 1) AS punct_ratio,
+       |  n_upper / greatest(n_chars, 1) AS upper_ratio,
+       |  n_stop / greatest(n_tokens, 1) AS stop_ratio,
+       |  (n_chars - n_tokens + 1) / greatest(n_tokens, 1) AS avg_token_len
        |FROM t ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     val rawToks = filter(split(col("text"), "\\W+"), x => x =!= "")
@@ -79,10 +79,13 @@ object TextQueries {
         asLong(regexp_count(col("text"), lit("[A-Z]"))).as("n_upper"),
         asLong(size(filter(rawToks, x => graft.functions.IsStopwordExpr.isStopword(x)))).as("n_stop"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("n_tokens"),
-        round(col("n_punct") / greatest(col("n_chars"), lit(1)), 6).as("punct_ratio"),
-        round(col("n_upper") / greatest(col("n_chars"), lit(1)), 6).as("upper_ratio"),
-        round(col("n_stop") / greatest(col("n_tokens"), lit(1)), 6).as("stop_ratio"),
-        round((col("n_chars") - col("n_tokens") + 1) / greatest(col("n_tokens"), lit(1)), 6).as("avg_token_len"))
+        // unrounded quotients: the single double division is bit-identical
+        // across engines, while round() can disagree at decimal half-way
+        // points (see q17's fix in Relational.scala)
+        (col("n_punct") / greatest(col("n_chars"), lit(1))).as("punct_ratio"),
+        (col("n_upper") / greatest(col("n_chars"), lit(1))).as("upper_ratio"),
+        (col("n_stop") / greatest(col("n_tokens"), lit(1))).as("stop_ratio"),
+        ((col("n_chars") - col("n_tokens") + 1) / greatest(col("n_tokens"), lit(1))).as("avg_token_len"))
       .orderBy("doc_id")
   }
 
@@ -219,7 +222,7 @@ object TextQueries {
        |    CAST(round(1.0 - dfreq / n_docs, 8) AS DECIMAL(18,8)) AS rar
        |  FROM toks JOIN df ON toks.t = df.t CROSS JOIN n)
        |SELECT doc_id, count(*) AS n_distinct_tokens,
-       |  CAST(round(CAST(sum(rar) AS DOUBLE) / count(*), 6) AS DOUBLE) AS rarity
+       |  CAST(sum(rar) AS DOUBLE) / count(*) AS rarity
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
@@ -234,7 +237,7 @@ object TextQueries {
       .withColumn("rar", round(lit(1.0) - col("dfreq") / col("n_docs"), 8).cast("decimal(18,8)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_distinct_tokens"),
-        round(sum(col("rar")).cast("double") / count(lit(1)), 6).as("rarity"))
+        (sum(col("rar")).cast("double") / count(lit(1))).as("rarity"))
       .orderBy("doc_id")
   }
 
