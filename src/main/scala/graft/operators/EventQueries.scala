@@ -103,5 +103,25 @@ object EventQueries {
       .orderBy("window_start", "event_type")
   }
 
-  val all: Seq[QuerySpec] = Seq(q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow)
+  /** Semi-structured JSON column (events.props): extract a typed field and
+    * aggregate on it — Spark get_json_object ↔ DuckDB json_extract. */
+  val q64JsonExtract: QuerySpec = QuerySpec.oracle(
+    "q64_json_extract",
+    """SELECT event_type,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, k_bucket""".stripMargin
+  ) { (spark, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), (k % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(k).as("sum_k"))
+      .orderBy("event_type", "k_bucket")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow, q64JsonExtract)
 }
