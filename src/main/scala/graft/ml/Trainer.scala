@@ -79,8 +79,10 @@ object Trainer {
     import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     val lr = new LogisticRegression().setMaxIter(25)
+    // no regParam=0.0 in the grid: elasticNetParam is inert at zero
+    // regularization, which would duplicate a candidate
     val grid = new ParamGridBuilder()
-      .addGrid(lr.regParam, Array(0.0, 0.01, 0.1))
+      .addGrid(lr.regParam, Array(0.01, 0.1))
       .addGrid(lr.elasticNetParam, Array(0.0, 0.5))
       .build()
     val cv = new CrossValidator()

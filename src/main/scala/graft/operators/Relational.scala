@@ -450,7 +450,10 @@ object Relational {
         trim(concat(lit(" "), col("c_name"), lit(" "))).as("trimmed"),
         lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
         substring(col("c_name"), 1, 8).as("prefix"),
-        regexp_replace(col("c_name"), "#", "-").as("replaced"),
+        // literal replace (not regexp_replace): mirrors DuckDB's replace()
+        // exactly — a regex metacharacter in the search string must not
+        // change semantics
+        expr("replace(c_name, '#', '-')").as("replaced"),
         reverse(col("c_mktsegment")).as("rseg"),
         repeat(lit("ab"), 3).as("repeated"),
         split_part(col("c_name"), lit("#"), lit(1)).as("first_part"),

@@ -15,10 +15,10 @@ class TablesSpec extends SparkSpec {
       """0,3,"d",NO_QUERY,u3,"another good one"""")
     Files.write(Paths.get(s"$dir/t.csv"),
       rows.mkString("\n").getBytes(Charset.forName("ISO-8859-1")))
-    val df = Tables.sentiment140Permissive(spark, s"$dir/t.csv").cache()
-    val good = df.filter(col("_corrupt_record").isNull)
-    val bad = df.filter(col("_corrupt_record").isNotNull)
+    val df = Tables.sentiment140Permissive(spark, s"$dir/t.csv")
+    val (good, bad) = Tables.splitCorrupt(df)
     assert(good.count() == 2)
+    assert(!good.columns.contains("_corrupt_record"))
     assert(bad.count() == 1)
     assert(bad.select("_corrupt_record").collect().head.getString(0).contains("notanint"))
     df.unpersist()
