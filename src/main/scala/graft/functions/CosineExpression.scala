@@ -100,16 +100,21 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     val dot = ctx.freshName("dot")
     val na = ctx.freshName("na")
     val nb = ctx.freshName("nb")
+    // loop temporaries must also be fresh: a raw `x`/`y` local would shadow
+    // (and fail Janino compilation against) any same-named local in the
+    // enclosing generated method, silently forcing the interpreted path
+    val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
     s"""
        |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
        |  for (int $i = 0; $i < $n; $i++) {
        |    $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
        |  }
        |  for (int $i = 0; $i < $n; $i++) {
-       |    double x = (double) $a.getFloat($i); $na += x * x;
+       |    double $x = (double) $a.getFloat($i); $na += $x * $x;
        |  }
        |  for (int $i = 0; $i < $n; $i++) {
-       |    double y = (double) $b.getFloat($i); $nb += y * y;
+       |    double $y = (double) $b.getFloat($i); $nb += $y * $y;
        |  }
        |  $resultVar = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
      """.stripMargin

@@ -40,13 +40,18 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(Seq(col("__ts"), col("__side")) ++ rightValCols.map(c => col(s"__rv_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(w))
-    }.withColumn("asof_ts",
-      when(col("__side") === 1,
-        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w)))
+    // Carry the matched right row as ONE struct (non-null exactly for right
+    // rows): per-column last(..., ignoreNulls) would conflate a genuine NULL
+    // right value with "no right row here" and fall back to an OLDER right
+    // row — and different value columns could then come from different
+    // rows. The struct is never null for a right row, so every asof_* field
+    // (including real NULLs) comes from the single most recent right row.
+    val rvStruct = struct(col("__ts").as("__rts") +:
+      rightValCols.map(c => col(s"__rv_$c").as(c)): _*)
+    val carried = unioned.withColumn("__match",
+      last(when(col("__side") === 0, rvStruct), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ Seq(col("asof_ts")) ++
-        rightValCols.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++ Seq(col("__match.__rts").as("asof_ts")) ++
+        rightValCols.map(c => col(s"__match.$c").as(s"asof_$c")): _*)
   }
 }

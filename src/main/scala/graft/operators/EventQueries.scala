@@ -31,7 +31,11 @@ object EventQueries {
 
   /** session_window (10-minute gap) verified against an independent SQL
     * sessionization: new session when the gap to the previous event of the
-    * same user exceeds 10 minutes; session end = last ts + gap. */
+    * same user exceeds 10 minutes; session end = last ts + gap. The gap
+    * comparison is strictly `>`: Spark merges a session whose end TOUCHES
+    * the next event's start (an event at exactly prev+gap extends the
+    * session) — pinned empirically by EventQueriesSpec's exact-boundary
+    * fixture. */
   val q61SessionWindow: QuerySpec = QuerySpec.oracle(
     "q61_session_window",
     """WITH d AS (

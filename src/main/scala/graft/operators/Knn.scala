@@ -21,9 +21,11 @@ object Knn {
     val neighbors = Similarity.bruteForceTopK(
       queries.select("vec_id", "embedding"),
       train.select("vec_id", "embedding"), k, excludeSelf = false)
-    // broadcast the SMALL side: neighbors is k·|queries| rows; the train
-    // label table can be the full corpus
-    val labeled = broadcast(neighbors).join(
+    // neighbors is k·|queries| rows — usually the small side, but |queries|
+    // is caller-controlled and unbounded (scoring a whole corpus is legal),
+    // so no forced broadcast: AQE sees the post-top-k size at runtime and
+    // picks BHJ exactly when it actually fits.
+    val labeled = neighbors.join(
       train.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
     val votes = labeled.groupBy("query_id", "label").agg(count(lit(1)).as("n_votes"))
     val w = Window.partitionBy("query_id").orderBy(col("n_votes").desc, col("label"))

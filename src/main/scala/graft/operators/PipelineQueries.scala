@@ -151,8 +151,11 @@ object PipelineQueries {
   val q41AnnLsh: QuerySpec = QuerySpec.rowsOnly("q41_ann_lsh") { (spark, dir) =>
     // deterministic banded sign-LSH (seeded planes): candidates only within
     // matching (band, bucket); threshold low enough that the random corpus's
-    // similarity tail yields a non-empty, reproducible pair set
-    Similarity.signLshNearDupPairs(Tables.embeddings(spark, dir), minCosine = 0.2)
+    // similarity tail yields a non-empty, reproducible pair set. Parameters
+    // pinned (not the size-derived defaults) so the declared query stays
+    // lazy and its output is identical across scale factors.
+    Similarity.signLshNearDupPairs(Tables.embeddings(spark, dir), minCosine = 0.2,
+        numBands = 4, bitsPerBand = 8)
       .orderBy("id_a", "id_b")
   }
 

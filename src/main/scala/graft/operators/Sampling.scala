@@ -23,10 +23,16 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w)).filter(col("sample_rank") <= n)
   }
 
-  /** Exact-n per-class random sample with a seed (the reference's semantics,
-    * made deterministic). Single window over rand(seed). */
+  /** Exact-n per-class pseudo-random sample with a seed (the reference's
+    * semantics, made deterministic). Orders by a seeded CONTENT hash, not
+    * rand(seed): rand is only reproducible for a fixed input partitioning —
+    * a different file-split layout or an upstream repartition would silently
+    * change the sample (and anything derived from it, like
+    * SentimentPipeline's dataset-version fingerprint). xxhash64(seed, row)
+    * depends only on row values; ties occur only between fully identical
+    * rows, which are interchangeable. */
   def balancedSample(df: DataFrame, classCol: String, nPerClass: Int, seed: Long): DataFrame = {
-    val w = Window.partitionBy(classCol).orderBy(rand(seed))
+    val w = Window.partitionBy(classCol).orderBy(xxhash64(lit(seed) +: df.columns.toIndexedSeq.map(col): _*))
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= nPerClass)
       .drop("sample_rank")

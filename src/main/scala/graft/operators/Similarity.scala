@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{CosineSimilarityExpr, DotProductExpr, TopKByScore, VectorFns}
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,10 +61,11 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
-  private def toMlVector(df: DataFrame): DataFrame = {
-    val toVec = udf((xs: Seq[Float]) => Vectors.dense(xs.map(_.toDouble).toArray))
-    df.withColumn("features", toVec(col("embedding")))
-  }
+  private def toMlVector(df: DataFrame): DataFrame =
+    // built-in (SQL-typed, no Scala closure): float array upcasts to double
+    // array at the analyzer, then converts to an ml DenseVector
+    df.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding").cast("array<double>")))
 
   /** Approximate neighbor join via random-projection LSH: only colliding
     * buckets are joined, so cost scales with bucket occupancy, not |A|×|B|. */
@@ -106,6 +107,43 @@ object Similarity {
     IndexedSeq.fill(n)(Seq.fill(dims)(rnd.nextGaussian().toFloat))
   }
 
+  /** One (vec_id, embedding, band, key) row per band: `key` packs the
+    * band's sign bits into a Long (so up to 56 bits/band). Exposed within
+    * the package so the occupancy spec can measure bucket sizes directly. */
+  private[operators] def bandAssignments(vecs: DataFrame, dims: Int, numBands: Int,
+                                         bitsPerBand: Int, seed: Long): DataFrame = {
+    require(bitsPerBand <= 56, s"bitsPerBand=$bitsPerBand exceeds the 56-bit Long key field")
+    val ps = planes(numBands * bitsPerBand, dims, seed)
+    def bandKey(b: Int): Column =
+      (0 until bitsPerBand).map { i =>
+        when(CosineSimilarityExpr.cosine(col("embedding"), typedlit(ps(b * bitsPerBand + i))) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    vecs.select(col("vec_id"), col("embedding"), explode(array(
+      (0 until numBands).map(b => struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Bucket width for a corpus of `n` rows: `log2(n) + 8` sign bits keeps
+    * the EXPECTED random-collision occupancy per bucket at n/2^bits ≤ 1/256,
+    * so the within-bucket self-join (quadratic in occupancy) stays O(1) per
+    * bucket no matter how large the corpus grows. Floor 8 (tiny corpora),
+    * cap 56 (keys are built as a Long bit field). */
+  private[operators] def autoBitsPerBand(n: Long): Int =
+    math.min(56, math.max(8, 8 + (64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2L) - 1))))
+
+  /** Bands needed for ~95% recall of a pair at exactly `minCosine`:
+    * P(one band collides) = p^bits with p = 1 - acos(cos)/π, so
+    * bands = ln(0.05)/ln(1-p^bits). Clamped to [4, 32]: below cos≈0.9 the
+    * ask is no longer "near-dup" and the honest answer is a different
+    * algorithm (IVF / brute force), not unbounded row amplification. */
+  private[operators] def autoNumBands(minCosine: Double, bitsPerBand: Int): Int = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi
+    val perBand = math.pow(p, bitsPerBand.toDouble)
+    val raw = if (perBand >= 1.0) 1.0 else math.log(0.05) / math.log1p(-perBand)
+    math.min(32, math.max(4, math.ceil(raw).toInt))
+  }
+
   /** Near-dup pairs via banded sign-LSH — the 100 TB ANN path.
     *
     * Each band hashes the vector to `bitsPerBand` sign bits of random
@@ -118,21 +156,21 @@ object Similarity {
     * badly at tight bucket widths (measured 35 s vs <1 s here on 2k×64f).
     *
     * Recall tuning: P(pair survives) = 1-(1-p^bits)^bands with
-    * p = 1 - acos(cos)/π — e.g. cos ≥ 0.99 → ~99% at 4×8; random pairs
-    * collide with p ≈ 2^-bits per band.
-    */
+    * p = 1 - acos(cos)/π; random pairs collide with p ≈ 2^-bits per band.
+    *
+    * Defaults are SIZE-DERIVED, not fixed: `bitsPerBand = 0` counts the
+    * corpus (one extra columnar pass — pass it explicitly to stay fully
+    * lazy) and takes `log2(n)+8` bits so buckets hold ≤1/256 expected
+    * random rows at ANY corpus size, and `numBands = 0` then solves the
+    * recall formula for ~95% at `minCosine` (clamped to ≤32 bands). A fixed
+    * 8-bit default would mean 256 buckets/band → ~4M rows per bucket at
+    * n = 10⁹ and a ~10¹³-pair within-bucket join. */
   def signLshNearDupPairs(vecs: DataFrame, minCosine: Double, dims: Int = 64,
-                          numBands: Int = 4, bitsPerBand: Int = 8,
+                          numBands: Int = 0, bitsPerBand: Int = 0,
                           seed: Long = 42): DataFrame = {
-    val ps = planes(numBands * bitsPerBand, dims, seed)
-    def bandKey(b: Int): Column =
-      (0 until bitsPerBand).map { i =>
-        when(CosineSimilarityExpr.cosine(col("embedding"), typedlit(ps(b * bitsPerBand + i))) > 0,
-          lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-    val bands = vecs.select(col("vec_id"), col("embedding"), explode(array(
-      (0 until numBands).map(b => struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bits = if (bitsPerBand > 0) bitsPerBand else autoBitsPerBand(vecs.count())
+    val nb = if (numBands > 0) numBands else autoNumBands(minCosine, bits)
+    val bands = bandAssignments(vecs, dims, nb, bits, seed)
     val a = bands.select(col("band"), col("key"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = bands.select(col("band"), col("key"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     // verify + threshold BEFORE the dedup shuffle: rows shrink to

@@ -208,8 +208,9 @@ object TextQueries {
 
   /** Corpus-statistics join: global token document-frequencies joined back
     * per token occurrence → a per-doc rarity (quality) score. The join is
-    * token-keyed (hash shuffle on the token), the global stats table is
-    * tiny → broadcast; per-term doubles are rounded then decimal-summed so
+    * token-keyed (hash shuffle on the token; the document-frequency side is
+    * the corpus vocabulary, so its join strategy is left to AQE rather than
+    * force-broadcast); per-term doubles are rounded then decimal-summed so
     * the score is order-independent and engine-exact. */
   val q27TokenRarity: QuerySpec = QuerySpec.oracle(
     "q27_token_rarity",
@@ -232,7 +233,10 @@ object TextQueries {
     // lazy scalar: a 1-row broadcast cross join, not an eager docs.count()
     // at build time (mirrors the oracle's CROSS JOIN n subquery)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    toks.join(broadcast(dfreq), "t")
+    // dfreq is the corpus vocabulary — unbounded at scale, so no broadcast
+    // hint: the join key is already hash-partitionable and AQE picks BHJ
+    // when the stats say it fits (and SMJ when they don't).
+    toks.join(dfreq, "t")
       .crossJoin(broadcast(nDocs))
       .withColumn("rar", round(lit(1.0) - col("dfreq") / col("n_docs"), 8).cast("decimal(18,8)"))
       .groupBy("doc_id")

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** Pins session_window gap semantics at the exact boundary, empirically:
+  * Spark MERGES a session whose end touches the next event's start — an
+  * event at exactly prev+gap extends the session; only a strictly larger
+  * gap opens a new one. The q61 oracle therefore marks a new session on
+  * `ts - prev > gap` (strict), and this spec fails if Spark's semantics
+  * ever drift to right-exclusive windows.
+  */
+class EventQueriesSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("exact-gap event merges; strictly-larger gap opens a new session") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: second event at exactly +10min => still ONE session
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:10:00")),
+      // u2: second event 1ms past the gap => TWO sessions
+      (2L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:10:00.001")),
+      // u3: second event inside the gap => one session
+      (3L, ts("2024-01-01 00:00:00")),
+      (3L, ts("2024-01-01 00:09:59"))
+    ).toDF("user_id", "ts")
+    val sessions = events
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("start"), col("n_events"))
+      .collect()
+    val byUser = sessions.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser(1L).length == 1, s"exact-gap event must merge: ${sessions.mkString(",")}")
+    assert(byUser(2L).length == 2, s"past-gap event must open a new session: ${sessions.mkString(",")}")
+    assert(byUser(3L).length == 1, s"sub-gap event must merge: ${sessions.mkString(",")}")
+    // mirror of the q61 oracle condition (STRICT > gap => new session)
+    val gapMs = 10 * 60 * 1000L
+    val fixtures = Map(
+      1L -> Seq("2024-01-01 00:00:00", "2024-01-01 00:10:00"),
+      2L -> Seq("2024-01-01 00:00:00", "2024-01-01 00:10:00.001"),
+      3L -> Seq("2024-01-01 00:00:00", "2024-01-01 00:09:59"))
+    val oracleCounts = fixtures.map { case (u, tss) =>
+      val t = tss.map(ts(_).getTime)
+      u -> t.zip((t.head - gapMs - 1) +: t.dropRight(1)).count { case (cur, prev) => cur - prev > gapMs }
+    }
+    assert(oracleCounts == Map(1L -> 1, 2L -> 2, 3L -> 1),
+      "oracle strict-> formulation agrees with Spark at the boundary")
+  }
+}

@@ -35,6 +35,21 @@ class RelationalSpec extends SparkSpec {
       s"fact join plan unexpected:\n$ff")
   }
 
+  test("no forced broadcast of unbounded relations (q27 vocabulary, knn neighbors)") {
+    // q27: the document-frequency table is the corpus vocabulary — only the
+    // 1-row n_docs scalar may carry a broadcast hint
+    val q27 = TextQueries.q27TokenRarity.build(spark, sf).queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(q27).length == 1,
+      s"q27 must not force-broadcast the vocabulary table:\n$q27")
+    // knn: the neighbors relation is k·|queries| with unbounded |queries| —
+    // only bruteForceTopK's documented bounded query side may carry a hint
+    val emb = Tables.embeddings(spark, sf)
+    val knn = Knn.classify(emb.filter(col("vec_id") % 25 === 0), emb, k = 5)
+      .queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(knn).length == 1,
+      s"knn must not force-broadcast the neighbors relation:\n$knn")
+  }
+
   test("positional zip: ordered index and zipWithIndex agree on sorted input") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
     val ordered = Positional.withRowIndexOrdered(docs, Seq("doc_id"))

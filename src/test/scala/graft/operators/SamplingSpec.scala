@@ -17,6 +17,19 @@ class SamplingSpec extends SparkSpec {
       s2.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("balancedSample is layout-independent (same sample after repartition)") {
+    val orders = Tables.orders(spark, sf)
+    val base = Sampling.balancedSample(orders, "o_orderstatus", 50, seed = 15)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val shuffled = Sampling.balancedSample(orders.repartition(13), "o_orderstatus", 50, seed = 15)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(base === shuffled, "content-hash ordering must not depend on input partitioning")
+    // a different seed draws a different sample
+    val other = Sampling.balancedSample(orders, "o_orderstatus", 50, seed = 16)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(base !== other)
+  }
+
   test("deterministicSample ranks 1..n within each class") {
     val s = Sampling.deterministicSample(
       Tables.orders(spark, sf), Seq("o_orderstatus"), col("o_orderkey").cast("string"), 10)

@@ -52,6 +52,47 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.subsetOf(exact), "verification step admits no false positives")
   }
 
+  test("sign-LSH auto parameters scale with corpus size and clamp sanely") {
+    // bits: log2(n)+8, floor at small n, Long-field cap at huge n
+    assert(Similarity.autoBitsPerBand(256) == 16)
+    assert(Similarity.autoBitsPerBand(1000000000L) == 38)
+    assert(Similarity.autoBitsPerBand(Long.MaxValue / 2) == 56, "capped at the Long key field")
+    assert(Similarity.autoBitsPerBand(1) >= 8)
+    // bands: recall-derived at near-dup thresholds, clamped [4, 32]
+    assert(Similarity.autoNumBands(0.98, 16) == 7)
+    assert(Similarity.autoNumBands(0.999, 8) == 4, "lower clamp")
+    assert(Similarity.autoNumBands(0.2, 19) == 32,
+      "low thresholds clamp instead of exploding row amplification")
+  }
+
+  test("sign-LSH auto bits bound bucket occupancy on a skewed corpus") {
+    // skewed planted corpus: 8192 spread pseudo-random vectors plus a hot
+    // 64-row duplicate cluster. True duplicates MUST share a bucket (that's
+    // the algorithm working); the occupancy guarantee is about everything
+    // else: with log2(n)+8 bits the max bucket is bounded by the true dup
+    // group, while the fixed 8-bit width (256 buckets) piles ~n/256 random
+    // rows into every bucket and keeps growing with corpus size.
+    val n = 8192
+    val cluster = 64
+    val rand = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        j => ((pmod(hash(col("id"), j), lit(2001)) - 1000) / 1000.0).cast("float")).as("embedding"))
+    val hot = spark.range(cluster).select((col("id") + 100000).as("vec_id"),
+      transform(sequence(lit(0), lit(15)), j => lit(1.0f)).as("embedding"))
+    val vecs = rand.unionByName(hot)
+    def maxOccupancy(bits: Int): Long =
+      Similarity.bandAssignments(vecs, dims = 16, numBands = 2, bitsPerBand = bits, seed = 42)
+        .groupBy("band", "key").count().agg(max("count")).collect().head.getLong(0)
+    val autoBits = Similarity.autoBitsPerBand(n + cluster)
+    assert(autoBits == 22, "ceil(log2(8256)) + 8")
+    val occAuto = maxOccupancy(autoBits)
+    val occFixed8 = maxOccupancy(8)
+    assert(occAuto <= cluster + 8,
+      s"auto width: max bucket bounded by the true duplicate group, got $occAuto")
+    assert(occFixed8 >= occAuto + n / 512,
+      s"fixed 8-bit width accumulates random collisions on top: auto=$occAuto fixed=$occFixed8")
+  }
+
   test("IVF top-k: high recall vs brute force at nProbe=4/16 cells") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 20)
