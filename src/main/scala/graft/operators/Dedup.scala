@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines (north-star band):
   * exact, n-gram Jaccard, MinHash+LSH banding, SimHash, embedding-cosine
@@ -143,6 +144,75 @@ object Dedup {
     docs.select(col(idCol).as("doc"), simHash(col(textCol), bits).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("min_doc"))
+
+  /** Transitive closure over a near-dup pair graph: every node mapped to the
+    * smallest id of its connected component — the group-resolution step a
+    * training-data pipeline runs after `minHashPairs`/`simHashPairs` so that
+    * A~B, B~C collapses into ONE keep-one group even when A~C was never
+    * emitted as a pair.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping
+    * (label(n) ← label(label(n)) each round), so convergence is
+    * O(log diameter) rounds, not O(diameter) — near-dup graphs are mostly
+    * tiny cliques plus the occasional long chain, and the jump step is what
+    * keeps the chain case from serializing the whole job. Each round is two
+    * key-partitioned joins + an aggregate (no all-pairs, nothing on the
+    * driver but a 1-row convergence checksum). `localCheckpoint` severs the
+    * otherwise exponentially growing lineage each round (on a real cluster
+    * with executor churn, set a checkpoint dir and swap for `checkpoint`).
+    *
+    * Convergence detection: labels only ever decrease, so the label sum
+    * (decimal — an ANSI long sum can overflow) is strictly monotone until
+    * fixpoint; equal checksum ⇒ no label moved ⇒ done.
+    *
+    * Returns (node, canonical_id) for every node that appears in `pairs`;
+    * nodes with no pairs are absent (handle via `dedupGroups`' left join).
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+      .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def checksumOf(labels: DataFrame) =
+      labels.agg(sum(col("lbl").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+    var labels = edges.groupBy("src").agg(min(col("dst")).as("m"))
+      .select(col("src").as("node"), least(col("src"), col("m")).as("lbl"))
+      .localCheckpoint()
+    var checksum = checksumOf(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min label over neighbors, then take label-of-label (pointer jump);
+      // labels are always existing node ids, so the jump join always hits
+      val viaNbr = edges.join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy("src").agg(min(col("lbl")).as("nlbl"))
+        .select(col("src").as("node"), col("nlbl"))
+      val stepped = labels.join(viaNbr, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val next = stepped.as("x")
+        .join(stepped.select(col("node").as("p"), col("lbl").as("plbl")),
+          col("x.lbl") === col("p"), "left")
+        .select(col("x.node").as("node"), coalesce(col("plbl"), col("x.lbl")).as("lbl"))
+        .localCheckpoint()
+      val nextSum = checksumOf(next)
+      converged = nextSum.compareTo(checksum) == 0
+      checksum = nextSum
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("lbl").as("canonical_id"))
+  }
+
+  /** Keep-one-per-cluster resolution: each doc mapped to the smallest doc id
+    * of its connected near-dup component (matching `exact`'s min-id
+    * convention); docs appearing in no pair are their own canonical. */
+  def dedupGroups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    docs.join(cc.select(col("node").as(idCol), col("canonical_id")), Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col(idCol).cast("long")))
+  }
 
   /** Pairs within hamming distance ≤ `maxHamming` of each other's simhash,
     * by pigeonhole blocking: split the hash into maxHamming+1 bit blocks —

@@ -130,6 +130,43 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Near-dup GROUP resolution: the q31 shingle-pair graph closed
+    * transitively (connected components, min-id canonical) — verified
+    * against a DuckDB recursive-CTE closure over the identical pair set.
+    * All shingle-sharing pairs (jaccard > 0) are edges so the tiny test
+    * corpus yields non-trivial components. */
+  val q35DedupGroups: QuerySpec = QuerySpec.oracle(
+    "q35_dedup_groups",
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, $LowToksSql AS ts FROM documents WHERE doc_id < 200),
+       |shl AS (SELECT doc_id, $ShinglesSql AS shs FROM toks),
+       |sh0 AS (SELECT doc_id AS doc, unnest(shs) AS sh FROM shl),
+       |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000),
+       |sh AS (SELECT doc, sh0.sh FROM sh0 JOIN rare USING (sh)),
+       |pairs AS (
+       |  SELECT a.doc AS id_a, b.doc AS id_b
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM toks
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |cc AS (SELECT node AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY node)
+       |SELECT doc_id, canonical_id,
+       |  count(*) OVER (PARTITION BY canonical_id) AS n_in_group
+       |FROM cc ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.0, maxDocFreq = 1000)
+    val groups = Dedup.dedupGroups(docs.select("doc_id"), "doc_id", pairs)
+    val sizes = groups.groupBy("canonical_id").agg(count(lit(1)).as("n_in_group"))
+    groups.join(sizes, "canonical_id")
+      .select("doc_id", "canonical_id", "n_in_group")
+      .orderBy("doc_id")
+  }
+
   val q40KnnTopK: QuerySpec = QuerySpec.oracle(
     "q40_knn_bruteforce",
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
@@ -194,5 +231,5 @@ object PipelineQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
-    q34CosinePairs, q40KnnTopK, q41AnnLsh, q42KnnClassify, q43AnnIvf)
+    q34CosinePairs, q35DedupGroups, q40KnnTopK, q41AnnLsh, q42KnnClassify, q43AnnIvf)
 }

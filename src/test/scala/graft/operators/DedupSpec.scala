@@ -57,6 +57,37 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("connected components resolve a transitive chain to one min-id group") {
+    // chain: 1-2, 2-3 (but never 1-3), plus a separate pair 7-6 and a long
+    // path 10-11-...-19 exercising the pointer-jump convergence
+    val chain = (10L until 19L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (7L, 6L)) ++ chain).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("canonical_id")).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L,
+      s"transitive chain collapses to min id: $cc")
+    assert(cc(6L) == 6L && cc(7L) == 6L, "min id wins regardless of pair order")
+    assert((10L to 19L).forall(cc(_) == 10L), s"long path converges: $cc")
+    assert(cc.size == 15, "exactly the nodes appearing in pairs")
+  }
+
+  test("dedupGroups: transitive near-dup texts collapse, singletons keep themselves") {
+    // A~B and B~C share shingle windows but A and C share none
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w5 w6 w7 w8 w9 w10 w11 w12"),
+      (3L, "w9 w10 w11 w12 w13 w14 w15 w16"),
+      (4L, "totally separate vocabulary about columnar execution engines")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.1)
+    val pairSet = pairs.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairSet == Set((1L, 2L), (2L, 3L)), s"A~C must NOT be a direct pair: $pairSet")
+    val groups = Dedup.dedupGroups(docs, "doc_id", pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L),
+      s"closure groups A,B,C under min id; the singleton stays put: $groups")
+  }
+
   test("shingles handle short and empty texts") {
     val df = Seq((0L, "one two"), (1L, ""), (2L, "a b c d")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
