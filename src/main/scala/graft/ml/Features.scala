@@ -20,6 +20,24 @@ final case class TextFeaturizer(idf: IDFModel, numFeatures: Int) {
   def transform(df: DataFrame, textCol: String): DataFrame =
     idf.transform(Features.rawTf(df, textCol, numFeatures))
       .drop("graft_tokens", "graft_tf")
+
+  /** Persist both halves of the fitted featurizer — the IDF model (the
+    * learned state) and a HashingTF carrying `numFeatures` (the config) —
+    * so a RESTARTED process can score without refitting. The reference
+    * round-trips its whole model through the registry
+    * (/root/reference/src/main.py:123,143-145); without this, saved
+    * classifiers were unusable after restart because the feature transform
+    * was lost. */
+  def save(path: String): Unit = {
+    new HashingTF().setInputCol("graft_tokens").setOutputCol("graft_tf")
+      .setNumFeatures(numFeatures).write.overwrite().save(s"$path/tf")
+    idf.write.overwrite().save(s"$path/idf")
+  }
+}
+
+object TextFeaturizer {
+  def load(path: String): TextFeaturizer =
+    TextFeaturizer(IDFModel.load(s"$path/idf"), HashingTF.load(s"$path/tf").getNumFeatures)
 }
 
 object Features {

@@ -47,7 +47,10 @@ object SentimentPipeline {
                            runs: DataFrame,
                            version: String)
 
-  /** §3.1 end-to-end. */
+  /** §3.1 end-to-end. With `modelDir` set, the WHOLE inference pipeline is
+    * persisted — classifiers, registry manifest, fitted featurizer, runs
+    * table — so `loadTrained` can rebuild a scoring process from disk alone
+    * (the reference's registry→score loop, src/main.py:143-158). */
   def train(spark: SparkSession, csvPath: String, total: Int = 2000,
             modelDir: Option[String] = None, runId: String = "run-1"): Trained = {
     val (sampled, version) = readAndFetchData(spark, csvPath, total)
@@ -57,8 +60,24 @@ object SentimentPipeline {
     val trainF = featurizer.transform(trainDf, "tweet").cache()
     val validF = featurizer.transform(validDf, "tweet")
     val (models, runs) = Trainer.trainAndEvaluate(trainF, validF, runId, version, modelDir)
-    modelDir.foreach(d => Trainer.writeRegistry(spark, d, models.keys.toSeq))
+    modelDir.foreach { d =>
+      Trainer.writeRegistry(spark, d, models.keys.toSeq)
+      featurizer.save(s"$d/_featurizer")
+      runs.coalesce(1).write.mode("overwrite").parquet(s"$d/_runs")
+    }
     Trained(featurizer, models, runs, version)
+  }
+
+  /** Rebuild the full inference pipeline from a `train(modelDir = ...)`
+    * directory in a fresh process: registry → model loaders, persisted
+    * featurizer, persisted runs table (dataset version included). */
+  def loadTrained(spark: SparkSession, modelDir: String): Trained = {
+    val registry = spark.read.parquet(s"$modelDir/_registry").collect()
+      .map(r => r.getAs[String]("model_name") -> r.getAs[String]("path")).toMap
+    val models = registry.map { case (name, path) => name -> Trainer.loadModel(name, path) }
+    val runs = spark.read.parquet(s"$modelDir/_runs")
+    val version = runs.select("dataset_version").limit(1).collect().head.getString(0)
+    Trained(TextFeaturizer.load(s"$modelDir/_featurizer"), models, runs, version)
   }
 
   /** §3.2: score a batch of raw texts with every model in one pass. */
@@ -67,5 +86,26 @@ object SentimentPipeline {
       texts.withColumnRenamed(textCol, "tweet"), "tweet")
     Trainer.scoreAll(featurized, trained.models)
       .drop("features")
+  }
+
+  /** §3.2 live loop as ONE composed entry point (the reference's
+    * poll→score→insert cycle, src/main.py:192-200): a text file stream (the
+    * Twitter-poll stand-in) scored by every registered model per
+    * micro-batch and appended to a parquet sink — batched writes, not the
+    * reference's per-row insert. Restartable: the checkpoint directory
+    * carries source progress across process restarts, so each input file is
+    * scored exactly once even after a crash. */
+  def runStreamingInference(spark: SparkSession, textDir: String, trained: Trained,
+                            outDir: String, checkpointDir: String,
+                            maxFilesPerTrigger: Int = 1): Unit = {
+    val texts = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .text(textDir)
+      .withColumnRenamed("value", "tweet")
+    graft.streaming.EventsStream.runForeachBatch(texts, checkpointDir) { (batch, batchId) =>
+      scoreBatch(batch, "tweet", trained)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(outDir)
+    }
   }
 }

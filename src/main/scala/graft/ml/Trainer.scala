@@ -95,6 +95,16 @@ object Trainer {
     (model, model.avgMetrics)
   }
 
+  /** Loader dispatch for the registry's model names (MLlib load is typed
+    * per class, so the registry alone can't reconstruct a model). */
+  def loadModel(name: String, path: String): Transformer = name match {
+    case "random_forest"       => RandomForestClassificationModel.load(path)
+    case "logistic_regression" => LogisticRegressionModel.load(path)
+    case "linear_svc"          => LinearSVCModel.load(path)
+    case "gaussian_nb"         => NaiveBayesModel.load(path)
+    case other => throw new IllegalArgumentException(s"unknown registry model: $other")
+  }
+
   /** Registry manifest (M6): name → saved path, written as a small parquet
     * table next to the models. */
   def writeRegistry(spark: SparkSession, modelDir: String, names: Seq[String]): Unit = {

@@ -97,6 +97,50 @@ class SentimentPipelineSpec extends SparkSpec {
     assert(v2 == version)
   }
 
+  test("full pipeline round-trip: fresh session loads from disk and scores identically") {
+    import spark.implicits._
+    val csv = makeCsv(300)
+    val dir = Files.createTempDirectory("graft_roundtrip").toString
+    val trained = SentimentPipeline.train(spark, csv, total = 200, modelDir = Some(dir))
+    val texts = Seq("I love this awesome day", "I hate this terrible thing")
+    val direct = SentimentPipeline.scoreBatch(texts.toDF("text"), "text", trained)
+      .orderBy("tweet").collect().map(_.toSeq)
+    // a fresh session stands in for a restarted process: nothing in-memory
+    // survives; everything must come back from the model directory
+    val fresh = spark.newSession()
+    val loaded = SentimentPipeline.loadTrained(fresh, dir)
+    assert(loaded.version == trained.version, "dataset version round-trips")
+    assert(loaded.models.keySet == trained.models.keySet)
+    val batch = fresh.createDataFrame(texts.map(Tuple1(_))).toDF("text")
+    val replayed = SentimentPipeline.scoreBatch(batch, "text", loaded)
+      .orderBy("tweet").collect().map(_.toSeq)
+    assert(replayed.toSeq == direct.toSeq,
+      "loaded featurizer + models reproduce in-memory predictions exactly")
+  }
+
+  test("streaming inference: files in, scored parquet out, checkpoint restart") {
+    val csv = makeCsv(300)
+    val trained = SentimentPipeline.train(spark, csv, total = 200)
+    val inDir = Files.createTempDirectory("graft_stream_in").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString + "/scored"
+    val ckDir = Files.createTempDirectory("graft_stream_ck").toString
+    Files.write(Paths.get(s"$inDir/a.txt"), "I love this awesome day".getBytes)
+    Files.write(Paths.get(s"$inDir/b.txt"), "I hate this terrible thing".getBytes)
+    // maxFilesPerTrigger=1 => the two files arrive as two micro-batches
+    SentimentPipeline.runStreamingInference(spark, inDir, trained, outDir, ckDir)
+    val first = spark.read.parquet(outDir).collect()
+    assert(first.length == 2)
+    assert(first.map(_.getAs[Long]("batch_id")).distinct.length == 2, ">=2 micro-batches")
+    val preds = first.map(r => r.getAs[String]("tweet") -> r.getAs[Double]("pred_logistic_regression")).toMap
+    assert(preds("I love this awesome day") == 1.0 && preds("I hate this terrible thing") == 0.0)
+    // restart against the SAME checkpoint: only the new file is scored
+    Files.write(Paths.get(s"$inDir/c.txt"), "what a great happy best time".getBytes)
+    SentimentPipeline.runStreamingInference(spark, inDir, trained, outDir, ckDir)
+    val after = spark.read.parquet(outDir).collect()
+    assert(after.length == 3, "checkpoint prevents rescoring already-seen files")
+    assert(after.map(r => r.getAs[String]("tweet")).distinct.length == 3)
+  }
+
   test("inference entry point: fan-out scoring adds one column per model") {
     import spark.implicits._
     val csv = makeCsv(300)
