@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns (north-star band): image/audio/video as opaque
   * `binary` columns with typed metadata, processed partition-at-a-time.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB (`FakeCodec`) — the Spark-side plumbing
-  * is real and tested: binary schema, typed Dataset rows, iterator-to-
+  * IMAGE decode is real: `ImageCodec` uses the JDK's built-in javax.imageio
+  * (PNG/JPEG/GIF/BMP — no external libraries), falling back to the stub for
+  * undecodable payloads. Audio/video decode stays a clearly-marked
+  * deterministic STUB (`FakeCodec` — the JDK ships no such codecs); a real
+  * deployment swaps only that object. The Spark-side plumbing is real and
+  * tested either way: binary schema, typed Dataset rows, iterator-to-
   * iterator `mapPartitions` (the JVM analog of mapInPandas batch processing
   * — no per-row serialization round trip, constant memory per partition),
   * and partition-preserving output shape.
@@ -52,6 +55,34 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via the JDK's bundled ImageIO readers — no external
+    * codec dependency. Pixel features: row-major RGB channels normalized to
+    * [0,1] (out[3p..3p+2] = pixel p's R,G,B / 255), truncated or zero-padded
+    * to `dims`. A payload ImageIO cannot parse (e.g. the synthetic table's
+    * hash bytes) falls back to `FakeCodec` so the seam stays total; a NULL
+    * return and a thrown reader error are treated alike. */
+  object ImageCodec {
+    def decode(bytes: Array[Byte], dims: Int): Array[Float] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) FakeCodec.decode(bytes, dims)
+      else {
+        val out = new Array[Float](dims)
+        val w = img.getWidth
+        val limit = math.min(dims, w * img.getHeight * 3)
+        var idx = 0
+        while (idx < limit) {
+          val p = idx / 3
+          val rgb = img.getRGB(p % w, p / w)
+          out(idx) = ((rgb >> (16 - 8 * (idx % 3))) & 0xFF) / 255.0f
+          idx += 1
+        }
+        out
+      }
+    }
+  }
+
   /** Deterministic synthetic media table (no binary test fixture ships with
     * the driver tables): payload = md5-derived bytes of the id. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
@@ -73,7 +104,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.bytes.length, FakeCodec.decode(m.bytes, dims))
+        val emb =
+          if (m.kind == "image") ImageCodec.decode(m.bytes, dims)
+          else FakeCodec.decode(m.bytes, dims)
+        MediaFeatures(m.media_id, m.kind, m.bytes.length, emb)
       }
     }
   }

@@ -22,6 +22,28 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.zip(f2).forall { case (a, b) => a.embedding.sameElements(b.embedding) })
   }
 
+  test("real PNG payloads decode to exact pixel features via ImageIO") {
+    import java.awt.image.BufferedImage
+    // 2×2 PNG with known colors: red, green / blue, white
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRecord(1L, "image", png, 2, 2, 1)).toDS()
+    val feats = Multimodal.decodeFeatures(media, dims = 16).collect().head
+    // row-major RGB in [0,1]: (1,0,0) (0,1,0) (0,0,1) (1,1,1), zero padding
+    val expected = Array[Float](1, 0, 0, 0, 1, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0)
+    assert(feats.embedding.sameElements(expected),
+      s"got ${feats.embedding.mkString(",")}")
+    // undecodable image payloads fall back to the stub, not an error
+    val junk = Seq(Multimodal.MediaRecord(2L, "image", Array[Byte](1, 2, 3), 1, 1, 1)).toDS()
+    val fb = Multimodal.decodeFeatures(junk, dims = 8).collect().head
+    assert(fb.embedding.sameElements(Multimodal.FakeCodec.decode(Array[Byte](1, 2, 3), 8)))
+  }
+
   test("sampleFrames: only videos, every nth frame, fan-out rows") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(media, everyN = 5)
