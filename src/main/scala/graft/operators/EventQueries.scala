@@ -126,6 +126,32 @@ object EventQueries {
       .orderBy("event_type", "k_bucket")
   }
 
+  /** Range (interval) join: every purchase within 30 minutes AFTER a click
+    * by the same user — the binned-bucket operator verified against DuckDB's
+    * native inequality join. */
+  val q65RangeJoin: QuerySpec = QuerySpec.oracle(
+    "q65_range_join",
+    """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts, p.ts AS r_ts, p.value AS r_value
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY c.event_id, r_ts, r_value""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    RangeJoin.rangeJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+      lowerSec = 0L, upperSec = 1800L, rightValCols = Seq("value"))
+      .select("event_id", "user_id", "ts", "r_ts", "r_value")
+      .orderBy("event_id", "r_ts", "r_value")
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow, q64JsonExtract)
+    q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
+    q64JsonExtract, q65RangeJoin)
 }

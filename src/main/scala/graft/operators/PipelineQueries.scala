@@ -220,6 +220,30 @@ object PipelineQueries {
       .orderBy("query_id")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * memory-compression pass an ANN index runs before storing 10⁹ vectors.
+    * Exact floor arithmetic (no rounding ties), engine-verified including
+    * the worst-element reconstruction error. */
+  val q44QuantizeInt8: QuerySpec = QuerySpec.oracle(
+    "q44_embedding_quantize",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+       |s AS (SELECT vec_id, embedding, ${VectorFns.Sql.maxAbs("embedding")} AS scale FROM v),
+       |q AS (SELECT vec_id, embedding, scale,
+       |      ${VectorFns.Sql.quantizeInt8("embedding", "scale")} AS qv FROM s)
+       |SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims, scale,
+       |  array_to_string(qv, ',') AS q_csv,
+       |  ${VectorFns.Sql.dequantMaxErr("embedding", "qv", "scale")} AS max_err
+       |FROM q ORDER BY vec_id""".stripMargin
+  ) { (spark, dir) =>
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
+      .withColumn("scale", VectorFns.maxAbs(col("embedding")))
+      .withColumn("qv", VectorFns.quantizeInt8(col("embedding"), col("scale")))
+      .select(col("vec_id"), asLong(size(col("qv"))).as("n_dims"), col("scale"),
+        concat_ws(",", transform(col("qv"), x => x.cast("string"))).as("q_csv"),
+        VectorFns.dequantMaxErr(col("embedding"), col("qv"), col("scale")).as("max_err"))
+      .orderBy("vec_id")
+  }
+
   /** IVF coarse-quantizer ANN (k-means cells, probe nearest 4 of 16) —
     * seed-deterministic but k-means isn't SQL-expressible → rows-only;
     * recall vs brute force is asserted in SimilaritySpec. */
@@ -231,5 +255,6 @@ object PipelineQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
-    q34CosinePairs, q35DedupGroups, q40KnnTopK, q41AnnLsh, q42KnnClassify, q43AnnIvf)
+    q34CosinePairs, q35DedupGroups, q40KnnTopK, q41AnnLsh, q42KnnClassify,
+    q43AnnIvf, q44QuantizeInt8)
 }

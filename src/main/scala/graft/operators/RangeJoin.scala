@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: pairs of rows with equal keys whose timestamps are
+  * within a bounded offset — `right.ts − left.ts ∈ [lower, upper]` — the
+  * second custom temporal operator next to AsOfJoin (SURVEY §2.8 band;
+  * DuckDB verifies via a native inequality join).
+  *
+  * Spark has no range-join optimization: a plain join with the BETWEEN
+  * condition plans as an equi-join on the key alone, making every hot key a
+  * per-key cross product (quadratic in events-per-user). This operator bins
+  * the time axis into `upper − lower`-wide buckets and equi-joins on
+  * (key, bin): each right row lands in exactly one bin, each left row's
+  * acceptance interval covers at most two bins, so the shuffle moves
+  * ≤ 2·|L| + |R| rows, bucket joins touch only same-bin candidates, and a
+  * matching pair meets in exactly one bin (the right row's) — no dedup pass
+  * needed. The exact BETWEEN predicate then filters within buckets.
+  * Long/skewed keys behave like any keyed shuffle (salt if needed).
+  */
+object RangeJoin {
+
+  /** @param lowerSec/upperSec match window in seconds relative to the LEFT
+    *                          timestamp (lower may be negative for look-back;
+    *                          requires lower < upper)
+    * @param rightValCols      right columns carried onto each matched pair,
+    *                          emitted as `r_<name>`; the right timestamp is
+    *                          always emitted as `r_ts`. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                leftTs: String, rightTs: String,
+                lowerSec: Long, upperSec: Long,
+                rightValCols: Seq[String]): DataFrame = {
+    require(lowerSec < upperSec, s"empty range [$lowerSec, $upperSec]")
+    val lowerUs = lowerSec * 1000000L
+    val upperUs = upperSec * 1000000L
+    val w = upperUs - lowerUs
+    // integer floor-division for non-negative epoch micros: subtracting the
+    // pmod first makes the numerator an exact multiple of w, so the double
+    // division is exact (both operands < 2^53) and the cast is lossless
+    def bin(c: Column): Column = ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    val l = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__bin", explode(array_distinct(array(
+        bin(col("__lus") + lit(lowerUs)), bin(col("__lus") + lit(upperUs))))))
+    val r = right.select(keyCols.map(col) ++ Seq(
+        col(rightTs).as("r_ts"),
+        bin(unix_micros(col(rightTs))).as("__bin")) ++
+        rightValCols.map(c => col(c).as(s"r_$c")): _*)
+    l.join(r, keyCols :+ "__bin")
+      .filter(unix_micros(col("r_ts")).between(
+        col("__lus") + lit(lowerUs), col("__lus") + lit(upperUs)))
+      .drop("__lus", "__bin")
+  }
+}

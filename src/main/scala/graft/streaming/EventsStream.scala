@@ -92,6 +92,27 @@ object EventsStream {
       }
   }
 
+  /** Watermarked stream-stream join: each click paired with same-user
+    * purchases inside `[click_ts, click_ts + window]` — the streaming twin
+    * of the batch RangeJoin operator (q65 verifies those semantics against
+    * DuckDB). Both sides carry event-time watermarks AND the join condition
+    * time-bounds one side against the other, which is exactly what lets
+    * Spark evict join state once the watermark passes a row's match window
+    * — without the bound, stream-stream join state grows forever. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        window_ : String = "30 minutes",
+                        watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window_"))
+      .drop("p_user_id")
+  }
+
   /** Run a streaming query to completion over whatever is in the source dir
     * (Trigger.AvailableNow) and sink to parquet — the batched replacement for
     * the reference's per-row insert loop. */

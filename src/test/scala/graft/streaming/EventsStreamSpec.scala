@@ -102,6 +102,26 @@ class EventsStreamSpec extends SparkSpec {
     assert(last.getAs[Double]("max_value") == 30.0)
   }
 
+  test("stream-stream join pairs clicks with in-window purchases across batches") {
+    val (src, out, ckpt) = tempDirs()
+    writeBatch(src, "b0.json", Seq(
+      evt(1, "2024-01-01 10:00:00", 1, "click", 0),
+      evt(2, "2024-01-01 10:10:00", 1, "purchase", 42)))   // in window, same batch
+    writeBatch(src, "b1.json", Seq(
+      evt(3, "2024-01-01 10:25:00", 1, "purchase", 7),     // in window, LATER batch
+      evt(4, "2024-01-01 11:00:00", 1, "purchase", 9),     // past the 30m window
+      evt(5, "2024-01-01 10:05:00", 2, "purchase", 5)))    // other user
+    val stream = EventsStream.readEventStream(spark, src)
+    val clicks = stream.filter(col("event_type") === "click")
+    val purchases = stream.filter(col("event_type") === "purchase")
+    EventsStream.runToParquet(
+      EventsStream.clickPurchaseJoin(clicks, purchases), out, ckpt)
+    val rows = spark.read.parquet(out).orderBy("purchase_ts").collect()
+    assert(rows.map(_.getAs[Double]("value")).toSeq == Seq(42.0, 7.0),
+      s"exactly the in-window same-user purchases: ${rows.mkString(",")}")
+    assert(rows.forall(_.getAs[Long]("click_id") == 1L))
+  }
+
   test("foreachBatch applies a batch transform per micro-batch") {
     val (src, out, ckpt) = tempDirs()
     writeBatch(src, "b0.json", Seq(
