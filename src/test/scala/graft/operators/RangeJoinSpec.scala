@@ -35,6 +35,15 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set(1.0, 2.0), s"got $out")
   }
 
+  test("plans as an equi-join on (key, bin) — never a nested-loop product") {
+    val plan = EventQueries.q65RangeJoin.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected a hash-keyed join:\n$plan")
+  }
+
   test("binned join is pair-for-pair identical to the naive inequality join") {
     // 300 events over 5 users at irregular offsets — every bin alignment
     // gets exercised, including same-timestamp duplicates
