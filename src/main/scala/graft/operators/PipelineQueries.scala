@@ -5,6 +5,7 @@ import graft.functions.{Exprs, VectorFns}
 import graft.functions.Exprs._
 import graft.sources.Tables
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** QuerySpecs for the LLM-data-pipeline band (dedup, similarity search, KNN)
@@ -167,6 +168,37 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing: chunk each language's doc stream (doc_id order) into
+    * fixed 512-token training-example budgets — the concatenate-then-chunk
+    * preprocessing that assembles LM training sequences. pack_id =
+    * floor(tokens-before-this-doc / budget): pure prefix-sum over one
+    * per-lang window (a single hash shuffle, no driver pass), deterministic
+    * because the order key is unique. */
+  val q36SequencePack: QuerySpec = QuerySpec.oracle(
+    "q36_sequence_pack",
+    raw"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(str_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, lang, n_tok, CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val nTok = asLong(size(filter(split(col("text"), "\\s+"), x => x =!= "")))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        floor(col("cum_before") / 512.0).as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   val q40KnnTopK: QuerySpec = QuerySpec.oracle(
     "q40_knn_bruteforce",
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
@@ -255,6 +287,6 @@ object PipelineQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
-    q34CosinePairs, q35DedupGroups, q40KnnTopK, q41AnnLsh, q42KnnClassify,
-    q43AnnIvf, q44QuantizeInt8)
+    q34CosinePairs, q35DedupGroups, q36SequencePack, q40KnnTopK, q41AnnLsh,
+    q42KnnClassify, q43AnnIvf, q44QuantizeInt8)
 }

@@ -270,8 +270,30 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Context/document assembly: per (lang, source), concatenate texts in
+    * doc_id order — the "build one training context from many docs" step.
+    * Deterministic: the order key is unique, array_sort on (doc_id, text)
+    * structs mirrors DuckDB's ORDER BY inside string_agg. One hash shuffle
+    * on the group key; the concatenation is a plain aggregate buffer. */
+  val q29DocAssembly: QuerySpec = QuerySpec.oracle(
+    "q29_doc_assembly",
+    """SELECT lang, source, count(*) AS n_docs,
+      |  string_agg(text, chr(10) ORDER BY doc_id) AS assembled,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          s => s.getField("text")), "\n").as("assembled"),
+        asLong(sum(length(col("text")))).as("n_chars"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
-    q28TokenCounts)
+    q28TokenCounts, q29DocAssembly)
 }
