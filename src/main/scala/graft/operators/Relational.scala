@@ -462,10 +462,53 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** TPC-H Q5 analog (local-supplier revenue): the deepest join in the
+    * suite — lineitem ⨝ orders ⨝ customer ⨝ supplier ⨝ nation ⨝ region with
+    * the "customer and supplier share a nation" theta condition folded into
+    * the supplier equi-join. Plan shape at scale: the date and region
+    * filters push into the scans, nation/region broadcast (tiny dims), the
+    * three fact joins shuffle once each on their keys and AQE re-plans any
+    * post-filter side it measures as broadcastable. Revenue uses the q01
+    * decimal-cast product-sum so the aggregate is order-independent and
+    * engine-exact. */
+  val q46RegionalRevenue: QuerySpec = QuerySpec.oracle(
+    "q46_regional_revenue",
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+  ) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
     q09WindowRunning, q10SetOps, q11DatesMath, q12BalancedSample,
     q13AggCube, q14Distinct, q15Percentiles, q16Profile,
-    q17CorrelatedAgg, q18ArgMinMax, q19StringFns)
+    q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue)
 }

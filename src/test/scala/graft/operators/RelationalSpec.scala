@@ -35,6 +35,16 @@ class RelationalSpec extends SparkSpec {
       s"fact join plan unexpected:\n$ff")
   }
 
+  test("q46 six-table join: dims broadcast, date filter pushed, no product") {
+    val plan = Relational.q46RegionalRevenue.build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"nation/region must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"theta condition must fold into the supplier equi-join:\n$plan")
+    assert(plan.contains("o_orderdate") && plan.contains("PushedFilters:"),
+      s"date filter must reach the orders scan:\n$plan")
+  }
+
   test("no forced broadcast of unbounded relations (q27 vocabulary, knn neighbors)") {
     // q27: the document-frequency table is the corpus vocabulary — only the
     // 1-row n_docs scalar may carry a broadcast hint
