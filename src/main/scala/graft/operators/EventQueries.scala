@@ -151,7 +151,42 @@ object EventQueries {
       .orderBy("event_id", "r_ts", "r_value")
   }
 
+  /** Second-moment statistics per event type. Spark's native var_samp /
+    * stddev streams double moments in partition order — NOT reproducible
+    * across engines or even runs; here variance is derived from exact
+    * decimal sums (Σv, Σv²) so every figure is order-independent and
+    * bit-identical in DuckDB: var = (n·Σv² − (Σv)²) / (n·(n−1)), identical
+    * double expression order on both sides. */
+  val q66ValueMoments: QuerySpec = QuerySpec.oracle(
+    "q66_value_moments",
+    """WITH s AS (
+      |  SELECT event_type, count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |    CAST(sum(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v2
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n_events,
+      |  sum_v / n_events AS mean_value,
+      |  (CAST(n_events AS DOUBLE) * sum_v2 - sum_v * sum_v)
+      |    / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) - 1)) AS var_value,
+      |  sqrt((CAST(n_events AS DOUBLE) * sum_v2 - sum_v * sum_v)
+      |    / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) - 1))) AS std_value
+      |FROM s ORDER BY event_type""".stripMargin
+  ) { (spark, dir) =>
+    val s = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_v"),
+        dsum(col("value") * col("value"), 4).as("sum_v2"))
+    val nD = col("n_events").cast("double")
+    val variance = (nD * col("sum_v2") - col("sum_v") * col("sum_v")) / (nD * (nD - lit(1)))
+    s.select(col("event_type"), col("n_events"),
+        (col("sum_v") / col("n_events")).as("mean_value"),
+        variance.as("var_value"),
+        sqrt(variance).as("std_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
-    q64JsonExtract, q65RangeJoin)
+    q64JsonExtract, q65RangeJoin, q66ValueMoments)
 }
