@@ -186,7 +186,74 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Click→purchase conversion funnel: per clicker, purchases at-or-after
+    * their first click; one-row summary with the unrounded conversion
+    * ratio. Two hash aggregations + one key join — no windows needed. The
+    * per-user purchase total goes through decimal at BOTH aggregation
+    * levels so the global sum is order-independent. */
+  val q67Funnel: QuerySpec = QuerySpec.oracle(
+    "q67_funnel",
+    """WITH c AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_click
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+      |p AS (
+      |  SELECT e.user_id, count(*) AS n_purch,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purch_value
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.first_click
+      |  GROUP BY e.user_id)
+      |SELECT count(*) AS n_clickers,
+      |  count(p.user_id) AS n_converted,
+      |  CAST(count(p.user_id) AS DOUBLE) / count(*) AS conversion,
+      |  CAST(sum(CAST(coalesce(p.purch_value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS converted_value
+      |FROM c LEFT JOIN p ON c.user_id = p.user_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("first_click"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purch"), dsum(col("value")).as("purch_value"))
+    c.join(p.select(col("user_id").as("p_user"), col("purch_value")),
+        col("user_id") === col("p_user"), "left")
+      .agg(count(lit(1)).as("n_clickers"),
+        count(col("p_user")).as("n_converted"),
+        (count(col("p_user")).cast("double") / count(lit(1))).as("conversion"),
+        dsum(coalesce(col("purch_value"), lit(0))).as("converted_value"))
+  }
+
+  /** Weekly retention cohorts: users bucketed by first-seen week, counted
+    * per active-week offset — first-touch agg, distinct activity pairs, one
+    * key join; every step is a keyed shuffle (no window, no driver work).
+    * Week offsets divide exactly (both engines truncate weeks to Monday). */
+  val q68Retention: QuerySpec = QuerySpec.oracle(
+    "q68_retention",
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS active_week
+      |  FROM events)
+      |SELECT cohort_week, CAST(datediff('day', cohort_week, active_week) // 7 AS BIGINT) AS week_offset,
+      |  count(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val f = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val a = ev.select(col("user_id"), date_trunc("week", col("ts")).as("active_week")).distinct()
+    a.join(f, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(col("active_week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
-    q64JsonExtract, q65RangeJoin, q66ValueMoments)
+    q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention)
 }
