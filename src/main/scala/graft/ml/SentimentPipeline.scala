@@ -91,10 +91,12 @@ object SentimentPipeline {
   /** §3.2 live loop as ONE composed entry point (the reference's
     * poll→score→insert cycle, src/main.py:192-200): a text file stream (the
     * Twitter-poll stand-in) scored by every registered model per
-    * micro-batch and appended to a parquet sink — batched writes, not the
-    * reference's per-row insert. Restartable: the checkpoint directory
-    * carries source progress across process restarts, so each input file is
-    * scored exactly once even after a crash. */
+    * micro-batch and written to a parquet sink — batched writes, not the
+    * reference's per-row insert. Restartable AND idempotent: foreachBatch
+    * alone is at-least-once (a crash between the write and the checkpoint
+    * commit replays the batch), so each batch dynamically OVERWRITES its own
+    * batch_id partition — a replay rewrites identical rows instead of
+    * appending duplicates, making the sink effectively exactly-once. */
   def runStreamingInference(spark: SparkSession, textDir: String, trained: Trained,
                             outDir: String, checkpointDir: String,
                             maxFilesPerTrigger: Int = 1): Unit = {
@@ -105,7 +107,10 @@ object SentimentPipeline {
     graft.streaming.EventsStream.runForeachBatch(texts, checkpointDir) { (batch, batchId) =>
       scoreBatch(batch, "tweet", trained)
         .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(outDir)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outDir)
     }
   }
 }

@@ -63,14 +63,19 @@ object Multimodal {
     * return and a thrown reader error are treated alike. */
   object ImageCodec {
     def decode(bytes: Array[Byte], dims: Int): Array[Float] = {
+      // NonFatal, not just IOException: ImageIO readers throw runtime
+      // exceptions on malformed-but-recognized payloads (CMMException on a
+      // broken ICC profile, IndexOutOfBounds on truncated streams) — all of
+      // them must mean "fall back to the stub", never "kill the task"
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) FakeCodec.decode(bytes, dims)
       else {
         val out = new Array[Float](dims)
         val w = img.getWidth
-        val limit = math.min(dims, w * img.getHeight * 3)
+        // Long arithmetic: w·h·3 overflows Int past ~715M pixels
+        val limit = math.min(dims.toLong, w.toLong * img.getHeight * 3L).toInt
         var idx = 0
         while (idx < limit) {
           val p = idx / 3

@@ -174,8 +174,11 @@ object Dedup {
       .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
       .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // coalesce(0): an EMPTY pair set must mean "no components", not an NPE —
+    // sum over zero rows is NULL and the convergence compare would blow up
     def checksumOf(labels: DataFrame) =
-      labels.agg(sum(col("lbl").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+      labels.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).collect().head.getDecimal(0)
     var labels = edges.groupBy("src").agg(min(col("dst")).as("m"))
       .select(col("src").as("node"), least(col("src"), col("m")).as("lbl"))
       .localCheckpoint()

@@ -166,10 +166,12 @@ object EventQueries {
       |  FROM events GROUP BY event_type)
       |SELECT event_type, n_events,
       |  sum_v / n_events AS mean_value,
-      |  (CAST(n_events AS DOUBLE) * sum_v2 - sum_v * sum_v)
-      |    / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) - 1)) AS var_value,
-      |  sqrt((CAST(n_events AS DOUBLE) * sum_v2 - sum_v * sum_v)
-      |    / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) - 1))) AS std_value
+      |  CASE WHEN n_events < 2 THEN NULL ELSE
+      |    (CAST(n_events AS DOUBLE) * sum_v2 - sum_v * sum_v)
+      |      / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) - 1)) END AS var_value,
+      |  CASE WHEN n_events < 2 THEN NULL ELSE
+      |    sqrt((CAST(n_events AS DOUBLE) * sum_v2 - sum_v * sum_v)
+      |      / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) - 1))) END AS std_value
       |FROM s ORDER BY event_type""".stripMargin
   ) { (spark, dir) =>
     val s = Tables.events(spark, dir)
@@ -178,7 +180,11 @@ object EventQueries {
         dsum(col("value")).as("sum_v"),
         dsum(col("value") * col("value"), 4).as("sum_v2"))
     val nD = col("n_events").cast("double")
-    val variance = (nD * col("sum_v2") - col("sum_v") * col("sum_v")) / (nD * (nD - lit(1)))
+    // explicit NULL for n=1: the n·(n−1) denominator is zero there, where
+    // Spark's non-ANSI division yields NULL but DuckDB's IEEE float division
+    // yields inf — pin the same answer (undefined sample variance) on both
+    val variance = when(col("n_events") < 2, lit(null).cast("double"))
+      .otherwise((nD * col("sum_v2") - col("sum_v") * col("sum_v")) / (nD * (nD - lit(1))))
     s.select(col("event_type"), col("n_events"),
         (col("sum_v") / col("n_events")).as("mean_value"),
         variance.as("var_value"),

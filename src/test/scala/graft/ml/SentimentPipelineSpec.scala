@@ -128,7 +128,11 @@ class SentimentPipelineSpec extends SparkSpec {
     Files.write(Paths.get(s"$inDir/b.txt"), "I hate this terrible thing".getBytes)
     // maxFilesPerTrigger=1 => the two files arrive as two micro-batches
     SentimentPipeline.runStreamingInference(spark, inDir, trained, outDir, ckDir)
-    val first = spark.read.parquet(outDir).collect()
+    // batch_id is a partition directory now (idempotent per-batch overwrite);
+    // partition inference may narrow its type, so compare through a cast
+    val first = spark.read.parquet(outDir)
+      .withColumn("batch_id", org.apache.spark.sql.functions.col("batch_id").cast("long"))
+      .collect()
     assert(first.length == 2)
     assert(first.map(_.getAs[Long]("batch_id")).distinct.length == 2, ">=2 micro-batches")
     val preds = first.map(r => r.getAs[String]("tweet") -> r.getAs[Double]("pred_logistic_regression")).toMap

@@ -88,6 +88,19 @@ class DedupSpec extends SparkSpec {
       s"closure groups A,B,C under min id; the singleton stays put: $groups")
   }
 
+  test("dedupGroups on a corpus with zero pairs: every doc is its own canonical") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+    assert(pairs.isEmpty, "fixture must produce no near-dup pairs")
+    val groups = Dedup.dedupGroups(docs, "doc_id", pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 2L),
+      "empty pair graph must not crash; singletons keep themselves")
+  }
+
   test("shingles handle short and empty texts") {
     val df = Seq((0L, "one two"), (1L, ""), (2L, "a b c d")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))

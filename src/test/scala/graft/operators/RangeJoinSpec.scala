@@ -36,7 +36,7 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("plans as an equi-join on (key, bin) — never a nested-loop product") {
-    val plan = EventQueries.q65RangeJoin.build(spark, "/root/testdata/sf0.001")
+    val plan = EventQueries.q65RangeJoin.build(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"range join must stay an equi-join:\n$plan")
