@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Sink-side layout control: at 100 TB the number and size of output files
   * is a first-order concern (a million 1 MB files kills the next scan's
@@ -34,4 +34,14 @@ object Sinks {
       .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** ORC sink (Spark's second built-in columnar format — Hive-ecosystem
+    * interchange). Same pushdown/pruning machinery as parquet: ORC stripes
+    * carry min/max statistics and the scan reports `PushedFilters`. */
+  def writeOrc(df: DataFrame, path: String, targetFiles: Int): Unit =
+    df.repartition(targetFiles).write.mode("overwrite").orc(path)
+
+  /** ORC scan (lazy; filters/projection push into the stripe reader). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }
