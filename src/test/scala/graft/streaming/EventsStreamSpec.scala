@@ -122,6 +122,23 @@ class EventsStreamSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("click_id") == 1L))
   }
 
+  test("stream-static join enriches events against a batch dimension table") {
+    import spark.implicits._
+    val (src, out, ckpt) = tempDirs()
+    writeBatch(src, "b0.json", Seq(
+      evt(1, "2024-01-01 10:00:00", 1, "click", 10),
+      evt(2, "2024-01-01 10:01:00", 2, "click", 20),
+      evt(3, "2024-01-01 10:02:00", 3, "click", 30)))   // no dim row → dropped
+    val userDim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    // a static side needs no watermark: it is re-read per micro-batch and
+    // broadcastable — the standard enrichment-join shape
+    val enriched = EventsStream.readEventStream(spark, src).join(userDim, "user_id")
+    EventsStream.runToParquet(enriched, out, ckpt)
+    val rows = spark.read.parquet(out).orderBy("event_id").collect()
+    assert(rows.map(_.getAs[String]("tier")).toSeq == Seq("gold", "silver"))
+    assert(rows.map(_.getAs[Long]("event_id")).toSeq == Seq(1L, 2L))
+  }
+
   test("foreachBatch applies a batch transform per micro-batch") {
     val (src, out, ckpt) = tempDirs()
     writeBatch(src, "b0.json", Seq(
