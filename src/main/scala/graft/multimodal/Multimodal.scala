@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed partition-at-a-time.
   *
   * IMAGE decode is real: `ImageCodec` uses the JDK's built-in javax.imageio
-  * (PNG/JPEG/GIF/BMP — no external libraries), falling back to the stub for
-  * undecodable payloads. Audio/video decode stays a clearly-marked
-  * deterministic STUB (`FakeCodec` — the JDK ships no such codecs); a real
-  * deployment swaps only that object. The Spark-side plumbing is real and
+  * (PNG/JPEG/GIF/BMP). AUDIO decode is real: `AudioCodec` uses the JDK's
+  * javax.sound.sampled (WAV/AIFF/AU, 16-bit PCM → loudness envelope). Both
+  * fall back to the stub for undecodable payloads. VIDEO decode is the one
+  * remaining clearly-marked deterministic STUB (`FakeCodec` — the JDK ships
+  * no video codec); a real deployment swaps only that object. The
+  * Spark-side plumbing is real and
   * tested either way: binary schema, typed Dataset rows, iterator-to-
   * iterator `mapPartitions` (the JVM analog of mapInPandas batch processing
   * — no per-row serialization round trip, constant memory per partition),
@@ -88,6 +90,52 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU ship
+    * with the JDK — no external codec): 16-bit PCM frames are read, each
+    * sample's normalized amplitude |s|/32768 is bucket-averaged into `dims`
+    * equal time slots — a coarse loudness envelope usable as a feature
+    * vector. Non-PCM16 or unparseable payloads fall back to `FakeCodec`
+    * (the seam stays total); NonFatal errors are treated like parse
+    * failures, never task deaths. Video remains the one stubbed modality
+    * (the JDK has no video codec). */
+  object AudioCodec {
+    def decode(bytes: Array[Byte], dims: Int): Array[Float] = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (in == null) return FakeCodec.decode(bytes, dims)
+      try {
+        val fmt = in.getFormat
+        val data = in.readAllBytes()
+        val n = data.length / 2
+        if (fmt.getSampleSizeInBits != 16 || n == 0) FakeCodec.decode(bytes, dims)
+        else {
+          val out = new Array[Float](dims)
+          val counts = new Array[Int](dims)
+          val bigEndian = fmt.isBigEndian
+          var i = 0
+          while (i < n) {
+            val lo = if (bigEndian) data(2 * i + 1) else data(2 * i)
+            val hi = if (bigEndian) data(2 * i) else data(2 * i + 1)
+            val s = ((hi << 8) | (lo & 0xFF)).toShort
+            val slot = (i.toLong * dims / n).toInt
+            out(slot) += math.abs(s / 32768.0f)
+            counts(slot) += 1
+            i += 1
+          }
+          var d = 0
+          while (d < dims) {
+            if (counts(d) > 0) out(d) /= counts(d)
+            d += 1
+          }
+          out
+        }
+      } catch { case scala.util.control.NonFatal(_) => FakeCodec.decode(bytes, dims) }
+      finally in.close()
+    }
+  }
+
   /** Deterministic synthetic media table (no binary test fixture ships with
     * the driver tables): payload = md5-derived bytes of the id. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
@@ -109,9 +157,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val emb =
-          if (m.kind == "image") ImageCodec.decode(m.bytes, dims)
-          else FakeCodec.decode(m.bytes, dims)
+        val emb = m.kind match {
+          case "image" => ImageCodec.decode(m.bytes, dims)
+          case "audio" => AudioCodec.decode(m.bytes, dims)
+          case _       => FakeCodec.decode(m.bytes, dims)
+        }
         MediaFeatures(m.media_id, m.kind, m.bytes.length, emb)
       }
     }

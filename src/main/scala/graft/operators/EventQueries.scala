@@ -259,7 +259,24 @@ object EventQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Distinct aggregation under event-time windows (q14 is global distinct;
+    * this is the per-window form): exact distinct users per hour — planned
+    * as one Expand pass, the same shape q16's profiling uses. */
+  val q69WindowDistinct: QuerySpec = QuerySpec.oracle(
+    "q69_window_distinct",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_users"), col("n_events"))
+      .orderBy("window_start")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
-    q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention)
+    q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
+    q69WindowDistinct)
 }

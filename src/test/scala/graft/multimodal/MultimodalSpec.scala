@@ -44,6 +44,32 @@ class MultimodalSpec extends SparkSpec {
     assert(fb.embedding.sameElements(Multimodal.FakeCodec.decode(Array[Byte](1, 2, 3), 8)))
   }
 
+  test("real WAV payloads decode to exact loudness-envelope features") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 16-bit mono PCM: first half constant amplitude 16384 (=0.5 normalized),
+    // second half silence — the 4-slot envelope must be (0.5, 0.5, 0, 0)
+    val nSamples = 4000
+    val pcm = new Array[Byte](nSamples * 2)
+    (0 until nSamples / 2).foreach { i =>
+      pcm(2 * i) = 0x00; pcm(2 * i + 1) = 0x40 // 16384 little-endian
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRecord(1L, "audio", wav, 0, 0, 1)).toDS()
+    val feats = Multimodal.decodeFeatures(media, dims = 4).collect().head
+    assert(feats.embedding.sameElements(Array(0.5f, 0.5f, 0f, 0f)),
+      s"got ${feats.embedding.mkString(",")}")
+    // undecodable audio payloads fall back to the stub
+    val junk = Seq(Multimodal.MediaRecord(2L, "audio", Array[Byte](9, 9), 0, 0, 1)).toDS()
+    val fb = Multimodal.decodeFeatures(junk, dims = 8).collect().head
+    assert(fb.embedding.sameElements(Multimodal.FakeCodec.decode(Array[Byte](9, 9), 8)))
+  }
+
   test("sampleFrames: only videos, every nth frame, fan-out rows") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(media, everyN = 5)
