@@ -65,6 +65,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("range join ≡ naive inequality join over random windows and data") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(7)
+    // three random window configurations, including look-back and asymmetric
+    val windows = Seq((0L, 300L), (-450L, 450L), (-900L, -60L))
+    val base = 1704100000000000L
+    val events = (0 until 400).map { i =>
+      (i.toLong, (rnd.nextInt(4)).toLong,
+        new java.sql.Timestamp((base + rnd.nextInt(7200) * 1000000L) / 1000))
+    }.toDF("event_id", "user_id", "ts")
+    val left = events.filter(col("event_id") % 4 === 0).select("event_id", "user_id", "ts")
+    val right = events.select(col("user_id"), col("ts"), col("event_id").as("rid"))
+    windows.foreach { case (lo, hi) =>
+      val binned = RangeJoin.rangeJoin(left, right, Seq("user_id"), "ts", "ts", lo, hi, Seq("rid"))
+        .select("event_id", "r_rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val naive = left.as("l").join(right.as("r"),
+          col("l.user_id") === col("r.user_id") &&
+            col("r.ts") >= col("l.ts") + expr(s"INTERVAL ${lo} SECONDS") &&
+            col("r.ts") <= col("l.ts") + expr(s"INTERVAL ${hi} SECONDS"))
+        .select(col("l.event_id"), col("r.rid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(binned == naive, s"window [$lo,$hi]: binned=${binned.size} naive=${naive.size}")
+      assert(naive.nonEmpty, s"window [$lo,$hi] fixture must produce matches")
+    }
+  }
+
   test("stopword filter is a subsequence preserving non-stopwords") {
     val docs = samples(Gen.listOfN(30, Gen.oneOf(word, Gen.oneOf(TextFns.EnglishStopwords))), 40)
       .map(_.mkString(" "))
