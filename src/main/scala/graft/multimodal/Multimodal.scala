@@ -107,9 +107,13 @@ object Multimodal {
       if (in == null) return FakeCodec.decode(bytes, dims)
       try {
         val fmt = in.getFormat
+        // check the format BEFORE buffering: a non-16-bit payload must not
+        // pay a full decode pass (and a second in-memory copy) just to be
+        // discarded on the fallback path
+        if (fmt.getSampleSizeInBits != 16) return FakeCodec.decode(bytes, dims)
         val data = in.readAllBytes()
         val n = data.length / 2
-        if (fmt.getSampleSizeInBits != 16 || n == 0) FakeCodec.decode(bytes, dims)
+        if (n == 0) FakeCodec.decode(bytes, dims)
         else {
           val out = new Array[Float](dims)
           val counts = new Array[Int](dims)

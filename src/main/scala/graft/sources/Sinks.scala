@@ -36,10 +36,16 @@ object Sinks {
   }
 
   /** ORC sink (Spark's second built-in columnar format — Hive-ecosystem
-    * interchange). Same pushdown/pruning machinery as parquet: ORC stripes
-    * carry min/max statistics and the scan reports `PushedFilters`. */
-  def writeOrc(df: DataFrame, path: String, targetFiles: Int): Unit =
-    df.repartition(targetFiles).write.mode("overwrite").orc(path)
+    * interchange) with the SAME layout bounds as the parquet sized writer:
+    * target file count plus a rows-per-file ceiling. Same pushdown/pruning
+    * machinery as parquet: ORC stripes carry min/max statistics and the
+    * scan reports `PushedFilters`. */
+  def writeOrc(df: DataFrame, path: String, targetFiles: Int,
+               maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(targetFiles).write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .orc(path)
 
   /** ORC scan (lazy; filters/projection push into the stripe reader). */
   def readOrc(spark: SparkSession, path: String): DataFrame =
