@@ -82,6 +82,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real MP4 payloads parse to exact container duration via BMFF boxes") {
+    // minimal BMFF: ftyp box + moov(mvhd v0 with timescale 1000, duration 7500)
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ name.getBytes("ISO-8859-1") ++ payload
+    val mvhd = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(7500) ++
+        new Array[Byte](80))
+    val mp4 = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++ box("moov", mvhd)
+    val meta = Multimodal.VideoMeta.parse(mp4)
+    assert(meta.contains(Multimodal.VideoMeta.Meta(1000L, 7500L)))
+    assert(meta.get.seconds == 7.5)
+    // through the Spark operator: parsed=true for BMFF, fallback for junk
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", mp4, 0, 0, 30),
+      Multimodal.MediaRecord(2L, "video", Array[Byte](1, 2, 3, 4), 0, 0, 12)
+    ).toDS()
+    val rows = Multimodal.videoMetadata(media).collect().sortBy(_.media_id)
+    assert(rows(0).parsed && rows(0).duration_s == 7.5)
+    assert(!rows(1).parsed && rows(1).duration == 12L, "junk falls back to metadata columns")
+  }
+
   test("resizeMeta clamps the longest side") {
     val out = Multimodal.resizeMeta(Multimodal.syntheticMedia(spark, 100), maxDim = 100)
     val rows = out.collect()
