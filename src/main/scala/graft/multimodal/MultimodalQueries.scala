@@ -27,5 +27,18 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q70DecodeFeatures, q71FrameSample)
+  /** Container-metadata extraction over the video rows: the synthetic
+    * payloads are not BMFF, so every row exercises the documented fallback
+    * path deterministically (parsed = false, duration from metadata);
+    * MultimodalSpec covers the parsed = true path with a real MP4. */
+  val q72VideoMeta: QuerySpec = QuerySpec.rowsOnly("q72_video_meta") { (spark, dir) =>
+    val media = Multimodal.syntheticMedia(spark, 2000)
+    Multimodal.videoMetadata(media).toDF()
+      .groupBy("parsed")
+      .agg(count(lit(1)).as("n_videos"),
+        asLong(sum(col("duration"))).as("total_duration"))
+      .orderBy("parsed")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q70DecodeFeatures, q71FrameSample, q72VideoMeta)
 }
