@@ -252,6 +252,37 @@ object PipelineQueries {
       .orderBy("query_id")
   }
 
+  /** Benchmark-contamination detection: for each held-out doc (source
+    * 'src0'), the fraction of its distinct 3-gram shingles appearing
+    * ANYWHERE in the training split — the train/eval overlap audit run
+    * before training on scraped data. The train shingle set is key-joined
+    * (one shuffle on the shingle), never collected or broadcast: it scales
+    * with the corpus. */
+  val q38Contamination: QuerySpec = QuerySpec.oracle(
+    "q38_contamination",
+    s"""WITH toks AS (SELECT doc_id, source, $LowToksSql AS ts FROM documents),
+       |shl AS (SELECT doc_id, source, $ShinglesSql AS shs FROM toks),
+       |ev AS (SELECT doc_id, unnest(shs) AS sh FROM shl WHERE source = 'src0'),
+       |tr AS (SELECT DISTINCT unnest(shs) AS sh FROM shl WHERE source <> 'src0')
+       |SELECT ev.doc_id, count(*) AS n_sh, count(tr.sh) AS n_hit,
+       |  CAST(count(tr.sh) AS DOUBLE) / count(*) AS contamination
+       |FROM ev LEFT JOIN tr ON ev.sh = tr.sh
+       |GROUP BY ev.doc_id ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val sh = Dedup.shingles(col("text"), 3)
+    val ev = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), explode(sh).as("sh"))
+    val tr = docs.filter(col("source") =!= "src0")
+      .select(explode(sh).as("sh")).distinct()
+      .withColumn("hit", lit(1))
+    ev.join(tr, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+      .withColumn("contamination", col("n_hit").cast("double") / col("n_sh"))
+      .orderBy("doc_id")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the 4×
     * memory-compression pass an ANN index runs before storing 10⁹ vectors.
     * Exact floor arithmetic (no rounding ties), engine-verified including
@@ -287,6 +318,6 @@ object PipelineQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
-    q34CosinePairs, q35DedupGroups, q36SequencePack, q40KnnTopK, q41AnnLsh,
-    q42KnnClassify, q43AnnIvf, q44QuantizeInt8)
+    q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
+    q40KnnTopK, q41AnnLsh, q42KnnClassify, q43AnnIvf, q44QuantizeInt8)
 }

@@ -292,8 +292,83 @@ object TextQueries {
       .orderBy("lang", "source")
   }
 
+  /** Vocabulary construction + out-of-vocabulary rate: top-1000 corpus
+    * tokens by frequency (total order: count desc, token — no ranking
+    * ties), then each doc's OOV fraction against that vocab. The vocab is
+    * BOUNDED by the literal limit, so broadcasting it is safe by
+    * construction — the tokenizer-building step of a training pipeline. */
+  val q37VocabOov: QuerySpec = QuerySpec.oracle(
+    "q37_vocab_oov",
+    s"""WITH toks AS (SELECT doc_id, unnest($CleanToksSql) AS t FROM documents),
+       |cnt AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+       |vocab AS (SELECT t, 1 AS in_v FROM cnt ORDER BY n DESC, t LIMIT 1000)
+       |SELECT doc_id, count(*) AS n_tok,
+       |  count(*) FILTER (WHERE in_v IS NULL) AS n_oov,
+       |  CAST(count(*) FILTER (WHERE in_v IS NULL) AS DOUBLE) / count(*) AS oov_rate
+       |FROM toks LEFT JOIN vocab USING (t)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(cleanTokens(col("text"))).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(1000)
+      .select(col("t"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        count(when(col("in_v").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality filtering with an audit trail: every doc gets the LIST of
+    * failed rules (empty → keep), not just a boolean — the reviewable form
+    * a production data pipeline needs. Rules reuse q21's engine-exact ratio
+    * arithmetic, so the keep/drop decision is identical in DuckDB. */
+  val q39QualityFilter: QuerySpec = QuerySpec.oracle(
+    "q39_quality_filter",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(str_split_regex(text, '\\W+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(str_split_regex(text, '\\W+'), x -> list_contains(${sqlList(EnglishStopwords)}, x))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang, n_chars, n_tokens,
+       |    list_filter([
+       |      CASE WHEN n_tokens < 5 THEN 'too_short' END,
+       |      CASE WHEN n_chars > 20000 THEN 'too_long' END,
+       |      CASE WHEN n_punct / greatest(n_chars, 1) > 0.3 THEN 'too_punct' END,
+       |      CASE WHEN n_stop / greatest(n_tokens, 1) < 0.01 THEN 'low_stopwords' END
+       |    ], x -> x IS NOT NULL) AS reasons
+       |  FROM t)
+       |SELECT doc_id, lang, n_chars, n_tokens,
+       |  coalesce(array_to_string(reasons, ','), '') AS drop_reasons,
+       |  len(reasons) = 0 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val rawToks = filter(split(col("text"), "\\W+"), x => x =!= "")
+    val stats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        asLong(length(col("text"))).as("n_chars"),
+        asLong(size(rawToks)).as("n_tokens"),
+        asLong(regexp_count(col("text"), lit("[\\p{Punct}]"))).as("n_punct"),
+        asLong(size(filter(rawToks, x => graft.functions.IsStopwordExpr.isStopword(x)))).as("n_stop"))
+    val reasons = filter(array(
+      when(col("n_tokens") < 5, lit("too_short")),
+      when(col("n_chars") > 20000, lit("too_long")),
+      when(col("n_punct") / greatest(col("n_chars"), lit(1)) > 0.3, lit("too_punct")),
+      when(col("n_stop") / greatest(col("n_tokens"), lit(1)) < 0.01, lit("low_stopwords"))
+    ), x => x.isNotNull)
+    stats.select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
+        concat_ws(",", reasons).as("drop_reasons"),
+        (size(reasons) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
-    q28TokenCounts, q29DocAssembly)
+    q28TokenCounts, q29DocAssembly, q37VocabOov, q39QualityFilter)
 }
