@@ -171,7 +171,9 @@ object Multimodal {
               (o + 16L, o + be64(o + 8))
             } else if (size32 == 0) (o + 8L, end.toLong)
             else (o + 8L, o + size32)
-          if (boxEnd <= o || boxEnd > end) return None
+          // payloadStart > boxEnd rejects a largesize smaller than its own
+          // header — otherwise field reads would spill into sibling boxes
+          if (boxEnd <= o || boxEnd > end || payloadStart > boxEnd) return None
           if (name(o) == nm) return Some((payloadStart.toInt, boxEnd.toInt))
           o = boxEnd.toInt
         }
@@ -179,15 +181,18 @@ object Multimodal {
       }
       if (bytes.length < 8) None
       else
-        try for {
-          moov <- findBox(0, bytes.length, "moov")
-          mvhd <- findBox(moov._1, moov._2, "mvhd")
-        } yield {
-          val h = mvhd._1
-          // mvhd: version(1) flags(3), then v0: ctime4 mtime4 ts4 dur4;
-          //                              v1: ctime8 mtime8 ts4 dur8
-          if ((bytes(h) & 0xFF) == 1) Meta(be32(h + 20), be64(h + 24))
-          else Meta(be32(h + 12), be32(h + 16))
+        try findBox(0, bytes.length, "moov").flatMap { moov =>
+          findBox(moov._1, moov._2, "mvhd").flatMap { case (h, boxEnd) =>
+            // mvhd: version(1) flags(3), then v0: ctime4 mtime4 ts4 dur4
+            //                            (20 B); v1: ctime8 mtime8 ts4 dur8
+            //                            (32 B). A shorter box is malformed
+            // — reads past its end would return sibling-box bytes as
+            // "metadata", so reject instead of trusting them.
+            if ((bytes(h) & 0xFF) == 1)
+              if (boxEnd - h < 32) None else Some(Meta(be32(h + 20), be64(h + 24)))
+            else if (boxEnd - h < 20) None
+            else Some(Meta(be32(h + 12), be32(h + 16)))
+          }
         } catch { case scala.util.control.NonFatal(_) => None }
     }
   }

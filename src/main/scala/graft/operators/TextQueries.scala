@@ -38,6 +38,28 @@ object TextQueries {
   private def tokenIdSql(t: String, vocab: Int): String =
     s"CAST(concat('0x', substring(md5($t), 1, 15)) AS BIGINT) % $vocab"
 
+  /** Shared raw text-statistics columns (chars/tokens/punct/upper/stopword
+    * counts) — ONE engine-matched definition used by q21 and q39, so the
+    * '[[:punct:]]' ↔ '\p{Punct}' pairing and token regexes can never drift
+    * between the stats report and the filter decisions. */
+  private val RawStatsSql: String =
+    raw"""CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(str_split_regex(text, '\W+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+       |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       |    CAST(len(list_filter(str_split_regex(text, '\W+'), x -> list_contains(${sqlList(EnglishStopwords)}, x))) AS BIGINT) AS n_stop""".stripMargin
+
+  /** Spark side of [[RawStatsSql]]. */
+  private def rawStatsCols: Seq[Column] = {
+    val rawToks = filter(split(col("text"), "\\W+"), x => x =!= "")
+    Seq(
+      asLong(length(col("text"))).as("n_chars"),
+      asLong(size(rawToks)).as("n_tokens"),
+      asLong(regexp_count(col("text"), lit("[\\p{Punct}]"))).as("n_punct"),
+      asLong(regexp_count(col("text"), lit("[A-Z]"))).as("n_upper"),
+      asLong(size(filter(rawToks, x => graft.functions.IsStopwordExpr.isStopword(x)))).as("n_stop"))
+  }
+
   val q20CleanText: QuerySpec = QuerySpec.oracle(
     "q20_clean_text",
     s"""WITH toks AS (SELECT doc_id, $CleanToksSql AS ts FROM documents)
@@ -57,11 +79,7 @@ object TextQueries {
     "q21_text_stats",
     s"""WITH t AS (
        |  SELECT doc_id, lang, source,
-       |    CAST(length(text) AS BIGINT) AS n_chars,
-       |    CAST(len(list_filter(str_split_regex(text, '\\W+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-       |    CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
-       |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
-       |    CAST(len(list_filter(str_split_regex(text, '\\W+'), x -> list_contains(${sqlList(EnglishStopwords)}, x))) AS BIGINT) AS n_stop
+       |    $RawStatsSql
        |  FROM documents)
        |SELECT doc_id, lang, source, n_chars, n_tokens,
        |  n_punct / greatest(n_chars, 1) AS punct_ratio,
@@ -70,14 +88,8 @@ object TextQueries {
        |  (n_chars - n_tokens + 1) / greatest(n_tokens, 1) AS avg_token_len
        |FROM t ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
-    val rawToks = filter(split(col("text"), "\\W+"), x => x =!= "")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        asLong(length(col("text"))).as("n_chars"),
-        asLong(size(rawToks)).as("n_tokens"),
-        asLong(regexp_count(col("text"), lit("[\\p{Punct}]"))).as("n_punct"),
-        asLong(regexp_count(col("text"), lit("[A-Z]"))).as("n_upper"),
-        asLong(size(filter(rawToks, x => graft.functions.IsStopwordExpr.isStopword(x)))).as("n_stop"))
+      .select(Seq(col("doc_id"), col("lang"), col("source")) ++ rawStatsCols: _*)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("n_tokens"),
         // unrounded quotients: the single double division is bit-identical
         // across engines, while round() can disagree at decimal half-way
@@ -329,10 +341,7 @@ object TextQueries {
     "q39_quality_filter",
     s"""WITH t AS (
        |  SELECT doc_id, lang,
-       |    CAST(length(text) AS BIGINT) AS n_chars,
-       |    CAST(len(list_filter(str_split_regex(text, '\\W+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-       |    CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
-       |    CAST(len(list_filter(str_split_regex(text, '\\W+'), x -> list_contains(${sqlList(EnglishStopwords)}, x))) AS BIGINT) AS n_stop
+       |    $RawStatsSql
        |  FROM documents),
        |r AS (
        |  SELECT doc_id, lang, n_chars, n_tokens,
@@ -348,13 +357,8 @@ object TextQueries {
        |  len(reasons) = 0 AS keep
        |FROM r ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
-    val rawToks = filter(split(col("text"), "\\W+"), x => x =!= "")
     val stats = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        asLong(length(col("text"))).as("n_chars"),
-        asLong(size(rawToks)).as("n_tokens"),
-        asLong(regexp_count(col("text"), lit("[\\p{Punct}]"))).as("n_punct"),
-        asLong(size(filter(rawToks, x => graft.functions.IsStopwordExpr.isStopword(x)))).as("n_stop"))
+      .select(Seq(col("doc_id"), col("lang")) ++ rawStatsCols: _*)
     val reasons = filter(array(
       when(col("n_tokens") < 5, lit("too_short")),
       when(col("n_chars") > 20000, lit("too_long")),

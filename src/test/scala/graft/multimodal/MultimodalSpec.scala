@@ -105,6 +105,21 @@ class MultimodalSpec extends SparkSpec {
     val rows = Multimodal.videoMetadata(media).collect().sortBy(_.media_id)
     assert(rows(0).parsed && rows(0).duration_s == 7.5)
     assert(!rows(1).parsed && rows(1).duration == 12L, "junk falls back to metadata columns")
+
+    // version-1 mvhd: 64-bit ctime/mtime, 64-bit duration at +24
+    val mvhdV1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++ be32(90000) ++
+        be32(0) ++ be32(450000) ++ new Array[Byte](80))
+    val mp4V1 = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++ box("moov", mvhdV1)
+    assert(Multimodal.VideoMeta.parse(mp4V1)
+      .contains(Multimodal.VideoMeta.Meta(90000L, 450000L)), "v1 layout: ts@+20, dur64@+24")
+
+    // a TRUNCATED mvhd (header only) must parse as None, not as garbage
+    // read from sibling-box bytes
+    val shortMvhd = box("mvhd", Array[Byte](0, 0, 0, 0))
+    val corrupt = box("moov", shortMvhd ++ box("free", be32(0x41424344L) ++ be32(0x45464748L)))
+    assert(Multimodal.VideoMeta.parse(corrupt).isEmpty,
+      "too-short mvhd is malformed, never trusted")
   }
 
   test("resizeMeta clamps the longest side") {
