@@ -170,9 +170,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    // both orientations via ONE explode, not a self-union: the pairs plan
+    // (often an expensive candidate join) is evaluated once, not twice,
+    // when the persist below first materializes
     val edges = pairs
-      .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
-      .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
+      .select(explode(array(
+        struct(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst")),
+        struct(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // coalesce(0): an EMPTY pair set must mean "no components", not an NPE —
     // sum over zero rows is NULL and the convergence compare would blow up
