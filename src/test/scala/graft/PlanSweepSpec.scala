@@ -1,10 +1,20 @@
 package graft
 
-/** Sweeping plan-quality guard over EVERY declared query: at 100 TB the one
-  * plan shape that is never survivable is an unbounded nested-loop join, so
-  * any query that plans a CartesianProduct / BroadcastNestedLoopJoin fails
-  * here unless it is on the explicit allowlist of DOCUMENTED bounded uses.
-  * Adding a query with an accidental non-equi join trips this immediately.
+/** Sweeping plan-quality guards over EVERY declared query, from ONE build
+  * pass per query:
+  *
+  *   1. No unbounded nested-loop join: at 100 TB the one plan shape that is
+  *      never survivable is a CartesianProduct / BroadcastNestedLoopJoin,
+  *      so any query planning one fails unless it is on the explicit
+  *      allowlist of DOCUMENTED bounded uses.
+  *   2. Shuffle budget: each query's STATIC initial-plan exchange count is
+  *      pinned as an upper bound (captured via
+  *      `SPARK_GRAFT_PLAN_ONLY=1 runMain graft.PlanAudit`). A refactor that
+  *      silently adds a shuffle — an un-broadcast dim, a lost partitioning,
+  *      a stray repartition — fails here instead of shipping a regression
+  *      the bench may not attribute. Counts are pre-AQE and deterministic;
+  *      improvements (fewer shuffles) pass and the bound should then be
+  *      tightened.
   */
 class PlanSweepSpec extends SparkSpec {
 
@@ -25,17 +35,59 @@ class PlanSweepSpec extends SparkSpec {
     * their own specs and the Verify gate. */
   private val eagerHeavy = Set("q50_ml_train_eval")
 
-  test("no query plans an unbounded cartesian or nested-loop join") {
-    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
-      if (boundedNested(name) || eagerHeavy(name)) None
+  /** Static initial-plan exchange counts (upper bounds). */
+  private val shuffleBudget = Map(
+    "q01_pricing_summary" -> 2, "q02_scan_project_filter" -> 1,
+    "q03_join_broadcast" -> 2, "q04_join_sortmerge" -> 2,
+    "q05_join_semi_anti" -> 3, "q06_agg_rollup" -> 2,
+    "q07_pivot_confusion" -> 3, "q08_window_topk" -> 2,
+    "q09_window_running" -> 2, "q10_setops" -> 3,
+    "q11_dates_math" -> 2, "q12_balanced_sample" -> 2,
+    "q13_agg_cube" -> 2, "q14_distinct" -> 3,
+    "q15_percentiles" -> 2, "q16_profile" -> 2,
+    "q17_correlated_agg" -> 2, "q18_argminmax" -> 2,
+    "q19_string_fns" -> 1, "q20_clean_text" -> 1,
+    "q21_text_stats" -> 1, "q22_langid" -> 2,
+    "q23_token_encode" -> 1, "q24_doc_fingerprint" -> 1,
+    "q25_dataset_fingerprint" -> 2, "q26_stemmed_tokens" -> 1,
+    "q27_token_rarity" -> 4, "q28_token_counts" -> 1,
+    "q29_doc_assembly" -> 2, "q30_dedup_exact" -> 2,
+    "q31_dedup_ngram_pairs" -> 7, "q32_dedup_minhash_sig" -> 1,
+    "q33_dedup_simhash" -> 1, "q34_embedding_pairs" -> 0,
+    "q35_dedup_groups" -> 7, "q36_sequence_pack" -> 2,
+    "q37_vocab_oov" -> 3, "q38_contamination" -> 3,
+    "q39_quality_filter" -> 1, "q40_knn_bruteforce" -> 2,
+    "q41_ann_lsh" -> 2, "q42_knn_classify" -> 2,
+    "q43_ann_ivf" -> 3, "q44_embedding_quantize" -> 1,
+    "q46_regional_revenue" -> 2, "q60_tumbling_window" -> 2,
+    "q61_session_window" -> 2, "q62_asof_join" -> 2,
+    "q63_sliding_window" -> 2, "q64_json_extract" -> 2,
+    "q65_range_join" -> 1, "q66_value_moments" -> 2,
+    "q67_funnel" -> 4, "q68_retention" -> 4,
+    "q69_window_distinct" -> 3, "q70_media_features" -> 2,
+    "q71_frame_sample" -> 2, "q72_video_meta" -> 2)
+
+  test("no unbounded nested-loop joins; every query within its shuffle budget") {
+    val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+    val problems = SparkEntry.queries.flatMap { case (name, fn) =>
+      if (eagerHeavy(name)) None
       else {
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
-          Some(name)
-        else None
+        val nested =
+          if (!boundedNested(name) &&
+            (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")))
+            Some(s"$name: unbounded nested-loop join")
+          else None
+        val shuffles = exchange.findAllIn(plan).length
+        val budget = shuffleBudget.get(name)
+        val over = budget match {
+          case Some(b) if shuffles > b => Some(s"$name: $shuffles shuffles > budget $b")
+          case None => Some(s"$name: missing from shuffleBudget (add it: $shuffles)")
+          case _ => None
+        }
+        nested ++ over
       }
     }
-    assert(offenders.isEmpty,
-      s"unbounded nested-loop plans in: ${offenders.mkString(", ")}")
+    assert(problems.isEmpty, problems.mkString("; "))
   }
 }
