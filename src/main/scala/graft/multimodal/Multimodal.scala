@@ -109,8 +109,12 @@ object Multimodal {
         val fmt = in.getFormat
         // check the format BEFORE buffering: a non-16-bit payload must not
         // pay a full decode pass (and a second in-memory copy) just to be
-        // discarded on the fallback path
-        if (fmt.getSampleSizeInBits != 16) return FakeCodec.decode(bytes, dims)
+        // discarded on the fallback path. Encoding must be signed PCM too —
+        // a 16-bit PCM_UNSIGNED (or float/µ-law) stream would otherwise be
+        // misread as signed samples instead of falling back.
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return FakeCodec.decode(bytes, dims)
         val data = in.readAllBytes()
         val n = data.length / 2
         if (n == 0) FakeCodec.decode(bytes, dims)

@@ -184,6 +184,15 @@ object Dedup {
     def checksumOf(labels: DataFrame) =
       labels.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).collect().head.getDecimal(0)
+    // a localCheckpointed plan is backed by a persisted RDD; once the NEXT
+    // round's checkpoint has materialized (localCheckpoint is eager) the
+    // prior round's blocks are dead weight — free them, or block-manager
+    // storage grows linearly with rounds on long-diameter graphs
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
     var labels = edges.groupBy("src").agg(min(col("dst")).as("m"))
       .select(col("src").as("node"), least(col("src"), col("m")).as("lbl"))
       .localCheckpoint()
@@ -206,10 +215,17 @@ object Dedup {
       val nextSum = checksumOf(next)
       converged = nextSum.compareTo(checksum) == 0
       checksum = nextSum
+      checkpointRdd(labels).foreach(_.unpersist(blocking = false))
       labels = next
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      // with pointer jumping, maxIter=50 covers diameters beyond any real
+      // graph — hitting this means the inputs (or the algorithm) are broken,
+      // and partial labels would silently under-merge duplicate groups
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds")
     labels.select(col("node"), col("lbl").as("canonical_id"))
   }
 

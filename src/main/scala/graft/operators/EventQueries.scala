@@ -167,10 +167,10 @@ object EventQueries {
       |SELECT event_type, n_events,
       |  sum_v / n_events AS mean_value,
       |  CASE WHEN n_events < 2 THEN NULL ELSE
-      |    (CAST(n_events AS DOUBLE) * sum_v2 - sum_v * sum_v)
+      |    greatest(CAST(n_events AS DOUBLE) * sum_v2 - sum_v * sum_v, 0)
       |      / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) - 1)) END AS var_value,
       |  CASE WHEN n_events < 2 THEN NULL ELSE
-      |    sqrt((CAST(n_events AS DOUBLE) * sum_v2 - sum_v * sum_v)
+      |    sqrt(greatest(CAST(n_events AS DOUBLE) * sum_v2 - sum_v * sum_v, 0)
       |      / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) - 1))) END AS std_value
       |FROM s ORDER BY event_type""".stripMargin
   ) { (spark, dir) =>
@@ -182,9 +182,13 @@ object EventQueries {
     val nD = col("n_events").cast("double")
     // explicit NULL for n=1: the n·(n−1) denominator is zero there, where
     // Spark's non-ANSI division yields NULL but DuckDB's IEEE float division
-    // yields inf — pin the same answer (undefined sample variance) on both
+    // yields inf — pin the same answer (undefined sample variance) on both.
+    // The numerator is clamped at 0 on both sides: when all values in a
+    // group are equal, double cancellation can leave it slightly negative,
+    // where Spark's sqrt returns NaN but DuckDB's raises an error.
     val variance = when(col("n_events") < 2, lit(null).cast("double"))
-      .otherwise((nD * col("sum_v2") - col("sum_v") * col("sum_v")) / (nD * (nD - lit(1))))
+      .otherwise(greatest(nD * col("sum_v2") - col("sum_v") * col("sum_v"), lit(0d))
+        / (nD * (nD - lit(1))))
     s.select(col("event_type"), col("n_events"),
         (col("sum_v") / col("n_events")).as("mean_value"),
         variance.as("var_value"),

@@ -32,6 +32,19 @@ object RangeJoin {
                 lowerSec: Long, upperSec: Long,
                 rightValCols: Seq[String]): DataFrame = {
     require(lowerSec < upperSec, s"empty range [$lowerSec, $upperSec]")
+    // the operator fabricates column names; a collision would surface as
+    // ambiguous/duplicate output columns far from the cause, so reject it
+    // here where the fix (rename before joining) is obvious. Only names that
+    // SURVIVE into the output can clash: everything from the left, the key
+    // columns, and the generated names themselves (e.g. rightTs="ts" plus a
+    // "ts" value column would both emit r_ts).
+    val generated = Seq("__lus", "__bin", "r_ts") ++ rightValCols.map(c => s"r_$c")
+    val dup = generated.diff(generated.distinct).distinct
+    require(dup.isEmpty, s"rangeJoin would emit duplicate column(s) ${dup.mkString(", ")}")
+    val taken = (left.columns ++ keyCols).toSet
+    val clash = generated.filter(taken)
+    require(clash.isEmpty,
+      s"rangeJoin reserves column name(s) ${clash.mkString(", ")}; rename the input column(s)")
     val lowerUs = lowerSec * 1000000L
     val upperUs = upperSec * 1000000L
     val w = upperUs - lowerUs

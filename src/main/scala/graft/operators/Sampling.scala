@@ -30,12 +30,35 @@ object Sampling {
     * change the sample (and anything derived from it, like
     * SentimentPipeline's dataset-version fingerprint). xxhash64(seed, row)
     * depends only on row values; ties occur only between fully identical
-    * rows, which are interchangeable. */
-  def balancedSample(df: DataFrame, classCol: String, nPerClass: Int, seed: Long): DataFrame = {
-    val w = Window.partitionBy(classCol).orderBy(xxhash64(lit(seed) +: df.columns.toIndexedSeq.map(col): _*))
+    * rows, which are interchangeable.
+    *
+    * `keyCols` picks which columns feed the hash. The default uses every
+    * HASHABLE column sorted by name — map-typed columns are excluded
+    * (xxhash64 rejects maps at analysis) and the name sort makes the draw
+    * independent of column ORDER. The drawn sample still changes if columns
+    * are added or removed; pass an explicit stable key subset (e.g. the
+    * row's natural id) when the schema is expected to evolve. */
+  def balancedSample(df: DataFrame, classCol: String, nPerClass: Int, seed: Long,
+                     keyCols: Seq[String] = Nil): DataFrame = {
+    val keys =
+      if (keyCols.nonEmpty) keyCols
+      else df.schema.fields
+        .filterNot(f => hasMapType(f.dataType))
+        .map(_.name).sorted.toIndexedSeq
+    require(keys.nonEmpty, "balancedSample: no hashable columns to key the draw on")
+    val w = Window.partitionBy(classCol).orderBy(xxhash64(lit(seed) +: keys.map(col): _*))
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= nPerClass)
       .drop("sample_rank")
+  }
+
+  /** xxhash64 refuses MapType anywhere in a column's type (map ordering is
+    * undefined, so its hash would be too) — recurse to catch nested maps. */
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMapType(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+    case _ => false
   }
 
   /** 80/20-style split (reference X3, src/main.py:89). */

@@ -71,6 +71,14 @@ class DedupSpec extends SparkSpec {
     assert(cc.size == 15, "exactly the nodes appearing in pairs")
   }
 
+  test("connected components raise instead of returning partial labels at maxIter") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 0).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("dedupGroups: transitive near-dup texts collapse, singletons keep themselves") {
     // A~B and B~C share shingle windows but A and C share none
     val docs = Seq(

@@ -35,6 +35,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set(1.0, 2.0), s"got $out")
   }
 
+  test("rejects inputs whose columns collide with generated names") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"), 0L))
+      .toDF("event_id", "user_id", "ts", "r_ts")
+    val right = Seq((10L, ts("2024-01-01 10:00:00"), 1.0)).toDF("user_id", "ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(left, right, Seq("user_id"), "ts", "ts", 0L, 1800L, Seq("value"))
+    }
+    assert(e.getMessage.contains("r_ts"))
+    // carrying the right timestamp AS a value column would emit r_ts twice
+    val left2 = left.drop("r_ts")
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(left2, right, Seq("user_id"), "ts", "ts", 0L, 1800L, Seq("ts"))
+    }
+    assert(e2.getMessage.toLowerCase.contains("duplicate"), e2.getMessage)
+  }
+
   test("plans as an equi-join on (key, bin) — never a nested-loop product") {
     val plan = EventQueries.q65RangeJoin.build(spark, sf)
       .queryExecution.executedPlan.toString

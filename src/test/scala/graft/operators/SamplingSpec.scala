@@ -30,6 +30,32 @@ class SamplingSpec extends SparkSpec {
     assert(base !== other)
   }
 
+  test("balancedSample is column-order-independent and skips map columns") {
+    val orders = Tables.orders(spark, sf)
+    val base = Sampling.balancedSample(orders, "o_orderstatus", 50, seed = 15)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    // same columns in a different physical order → same draw (keys are name-sorted)
+    val reordered = Sampling.balancedSample(
+      orders.select(orders.columns.reverse.map(col): _*), "o_orderstatus", 50, seed = 15)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(base === reordered, "draw must not depend on column order")
+    // a map column would fail xxhash64 analysis; the default key set skips it
+    val withMap = orders.withColumn("m", map(lit("k"), col("o_orderkey")))
+    val mapped = Sampling.balancedSample(withMap, "o_orderstatus", 50, seed = 15)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(base === mapped, "unhashable columns must be excluded from the draw key")
+    // an explicit key subset pins the draw regardless of added columns
+    val keyed1 = Sampling.balancedSample(
+      orders.withColumn("extra", lit(1)), "o_orderstatus", 50, seed = 15,
+      keyCols = Seq("o_orderkey"))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val keyed2 = Sampling.balancedSample(
+      orders.withColumn("other", lit("x")), "o_orderstatus", 50, seed = 15,
+      keyCols = Seq("o_orderkey"))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keyed1 === keyed2, "explicit keyCols must pin the draw across schema changes")
+  }
+
   test("deterministicSample ranks 1..n within each class") {
     val s = Sampling.deterministicSample(
       Tables.orders(spark, sf), Seq("o_orderstatus"), col("o_orderkey").cast("string"), 10)
