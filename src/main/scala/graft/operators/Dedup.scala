@@ -173,11 +173,16 @@ object Dedup {
     // both orientations via ONE explode, not a self-union: the pairs plan
     // (often an expensive candidate join) is evaluated once, not twice,
     // when the persist below first materializes
+    // persisted PRE-PARTITIONED on dst, the key every round joins on: the
+    // cached data then already has hashpartitioning(dst) and the per-round
+    // join re-shuffles only the labels side (|V| rows), never the edge list
+    // (|E| rows — the dominant movement on a dense near-dup graph)
     val edges = pairs
       .select(explode(array(
         struct(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst")),
         struct(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // coalesce(0): an EMPTY pair set must mean "no components", not an NPE —
     // sum over zero rows is NULL and the convergence compare would blow up
@@ -185,17 +190,20 @@ object Dedup {
       labels.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).collect().head.getDecimal(0)
     // a localCheckpointed plan is backed by a persisted RDD; once the NEXT
-    // round's checkpoint has materialized (localCheckpoint is eager) the
-    // prior round's blocks are dead weight — free them, or block-manager
-    // storage grows linearly with rounds on long-diameter graphs
+    // round's checkpoint has materialized the prior round's blocks are dead
+    // weight — free them, or block-manager storage grows linearly with
+    // rounds on long-diameter graphs
     def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed match {
         case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
         case _ => None
       }
+    // LAZY checkpoint: the checksum action right after both materializes the
+    // round's labels AND reads the convergence signal in ONE job, instead of
+    // an eager-checkpoint job followed by a checksum job per round
     var labels = edges.groupBy("src").agg(min(col("dst")).as("m"))
       .select(col("src").as("node"), least(col("src"), col("m")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var checksum = checksumOf(labels)
     var converged = false
     var iter = 0
@@ -211,7 +219,7 @@ object Dedup {
         .join(stepped.select(col("node").as("p"), col("lbl").as("plbl")),
           col("x.lbl") === col("p"), "left")
         .select(col("x.node").as("node"), coalesce(col("plbl"), col("x.lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextSum = checksumOf(next)
       converged = nextSum.compareTo(checksum) == 0
       checksum = nextSum
