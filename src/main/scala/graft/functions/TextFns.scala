@@ -98,4 +98,45 @@ object TextFns {
     * and identical in DuckDB via list_reduce. */
   def rollingFingerprint(tokenIds: Column): Column =
     aggregate(tokenIds, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  // ── PII scrubbing (q48) ────────────────────────────────────────────────
+  // Patterns stay in the RE2-compatible subset (no backrefs/lookahead) so
+  // the DuckDB oracle's regex engine agrees with Java's on every input.
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redact emails, then IPv4s, then phone-shaped numbers with typed
+    * placeholders. Order matters: the email pass must run before the IP
+    * pass so a domain's dotted tail can't be half-eaten as an address. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Match counts per PII class on the UNscrubbed text, aliased
+    * (n_email, n_ip, n_phone). */
+  def piiCounts(c: Column): Seq[Column] = Seq(
+    regexp_count(c, lit(EmailPattern)).cast("long").as("n_email"),
+    regexp_count(c, lit(Ipv4Pattern)).cast("long").as("n_ip"),
+    regexp_count(c, lit(PhonePattern)).cast("long").as("n_phone"))
+
+  // ── Repetition signals (q47) ───────────────────────────────────────────
+
+  /** Adjacent-token bigrams ("a b"), empty below 2 tokens (guards Spark's
+    * descending `sequence(1, 0)`). */
+  def bigrams(tokens: Column): Column =
+    when(size(tokens) >= 2,
+      transform(sequence(lit(1), size(tokens) - 1),
+        i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Occurrence count of the most frequent token (0 for empty input).
+    * O(distinct·n) per row — pure codegen'd array arithmetic, no shuffle;
+    * for book-length documents switch to an explode + count instead. */
+  def topTokenCount(tokens: Column): Column =
+    coalesce(array_max(transform(array_distinct(tokens),
+      u => size(filter(tokens, x => x === u)))), lit(0))
 }

@@ -316,8 +316,100 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Keyword-search document ranking: a BM25-shaped score with the log-idf
+    * replaced by the raw odds ratio (N − df + ½)/(df + ½) — a monotone
+    * per-term transform that keeps EVERY arithmetic step inside exactly-
+    * rounded IEEE +,×,/ so Spark and DuckDB produce bit-identical scores
+    * (ln() is libm-dependent and cannot be hash-matched across engines).
+    * tf saturation and length normalization are standard BM25 (k1=1.2,
+    * b=0.75). Shape at scale: one scan computes per-doc tf/dl, one 1-row
+    * global aggregate rides in via broadcast — no per-term join, no
+    * vocabulary shuffle; the only data movement is the top-k sort. */
+  val q45KeywordRank: QuerySpec = {
+    val terms = Seq("spark", "shuffle", "partition")
+    QuerySpec.oracle(
+      "q45_keyword_rank", {
+        val dfCols = terms.map(t =>
+          s"count(*) FILTER (WHERE list_contains(ts, '$t')) AS df_$t").mkString(",\n       |        ")
+        val tfCols = terms.map(t =>
+          s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) AS tf_$t").mkString(",\n       |        ")
+        val scoreTerms = terms.map(t =>
+          s"(n_docs - df_$t + 0.5)/(df_$t + 0.5) * (tf_$t * 2.2 / (tf_$t + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))")
+          .mkString("\n       |   + ")
+        s"""WITH toks AS (SELECT doc_id, $LowToksSql AS ts FROM documents),
+           |d AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+           |g AS (SELECT count(*) AS n_docs,
+           |        CAST(sum(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) AS sum_dl,
+           |        $dfCols
+           |      FROM d),
+           |s AS (SELECT doc_id, dl,
+           |        $tfCols,
+           |        n_docs, sum_dl, ${terms.map(t => s"df_$t").mkString(", ")}
+           |      FROM d, g),
+           |sc AS (SELECT doc_id, dl AS n_tokens,
+           |   $scoreTerms AS score
+           | FROM s)
+           |SELECT doc_id, n_tokens, score FROM sc
+           |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      }
+    ) { (spark, dir) =>
+      val ts = filter(split(lower(col("text")), "\\W+"), t => t =!= "")
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), ts.as("ts"))
+        .withColumn("dl", asLong(size(col("ts"))))
+      val aggCols = count(lit(1)).as("n_docs") +:
+        Exprs.dsum(col("dl")).as("sum_dl") +:
+        terms.map(t => sum(when(array_contains(col("ts"), t), 1L).otherwise(0L)).as(s"df_$t"))
+      val g = d.agg(aggCols.head, aggCols.tail: _*)
+      def score(t: String): Column =
+        (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) *
+          (col(s"tf_$t") * lit(2.2) / (col(s"tf_$t") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs"))))))
+      d.crossJoin(broadcast(g))
+        .select((Seq(col("doc_id"), col("dl"), col("n_docs"), col("sum_dl")) ++
+          terms.map(t => col(s"df_$t")) ++
+          terms.map(t => size(filter(col("ts"), x => x === t)).cast("double").as(s"tf_$t"))): _*)
+        .select(col("doc_id"), col("dl").as("n_tokens"),
+          terms.map(score).reduce(_ + _).as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }
+  }
+
+  /** Per-label embedding centroids, the building block behind IVF cell
+    * refresh / class prototypes / drift monitoring. Components are floor-
+    * quantized to millionths FIRST, so the per-dimension aggregation is an
+    * exact integer sum — order-independent, hash-matchable, and immune to
+    * double summation order (documented: the centroid is of the quantized
+    * vectors, error ≤ 1e-6 per component). Shape at scale: posexplode to
+    * (label, dim) rides map-side partial aggregation, so the shuffle is
+    * bounded by partitions × labels × dims, never rows × dims. */
+  val q49LabelCentroids: QuerySpec = QuerySpec.oracle(
+    "q49_label_centroids",
+    """WITH x AS (
+      |  SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+      |      i -> {'dim': i - 1, 'q': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+      |  FROM embeddings)
+      |SELECT label, CAST(u.dim AS BIGINT) AS dim, count(*) AS n_vecs,
+      |  CAST(sum(u.q) AS BIGINT) AS sum_q,
+      |  CAST(CAST(sum(u.q) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS centroid
+      |FROM x GROUP BY label, u.dim ORDER BY label, dim""".stripMargin
+  ) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), asLong(col("dim")).as("dim"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("q"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
+      .select(col("label"), col("dim"), col("n_vecs"), col("sum_q"),
+        (col("sum_q").cast("double") / col("n_vecs") / lit(1000000.0)).as("centroid"))
+      .orderBy("label", "dim")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
-    q40KnnTopK, q41AnnLsh, q42KnnClassify, q43AnnIvf, q44QuantizeInt8)
+    q40KnnTopK, q41AnnLsh, q42KnnClassify, q43AnnIvf, q44QuantizeInt8,
+    q45KeywordRank, q49LabelCentroids)
 }

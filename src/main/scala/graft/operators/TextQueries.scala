@@ -371,8 +371,97 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals (the MassiveText/Gopher-style repetition filters,
+    * adapted to token level for a single-line corpus): distinct-token ratio,
+    * most-frequent-token fraction, and duplicate-bigram fraction. Everything
+    * is per-row array arithmetic inside one codegen'd scan — no shuffle but
+    * the presentation sort; the per-row work is O(distinct·n) on short docs.
+    * A crawl dump is filtered on exactly these columns before training. */
+  val q47RepetitionSignals: QuerySpec = QuerySpec.oracle(
+    "q47_repetition_signals",
+    raw"""WITH toks AS (
+       |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\W+'), t -> t <> '') AS ts
+       |  FROM documents),
+       |t AS (SELECT doc_id, ts,
+       |    CAST(len(ts) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+       |    CAST(coalesce(list_max(list_transform(list_distinct(ts),
+       |        u -> len(list_filter(ts, x -> x = u)))), 0) AS BIGINT) AS top_tok,
+       |    CASE WHEN len(ts) >= 2
+       |      THEN list_transform(generate_series(1, len(ts) - 1), i -> concat_ws(' ', ts[i], ts[i+1]))
+       |      ELSE [] END AS bgs
+       |  FROM toks)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  n_distinct / greatest(n_tokens, 1) AS distinct_ratio,
+       |  top_tok / greatest(n_tokens, 1) AS top_token_frac,
+       |  CAST(len(bgs) AS BIGINT) AS n_bigrams,
+       |  (CAST(len(bgs) AS BIGINT) - CAST(len(list_distinct(bgs)) AS BIGINT))
+       |    / greatest(CAST(len(bgs) AS BIGINT), 1) AS dup_bigram_frac
+       |FROM t ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val ts = filter(split(lower(col("text")), "\\W+"), t => t =!= "")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"), col("ts"),
+        asLong(size(col("ts"))).as("n_tokens"),
+        asLong(size(array_distinct(col("ts")))).as("n_distinct"),
+        asLong(topTokenCount(col("ts"))).as("top_tok"),
+        bigrams(col("ts")).as("bgs"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct") / greatest(col("n_tokens"), lit(1))).as("distinct_ratio"),
+        (col("top_tok") / greatest(col("n_tokens"), lit(1))).as("top_token_frac"),
+        asLong(size(col("bgs"))).as("n_bigrams"),
+        ((asLong(size(col("bgs"))) - asLong(size(array_distinct(col("bgs")))))
+          / greatest(asLong(size(col("bgs"))), lit(1))).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** PII detection + redaction: emails, IPv4 addresses, and phone-shaped
+    * numbers are counted then replaced with typed placeholders — the scrub
+    * pass a web corpus takes before any training run. The synthetic corpus
+    * contains no PII, so each doc is deterministically augmented with
+    * doc_id-derived fake contact data FIRST (same expression in both
+    * engines); the scrub chain then provably removes what was planted.
+    * Patterns stay in the RE2-compatible subset (no backrefs, no lookahead)
+    * so Java and DuckDB regex engines agree; order matters — emails before
+    * IPs before phones, so the email's domain dots can't be half-eaten as
+    * an IP. One codegen'd scan, no shuffle. */
+  val q48PiiScrub: QuerySpec = QuerySpec.oracle(
+    "q48_pii_scrub", {
+      // the oracle scrubs with literally the same patterns the engine uses
+      val email = EmailPattern
+      val ip = Ipv4Pattern
+      val phone = PhonePattern
+      raw"""WITH a AS (
+         |  SELECT doc_id, concat(text, ' contact u', doc_id, '@mail', doc_id % 7,
+         |    '.com or 555-', lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0'),
+         |    ' ip 10.', doc_id % 256, '.0.', (doc_id * 3) % 256) AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(aug, '$ip')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(aug, '$phone')) AS BIGINT) AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS scrubbed
+         |FROM a ORDER BY doc_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val aug = concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+      lit("@mail"), (col("doc_id") % 7).cast("string"),
+      lit(".com or 555-"), lpad(((col("doc_id") * 37) % 10000).cast("string"), 4, "0"),
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), ((col("doc_id") * 3) % 256).cast("string"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id") +: (piiCounts(col("aug")) :+ scrubPii(col("aug")).as("scrubbed")): _*)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
-    q28TokenCounts, q29DocAssembly, q37VocabOov, q39QualityFilter)
+    q28TokenCounts, q29DocAssembly, q37VocabOov, q39QualityFilter,
+    q47RepetitionSignals, q48PiiScrub)
 }

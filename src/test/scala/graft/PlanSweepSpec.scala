@@ -27,7 +27,10 @@ class PlanSweepSpec extends SparkSpec {
     * the lazy scalar-subquery idiom, bounded to exactly one row. */
   private val boundedNested = Set(
     "q34_embedding_pairs", "q40_knn_bruteforce", "q42_knn_classify", "q43_ann_ivf",
-    "q27_token_rarity")
+    "q27_token_rarity",
+    // q45 — crossJoin(broadcast(g)) where g is the 1-row corpus statistics
+    // aggregate: the same lazy scalar-subquery idiom as q27's nDocs
+    "q45_keyword_rank")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -59,6 +62,8 @@ class PlanSweepSpec extends SparkSpec {
     "q39_quality_filter" -> 1, "q40_knn_bruteforce" -> 2,
     "q41_ann_lsh" -> 2, "q42_knn_classify" -> 2,
     "q43_ann_ivf" -> 3, "q44_embedding_quantize" -> 1,
+    "q45_keyword_rank" -> 1, "q47_repetition_signals" -> 1,
+    "q48_pii_scrub" -> 1, "q49_label_centroids" -> 2,
     "q46_regional_revenue" -> 2, "q60_tumbling_window" -> 2,
     "q61_session_window" -> 2, "q62_asof_join" -> 2,
     "q63_sliding_window" -> 2, "q64_json_extract" -> 2,

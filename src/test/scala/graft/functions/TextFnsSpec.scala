@@ -58,4 +58,37 @@ class TextFnsSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(fps.toSeq === again.toSeq)
   }
+
+  test("PII scrub: planted email/ip/phone redacted with typed placeholders") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1("mail a.b+c@sub.example.org then 10.0.255.3 then 555-0199 done"),
+      Tuple1("no pii here"),
+      Tuple1("two mails x@y.io z@w.co and v1.2.3 is a version, not an ip")
+    )).toDF("text")
+    val out = df.select(col("text") +: (piiCounts(col("text")) :+ scrubPii(col("text")).as("s")): _*)
+      .collect()
+    assert(out(0).getAs[String]("s") === "mail <EMAIL> then <IP> then <PHONE> done")
+    assert((out(0).getAs[Long]("n_email"), out(0).getAs[Long]("n_ip"), out(0).getAs[Long]("n_phone"))
+      === ((1L, 1L, 1L)))
+    assert(out(1).getAs[String]("s") === "no pii here")
+    // v1.2.3 has only three octets — not an IP; both mails redact
+    assert(out(2).getAs[Long]("n_email") === 2L)
+    assert(out(2).getAs[Long]("n_ip") === 0L)
+    assert(out(2).getAs[String]("s").contains("version, not an ip"))
+  }
+
+  test("repetition primitives: bigrams and top-token count on planted arrays") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1(Seq("a", "b", "a", "b", "a")),
+      Tuple1(Seq("solo")),
+      Tuple1(Seq.empty[String])
+    )).toDF("ts")
+    val out = df.select(bigrams(col("ts")).as("bg"), topTokenCount(col("ts")).as("tt")).collect()
+    assert(out(0).getSeq[String](0) === Seq("a b", "b a", "a b", "b a"))
+    assert(out(0).getInt(1) === 3)
+    assert(out(1).getSeq[String](0) === Seq.empty)
+    assert(out(1).getInt(1) === 1)
+    assert(out(2).getSeq[String](0) === Seq.empty)
+    assert(out(2).getInt(1) === 0)
+  }
 }
