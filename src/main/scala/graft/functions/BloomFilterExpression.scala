@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Broadcast Bloom-filter membership as a codegen'd Catalyst expression —
+  * the scan-side prefilter for "does this key appear in the other table"
+  * joins (train/eval contamination, blocklist lookups, dirty-key checks).
+  *
+  * At 100 TB the exact shingle join (q38) shuffles every corpus shingle;
+  * with a bloom prefilter only PROBABLE hits reach the shuffle, and because
+  * a bloom filter has no false negatives the exact join over the survivors
+  * returns exactly the unfiltered answer — the same pattern Spark itself
+  * uses for runtime row-group filtering, here as a first-class operator.
+  *
+  * Probes use double hashing (pos_i = h1 + i·h2 mod m, Kirsch-Mitzenmacher)
+  * over the two xxhash64 seeds, against an immutable Array[Long] bitset that
+  * ships to executors once via the closure/reference mechanism. The probe
+  * loop lives in [[BloomProbe]] so interpreted eval and generated code run
+  * literally the same bytes.
+  */
+case class BloomMightContainExpr(bits: Array[Long], mBits: Int, k: Int,
+                                 child: Expression) extends UnaryExpression {
+
+  require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
+  require(bits.length == mBits / 64, s"bitset length ${bits.length} != $mBits/64")
+  require(k >= 1 && k <= 16, s"k out of range: $k")
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    BloomProbe.mightContain(bits, mBits, k,
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, BloomProbe.Seed1),
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, BloomProbe.Seed2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.BloomProbe.mightContain($bitsRef, $mBits, $k,
+         |  org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $c.getBaseObject(), $c.getBaseOffset(), $c.numBytes(), ${BloomProbe.Seed1}L),
+         |  org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $c.getBaseObject(), $c.getBaseOffset(), $c.numBytes(), ${BloomProbe.Seed2}L))""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+}
+
+/** Shared probe kernel (called from both interpreted eval and codegen). */
+object BloomProbe {
+  val Seed1 = 41L
+  val Seed2 = 97L
+
+  def mightContain(bits: Array[Long], mBits: Int, k: Int, h1: Long, h2: Long): Boolean = {
+    var i = 0
+    while (i < k) {
+      // mBits is a power of two: & (m-1) is an exact non-negative mod
+      val pos = ((h1 + i * h2) & (mBits - 1L)).toInt
+      if ((bits(pos >> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
+
+object BloomFilterOps {
+
+  /** Bit positions of one key, as the same (h1 + i·h2) & (m−1) the probe
+    * uses — rendered in DataFrame algebra so the BUILD is fully distributed:
+    * explode to k positions, or-fold per 64-bit word, and only the word
+    * table (m/64 longs, bounded by construction) is collected. */
+  private def positions(c: Column, mBits: Int, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => (BloomHashExpr.h1(c) + i.cast("long") * BloomHashExpr.h2(c))
+        .bitwiseAND(lit(mBits - 1L)))
+
+  /** Distributed bloom build over `df(colName)`: returns the bitset.
+    *
+    * `mBits` must be a power of two; size it ≥ ~10 bits per expected
+    * distinct key for ≲1% false positives at k=6. The collected word table
+    * is mBits/64 longs (2^24 bits = 256 KB) — the same driver-side bound a
+    * broadcast join accepts, and far below it. */
+  def buildBloom(df: DataFrame, colName: String, mBits: Int, k: Int = 6): Array[Long] = {
+    require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
+    require(mBits >= 64, s"mBits too small: $mBits")
+    val words = df.select(explode(positions(col(colName), mBits, k)).as("pos"))
+      .selectExpr("CAST(shiftright(pos, 6) AS INT) AS w",
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS b")
+      .groupBy("w").agg(bit_or(col("b")).as("word"))
+      .collect()
+    val bits = new Array[Long](mBits / 64)
+    words.foreach(r => bits(r.getAs[Int]("w")) = bits(r.getAs[Int]("w")) | r.getAs[Long]("word"))
+    bits
+  }
+
+  /** Probe column: true iff `c` MIGHT be in the set (no false negatives). */
+  def mightContain(bits: Array[Long], mBits: Int, k: Int, c: Column): Column =
+    ColumnBridge.column(BloomMightContainExpr(bits, mBits, k, ColumnBridge.expression(c)))
+
+  /** Power-of-two bit count for ~`bitsPerKey` bits per expected distinct
+    * key (12 bits/key + k=6 → ≲1% false positives), floored at 2^14 and
+    * capped at `maxBits` (2^26 = 8 MB — still broadcast-sized; beyond that,
+    * shard the filter or fall back to the plain join). */
+  def pickMBits(expectedKeys: Long, bitsPerKey: Int = 12, maxBits: Int = 1 << 26): Int = {
+    require(Integer.bitCount(maxBits) == 1, s"maxBits must be a power of two: $maxBits")
+    val want = math.min(math.max(1L << 14, expectedKeys * bitsPerKey), maxBits.toLong)
+    val pow2 = 1L << (64 - java.lang.Long.numberOfLeadingZeros(math.max(want - 1, 1)))
+    math.min(pow2, maxBits.toLong).toInt
+  }
+}
+
+/** The build side needs the PROBE's exact hashes (XXH64 over the raw UTF8
+  * bytes with our two seeds) as Catalyst columns; Spark's `xxhash64(...)`
+  * SQL function hashes a row of typed fields with seed 42 — a different
+  * value. These two tiny expressions reuse the probe kernel's hashing. */
+case class BloomHashExpr(seed: Long, child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(" +
+        s"$c.getBaseObject(), $c.getBaseOffset(), $c.numBytes(), ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): BloomHashExpr =
+    copy(child = newChild)
+}
+
+object BloomHashExpr {
+  def h1(c: Column): Column =
+    ColumnBridge.column(BloomHashExpr(BloomProbe.Seed1, ColumnBridge.expression(c)))
+  def h2(c: Column): Column =
+    ColumnBridge.column(BloomHashExpr(BloomProbe.Seed2, ColumnBridge.expression(c)))
+}

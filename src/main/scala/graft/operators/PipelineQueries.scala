@@ -377,6 +377,46 @@ object PipelineQueries {
     }
   }
 
+  /** q38's contamination check with a Bloom prefilter on the scan side —
+    * the 100 TB shape: a 6-probe codegen'd bloom test (built distributively
+    * over the train shingles, shipped once per executor) drops definite
+    * misses BEFORE the shuffle, and the exact join over the survivors
+    * removes the false positives, so the answer — and the oracle — is
+    * IDENTICAL to the unfiltered q38. At real scale the shuffle shrinks to
+    * the contaminated fraction; the filter itself is bounded at 8 MB
+    * (pickMBits cap), far under broadcast size. */
+  val q51ContaminationBloom: QuerySpec = QuerySpec.oracle(
+    "q51_contamination_bloom",
+    s"""WITH toks AS (SELECT doc_id, source, $LowToksSql AS ts FROM documents),
+       |shl AS (SELECT doc_id, source, $ShinglesSql AS shs FROM toks),
+       |ev AS (SELECT doc_id, unnest(shs) AS sh FROM shl WHERE source = 'src0'),
+       |tr AS (SELECT DISTINCT unnest(shs) AS sh FROM shl WHERE source <> 'src0')
+       |SELECT ev.doc_id, count(*) AS n_sh, count(tr.sh) AS n_hit,
+       |  CAST(count(tr.sh) AS DOUBLE) / count(*) AS contamination
+       |FROM ev LEFT JOIN tr ON ev.sh = tr.sh
+       |GROUP BY ev.doc_id ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.BloomFilterOps
+    val docs = Tables.documents(spark, dir)
+    val sh = Dedup.shingles(col("text"), 3)
+    val ev = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), explode(sh).as("sh"))
+    val tr = docs.filter(col("source") =!= "src0")
+      .select(explode(sh).as("sh")).distinct()
+    val trP = tr.persist()
+    val mBits = BloomFilterOps.pickMBits(trP.count())
+    val bits = BloomFilterOps.buildBloom(trP, "sh", mBits)
+    val nsh = ev.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val nhit = ev.filter(BloomFilterOps.mightContain(bits, mBits, 6, col("sh")))
+      .join(trP, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val out = nsh.join(nhit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh")).as("contamination"))
+      .orderBy("doc_id")
+    out
+  }
+
   /** Per-label embedding centroids, the building block behind IVF cell
     * refresh / class prototypes / drift monitoring. Components are floor-
     * quantized to millionths FIRST, so the per-dimension aggregation is an
@@ -411,5 +451,5 @@ object PipelineQueries {
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
     q40KnnTopK, q41AnnLsh, q42KnnClassify, q43AnnIvf, q44QuantizeInt8,
-    q45KeywordRank, q49LabelCentroids)
+    q45KeywordRank, q49LabelCentroids, q51ContaminationBloom)
 }

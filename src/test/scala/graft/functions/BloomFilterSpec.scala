@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.PipelineQueries
+import org.apache.spark.sql.functions._
+
+class BloomFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives: every inserted key probes true") {
+    val keys = (0 until 1000).map(i => s"key_$i")
+    val df = keys.toDF("k")
+    val mBits = BloomFilterOps.pickMBits(keys.size)
+    val bits = BloomFilterOps.buildBloom(df, "k", mBits)
+    val hits = df.filter(BloomFilterOps.mightContain(bits, mBits, 6, col("k"))).count()
+    assert(hits === keys.size, "a bloom filter must never drop a member")
+  }
+
+  test("false-positive rate on disjoint keys stays near theoretical") {
+    val inserted = (0 until 2000).map(i => s"in_$i").toDF("k")
+    val mBits = BloomFilterOps.pickMBits(2000)
+    val bits = BloomFilterOps.buildBloom(inserted, "k", mBits)
+    val probes = (0 until 20000).map(i => s"out_$i").toDF("k")
+    val fp = probes.filter(BloomFilterOps.mightContain(bits, mBits, 6, col("k"))).count()
+    // 12 bits/key, k=6 → theoretical fp ≈ 0.3%; allow a generous 2% bound
+    assert(fp < 400, s"false-positive rate too high: $fp / 20000")
+  }
+
+  test("pickMBits: power of two, floored, capped") {
+    assert(BloomFilterOps.pickMBits(0) === (1 << 14))
+    assert(BloomFilterOps.pickMBits(10000) === 131072) // 120k bits → next pow2
+    assert(Integer.bitCount(BloomFilterOps.pickMBits(123456789L)) === 1)
+    assert(BloomFilterOps.pickMBits(Long.MaxValue / 16) === (1 << 26))
+  }
+
+  test("q51 (bloom-prefiltered) is row-for-row identical to q38 (exact join)") {
+    val exact = PipelineQueries.q38Contamination.build(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val bloom = PipelineQueries.q51ContaminationBloom.build(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(bloom === exact, "the exact verify join must cancel every false positive")
+  }
+
+  test("interpreted eval matches codegen for probe and build hashes") {
+    val df = Seq("alpha", "beta", "", "δ unicode").toDF("k")
+    val mBits = 1 << 14
+    val bits = BloomFilterOps.buildBloom(df, "k", mBits)
+    val expr = BloomMightContainExpr(bits, mBits, 6,
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("k")))
+    // interpreted path: eval the expression directly against each value
+    val viaEval = Seq("alpha", "beta", "", "δ unicode", "missing").map { s =>
+      expr.nullSafeEval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .asInstanceOf[Boolean]
+    }
+    assert(viaEval.take(4).forall(identity), "members must probe true interpreted")
+    // codegen path through a real filter
+    val viaCodegen = Seq("alpha", "beta", "", "δ unicode", "missing").toDF("k")
+      .filter(BloomFilterOps.mightContain(bits, mBits, 6, col("k")))
+      .collect().map(_.getString(0)).toSet
+    assert(Set("alpha", "beta", "", "δ unicode").subsetOf(viaCodegen))
+    assert(viaEval.zip(Seq("alpha", "beta", "", "δ unicode", "missing"))
+      .forall { case (e, s) => e === viaCodegen.contains(s) },
+      "eval and codegen must agree probe-for-probe")
+  }
+}
