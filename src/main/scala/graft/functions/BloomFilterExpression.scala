@@ -59,28 +59,75 @@ object BloomProbe {
   val Seed1 = 41L
   val Seed2 = 97L
 
+  /** Bit position of probe `i` for a key with hashes (h1, h2): Kirsch-
+    * Mitzenmacher double hashing with Java WRAPPING arithmetic — the ONE
+    * definition both the probe loop and the distributed build call, so the
+    * two can never disagree (Catalyst Add/Multiply would throw on the
+    * ~50%-of-keys overflow under ANSI mode; wrapping is the semantics). */
+  def position(mBits: Int, i: Int, h1: Long, h2: Long): Int =
+    ((h1 + i * h2) & (mBits - 1L)).toInt // mBits is a power of two: & (m-1) is an exact non-negative mod
+
   def mightContain(bits: Array[Long], mBits: Int, k: Int, h1: Long, h2: Long): Boolean = {
     var i = 0
     while (i < k) {
-      // mBits is a power of two: & (m-1) is an exact non-negative mod
-      val pos = ((h1 + i * h2) & (mBits - 1L)).toInt
+      val pos = position(mBits, i, h1, h2)
       if ((bits(pos >> 6) & (1L << (pos & 63))) == 0L) return false
       i += 1
     }
     true
   }
+
+  /** All k positions of one key, as Catalyst array data — the build side's
+    * per-row kernel (see [[BloomPositionsExpr]]). */
+  def positionsData(mBits: Int, k: Int, h1: Long, h2: Long): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) { out(i) = position(mBits, i, h1, h2).toLong; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** The k bit positions of a key, computed inside one codegen'd expression
+  * with the probe kernel's exact wrapping arithmetic. Used only by the
+  * distributed build (explode → or-fold per word); exists because spelling
+  * h1 + i·h2 in DataFrame algebra plans ANSI Add/Multiply, which throws
+  * ARITHMETIC_OVERFLOW on full-range xxhash64 values. */
+case class BloomPositionsExpr(mBits: Int, k: Int, child: Expression) extends UnaryExpression {
+  require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
+  require(k >= 1 && k <= 16, s"k out of range: $k")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    BloomProbe.positionsData(mBits, k,
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, BloomProbe.Seed1),
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, BloomProbe.Seed2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.BloomProbe.positionsData($mBits, $k,
+         |  org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $c.getBaseObject(), $c.getBaseOffset(), $c.numBytes(), ${BloomProbe.Seed1}L),
+         |  org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $c.getBaseObject(), $c.getBaseOffset(), $c.numBytes(), ${BloomProbe.Seed2}L))""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): BloomPositionsExpr =
+    copy(child = newChild)
 }
 
 object BloomFilterOps {
 
-  /** Bit positions of one key, as the same (h1 + i·h2) & (m−1) the probe
-    * uses — rendered in DataFrame algebra so the BUILD is fully distributed:
-    * explode to k positions, or-fold per 64-bit word, and only the word
-    * table (m/64 longs, bounded by construction) is collected. */
+  /** Bit positions of one key — the probe kernel's own (h1 + i·h2) & (m−1),
+    * evaluated inside one codegen'd [[BloomPositionsExpr]] so the BUILD is
+    * fully distributed AND bit-identical to the probe (wrapping arithmetic;
+    * the earlier DataFrame-algebra form threw ANSI ARITHMETIC_OVERFLOW).
+    * Explode to k positions, or-fold per 64-bit word; only the word table
+    * (m/64 longs, bounded by construction) is collected. */
   private def positions(c: Column, mBits: Int, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => (BloomHashExpr.h1(c) + i.cast("long") * BloomHashExpr.h2(c))
-        .bitwiseAND(lit(mBits - 1L)))
+    ColumnBridge.column(BloomPositionsExpr(mBits, k, ColumnBridge.expression(c)))
 
   /** Distributed bloom build over `df(colName)`: returns the bitset.
     *

@@ -46,10 +46,12 @@ class BloomFilterSpec extends SparkSpec {
     val mBits = 1 << 14
     val bits = BloomFilterOps.buildBloom(df, "k", mBits)
     val expr = BloomMightContainExpr(bits, mBits, 6,
-      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("k")))
-    // interpreted path: eval the expression directly against each value
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.StringType, nullable = true))
+    // interpreted path: eval the expression against a one-column row
     val viaEval = Seq("alpha", "beta", "", "δ unicode", "missing").map { s =>
-      expr.nullSafeEval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      expr.eval(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
         .asInstanceOf[Boolean]
     }
     assert(viaEval.take(4).forall(identity), "members must probe true interpreted")
