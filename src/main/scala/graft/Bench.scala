@@ -43,10 +43,15 @@ object Bench {
         val (a, b) = (p1(k), p2(k))
         k -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
       }.toSeq: _*)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the one-line JSON short enough to survive
+    // tail-capture of the build log intact (full nanosecond doubles pushed
+    // the line past the capture window, truncating its head and making it
+    // unparseable downstream); sub-ms digits are noise at bench scale anyway.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

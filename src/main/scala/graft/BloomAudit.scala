@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.BloomFilterOps
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Dev utility: measure the shuffle-volume win of the q51 bloom prefilter
+  * over the plain q38 contamination join — the operator's entire reason to
+  * exist is shuffle reduction, so the claim should be a measured number,
+  * not an assertion. `runMain graft.BloomAudit [sfDir]` prints, for the
+  * shared train/eval shingle workload:
+  *
+  *   - probe rows:   eval shingles that q38 sends into the shuffle join
+  *   - survivors:    eval shingles that pass the bloom and reach q51's join
+  *   - true hits:    shingles actually present in the train set (the floor
+  *                   any no-false-negative prefilter can reach)
+  *
+  * so `1 - survivors/probe` is the realized shuffle cut and
+  * `survivors - hits` the false-positive overhead.
+  */
+object BloomAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    val sh = Dedup.shingles(col("text"), 3)
+    val ev = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), explode(sh).as("sh")).persist()
+    val tr = docs.filter(col("source") =!= "src0")
+      .select(explode(sh).as("sh")).distinct().persist()
+    try {
+      val nTrain = tr.count()
+      val mBits = BloomFilterOps.pickMBits(nTrain)
+      val bits = BloomFilterOps.buildBloom(tr, "sh", mBits)
+      val probeRows = ev.count()
+      val survivors = ev.filter(BloomFilterOps.mightContain(bits, mBits, 6, col("sh"))).count()
+      val hits = ev.join(tr, Seq("sh"), "left_semi").count()
+      val cut = 1.0 - survivors.toDouble / probeRows
+      println(f"[bloom] sf=$sfDir trainShingles=$nTrain mBits=$mBits (${mBits / 8192} KiB)")
+      println(f"[bloom] probeRows=$probeRows survivors=$survivors trueHits=$hits " +
+        f"falsePositives=${survivors - hits} shuffleCut=${cut * 100}%.1f%%")
+    } finally {
+      ev.unpersist(blocking = false)
+      tr.unpersist(blocking = false)
+      spark.stop()
+    }
+  }
+}

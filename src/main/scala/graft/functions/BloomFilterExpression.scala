@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Broadcast Bloom-filter membership as a codegen'd Catalyst expression —
@@ -31,6 +32,7 @@ case class BloomMightContainExpr(bits: Array[Long], mBits: Int, k: Int,
   require(bits.length == mBits / 64, s"bitset length ${bits.length} != $mBits/64")
   require(k >= 1 && k <= 16, s"k out of range: $k")
 
+  override def checkInputDataTypes(): TypeCheckResult = BloomProbe.requireString(child)
   override def dataType: DataType = BooleanType
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -58,6 +60,15 @@ case class BloomMightContainExpr(bits: Array[Long], mBits: Int, k: Int,
 object BloomProbe {
   val Seed1 = 41L
   val Seed2 = 97L
+
+  /** Analysis-time input check shared by both bloom expressions: the probe
+    * kernels hash raw UTF8 bytes, so a non-string child must fail in the
+    * analyzer with a readable message, not as a ClassCastException inside
+    * nullSafeEval on the first executor row. */
+  private[functions] def requireString(child: Expression): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom expressions require a STRING child, got ${child.dataType.catalogString}")
 
   /** Bit position of probe `i` for a key with hashes (h1, h2): Kirsch-
     * Mitzenmacher double hashing with Java WRAPPING arithmetic — the ONE
@@ -92,10 +103,12 @@ object BloomProbe {
   * distributed build (explode → or-fold per word); exists because spelling
   * h1 + i·h2 in DataFrame algebra plans ANSI Add/Multiply, which throws
   * ARITHMETIC_OVERFLOW on full-range xxhash64 values. */
-case class BloomPositionsExpr(mBits: Int, k: Int, child: Expression) extends UnaryExpression {
+case class BloomPositionsExpr(mBits: Int, k: Int, child: Expression)
+    extends UnaryExpression {
   require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
   require(k >= 1 && k <= 16, s"k out of range: $k")
 
+  override def checkInputDataTypes(): TypeCheckResult = BloomProbe.requireString(child)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
 
@@ -162,29 +175,4 @@ object BloomFilterOps {
     val pow2 = 1L << (64 - java.lang.Long.numberOfLeadingZeros(math.max(want - 1, 1)))
     math.min(pow2, maxBits.toLong).toInt
   }
-}
-
-/** The build side needs the PROBE's exact hashes (XXH64 over the raw UTF8
-  * bytes with our two seeds) as Catalyst columns; Spark's `xxhash64(...)`
-  * SQL function hashes a row of typed fields with seed 42 — a different
-  * value. These two tiny expressions reuse the probe kernel's hashing. */
-case class BloomHashExpr(seed: Long, child: Expression) extends UnaryExpression {
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
-  }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(" +
-        s"$c.getBaseObject(), $c.getBaseOffset(), $c.numBytes(), ${seed}L)")
-  override protected def withNewChildInternal(newChild: Expression): BloomHashExpr =
-    copy(child = newChild)
-}
-
-object BloomHashExpr {
-  def h1(c: Column): Column =
-    ColumnBridge.column(BloomHashExpr(BloomProbe.Seed1, ColumnBridge.expression(c)))
-  def h2(c: Column): Column =
-    ColumnBridge.column(BloomHashExpr(BloomProbe.Seed2, ColumnBridge.expression(c)))
 }

@@ -403,12 +403,19 @@ object PipelineQueries {
       .select(col("doc_id"), explode(sh).as("sh"))
     val tr = docs.filter(col("source") =!= "src0")
       .select(explode(sh).as("sh")).distinct()
+    // Persist spans only the two build-time passes (count + bloom build);
+    // unpersist in a finally so neither a build failure nor a completed
+    // bench pass leaves blocks pinned for the JVM's lifetime. The exact
+    // verify join below recomputes tr once at execution — that scan was
+    // q38's cost anyway, and a leaked persist is the worse trade.
     val trP = tr.persist()
-    val mBits = BloomFilterOps.pickMBits(trP.count())
-    val bits = BloomFilterOps.buildBloom(trP, "sh", mBits)
+    val (mBits, bits) = try {
+      val m = BloomFilterOps.pickMBits(trP.count())
+      (m, BloomFilterOps.buildBloom(trP, "sh", m))
+    } finally trP.unpersist(blocking = false)
     val nsh = ev.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val nhit = ev.filter(BloomFilterOps.mightContain(bits, mBits, 6, col("sh")))
-      .join(trP, Seq("sh"))
+      .join(tr, Seq("sh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
     val out = nsh.join(nhit, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_sh"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),

@@ -208,8 +208,11 @@ object TextQueries {
   }
 
   /** The reference's full `_clean_tweet` end state incl. Porter stemming
-    * (T1→T5) — no DuckDB porter, so rows-only here; exact stemmer vectors are
-    * covered in ScalaTest. */
+    * (T1→T5). Rows-only: DuckDB's snowball `stem(t,'porter')` would be the
+    * natural oracle but it lives in the `fts` extension, which the offline
+    * environment cannot install (verified: auto-install fails with no
+    * egress) — so the stemmer is verified against the published 1980 Porter
+    * test vectors in PorterStemmerSpec instead. */
   val q26StemmedTokens: QuerySpec = QuerySpec.rowsOnly("q26_stemmed_tokens") { (spark, dir) =>
     Tables.documents(spark, dir)
       .select(col("doc_id"),

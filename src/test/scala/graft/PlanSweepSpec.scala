@@ -64,6 +64,7 @@ class PlanSweepSpec extends SparkSpec {
     "q43_ann_ivf" -> 3, "q44_embedding_quantize" -> 1,
     "q45_keyword_rank" -> 1, "q47_repetition_signals" -> 1,
     "q48_pii_scrub" -> 1, "q49_label_centroids" -> 2,
+    "q51_contamination_bloom" -> 4,
     "q46_regional_revenue" -> 2, "q60_tumbling_window" -> 2,
     "q61_session_window" -> 2, "q62_asof_join" -> 2,
     "q63_sliding_window" -> 2, "q64_json_extract" -> 2,
