@@ -23,15 +23,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Materialize through the noop sink, NOT count(): under count() the
+    // optimizer prunes every output column and can eliminate whole joins
+    // (a distinct-keyed left join followed by a group-on-left-key collapses
+    // to the left side), so count() was timing plans that skipped the very
+    // work being benchmarked. The noop write evaluates every output row in
+    // full with zero sink cost.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try run(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
 
     // best-of-2 per query: steady-state operator cost, not GC/scheduler
     // noise. A failing query reports -1 (unmistakable), not its elapsed.
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val p1 = timedPass()

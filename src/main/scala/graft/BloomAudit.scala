@@ -40,12 +40,17 @@ object BloomAudit {
     val tr = docs.filter(col("source") =!= "src0")
       .select(explode(sh).as("sh")).distinct().persist()
     try {
-      val nTrain = tr.count()
+      def timed[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[bloom]   $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val nTrain = timed("count train")(tr.count())
       val mBits = BloomFilterOps.pickMBits(nTrain)
-      val bits = BloomFilterOps.buildBloom(tr, "sh", mBits)
-      val probeRows = ev.count()
-      val survivors = ev.filter(BloomFilterOps.mightContain(bits, mBits, 6, col("sh"))).count()
-      val hits = ev.join(tr, Seq("sh"), "left_semi").count()
+      val bits = timed("build bloom")(BloomFilterOps.buildBloom(tr, "sh", mBits))
+      val probeRows = timed("count probe")(ev.count())
+      val survivors = timed("probe pass")(
+        ev.filter(BloomFilterOps.mightContain(bits, mBits, 6, col("sh"))).count())
+      val hits = timed("exact semi join")(ev.join(tr, Seq("sh"), "left_semi").count())
       val cut = 1.0 - survivors.toDouble / probeRows
       println(f"[bloom] sf=$sfDir trainShingles=$nTrain mBits=$mBits (${mBits / 8192} KiB)")
       println(f"[bloom] probeRows=$probeRows survivors=$survivors trueHits=$hits " +

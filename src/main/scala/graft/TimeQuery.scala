@@ -23,8 +23,10 @@ object TimeQuery {
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[time] $name rep$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // noop sink, not count(): count() lets the optimizer drop columns and
+      // even whole joins, timing a different plan than Verify executes
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[time] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

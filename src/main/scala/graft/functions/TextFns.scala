@@ -82,8 +82,11 @@ object TextFns {
   def tokenId(t: Column, vocabSize: Int): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long") % vocabSize
 
+  /** Kernel form of `transform(tokens, t => tokenId(t, vocabSize))` — one
+    * md5 loop per row instead of interpreted per-element lambdas
+    * (TokenIdsExpr scaladoc has the numbers). */
   def encodeTokens(tokens: Column, vocabSize: Int): Column =
-    transform(tokens, t => tokenId(t, vocabSize))
+    TokenIdsExpr.encode(tokens, vocabSize)
 
   /** Right-pad with 0 / truncate to exactly `len` (F2, src/main.py:80). */
   def padIds(ids: Column, len: Int): Column =
@@ -133,10 +136,11 @@ object TextFns {
         i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1))))
       .otherwise(array().cast("array<string>"))
 
-  /** Occurrence count of the most frequent token (0 for empty input).
-    * O(distinct·n) per row — pure codegen'd array arithmetic, no shuffle;
-    * for book-length documents switch to an explode + count instead. */
+  /** Occurrence count of the most frequent token (0 for empty input), as
+    * one hash-count kernel pass per row. The composable
+    * `array_max(transform(array_distinct(ts), u -> size(filter(ts, _ = u))))`
+    * form runs O(distinct·n) INTERPRETED lambda evaluations per row
+    * (lambdas don't codegen) — ~2.5 s of a sf0.1 scan before this kernel. */
   def topTokenCount(tokens: Column): Column =
-    coalesce(array_max(transform(array_distinct(tokens),
-      u => size(filter(tokens, x => x === u)))), lit(0))
+    TopTokenCountExpr.topTokenCount(tokens)
 }

@@ -401,18 +401,20 @@ object PipelineQueries {
     val sh = Dedup.shingles(col("text"), 3)
     val ev = docs.filter(col("source") === "src0")
       .select(col("doc_id"), explode(sh).as("sh"))
-    val tr = docs.filter(col("source") =!= "src0")
-      .select(explode(sh).as("sh")).distinct()
-    // Persist spans only the two build-time passes (count + bloom build);
-    // unpersist in a finally so neither a build failure nor a completed
-    // bench pass leaves blocks pinned for the JVM's lifetime. The exact
-    // verify join below recomputes tr once at execution — that scan was
-    // q38's cost anyway, and a leaked persist is the worse trade.
-    val trP = tr.persist()
-    val (mBits, bits) = try {
-      val m = BloomFilterOps.pickMBits(trP.count())
-      (m, BloomFilterOps.buildBloom(trP, "sh", m))
-    } finally trP.unpersist(blocking = false)
+    // Raw (NON-distinct) train shingles feed the bloom: inserts are
+    // idempotent, so deduplicating first would only add a full shuffle of
+    // the train side before the build — the one cost this operator exists
+    // to avoid. The build is then two shuffle-free scans (occurrence count
+    // to size the filter — an overestimate of distinct keys, which only
+    // widens it toward the 8 MB cap — plus the position/or-fold pass whose
+    // shuffle is bounded by the word table, never the data). Nothing is
+    // persisted, so no block outlives the call; the exact verify join
+    // below deduplicates lazily exactly as q38 does.
+    val trRaw = docs.filter(col("source") =!= "src0")
+      .select(explode(sh).as("sh"))
+    val mBits = BloomFilterOps.pickMBits(trRaw.count())
+    val bits = BloomFilterOps.buildBloom(trRaw, "sh", mBits)
+    val tr = trRaw.distinct()
     val nsh = ev.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val nhit = ev.filter(BloomFilterOps.mightContain(bits, mBits, 6, col("sh")))
       .join(tr, Seq("sh"))

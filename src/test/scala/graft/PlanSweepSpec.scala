@@ -47,7 +47,10 @@ class PlanSweepSpec extends SparkSpec {
     "q09_window_running" -> 2, "q10_setops" -> 3,
     "q11_dates_math" -> 2, "q12_balanced_sample" -> 2,
     "q13_agg_cube" -> 2, "q14_distinct" -> 3,
-    "q15_percentiles" -> 2, "q16_profile" -> 2,
+    // q16: 5 per-column aggs (2 exchanges each: partial→final) unioned —
+    // deliberate; each scan reads ONE column and shuffles only distinct
+    // values, vs the 6× row-amplifying Expand of a fused multi-distinct agg
+    "q15_percentiles" -> 2, "q16_profile" -> 10,
     "q17_correlated_agg" -> 2, "q18_argminmax" -> 2,
     "q19_string_fns" -> 1, "q20_clean_text" -> 1,
     "q21_text_stats" -> 1, "q22_langid" -> 2,
