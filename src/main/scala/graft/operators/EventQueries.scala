@@ -279,8 +279,45 @@ object EventQueries {
       .orderBy("window_start")
   }
 
+  /** Per-group z-score outlier detection: per-event-type mean/std from the
+    * same exact decimal moments as q66 (order-independent, engine-exact),
+    * broadcast back onto the stream, events with |z| > 2 flagged. Shape at
+    * scale: one keyed aggregation over event types (tiny) + a broadcast
+    * join — the fact table never shuffles. */
+  val q54GroupOutliers: QuerySpec = QuerySpec.oracle(
+    "q54_group_outliers",
+    """WITH s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+      |    CAST(sum(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sv2
+      |  FROM events GROUP BY event_type),
+      |m AS (SELECT event_type, sv / n AS mean_v,
+      |    sqrt(greatest(CAST(n AS DOUBLE) * sv2 - sv * sv, 0)
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS std_v
+      |  FROM s WHERE n >= 2)
+      |SELECT event_id, e.event_type, value, (value - mean_v) / std_v AS z
+      |FROM events e JOIN m USING (event_type)
+      |WHERE abs((value - mean_v) / std_v) > 2 ORDER BY event_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val s = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      dsum(col("value")).as("sv"),
+      dsum(col("value") * col("value"), 4).as("sv2"))
+    val nD = col("n").cast("double")
+    val std = sqrt(greatest(nD * col("sv2") - col("sv") * col("sv"), lit(0d))
+      / (nD * (nD - lit(1))))
+    val m = s.filter(col("n") >= 2)
+      .select(col("event_type"), (col("sv") / col("n")).as("mean_v"), std.as("std_v"))
+    val z = (col("value") - col("mean_v")) / col("std_v")
+    ev.join(broadcast(m), Seq("event_type"))
+      .filter(abs(z) > 2)
+      .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
-    q69WindowDistinct)
+    q69WindowDistinct, q54GroupOutliers)
 }

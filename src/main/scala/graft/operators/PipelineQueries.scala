@@ -456,9 +456,112 @@ object PipelineQueries {
       .orderBy("label", "dim")
   }
 
+  /** Spark side of [[LowToksSql]] (Dedup's case-insensitive tokenizer). */
+  private def lowToksCol: Column =
+    filter(split(lower(col("text")), "\\W+"), t => t =!= "")
+
+  /** Training-data mixture construction: each source contributes documents
+    * until a fixed per-source token budget is hit, in a DETERMINISTIC
+    * pseudo-random order (md5 of doc_id — layout-independent, so the same
+    * mixture comes out of any partitioning/cluster size). One windowed
+    * prefix-sum per source: shuffle is hash(source), in-partition sort —
+    * the standard mixture-weights pass (Pile-style source balancing) at
+    * 100 TB. Skew note: a single giant source serializes its own window;
+    * the scale variant keys the window by (source, hash-stripe) and
+    * reconciles stripe budgets, which this operator would adopt before a
+    * one-source-dominates corpus. */
+  val q52DataMixture: QuerySpec = QuerySpec.oracle(
+    "q52_data_mixture",
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(len($LowToksSql) AS BIGINT) AS n_toks FROM documents),
+       |c AS (SELECT *, CAST(sum(n_toks) OVER (PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
+       |SELECT doc_id, source, n_toks, cum_tokens FROM c
+       |WHERE cum_tokens <= 600 ORDER BY source, cum_tokens""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(lowToksCol).cast("long").as("n_toks"))
+      .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+      .filter(col("cum_tokens") <= 600)
+      .orderBy("source", "cum_tokens")
+  }
+
+  /** Heavy hitters at scale: a Misra-Gries sketch pass (bounded k-entry
+    * state per partition — the vocabulary never shuffles) produces a
+    * candidate set that provably contains every token with count > n/(k+1);
+    * an exact recount restricted to the broadcast candidates then yields
+    * exact top-20 counts. Oracle-identical to a plain exact top-20 whenever
+    * no true top-20 token falls below the n/(k+1) bound — here trivially:
+    * the corpus vocabulary (31) is under k=64, so the sketch holds every
+    * token with its exact count. The adversarial superset guarantee is
+    * spec-covered (FrequentItemsSpec). */
+  val q53HeavyHitters: QuerySpec = QuerySpec.oracle(
+    "q53_heavy_hitters",
+    s"""WITH toks AS (SELECT unnest($LowToksSql) AS token FROM documents)
+       |SELECT token, count(*) AS n FROM toks GROUP BY token
+       |ORDER BY n DESC, token LIMIT 20""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.FrequentItemsSketch
+    val toks = Tables.documents(spark, dir).select(explode(lowToksCol).as("token"))
+    // 1-row candidate array → lazy scalar-subquery idiom (same as q27/q45)
+    val cands = toks.agg(FrequentItemsSketch.frequentItems(col("token"), 64).as("cands"))
+      .select(transform(col("cands"), s => s.getField("item")).as("cand_items"))
+    toks.crossJoin(broadcast(cands))
+      .filter(array_contains(col("cand_items"), col("token")))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+  }
+
+  /** Curriculum ordering: docs bucketed into difficulty quartiles by token
+    * count (exact interpolated quartiles, broadcast as 1-row cut-points —
+    * NOT ntile, whose single-partition global sort dies at scale), then
+    * interleaved round-robin across buckets so every training window sees
+    * the full difficulty mix. The curriculum position is pure arithmetic
+    * over (rank-within-bucket, bucket) — no global window anywhere. */
+  val q55Curriculum: QuerySpec = QuerySpec.oracle(
+    "q55_curriculum",
+    s"""WITH t AS (SELECT doc_id, CAST(len($LowToksSql) AS BIGINT) AS n_toks FROM documents),
+       |q AS (SELECT quantile_cont(n_toks, 0.25) AS q1, quantile_cont(n_toks, 0.5) AS q2,
+       |    quantile_cont(n_toks, 0.75) AS q3 FROM t),
+       |b AS (SELECT doc_id, n_toks,
+       |    CAST(1 + CAST(n_toks > q1 AS INT) + CAST(n_toks > q2 AS INT)
+       |      + CAST(n_toks > q3 AS INT) AS BIGINT) AS bucket
+       |  FROM t CROSS JOIN q),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY n_toks, doc_id) AS rn FROM b)
+       |SELECT doc_id, n_toks, bucket, rn, (rn - 1) * 4 + bucket AS pos
+       |FROM r ORDER BY pos""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(lowToksCol).cast("long").as("n_toks"))
+    val q = t.agg(
+      expr("percentile(n_toks, 0.25)").as("q1"),
+      expr("percentile(n_toks, 0.5)").as("q2"),
+      expr("percentile(n_toks, 0.75)").as("q3"))
+    val bucket = (lit(1) +
+      (col("n_toks") > col("q1")).cast("int") +
+      (col("n_toks") > col("q2")).cast("int") +
+      (col("n_toks") > col("q3")).cast("int")).cast("long")
+    val rn = row_number().over(
+      Window.partitionBy("bucket").orderBy("n_toks", "doc_id")).cast("long")
+    t.crossJoin(broadcast(q))
+      .select(col("doc_id"), col("n_toks"), bucket.as("bucket"))
+      .withColumn("rn", rn)
+      .select(col("doc_id"), col("n_toks"), col("bucket"), col("rn"),
+        ((col("rn") - 1) * 4 + col("bucket")).as("pos"))
+      .orderBy("pos")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
     q40KnnTopK, q41AnnLsh, q42KnnClassify, q43AnnIvf, q44QuantizeInt8,
-    q45KeywordRank, q49LabelCentroids, q51ContaminationBloom)
+    q45KeywordRank, q49LabelCentroids, q51ContaminationBloom,
+    q52DataMixture, q53HeavyHitters, q55Curriculum)
 }

@@ -30,7 +30,10 @@ class PlanSweepSpec extends SparkSpec {
     "q27_token_rarity",
     // q45 — crossJoin(broadcast(g)) where g is the 1-row corpus statistics
     // aggregate: the same lazy scalar-subquery idiom as q27's nDocs
-    "q45_keyword_rank")
+    "q45_keyword_rank",
+    // q53/q55 — crossJoin(broadcast(x)) where x is a 1-row aggregate (the
+    // ≤k candidate array / the 3 quartile cut-points): same idiom
+    "q53_heavy_hitters", "q55_curriculum")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -68,6 +71,8 @@ class PlanSweepSpec extends SparkSpec {
     "q45_keyword_rank" -> 1, "q47_repetition_signals" -> 1,
     "q48_pii_scrub" -> 1, "q49_label_centroids" -> 2,
     "q51_contamination_bloom" -> 4,
+    "q52_data_mixture" -> 2, "q53_heavy_hitters" -> 2,
+    "q54_group_outliers" -> 2, "q55_curriculum" -> 3,
     "q46_regional_revenue" -> 2, "q60_tumbling_window" -> 2,
     "q61_session_window" -> 2, "q62_asof_join" -> 2,
     "q63_sliding_window" -> 2, "q64_json_extract" -> 2,
