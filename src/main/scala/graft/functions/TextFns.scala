@@ -63,14 +63,19 @@ object TextFns {
     else
       filter(tokens, t => !t.isin(stopwords: _*))
 
-  /** Porter-stem each token (T5) via the codegen'd Catalyst expression. */
+  /** Porter-stem each token (T5) — one kernel loop over the array
+    * (StemTokensExpr) instead of an interpreted per-element lambda around
+    * the stem expression. */
   def stemTokens(tokens: Column): Column =
-    transform(tokens, t => StemExpression.stem(t))
+    StemTokensExpr.stemTokens(tokens)
 
   /** The full clean chain T1→T4 (no stemming — kept separate because the
-    * stemmer has no DuckDB-oracle equivalent). */
+    * stemmer has no DuckDB-oracle equivalent), fused into one kernel call
+    * (CleanTokensExpr) with the exact regexes and stopword set of the
+    * composable stripUrls→stripPunct→tokenize→removeStopwords steps, which
+    * remain above as the documented building blocks. */
   def cleanTokens(text: Column): Column =
-    removeStopwords(tokenize(stripPunct(stripUrls(text))))
+    CleanTokensExpr.cleanTokens(text)
 
   /** T1→T5: the reference's `_clean_tweet` end state. */
   def cleanStemmedTokens(text: Column): Column =
