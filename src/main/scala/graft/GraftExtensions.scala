@@ -1,6 +1,8 @@
 package graft
 
-import graft.functions.{CosineSimilarityExpr, IsStopwordExpr, StemExpression}
+import graft.functions.{CleanTokensExpr, CosineSimilarityExpr, IsStopwordExpr,
+  ShinglesExpr, SimHashExpr, StemExpression, StemTokensExpr, TokenIdsExpr,
+  TopTokenCountExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -28,5 +30,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarityExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_clean_tokens"),
+      new ExpressionInfo(classOf[CleanTokensExpr].getName, "graft_clean_tokens"),
+      (children: Seq[Expression]) => CleanTokensExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_stem_tokens"),
+      new ExpressionInfo(classOf[StemTokensExpr].getName, "graft_stem_tokens"),
+      (children: Seq[Expression]) => StemTokensExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (children: Seq[Expression]) => ShinglesExpr(children(0), litInt(children(1), "graft_shingles(text, n)"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashExpr(children(0), litInt(children(1), "graft_simhash(text, bits)"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_ids"),
+      new ExpressionInfo(classOf[TokenIdsExpr].getName, "graft_token_ids"),
+      (children: Seq[Expression]) => TokenIdsExpr(children(0), litInt(children(1), "graft_token_ids(tokens, vocab)"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_token_count"),
+      new ExpressionInfo(classOf[TopTokenCountExpr].getName, "graft_top_token_count"),
+      (children: Seq[Expression]) => TopTokenCountExpr(children.head)))
+  }
+
+  /** Kernel parameters (n, bits, vocab) shape the expression itself, so
+    * they must be integer literals at analysis time. */
+  private def litInt(e: Expression, usage: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case _ => throw new IllegalArgumentException(s"$usage needs an integer literal, got $e")
   }
 }

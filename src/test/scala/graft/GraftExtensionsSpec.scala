@@ -36,6 +36,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
         assert(!row.getAs[Boolean]("sw2"), "case-sensitive")
         assert(math.abs(row.getAs[Double]("c") - 1.0) < 1e-12)
 
+        val kernelRow = spark.sql(
+          """SELECT graft_clean_tokens('the Spark engine runs fast') AS ct,
+            |  graft_stem_tokens(array('connections', 'running')) AS st,
+            |  graft_shingles('a b c d', 3) AS sh,
+            |  graft_simhash('spark engine', 16) AS sim,
+            |  graft_token_ids(array('spark'), 1000) AS ids,
+            |  graft_top_token_count(array('a', 'b', 'a')) AS ttc
+            |""".stripMargin).collect().head
+        assert(kernelRow.getAs[scala.collection.Seq[String]]("ct") == Seq("Spark", "engine", "runs", "fast"))
+        assert(kernelRow.getAs[scala.collection.Seq[String]]("st") == Seq("connect", "run"))
+        assert(kernelRow.getAs[scala.collection.Seq[String]]("sh") == Seq("a b c", "b c d"))
+        // same value the composable md5-based expressions produce
+        val mirror = spark.sql(
+          """SELECT graft_simhash('spark engine', 16) = graft_simhash('spark  ENGINE', 16) AS ci,
+            |  graft_token_ids(array('spark'), 1000)[0] =
+            |    CAST(conv(substring(md5('spark'), 1, 15), 16, 10) AS BIGINT) % 1000 AS idok
+            |""".stripMargin).collect().head
+        assert(mirror.getAs[Boolean]("ci"), "simhash tokenization lowercases")
+        assert(mirror.getAs[Boolean]("idok"), "token id matches the md5 definition")
+        assert(kernelRow.getAs[Int]("ttc") == 2)
+
         // FuseCosineRule: the composable HOF cosine optimizes into the
         // fused expression, with identical values
         import org.apache.spark.sql.functions.col
