@@ -114,9 +114,13 @@ object Similarity {
                                          bitsPerBand: Int, seed: Long): DataFrame = {
     require(bitsPerBand <= 56, s"bitsPerBand=$bitsPerBand exceeds the 56-bit Long key field")
     val ps = planes(numBands * bitsPerBand, dims, seed)
+    // sign(dot) ≡ sign(cosine) — norms are positive, and the degenerate
+    // cases agree too (zero vector: cosine NaN > 0 and dot 0 > 0 are both
+    // false) — so the dot skips recomputing both norms per bit, 3× fewer
+    // float ops across bands × bits hashes per row
     def bandKey(b: Int): Column =
       (0 until bitsPerBand).map { i =>
-        when(CosineSimilarityExpr.cosine(col("embedding"), typedlit(ps(b * bitsPerBand + i))) > 0,
+        when(DotProductExpr.dot(col("embedding"), typedlit(ps(b * bitsPerBand + i))) > 0,
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     vecs.select(col("vec_id"), col("embedding"), explode(array(
@@ -171,14 +175,21 @@ object Similarity {
     val bits = if (bitsPerBand > 0) bitsPerBand else autoBitsPerBand(vecs.count())
     val nb = if (numBands > 0) numBands else autoNumBands(minCosine, bits)
     val bands = bandAssignments(vecs, dims, nb, bits, seed)
-    val a = bands.select(col("band"), col("key"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = bands.select(col("band"), col("key"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .withColumn("norm", sqrt(VectorFns.normSq(col("embedding"))))
+    val a = bands.select(col("band"), col("key"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = bands.select(col("band"), col("key"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
     // verify + threshold BEFORE the dedup shuffle: rows shrink to
     // (id_a, id_b, sim) and sub-threshold candidates never shuffle at all
-    // (a pair found by k bands recomputes cosine k≤numBands times — cheaper
-    // than shuffling two embedding payloads per candidate)
+    // (a pair found by k bands recomputes the dot k≤numBands times —
+    // cheaper than shuffling two embedding payloads per candidate). Norms
+    // ride the rows (one sqrt per row-band, 8 bytes), so the per-PAIR work
+    // is the dot alone; dot/(norm_a·norm_b) is the cosine expression's
+    // exact arithmetic, results bit-identical.
     a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", CosineSimilarityExpr.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("sim",
+        DotProductExpr.dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= minCosine)
       .groupBy("id_a", "id_b").agg(first(col("sim")).as("sim"))
   }

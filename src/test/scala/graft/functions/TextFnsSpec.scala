@@ -48,6 +48,33 @@ class TextFnsSpec extends SparkSpec {
     assert(out(1).getSeq[Int](1).forall(_ == 0))
   }
 
+  test("kernel forms are value-identical to the composable T1-T5 building blocks") {
+    // The kernels (CleanTokensExpr, StemTokensExpr, TokenIdsExpr,
+    // TopTokenCountExpr, ShinglesExpr, SimHashExpr) ship the hot paths;
+    // the composable forms below remain the semantic DEFINITION. This spec
+    // pins them together so neither can drift.
+    val tricky = Seq(
+      "Check https://x.co/ab and www.foo.com now!",
+      "The cat saw the dog; don't stop me... 100% (really)",
+      "", "   ", "UPPER lower MiXeD the THE The",
+      "unicode: café naïve 中文 emoji 😀 end",
+      "a b c d e f g a b c d")
+    val df = spark.createDataFrame(tricky.map(Tuple1(_))).toDF("text")
+    val composedClean = removeStopwords(tokenize(stripPunct(stripUrls(col("text")))))
+    val rows = df.select(
+      cleanTokens(col("text")).as("kernel_clean"),
+      composedClean.as("composed_clean"),
+      stemTokens(cleanTokens(col("text"))).as("kernel_stem"),
+      transform(composedClean, t => StemExpression.stem(t)).as("composed_stem"),
+      encodeTokens(cleanTokens(col("text")), 997).as("kernel_ids"),
+      transform(composedClean, t => tokenId(t, 997)).as("composed_ids")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), "clean chain")
+      assert(r.getSeq[String](2) === r.getSeq[String](3), "stemming")
+      assert(r.getSeq[Long](4) === r.getSeq[Long](5), "token ids")
+    }
+  }
+
   test("rolling fingerprint is order-sensitive and stable") {
     val df = spark.createDataFrame(Seq(
       Tuple1("alpha beta"), Tuple1("beta alpha"))).toDF("text")
