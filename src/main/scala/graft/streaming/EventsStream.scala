@@ -92,6 +92,47 @@ object EventsStream {
       }
   }
 
+  final case class MgState(keys: Seq[Long], counts: Seq[Long])
+  final case class TrendingUser(event_type: String, user_id: Long,
+                                est_count: Long, rank: Int)
+
+  /** Streaming heavy hitters: per event type, a bounded Misra-Gries summary
+    * of user activity held in keyed state — the streaming twin of
+    * `functions.FrequentItemsSketch` (identical offer/decrement rules, so
+    * the same count > n/(k+1) superset guarantee holds over everything the
+    * key has ever seen). The state is AT MOST k entries per key forever, no
+    * matter how many distinct users stream through — the property that lets
+    * a trending-users view run unbounded at 100 TB/day, where a per-user
+    * running count (runningUserStats) would grow state linearly. Emits the
+    * current top `topN` (estimate desc, user asc) for every key touched by
+    * a micro-batch. */
+  def trendingUsers(events: DataFrame, k: Int = 16, topN: Int = 3): Dataset[TrendingUser] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    events.selectExpr("event_type", "user_id").as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OM.Append, GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[(String, Long)], state: GroupState[MgState]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(s => s.keys.lazyZip(s.counts).foreach(m.update))
+          rows.foreach { case (_, u) =>
+            m.get(u) match {
+              case Some(c) => m.update(u, c + 1)
+              case None if m.size < k => m.update(u, 1L)
+              case None =>
+                val dead = m.iterator.filter(_._2 == 1L).map(_._1).toArray
+                m.mapValuesInPlace((_, c) => c - 1)
+                dead.foreach(m.remove)
+            }
+          }
+          val entries = m.toSeq
+          state.update(MgState(entries.map(_._1), entries.map(_._2)))
+          entries.sortBy { case (u, c) => (-c, u) }.take(topN)
+            .iterator.zipWithIndex
+            .map { case ((u, c), i) => TrendingUser(et, u, c, i + 1) }
+      }
+  }
+
   /** Watermarked stream-stream join: each click paired with same-user
     * purchases inside `[click_ts, click_ts + window]` — the streaming twin
     * of the batch RangeJoin operator (q65 verifies those semantics against

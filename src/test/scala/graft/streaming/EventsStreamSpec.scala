@@ -102,6 +102,30 @@ class EventsStreamSpec extends SparkSpec {
     assert(last.getAs[Double]("max_value") == 30.0)
   }
 
+  test("streaming Misra-Gries trending users: bounded state survives restart, heavy user leads") {
+    val (src, out, ckpt) = tempDirs()
+    writeBatch(src, "b0.json", Seq(
+      evt(1, "2024-01-01 10:00:00", 7, "click", 1),
+      evt(2, "2024-01-01 10:01:00", 7, "click", 1),
+      evt(3, "2024-01-01 10:02:00", 7, "click", 1),
+      evt(4, "2024-01-01 10:03:00", 2, "click", 1)))
+    def run(): Unit = EventsStream.runToParquet(
+      EventsStream.trendingUsers(EventsStream.readEventStream(spark, src), k = 4, topN = 2).toDF(),
+      out, ckpt)
+    run()
+    // SECOND run over a new file: the summary must come back from the
+    // checkpointed state, not restart from zero
+    writeBatch(src, "b1.json", Seq(
+      evt(5, "2024-01-01 10:04:00", 7, "click", 1),
+      evt(6, "2024-01-01 10:05:00", 3, "click", 1)))
+    run()
+    val rows = spark.read.parquet(out).orderBy(col("est_count").desc).collect()
+    val top = rows.head
+    assert(top.getAs[Long]("user_id") == 7L)
+    assert(top.getAs[Long]("est_count") == 4L, "3 from batch 0 + 1 from batch 1")
+    assert(rows.count(_.getAs[Int]("rank") == 1) == 2, "one leader emission per batch")
+  }
+
   test("stream-stream join pairs clicks with in-window purchases across batches") {
     val (src, out, ckpt) = tempDirs()
     writeBatch(src, "b0.json", Seq(
