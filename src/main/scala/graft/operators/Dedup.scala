@@ -23,11 +23,6 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
-  /** Lowercased word tokens (dedup operators are case-insensitive by
-    * convention — unlike the reference's case-sensitive clean chain). */
-  private def lowToks(text: Column): Column =
-    filter(split(lower(text), "\\W+"), t => t =!= "")
-
   /** Distinct word n-gram shingles of a text column — the codegen'd
     * [[graft.functions.ShinglesExpr]] kernel (tokenize + gram + distinct in
     * one loop per row). The composable HOF form costs ~0.5 ms/doc through

@@ -404,15 +404,17 @@ object PipelineQueries {
     // Raw (NON-distinct) train shingles feed the bloom: inserts are
     // idempotent, so deduplicating first would only add a full shuffle of
     // the train side before the build — the one cost this operator exists
-    // to avoid. The build is then two shuffle-free scans (occurrence count
-    // to size the filter — an overestimate of distinct keys, which only
-    // widens it toward the 8 MB cap — plus the position/or-fold pass whose
-    // shuffle is bounded by the word table, never the data). Nothing is
-    // persisted, so no block outlives the call; the exact verify join
-    // below deduplicates lazily exactly as q38 does.
-    val trRaw = docs.filter(col("source") =!= "src0")
-      .select(explode(sh).as("sh"))
-    val mBits = BloomFilterOps.pickMBits(trRaw.count())
+    // to avoid. Sizing comes from an OVERESTIMATE (train row count × a
+    // generous shingles-per-doc bound), not a shingle-count pass: at scale
+    // that count is itself a full corpus pass, and oversizing a bloom only
+    // widens it toward the 8 MB cap — it can never affect correctness (no
+    // false negatives either way; the exact join removes false positives).
+    // So the build is ONE scan (positions → per-word or-fold, shuffle
+    // bounded by the word table, never the data), nothing is persisted,
+    // and the exact verify join below deduplicates lazily exactly as q38.
+    val trDocs = docs.filter(col("source") =!= "src0")
+    val trRaw = trDocs.select(explode(sh).as("sh"))
+    val mBits = BloomFilterOps.pickMBits(trDocs.count() * 256)
     val bits = BloomFilterOps.buildBloom(trRaw, "sh", mBits)
     val tr = trRaw.distinct()
     val nsh = ev.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
