@@ -37,15 +37,20 @@ object BloomAudit {
     val sh = Dedup.shingles(col("text"), 3)
     val ev = docs.filter(col("source") === "src0")
       .select(col("doc_id"), explode(sh).as("sh")).persist()
-    val tr = docs.filter(col("source") =!= "src0")
-      .select(explode(sh).as("sh")).distinct().persist()
+    val trDocs = docs.filter(col("source") =!= "src0")
+    val tr = trDocs.select(explode(sh).as("sh")).distinct().persist()
     try {
       def timed[A](label: String)(f: => A): A = {
         val t0 = System.nanoTime(); val r = f
         println(f"[bloom]   $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
       }
       val nTrain = timed("count train")(tr.count())
-      val mBits = BloomFilterOps.pickMBits(nTrain)
+      // The EXACT filter q51 builds: sized from the docs-count × 256
+      // overestimate (PipelineQueries.q51ContaminationBloom), not from the
+      // distinct-shingle count — so the FP/shuffle-cut numbers printed here
+      // are measurements of the shipped configuration. (Inserting distinct
+      // vs raw shingles yields an identical filter; inserts are idempotent.)
+      val mBits = BloomFilterOps.pickMBits(trDocs.count() * 256)
       val bits = timed("build bloom")(BloomFilterOps.buildBloom(tr, "sh", mBits))
       val probeRows = timed("count probe")(ev.count())
       val survivors = timed("probe pass")(

@@ -49,7 +49,13 @@ case class StemTokensExpr(child: Expression) extends UnaryExpression {
         s"graft_stem_tokens requires ARRAY<STRING>, got ${other.catalogString}")
     }
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // transform-lambda semantics: a null token stems to null, so null
+  // presence in the output tracks the input array exactly.
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
 
   override protected def nullSafeEval(input: Any): Any =
     CleanChainKernel.stemAll(input.asInstanceOf[ArrayData])
@@ -86,12 +92,15 @@ object CleanChainKernel {
     new GenericArrayData(out.toArray)
   }
 
+  /** Null tokens stem to null (the transform-lambda behavior this kernel
+    * replaces). */
   def stemAll(tokens: ArrayData): GenericArrayData = {
     val n = tokens.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) = UTF8String.fromString(PorterStemmer.stem(tokens.getUTF8String(i).toString))
+      if (!tokens.isNullAt(i))
+        out(i) = UTF8String.fromString(PorterStemmer.stem(tokens.getUTF8String(i).toString))
       i += 1
     }
     new GenericArrayData(out)

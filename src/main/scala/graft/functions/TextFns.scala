@@ -147,5 +147,7 @@ object TextFns {
     * form runs O(distinct·n) INTERPRETED lambda evaluations per row
     * (lambdas don't codegen) — ~2.5 s of a sf0.1 scan before this kernel. */
   def topTokenCount(tokens: Column): Column =
-    TopTokenCountExpr.topTokenCount(tokens)
+    // NULL token arrays coalesce to 0, matching the composable form's
+    // coalesce (array_max over an empty/NULL input yielded 0 there).
+    coalesce(TopTokenCountExpr.topTokenCount(tokens), lit(0))
 }

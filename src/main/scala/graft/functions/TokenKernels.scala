@@ -35,7 +35,13 @@ case class TokenIdsExpr(child: Expression, vocabSize: Int) extends UnaryExpressi
   override def checkInputDataTypes(): TypeCheckResult =
     TokenKernelChecks.requireStringArray("graft_token_ids", child)
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // transform-lambda semantics: a null element maps to a null id, so null
+  // presence in the output tracks the input array exactly.
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
 
   override protected def nullSafeEval(input: Any): Any =
     TokenKernel.tokenIds(input.asInstanceOf[ArrayData], vocabSize)
@@ -70,25 +76,31 @@ case class TopTokenCountExpr(child: Expression) extends UnaryExpression {
 object TokenKernel {
 
   /** First 15 hex digits of md5(token) as a 60-bit long, mod vocab —
-    * bit-identical to TextFns.tokenId / its DuckDB rendering. */
+    * bit-identical to TextFns.tokenId / its DuckDB rendering. Null elements
+    * map to null ids (the transform-lambda behavior this kernel replaces). */
   def tokenIds(tokens: ArrayData, vocabSize: Int): GenericArrayData = {
     val n = tokens.numElements()
-    val out = new Array[Long](n)
+    val out = new Array[Any](n)
     val d = TokenHashKernel.digest()
     var i = 0
     while (i < n) {
-      d.reset()
-      d.update(tokens.getUTF8String(i).getBytes)
-      val h = d.digest()
-      var v = 0L
-      var j = 0
-      while (j < 8) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
-      out(i) = (v >>> 4) % vocabSize
+      if (!tokens.isNullAt(i)) {
+        d.reset()
+        d.update(tokens.getUTF8String(i).getBytes)
+        val h = d.digest()
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
+        out(i) = (v >>> 4) % vocabSize
+      }
       i += 1
     }
     new GenericArrayData(out)
   }
 
+  /** Null elements are skipped, not counted: the composable
+    * `size(filter(ts, _ = u))` form excluded them because `null = u` is
+    * never true — an all-null array therefore counts 0. */
   def topTokenCount(tokens: ArrayData): Int = {
     val n = tokens.numElements()
     if (n == 0) return 0
@@ -96,9 +108,11 @@ object TokenKernel {
     var best = 0
     var i = 0
     while (i < n) {
-      val t = tokens.getUTF8String(i)
-      val c = counts.merge(t, 1, (a, b) => a + b)
-      if (c > best) best = c
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        val c = counts.merge(t, 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
       i += 1
     }
     best

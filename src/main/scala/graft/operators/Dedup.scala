@@ -121,9 +121,12 @@ object Dedup {
   }
 
   /** SimHash over token hashes: bit b is set iff more tokens have bit b set
-    * than clear (ties → 0). `bits` ≤ 60 (hash width). One pass, no shuffle. */
+    * than clear (ties → 0). `bits` ≤ 60 (hash width). One pass, no shuffle.
+    * NULL text coalesces to signature 0 — the value the composable
+    * `sum(when(...))` form (and the DuckDB oracle's `CASE ... ELSE 0`)
+    * computes for NULL, so null-text docs bucket under 0, not NULL. */
   def simHash(text: Column, bits: Int = 16): Column =
-    graft.functions.SimHashExpr.simHash(text, bits)
+    coalesce(graft.functions.SimHashExpr.simHash(text, bits), lit(0L))
 
   /** Docs grouped by identical simhash (hamming-0 near-dup groups). */
   def simHashGroups(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =

@@ -297,7 +297,8 @@ object EventQueries {
       |  FROM s WHERE n >= 2)
       |SELECT event_id, e.event_type, value, (value - mean_v) / std_v AS z
       |FROM events e JOIN m USING (event_type)
-      |WHERE abs((value - mean_v) / std_v) > 2 ORDER BY event_id""".stripMargin
+      |WHERE std_v > 0 AND abs((value - mean_v) / std_v) > 2
+      |ORDER BY event_id""".stripMargin
   ) { (spark, dir) =>
     val ev = Tables.events(spark, dir)
     val s = ev.groupBy("event_type").agg(
@@ -307,8 +308,14 @@ object EventQueries {
     val nD = col("n").cast("double")
     val std = sqrt(greatest(nD * col("sv2") - col("sv") * col("sv"), lit(0d))
       / (nD * (nD - lit(1))))
+    // std_v > 0 keeps the ANSI divide total: a group whose n >= 2 values
+    // are all equal has std_v = 0, where `(value - mean_v) / std_v` would
+    // raise DIVIDE_BY_ZERO (same hazard class q66 guards with its n < 2
+    // null). Zero-variance groups have no outliers by definition, and the
+    // oracle applies the identical std_v > 0 predicate.
     val m = s.filter(col("n") >= 2)
       .select(col("event_type"), (col("sv") / col("n")).as("mean_v"), std.as("std_v"))
+      .filter(col("std_v") > 0)
     val z = (col("value") - col("mean_v")) / col("std_v")
     ev.join(broadcast(m), Seq("event_type"))
       .filter(abs(z) > 2)

@@ -114,10 +114,13 @@ object Similarity {
                                          bitsPerBand: Int, seed: Long): DataFrame = {
     require(bitsPerBand <= 56, s"bitsPerBand=$bitsPerBand exceeds the 56-bit Long key field")
     val ps = planes(numBands * bitsPerBand, dims, seed)
-    // sign(dot) ≡ sign(cosine) — norms are positive, and the degenerate
-    // cases agree too (zero vector: cosine NaN > 0 and dot 0 > 0 are both
-    // false) — so the dot skips recomputing both norms per bit, 3× fewer
-    // float ops across bands × bits hashes per row
+    // sign(dot) ≡ sign(cosine) for any non-degenerate vector (norms are
+    // positive), so the dot skips recomputing both norms per bit — 3× fewer
+    // float ops across bands × bits hashes per row. Degenerate zero vectors
+    // DO key differently (cosine was NaN, which Spark's comparisons rank
+    // above 0 → all-ones key; dot 0 → all-zeros key) — immaterial, because
+    // the verify step's zero-norm guard NULLs a zero vector's similarity,
+    // so whichever bucket it lands in, it pairs with nothing.
     def bandKey(b: Int): Column =
       (0 until bitsPerBand).map { i =>
         when(DotProductExpr.dot(col("embedding"), typedlit(ps(b * bitsPerBand + i))) > 0,
@@ -186,10 +189,18 @@ object Similarity {
     // cheaper than shuffling two embedding payloads per candidate). Norms
     // ride the rows (one sqrt per row-band, 8 bytes), so the per-PAIR work
     // is the dot alone; dot/(norm_a·norm_b) is the cosine expression's
-    // exact arithmetic, results bit-identical.
+    // exact arithmetic, results bit-identical for every non-degenerate
+    // pair. The zero-norm guard matters under ANSI mode: a plain Divide
+    // would raise DIVIDE_BY_ZERO on a zero vector. It yields NULL, not
+    // NaN: Spark compares NaN GREATER than any number, so the fused
+    // cosine's NaN passed `>= minCosine` and paired a zero vector with
+    // every bucket-mate — a latent bug, not semantics worth preserving.
+    // NULL fails every comparison, so degenerate vectors pair with nothing.
+    val normProd = col("norm_a") * col("norm_b")
     a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
       .withColumn("sim",
-        DotProductExpr.dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+        when(normProd === 0.0, lit(null).cast("double"))
+          .otherwise(DotProductExpr.dot(col("emb_a"), col("emb_b")) / normProd))
       .filter(col("sim") >= minCosine)
       .groupBy("id_a", "id_b").agg(first(col("sim")).as("sim"))
   }

@@ -98,9 +98,9 @@ object EventsStream {
 
   /** Streaming heavy hitters: per event type, a bounded Misra-Gries summary
     * of user activity held in keyed state — the streaming twin of
-    * `functions.FrequentItemsSketch` (identical offer/decrement rules, so
-    * the same count > n/(k+1) superset guarantee holds over everything the
-    * key has ever seen). The state is AT MOST k entries per key forever, no
+    * `functions.FrequentItemsSketch` (the shared `MisraGries.offer` rule,
+    * so the same count > n/(k+1) superset guarantee holds over everything
+    * the key has ever seen). The state is AT MOST k entries per key forever, no
     * matter how many distinct users stream through — the property that lets
     * a trending-users view run unbounded at 100 TB/day, where a per-user
     * running count (runningUserStats) would grow state linearly. Emits the
@@ -116,14 +116,7 @@ object EventsStream {
           val m = scala.collection.mutable.HashMap.empty[Long, Long]
           state.getOption.foreach(s => s.keys.lazyZip(s.counts).foreach(m.update))
           rows.foreach { case (_, u) =>
-            m.get(u) match {
-              case Some(c) => m.update(u, c + 1)
-              case None if m.size < k => m.update(u, 1L)
-              case None =>
-                val dead = m.iterator.filter(_._2 == 1L).map(_._1).toArray
-                m.mapValuesInPlace((_, c) => c - 1)
-                dead.foreach(m.remove)
-            }
+            graft.functions.MisraGries.offer(m, k, u, identity[Long])
           }
           val entries = m.toSeq
           state.update(MgState(entries.map(_._1), entries.map(_._2)))

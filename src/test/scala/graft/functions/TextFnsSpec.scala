@@ -75,6 +75,33 @@ class TextFnsSpec extends SparkSpec {
     }
   }
 
+  test("kernel null semantics match the composable forms (null input, null elements)") {
+    // Latent on today's corpus (no null texts/tokens) but part of the
+    // kernels' documented value-identical contract: transform-lambda forms
+    // map null elements to null, filter-count forms exclude them, and the
+    // whole-input-NULL cases coalesce to 0 where the composable
+    // when/array_max forms did.
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array('run', CAST(NULL AS STRING), 'run')),
+        |  (CAST(NULL AS ARRAY<STRING>)),
+        |  (array(CAST(NULL AS STRING), CAST(NULL AS STRING)))
+        |AS t(ts)""".stripMargin)
+    val rows = df.select(
+      stemTokens(col("ts")).as("stems"),
+      encodeTokens(col("ts"), 997).as("ids"),
+      topTokenCount(col("ts")).as("top"),
+      transform(col("ts"), t => StemExpression.stem(t)).as("c_stems"),
+      transform(col("ts"), t => tokenId(t, 997)).as("c_ids")).collect()
+    assert(rows(0).getSeq[String](0) === rows(0).getSeq[String](3), "null element stems")
+    assert(rows(0).getSeq[String](0) === Seq("run", null, "run"))
+    assert(rows(0).getSeq[Any](1) === rows(0).getSeq[Any](4), "null element ids")
+    assert(rows(0).getInt(2) === 2, "nulls are not counted as tokens")
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1), "NULL array maps to NULL")
+    assert(rows(1).getInt(2) === 0, "NULL array coalesces to count 0")
+    assert(rows(2).getInt(2) === 0, "all-null array counts 0")
+  }
+
   test("rolling fingerprint is order-sensitive and stable") {
     val df = spark.createDataFrame(Seq(
       Tuple1("alpha beta"), Tuple1("beta alpha"))).toDF("text")

@@ -48,6 +48,16 @@ class DedupSpec extends SparkSpec {
     assert(groups.length >= 3, "distinct docs get distinct hashes")
   }
 
+  test("simhash of NULL text is 0, matching the composable form and the oracle") {
+    // The composable sum(when(...)) form — and q33's DuckDB CASE mirror —
+    // computes 0 for NULL text; the kernel coalesces to the same value so
+    // null-text docs bucket under signature 0, never NULL.
+    val df = spark.sql("SELECT CAST(NULL AS STRING) AS text UNION ALL SELECT 'a b a'")
+    val sigs = df.select(Dedup.simHash(col("text")).as("s")).collect().map(_.getLong(0))
+    assert(sigs.contains(0L))
+    assert(sigs.forall(_ >= 0L))
+  }
+
   test("simhash hamming pairs find the near-dup via pigeonhole blocking") {
     val pairs = Dedup.simHashPairs(planted, "doc_id", "text", bits = 16, maxHamming = 3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -50,4 +50,21 @@ class EventQueriesSpec extends SparkSpec {
     assert(oracleCounts == Map(1L -> 1, 2L -> 2, 3L -> 1),
       "oracle strict-> formulation agrees with Spark at the boundary")
   }
+
+  test("q54: a zero-variance group yields no outliers instead of an ANSI divide error") {
+    import spark.implicits._
+    // "const" has n >= 2 all-equal values (std_v = 0) — without the
+    // std_v > 0 guard the z-score divide raises DIVIDE_BY_ZERO under this
+    // project's ANSI mode. "var" plants exactly one |z| > 2 outlier
+    // (mean 10, std ~31.6, z(100) ~2.85).
+    val rows = (1L to 3L).map(i => (i, "const", 7.5, ts("2024-01-01 00:00:00"))) ++
+      (4L to 12L).map(i => (i, "var", 0.0, ts("2024-01-01 00:00:00"))) :+
+      (13L, "var", 100.0, ts("2024-01-01 00:00:00"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q54").toString
+    rows.toDF("event_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.q54GroupOutliers.build(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq === Seq(13L))
+    assert(out.head.getAs[Double]("z") > 2)
+  }
 }

@@ -52,6 +52,26 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.subsetOf(exact), "verification step admits no false positives")
   }
 
+  test("sign-LSH tolerates an all-zero embedding: no crash, no pairs for it") {
+    // A zero vector keys all-zeros into some bucket; its verify divisor
+    // norm_a*norm_b is 0. The NaN guard (Similarity.scala) must keep the
+    // ANSI Divide from raising DIVIDE_BY_ZERO, and NaN >= minCosine must
+    // keep it out of every pair — the fused-cosine semantics it replaced.
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
+    val dims = base.select(size(col("embedding"))).first().getInt(0)
+    val zero = spark.range(1).select(
+      lit(9999L).as("vec_id"),
+      array_repeat(lit(0.0f), dims).as("embedding"),
+      lit(0).as("label"))
+    val vecs = base.unionByName(zero.withColumn("label", col("label").cast(
+      base.schema("label").dataType)))
+    val pairs = Similarity.signLshNearDupPairs(vecs, minCosine = 0.5,
+        numBands = 4, bitsPerBand = 4)  // few wide buckets: collisions guaranteed
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(!pairs.exists(p => p._1 == 9999L || p._2 == 9999L),
+      s"zero vector must pair with nothing: ${pairs.filter(p => p._1 == 9999L || p._2 == 9999L).mkString(",")}")
+  }
+
   test("sign-LSH auto parameters scale with corpus size and clamp sanely") {
     // bits: log2(n)+8, floor at small n, Long-field cap at huge n
     assert(Similarity.autoBitsPerBand(256) == 16)
