@@ -560,10 +560,105 @@ object PipelineQueries {
       .orderBy("pos")
   }
 
+  /** Temperature-flattened mixture resampling (the XLM-R style p^α rule,
+    * α = 1/2): each source keeps documents at rate
+    * `min(1, 1/2 · sqrt(maxTokens / srcTokens))`, anchored at the largest
+    * source — so over-represented sources are down-sampled hardest and a
+    * source 4× smaller than the largest survives intact. The keep decision
+    * is a DETERMINISTIC md5 coin per doc_id (layout-independent, same
+    * sample from any partitioning), and every arithmetic step — max,
+    * long→double casts, divide, sqrt, multiply, compare — is an exactly
+    * rounded IEEE op, so Spark and DuckDB draw the IDENTICAL sample
+    * (transcendental functions like pow/log would not survive that bar;
+    * α = 1/2 is chosen because sqrt does). Shape at scale: per-source token
+    * totals are a tiny aggregate (one shuffle of partial sums), rates ride
+    * back on a broadcast join, the coin is a scan-side filter — the corpus
+    * itself never shuffles. */
+  val q56MixtureResample: QuerySpec = QuerySpec.oracle(
+    "q56_mixture_resample",
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len($LowToksSql) AS BIGINT) AS n_toks FROM documents),
+       |s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_toks FROM t GROUP BY source),
+       |mx AS (SELECT max(src_toks) AS max_toks FROM s),
+       |r AS (SELECT source, src_toks,
+       |    least(1.0, 0.5 * sqrt(CAST(max_toks AS DOUBLE) / CAST(src_toks AS DOUBLE))) AS keep_rate
+       |  FROM s CROSS JOIN mx)
+       |SELECT doc_id, t.source, n_toks, keep_rate
+       |FROM t JOIN r ON t.source = r.source
+       |WHERE CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    AS DOUBLE) / 1152921504606846976.0 < keep_rate
+       |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(lowToksCol).cast("long").as("n_toks"))
+    val s = t.groupBy("source").agg(sum(col("n_toks")).as("src_toks"))
+    val mx = s.agg(max(col("src_toks")).as("max_toks"))
+    val r = s.crossJoin(broadcast(mx))
+      .select(col("source"), col("src_toks"),
+        least(lit(1.0), lit(0.5) *
+          sqrt(col("max_toks").cast("double") / col("src_toks").cast("double")))
+          .as("keep_rate"))
+    // 2^60 is exactly representable; the md5 coin is the same 60-bit hash
+    // fraction both engines compute bit-for-bit (see TextFns.tokenId).
+    val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0)
+    t.join(broadcast(r.drop("src_toks")), Seq("source"))
+      .filter(coin < col("keep_rate"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("keep_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram language-model table: adjacent-token pair counts with the
+    * conditional probability P(b | a) = c(a,b) / Σ_b' c(a,b') — the
+    * building block behind LM-perplexity quality filters and synthetic-text
+    * detectors. Probabilities divide two exact integer counts (one exactly
+    * rounded double divide — cross-engine identical). Shape at scale:
+    * bigram counting is a map-side-combined aggregation keyed by the pair;
+    * the prefix totals are vocabulary-sized and broadcast back, so the only
+    * data-proportional shuffle carries (pair, partial count) rows. */
+  val q57BigramLm: QuerySpec = QuerySpec.oracle(
+    "q57_bigram_lm",
+    s"""WITH toks AS (SELECT $LowToksSql AS ts FROM documents),
+       |bg AS (SELECT unnest(CASE WHEN len(ts) >= 2
+       |    THEN list_transform(generate_series(1, len(ts) - 1),
+       |      i -> concat_ws(' ', ts[i], ts[i+1]))
+       |    ELSE [] END) AS bg FROM toks),
+       |p AS (SELECT str_split(bg, ' ')[1] AS a, str_split(bg, ' ')[2] AS b,
+       |    count(*) AS n_ab FROM bg GROUP BY 1, 2),
+       |pre AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM p GROUP BY a)
+       |SELECT p.a, p.b, n_ab, n_a,
+       |  CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_cond
+       |FROM p JOIN pre USING (a)
+       |ORDER BY n_ab DESC, a, b LIMIT 30""".stripMargin
+  ) { (spark, dir) =>
+    // Pairs via slice+arrays_zip, NOT TextFns.bigrams+split: the bigram
+    // lambda is an interpreted HOF and the string round-trip costs two
+    // regex splits per exploded row — measured 9.5 s vs 0.6 s at sf0.1.
+    // slice/arrays_zip/explode are all native codegen'd operators. The
+    // (ts[i], ts[i+1]) pairs are value-identical to the oracle's
+    // concat-then-split rendering (tokens are \W+-split, never contain
+    // spaces).
+    val n1 = greatest(size(col("ts")) - 1, lit(0))
+    val bg = Tables.documents(spark, dir)
+      .select(lowToksCol.as("ts"))
+      .select(explode(arrays_zip(
+        slice(col("ts"), lit(1), n1).as("a"),
+        slice(col("ts"), lit(2), n1).as("b"))).as("z"))
+      .select(col("z.a"), col("z.b"))
+    val p = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val pre = p.groupBy("a").agg(sum(col("n_ab")).as("n_a"))
+    p.join(broadcast(pre), Seq("a"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("p_cond"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(30)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
     q40KnnTopK, q41AnnLsh, q42KnnClassify, q43AnnIvf, q44QuantizeInt8,
     q45KeywordRank, q49LabelCentroids, q51ContaminationBloom,
-    q52DataMixture, q53HeavyHitters, q55Curriculum)
+    q52DataMixture, q53HeavyHitters, q55Curriculum,
+    q56MixtureResample, q57BigramLm)
 }

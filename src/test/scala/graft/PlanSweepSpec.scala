@@ -31,9 +31,10 @@ class PlanSweepSpec extends SparkSpec {
     // q45 — crossJoin(broadcast(g)) where g is the 1-row corpus statistics
     // aggregate: the same lazy scalar-subquery idiom as q27's nDocs
     "q45_keyword_rank",
-    // q53/q55 — crossJoin(broadcast(x)) where x is a 1-row aggregate (the
-    // ≤k candidate array / the 3 quartile cut-points): same idiom
-    "q53_heavy_hitters", "q55_curriculum")
+    // q53/q55/q56 — crossJoin(broadcast(x)) where x is a 1-row aggregate
+    // (the ≤k candidate array / the 3 quartile cut-points / the max source
+    // token total): same idiom
+    "q53_heavy_hitters", "q55_curriculum", "q56_mixture_resample")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -72,6 +73,10 @@ class PlanSweepSpec extends SparkSpec {
     "q48_pii_scrub" -> 1, "q49_label_centroids" -> 2,
     "q51_contamination_bloom" -> 4,
     "q52_data_mixture" -> 2, "q53_heavy_hitters" -> 2,
+    // q56: the 20-row per-source aggregate subtree is planned twice (under
+    // the 1-row max and under the rates join) + SinglePartition for the max
+    // + the final sort — all source-cardinality-sized, never the corpus
+    "q56_mixture_resample" -> 4, "q57_bigram_lm" -> 3,
     "q54_group_outliers" -> 2, "q55_curriculum" -> 3,
     "q46_regional_revenue" -> 2, "q60_tumbling_window" -> 2,
     "q61_session_window" -> 2, "q62_asof_join" -> 2,

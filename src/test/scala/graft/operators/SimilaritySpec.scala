@@ -54,9 +54,10 @@ class SimilaritySpec extends SparkSpec {
 
   test("sign-LSH tolerates an all-zero embedding: no crash, no pairs for it") {
     // A zero vector keys all-zeros into some bucket; its verify divisor
-    // norm_a*norm_b is 0. The NaN guard (Similarity.scala) must keep the
-    // ANSI Divide from raising DIVIDE_BY_ZERO, and NaN >= minCosine must
-    // keep it out of every pair — the fused-cosine semantics it replaced.
+    // norm_a*norm_b is 0. The zero-norm guard (Similarity.scala) must keep
+    // the ANSI Divide from raising DIVIDE_BY_ZERO, and its NULL sim must
+    // keep the vector out of every pair (NaN would NOT: Spark ranks NaN
+    // above any number, so NaN >= minCosine passes).
     val base = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
     val dims = base.select(size(col("embedding"))).first().getInt(0)
     val zero = spark.range(1).select(
