@@ -52,12 +52,16 @@ object Bench {
         val (a, b) = (p1(k), p2(k))
         k -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
       }.toSeq: _*)
-    // Millisecond precision keeps the one-line JSON short enough to survive
-    // tail-capture of the build log intact (full nanosecond doubles pushed
-    // the line past the capture window, truncating its head and making it
-    // unparseable downstream); sub-ms digits are noise at bench scale anyway.
+    // The build log is tail-captured to its last 2000 chars downstream, and
+    // anything after the JSON line (sbt's success banner) eats into that
+    // window too — so the line must stay comfortably short or its HEAD gets
+    // truncated and it never parses. Two levers: millisecond precision
+    // (sub-ms digits are noise at bench scale) and the unique qNN prefix as
+    // the query key (the full names cost ~15 chars × 70 queries; the
+    // numbers are unique across the whole surface and map 1:1 to
+    // SparkEntry.queries / CORRECTNESS rows).
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
