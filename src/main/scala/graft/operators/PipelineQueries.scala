@@ -654,11 +654,108 @@ object PipelineQueries {
       .limit(30)
   }
 
+  /** Per-document bigram-LM surprisal (the perplexity-filter quality
+    * signal): score each document by the average information content of its
+    * bigrams under the corpus's own bigram model (q57's table). The
+    * per-bigram surprisal −log2 P(b|a) is QUANTIZED to whole bits and
+    * computed exactly on integers — floor(log2(n_a / n_ab)) is the binary
+    * length of the integer quotient, so every step (integer divide, bin(),
+    * length, sum, one final double divide) is cross-engine bit-identical,
+    * where a libm log/ln could never hash-match (same bar as q45's idf and
+    * q56's α=1/2). High average bits = improbable token transitions =
+    * gibberish/outlier candidate. Shape at scale: the LM build is a
+    * map-side-combined pair-keyed aggregation; scoring re-joins the
+    * doc-bigram stream to the LM on the pair key — both shuffles carry
+    * (pair, count)-shaped rows, the corpus text never moves twice, and the
+    * vocabulary-sized prefix table rides in via broadcast. */
+  val q58LmSurprisal: QuerySpec = QuerySpec.oracle(
+    "q58_lm_surprisal",
+    s"""WITH toks AS (SELECT doc_id, $LowToksSql AS ts FROM documents),
+       |bg AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+       |    THEN list_transform(generate_series(1, len(ts) - 1),
+       |      i -> concat_ws(' ', ts[i], ts[i+1]))
+       |    ELSE [] END) AS bgs FROM toks),
+       |pr AS (SELECT doc_id, str_split(bgs, ' ')[1] AS a,
+       |    str_split(bgs, ' ')[2] AS b FROM bg),
+       |lm AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY 1, 2),
+       |pre AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM lm GROUP BY a),
+       |sc AS (SELECT doc_id, length(bin(n_a // n_ab)) - 1 AS bits
+       |  FROM pr JOIN lm USING (a, b) JOIN pre USING (a))
+       |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(bits) AS BIGINT) AS sum_bits,
+       |  CAST(sum(bits) AS DOUBLE) / count(*) AS avg_bits
+       |FROM sc GROUP BY doc_id
+       |ORDER BY avg_bits DESC, doc_id LIMIT 20""".stripMargin
+  ) { (spark, dir) =>
+    // bigram pairs via slice+arrays_zip — same native-codegen rationale as
+    // q57 (the HOF/string-round-trip form measured 15× slower)
+    val n1 = greatest(size(col("ts")) - 1, lit(0))
+    val pr = Tables.documents(spark, dir)
+      .select(col("doc_id"), lowToksCol.as("ts"))
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ts"), lit(1), n1).as("a"),
+        slice(col("ts"), lit(2), n1).as("b"))).as("z"))
+      .select(col("doc_id"), col("z.a"), col("z.b"))
+    val lm = pr.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val pre = lm.groupBy("a").agg(sum(col("n_ab")).as("n_a"))
+    pr.join(lm, Seq("a", "b"))
+      .join(broadcast(pre), Seq("a"))
+      .withColumn("bits", (length(bin(expr("n_a DIV n_ab"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_bigrams").cast("double")).as("avg_bits"))
+      .orderBy(col("avg_bits").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** The APPLY step of near-dup dedup: q35's connected components resolved
+    * into a keep/drop decision — within each group the representative is the
+    * highest-quality member (longest text, doc_id tiebreak), NOT blindly the
+    * min-id label, matching how production dedup keeps the best copy rather
+    * than the first-seen one. Verified against the identical DuckDB
+    * recursive-CTE closure plus a window argmax. Shape at scale: inherits
+    * CC's properties (edges shuffle once, labels iterate), then one
+    * group-keyed window — the decision pass adds a single hash shuffle. */
+  val q59DedupKeeplist: QuerySpec = QuerySpec.oracle(
+    "q59_dedup_keeplist",
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, $LowToksSql AS ts FROM documents WHERE doc_id < 200),
+       |shl AS (SELECT doc_id, $ShinglesSql AS shs FROM toks),
+       |sh0 AS (SELECT doc_id AS doc, unnest(shs) AS sh FROM shl),
+       |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000),
+       |sh AS (SELECT doc, sh0.sh FROM sh0 JOIN rare USING (sh)),
+       |pairs AS (
+       |  SELECT a.doc AS id_a, b.doc AS id_b
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM toks
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |cc AS (SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node),
+       |j AS (SELECT d.doc_id, cc.group_id, d.n_chars
+       |  FROM documents d JOIN cc USING (doc_id) WHERE d.doc_id < 200)
+       |SELECT doc_id, group_id, n_chars,
+       |  row_number() OVER (PARTITION BY group_id ORDER BY n_chars DESC, doc_id) = 1 AS keep
+       |FROM j ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.0, maxDocFreq = 1000)
+    val groups = Dedup.dedupGroups(docs.select("doc_id"), "doc_id", pairs)
+    val w = Window.partitionBy("group_id").orderBy(col("n_chars").desc, col("doc_id"))
+    groups.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .select(col("doc_id"), col("canonical_id").as("group_id"), col("n_chars"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
     q40KnnTopK, q41AnnLsh, q42KnnClassify, q43AnnIvf, q44QuantizeInt8,
     q45KeywordRank, q49LabelCentroids, q51ContaminationBloom,
     q52DataMixture, q53HeavyHitters, q55Curriculum,
-    q56MixtureResample, q57BigramLm)
+    q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist)
 }

@@ -77,6 +77,13 @@ class PlanSweepSpec extends SparkSpec {
     // the 1-row max and under the rates join) + SinglePartition for the max
     // + the final sort — all source-cardinality-sized, never the corpus
     "q56_mixture_resample" -> 4, "q57_bigram_lm" -> 3,
+    // q58: LM build (pair agg) + prefix agg + scoring re-join + final agg;
+    // the top-20 sort rides the last exchange
+    "q58_lm_surprisal" -> 4,
+    // q59: static plan joins the (already-iterated) CC labels + n_chars +
+    // one group-keyed window + sort; the CC rounds themselves execute at
+    // build time exactly as q35's do
+    "q59_dedup_keeplist" -> 4,
     "q54_group_outliers" -> 2, "q55_curriculum" -> 3,
     "q46_regional_revenue" -> 2, "q60_tumbling_window" -> 2,
     "q61_session_window" -> 2, "q62_asof_join" -> 2,

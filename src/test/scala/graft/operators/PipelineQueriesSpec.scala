@@ -38,4 +38,39 @@ class PipelineQueriesSpec extends SparkSpec {
     val counts = rows.map(_.getAs[Long]("n_ab")).toSeq
     assert(counts === counts.sorted.reverse)
   }
+
+  test("q58: quantized surprisal is an exact integer-bit average, ordered desc") {
+    val rows = PipelineQueries.q58LmSurprisal.build(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (n, s, avg) = (r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("sum_bits"), r.getAs[Double]("avg_bits"))
+      assert(n >= 1 && s >= 0)
+      assert(avg === s.toDouble / n.toDouble, s"exact IEEE ratio: $r")
+      // floor(log2(n_a/n_ab)) < 63 bits always; a corpus-sized bound is
+      // tighter: no bigram can be rarer than 1 in the total bigram count
+      assert(avg <= 63.0)
+    }
+    val avgs = rows.map(_.getAs[Double]("avg_bits")).toSeq
+    assert(avgs === avgs.sorted.reverse, "most-surprising-first ordering")
+  }
+
+  test("q59: exactly one keep per group, and it is the argmax-quality member") {
+    val rows = PipelineQueries.q59DedupKeeplist.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byGroup = rows.groupBy(_.getAs[Long]("group_id"))
+    byGroup.foreach { case (g, members) =>
+      val kept = members.filter(_.getAs[Boolean]("keep"))
+      assert(kept.length === 1, s"group $g keeps exactly one")
+      // group label is the min member id (CC convention), always a member
+      assert(members.map(_.getAs[Long]("doc_id")).min === g)
+      // the keeper maximizes (n_chars, -doc_id)
+      val best = members.maxBy(r =>
+        (r.getAs[Long]("n_chars"), -r.getAs[Long]("doc_id")))
+      assert(kept.head.getAs[Long]("doc_id") === best.getAs[Long]("doc_id"))
+    }
+    // the keep-list is a partition of the input: every doc appears once
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.distinct.length === ids.length)
+  }
 }
