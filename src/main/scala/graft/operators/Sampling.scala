@@ -1,7 +1,7 @@
 package graft.operators
 
+import graft.functions.BottomKRows
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sampling / split operators (SURVEY.md §2.3).
@@ -10,18 +10,40 @@ import org.apache.spark.sql.functions._
   * per-class uniform sample; both variants here are deterministic — at 100 TB
   * a nondeterministic sample makes every downstream result unreproducible.
   *
-  * Both are a single hash-shuffle on the class key (window per class); no
-  * global sort, no driver collect.
+  * Scale shape: NOT a `row_number()` window. A window partitioned by the
+  * class column serializes each class through one task — a 2-class corpus
+  * sorts half the data in a single reducer. Both samplers instead run one
+  * [[BottomKRows]] aggregation: the map side keeps at most n candidate rows
+  * per class per partition in a bounded heap, the shuffle carries only those
+  * survivors (≤ n·classes·partitions heap buffers, never the data), and the
+  * final merge is the exact bottom-n. No per-class sort exists anywhere in
+  * the plan, so class cardinality never bounds parallelism.
+  *
+  * Rows whose order key is null are excluded from the sample (a null hash
+  * has no defined position; the driver tables have no null keys).
   */
 object Sampling {
 
+  /** One bounded-heap pass: the n rows with the smallest `orderKey` per
+    * class, exploded back to rows with their 1-based `sample_rank`. */
+  private def sampleByOrderKey(df: DataFrame, classCols: Seq[String],
+                               orderKey: Column, n: Int): DataFrame = {
+    val rowStruct = struct(df.columns.map(col): _*)
+    df.groupBy(classCols.map(col): _*)
+      .agg(BottomKRows.bottomK(orderKey, rowStruct, n).as("__sample"))
+      .select(posexplode(col("__sample")).as(Seq("__pos", "__row")))
+      .select(col("__row.*"), (col("__pos") + 1).as("sample_rank"))
+  }
+
   /** Exact-n per-class sample ordered by a content hash: reproducible across
     * engines (md5 exists in Spark and DuckDB alike). Adds `sample_rank`
-    * (1-based within class). */
-  def deterministicSample(df: DataFrame, classCols: Seq[String], hashKey: Column, n: Int): DataFrame = {
-    val w = Window.partitionBy(classCols.map(col): _*).orderBy(md5(hashKey), hashKey)
-    df.withColumn("sample_rank", row_number().over(w)).filter(col("sample_rank") <= n)
-  }
+    * (1-based within class). Selection and ranks are identical to
+    * `row_number() OVER (PARTITION BY class ORDER BY md5(key), key)`:
+    * md5 hex is fixed-width, so concatenating the tiebreak key preserves
+    * the (md5, key) lexicographic order byte-for-byte — and an md5 tie IS
+    * a key tie, so the tiebreak only orders duplicate keys. */
+  def deterministicSample(df: DataFrame, classCols: Seq[String], hashKey: Column, n: Int): DataFrame =
+    sampleByOrderKey(df, classCols, concat(md5(hashKey), hashKey.cast("string")), n)
 
   /** Exact-n per-class pseudo-random sample with a seed (the reference's
     * semantics, made deterministic). Orders by a seeded CONTENT hash, not
@@ -31,6 +53,10 @@ object Sampling {
     * SentimentPipeline's dataset-version fingerprint). xxhash64(seed, row)
     * depends only on row values; ties occur only between fully identical
     * rows, which are interchangeable.
+    *
+    * The signed xxhash64 is encoded sign-flipped as zero-padded hex so the
+    * heap's byte order equals signed numeric order (same draw as the window
+    * form ever produced).
     *
     * `keyCols` picks which columns feed the hash. The default uses every
     * HASHABLE column sorted by name — map-typed columns are excluded
@@ -46,10 +72,10 @@ object Sampling {
         .filterNot(f => hasMapType(f.dataType))
         .map(_.name).sorted.toIndexedSeq
     require(keys.nonEmpty, "balancedSample: no hashable columns to key the draw on")
-    val w = Window.partitionBy(classCol).orderBy(xxhash64(lit(seed) +: keys.map(col): _*))
-    df.withColumn("sample_rank", row_number().over(w))
-      .filter(col("sample_rank") <= nPerClass)
-      .drop("sample_rank")
+    val orderKey = lpad(
+      hex(xxhash64(lit(seed) +: keys.map(col): _*).bitwiseXOR(lit(Long.MinValue))),
+      16, "0")
+    sampleByOrderKey(df, Seq(classCol), orderKey, nPerClass).drop("sample_rank")
   }
 
   /** xxhash64 refuses MapType anywhere in a column's type (map ordering is

@@ -67,6 +67,36 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("bounded-heap sampler is row- and rank-identical to the window form") {
+    // the selection contract: same rows, same ranks as
+    // row_number() OVER (PARTITION BY class ORDER BY md5(key), key)
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, sf)
+    val key = col("o_orderkey").cast("string")
+    val w = Window.partitionBy("o_orderstatus").orderBy(md5(key), key)
+    val windowed = orders
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= 100)
+      .select("o_orderstatus", "o_orderkey", "sample_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val heaped = Sampling.deterministicSample(orders, Seq("o_orderstatus"), key, 100)
+      .select("o_orderstatus", "o_orderkey", "sample_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(heaped === windowed)
+  }
+
+  test("sampler plan has no window and no per-class sort (scale shape)") {
+    // the point of the bounded heap: NOTHING in the plan sorts a class
+    // through one task — no Window operator, no Sort at all (the aggregate
+    // is hash-based), and parallelism is never bounded by class cardinality
+    val plan = Sampling.deterministicSample(
+      Tables.orders(spark, sf), Seq("o_orderstatus"), col("o_orderkey").cast("string"), 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sampler must not plan a window:\n$plan")
+    assert(!plan.contains("Sort"), s"sampler must not plan any sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected bounded-heap aggregate:\n$plan")
+  }
+
   test("trainValidSplit partitions the data") {
     val docs = Tables.documents(spark, sf)
     val (train, valid) = Sampling.trainValidSplit(docs, 0.8, seed = 15)
