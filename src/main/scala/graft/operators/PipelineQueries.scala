@@ -171,9 +171,12 @@ object PipelineQueries {
   /** Sequence packing: chunk each language's doc stream (doc_id order) into
     * fixed 512-token training-example budgets — the concatenate-then-chunk
     * preprocessing that assembles LM training sequences. pack_id =
-    * floor(tokens-before-this-doc / budget): pure prefix-sum over one
-    * per-lang window (a single hash shuffle, no driver pass), deterministic
-    * because the order key is unique. */
+    * floor(tokens-before-this-doc / budget). The prefix-sum runs STRIPED
+    * ([[StripedWindow]]): 16 range stripes over doc_id (cut points from one
+    * broadcast percentile aggregate), per-(lang, stripe) windows, broadcast
+    * stripe offsets — value-identical to the plain per-lang window
+    * (StripedWindowSpec pins it) but parallelism is |langs| × 16, so a
+    * 33 TB language never serializes through one task. */
   val q36SequencePack: QuerySpec = QuerySpec.oracle(
     "q36_sequence_pack",
     raw"""WITH t AS (
@@ -189,11 +192,12 @@ object PipelineQueries {
        |FROM c ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     val nTok = asLong(size(filter(split(col("text"), "\\s+"), x => x =!= "")))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    val t = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
-      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+    StripedWindow.runningSum(
+        StripedWindow.withRangeStripe(t, "doc_id", 16),
+        Seq("lang"), Seq(col("doc_id")), col("n_tok"), "cum_before",
+        includeCurrent = false)
       .select(col("doc_id"), col("lang"), col("n_tok"),
         floor(col("cum_before") / 512.0).as("pack_id"))
       .orderBy("doc_id")
@@ -465,13 +469,14 @@ object PipelineQueries {
   /** Training-data mixture construction: each source contributes documents
     * until a fixed per-source token budget is hit, in a DETERMINISTIC
     * pseudo-random order (md5 of doc_id — layout-independent, so the same
-    * mixture comes out of any partitioning/cluster size). One windowed
-    * prefix-sum per source: shuffle is hash(source), in-partition sort —
-    * the standard mixture-weights pass (Pile-style source balancing) at
-    * 100 TB. Skew note: a single giant source serializes its own window;
-    * the scale variant keys the window by (source, hash-stripe) and
-    * reconciles stripe budgets, which this operator would adopt before a
-    * one-source-dominates corpus. */
+    * mixture comes out of any partitioning/cluster size) — the standard
+    * mixture-weights pass (Pile-style source balancing). The prefix-sum is
+    * STRIPED ([[StripedWindow]]): the order key is md5 hex, so its first
+    * character is a free 16-way monotone range stripe (no statistics pass);
+    * the window runs per (source, stripe) and broadcast stripe offsets
+    * reconcile — value-identical to the plain per-source window
+    * (StripedWindowSpec pins it), and a single giant source no longer
+    * serializes its own window at 100 TB. */
   val q52DataMixture: QuerySpec = QuerySpec.oracle(
     "q52_data_mixture",
     s"""WITH t AS (SELECT doc_id, source,
@@ -482,14 +487,14 @@ object PipelineQueries {
        |SELECT doc_id, source, n_toks, cum_tokens FROM c
        |WHERE cum_tokens <= 600 ORDER BY source, cum_tokens""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    val t = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), size(lowToksCol).cast("long").as("n_toks"))
-      .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+      .withColumn("__h", md5(col("doc_id").cast("string")))
+      .withColumn(StripedWindow.StripeCol, StripedWindow.hexStripe(col("__h")))
+    StripedWindow.runningSum(t, Seq("source"), Seq(col("__h"), col("doc_id")),
+        col("n_toks"), "cum_tokens", includeCurrent = true)
       .filter(col("cum_tokens") <= 600)
+      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_tokens"))
       .orderBy("source", "cum_tokens")
   }
 
@@ -524,8 +529,14 @@ object PipelineQueries {
     * count (exact interpolated quartiles, broadcast as 1-row cut-points —
     * NOT ntile, whose single-partition global sort dies at scale), then
     * interleaved round-robin across buckets so every training window sees
-    * the full difficulty mix. The curriculum position is pure arithmetic
-    * over (rank-within-bucket, bucket) — no global window anywhere. */
+    * the full difficulty mix. The rank-within-bucket is STRIPED
+    * ([[StripedWindow]]): ONE broadcast percentile aggregate yields the
+    * 16-iles of n_toks, whose elements 4/8/12 are exactly the quartile
+    * bucket cuts and whose full set gives ~4 monotone range stripes inside
+    * each bucket — rank = running count per (bucket, stripe) + broadcast
+    * stripe offsets, value-identical to row_number() per bucket
+    * (StripedWindowSpec pins it), so the 4-value bucket column never bounds
+    * parallelism. */
   val q55Curriculum: QuerySpec = QuerySpec.oracle(
     "q55_curriculum",
     s"""WITH t AS (SELECT doc_id, CAST(len($LowToksSql) AS BIGINT) AS n_toks FROM documents),
@@ -539,22 +550,25 @@ object PipelineQueries {
        |SELECT doc_id, n_toks, bucket, rn, (rn - 1) * 4 + bucket AS pos
        |FROM r ORDER BY pos""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), size(lowToksCol).cast("long").as("n_toks"))
-    val q = t.agg(
-      expr("percentile(n_toks, 0.25)").as("q1"),
-      expr("percentile(n_toks, 0.5)").as("q2"),
-      expr("percentile(n_toks, 0.75)").as("q3"))
+    // 16-ile cut points: cuts(3)/(7)/(11) ARE percentile .25/.5/.75 — the
+    // bucket values match the old scalar-percentile form exactly.
+    val fracs = (1 until 16).map(i => i.toDouble / 16)
+    val cuts = t.agg(
+      expr(s"percentile(n_toks, array(${fracs.mkString(", ")}))").as("__cuts"))
     val bucket = (lit(1) +
-      (col("n_toks") > col("q1")).cast("int") +
-      (col("n_toks") > col("q2")).cast("int") +
-      (col("n_toks") > col("q3")).cast("int")).cast("long")
-    val rn = row_number().over(
-      Window.partitionBy("bucket").orderBy("n_toks", "doc_id")).cast("long")
-    t.crossJoin(broadcast(q))
-      .select(col("doc_id"), col("n_toks"), bucket.as("bucket"))
-      .withColumn("rn", rn)
+      (col("n_toks") > col("__cuts")(3)).cast("int") +
+      (col("n_toks") > col("__cuts")(7)).cast("int") +
+      (col("n_toks") > col("__cuts")(11)).cast("int")).cast("long")
+    val stripe = (0 until 15)
+      .map(i => (col("n_toks") > col("__cuts")(i)).cast("int"))
+      .reduce(_ + _)
+    val b = t.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_toks"), bucket.as("bucket"),
+        stripe.as(StripedWindow.StripeCol))
+    StripedWindow.runningSum(b, Seq("bucket"), Seq(col("n_toks"), col("doc_id")),
+        lit(1L), "rn", includeCurrent = true)
       .select(col("doc_id"), col("n_toks"), col("bucket"), col("rn"),
         ((col("rn") - 1) * 4 + col("bucket")).as("pos"))
       .orderBy("pos")

@@ -32,9 +32,12 @@ class PlanSweepSpec extends SparkSpec {
     // aggregate: the same lazy scalar-subquery idiom as q27's nDocs
     "q45_keyword_rank",
     // q53/q55/q56 — crossJoin(broadcast(x)) where x is a 1-row aggregate
-    // (the ≤k candidate array / the 3 quartile cut-points / the max source
+    // (the ≤k candidate array / the 15 stripe cut-points / the max source
     // token total): same idiom
-    "q53_heavy_hitters", "q55_curriculum", "q56_mixture_resample")
+    "q53_heavy_hitters", "q55_curriculum", "q56_mixture_resample",
+    // q36 — crossJoin(broadcast(cuts)) where cuts is the 1-row stripe
+    // cut-point percentile aggregate (StripedWindow.withRangeStripe)
+    "q36_sequence_pack")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -64,7 +67,13 @@ class PlanSweepSpec extends SparkSpec {
     "q29_doc_assembly" -> 2, "q30_dedup_exact" -> 2,
     "q31_dedup_ngram_pairs" -> 7, "q32_dedup_minhash_sig" -> 1,
     "q33_dedup_simhash" -> 1, "q34_embedding_pairs" -> 0,
-    "q35_dedup_groups" -> 7, "q36_sequence_pack" -> 2,
+    // q36/q52/q55: +2–4 exchanges each from the striped two-phase window
+    // (StripedWindow): the stripe-totals aggregate + its tiny offsets window
+    // appear as separate subtrees, and q36/q55 plan the percentile cut-point
+    // aggregate under both branches. Each added exchange carries either the
+    // striped data (parallelism |keys| × stripes) or the |keys| × stripes
+    // totals table — the trade that removed the per-key single-task sort.
+    "q35_dedup_groups" -> 7, "q36_sequence_pack" -> 6,
     "q37_vocab_oov" -> 3, "q38_contamination" -> 3,
     "q39_quality_filter" -> 1, "q40_knn_bruteforce" -> 2,
     "q41_ann_lsh" -> 2, "q42_knn_classify" -> 2,
@@ -72,7 +81,7 @@ class PlanSweepSpec extends SparkSpec {
     "q45_keyword_rank" -> 1, "q47_repetition_signals" -> 1,
     "q48_pii_scrub" -> 1, "q49_label_centroids" -> 2,
     "q51_contamination_bloom" -> 4,
-    "q52_data_mixture" -> 2, "q53_heavy_hitters" -> 2,
+    "q52_data_mixture" -> 4, "q53_heavy_hitters" -> 2,
     // q56: the 20-row per-source aggregate subtree is planned twice (under
     // the 1-row max and under the rates join) + SinglePartition for the max
     // + the final sort — all source-cardinality-sized, never the corpus
@@ -84,7 +93,7 @@ class PlanSweepSpec extends SparkSpec {
     // one group-keyed window + sort; the CC rounds themselves execute at
     // build time exactly as q35's do
     "q59_dedup_keeplist" -> 4,
-    "q54_group_outliers" -> 2, "q55_curriculum" -> 3,
+    "q54_group_outliers" -> 2, "q55_curriculum" -> 6,
     "q46_regional_revenue" -> 2, "q60_tumbling_window" -> 2,
     "q61_session_window" -> 2, "q62_asof_join" -> 2,
     "q63_sliding_window" -> 2, "q64_json_extract" -> 2,
