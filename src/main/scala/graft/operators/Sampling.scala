@@ -19,16 +19,30 @@ import org.apache.spark.sql.functions._
   * final merge is the exact bottom-n. No per-class sort exists anywhere in
   * the plan, so class cardinality never bounds parallelism.
   *
-  * Rows whose order key is null are excluded from the sample (a null hash
-  * has no defined position; the driver tables have no null keys).
+  * NULL CONTRACT: rows whose order key is null are excluded from the sample
+  * (a null hash has no defined position; the driver tables have no null
+  * keys). This differs from the window form, which ranked null-key rows
+  * first (ASC NULLS FIRST) — callers with nullable keys must coalesce the
+  * key or accept exclusion.
+  *
+  * Runtime note: past spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+  * (default 128) distinct classes per task, ObjectHashAggregateExec falls
+  * back to sort-based aggregation AT RUNTIME — a sort over (class, heap
+  * buffer) partial rows, still partition-parallel, so the "class cardinality
+  * never bounds parallelism" argument holds; only the plan-level "no Sort"
+  * claim is initial-plan-only.
   */
 object Sampling {
 
   /** One bounded-heap pass: the n rows with the smallest `orderKey` per
-    * class, exploded back to rows with their 1-based `sample_rank`. */
+    * class, exploded back to rows with their 1-based `sample_rank`. A
+    * pre-existing `sample_rank` column is replaced (matching the window
+    * form's withColumn semantics), and leftover `__`-prefixed temps are
+    * excluded rather than duplicated. */
   private def sampleByOrderKey(df: DataFrame, classCols: Seq[String],
                                orderKey: Column, n: Int): DataFrame = {
-    val rowStruct = struct(df.columns.map(col): _*)
+    val keep = df.columns.filterNot(c => c == "sample_rank" || c.startsWith("__"))
+    val rowStruct = struct(keep.map(col): _*)
     df.groupBy(classCols.map(col): _*)
       .agg(BottomKRows.bottomK(orderKey, rowStruct, n).as("__sample"))
       .select(posexplode(col("__sample")).as(Seq("__pos", "__row")))
@@ -38,10 +52,13 @@ object Sampling {
   /** Exact-n per-class sample ordered by a content hash: reproducible across
     * engines (md5 exists in Spark and DuckDB alike). Adds `sample_rank`
     * (1-based within class). Selection and ranks are identical to
-    * `row_number() OVER (PARTITION BY class ORDER BY md5(key), key)`:
-    * md5 hex is fixed-width, so concatenating the tiebreak key preserves
-    * the (md5, key) lexicographic order byte-for-byte — and an md5 tie IS
-    * a key tie, so the tiebreak only orders duplicate keys. */
+    * `row_number() OVER (PARTITION BY class ORDER BY md5(key), key)` for
+    * STRING keys: md5 hex is fixed-width, so concatenating the tiebreak key
+    * preserves the (md5, key) lexicographic order byte-for-byte — and an md5
+    * tie IS a key tie, so the tiebreak only orders duplicate keys. For
+    * non-string keys the tiebreak compares the key CAST TO STRING
+    * lexicographically rather than in native order — observable only if two
+    * DISTINCT key values collide on md5, which does not occur in practice. */
   def deterministicSample(df: DataFrame, classCols: Seq[String], hashKey: Column, n: Int): DataFrame =
     sampleByOrderKey(df, classCols, concat(md5(hashKey), hashKey.cast("string")), n)
 
