@@ -64,7 +64,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to a file: log-tail capture has truncated the printed
+    // line before (BENCH parsed:null three rounds running) — the file is
+    // the reliable channel, the stdout line stays for compatibility.
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // file write must never fail the bench
     spark.stop()
   }
 }

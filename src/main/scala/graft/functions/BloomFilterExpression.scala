@@ -1,12 +1,15 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Broadcast Bloom-filter membership as a codegen'd Catalyst expression —
@@ -88,77 +91,160 @@ object BloomProbe {
     true
   }
 
-  /** All k positions of one key, as Catalyst array data — the build side's
-    * per-row kernel (see [[BloomPositionsExpr]]). */
-  def positionsData(mBits: Int, k: Int, h1: Long, h2: Long): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val out = new Array[Long](k)
+  /** Same probe against an ArrayData-backed bitset (the LAZY build path,
+    * where the bits arrive as a broadcast-joined array<long> COLUMN instead
+    * of a plan-time literal). Identical probe sequence to [[mightContain]]. */
+  def mightContainData(bits: ArrayData, mBits: Int, k: Int, h1: Long, h2: Long): Boolean = {
     var i = 0
-    while (i < k) { out(i) = position(mBits, i, h1, h2).toLong; i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    while (i < k) {
+      val pos = position(mBits, i, h1, h2)
+      if ((bits.getLong(pos >> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Set one key's k bits in a mutable bitset — the BUILD-side kernel,
+    * literally the probe loop with reads swapped for writes, so build and
+    * probe can never disagree on positions. */
+  def insert(bits: Array[Long], mBits: Int, k: Int, h1: Long, h2: Long): Unit = {
+    var i = 0
+    while (i < k) {
+      val pos = position(mBits, i, h1, h2)
+      bits(pos >> 6) |= 1L << (pos & 63)
+      i += 1
+    }
   }
 }
 
-/** The k bit positions of a key, computed inside one codegen'd expression
-  * with the probe kernel's exact wrapping arithmetic. Used only by the
-  * distributed build (explode → or-fold per word); exists because spelling
-  * h1 + i·h2 in DataFrame algebra plans ANSI Add/Multiply, which throws
-  * ARITHMETIC_OVERFLOW on full-range xxhash64 values. */
-case class BloomPositionsExpr(mBits: Int, k: Int, child: Expression)
-    extends UnaryExpression {
+/** The bloom BUILD as a lazy Catalyst aggregate: each task keeps one dense
+  * mBits/64-long bitset buffer, inserts with the probe kernel's own
+  * position arithmetic, partials or-merge, and eval() emits the bitset as
+  * one array<long> value — so the filter is built inside the query DAG
+  * (typically a global aggregate → 1-row result → `broadcast` cross join to
+  * the probe side) and CONSTRUCTING a bloom-prefiltered query runs zero
+  * Spark jobs.
+  *
+  * Shape at scale: buffer size is fixed by mBits (≤ 8 MB at the pickMBits
+  * cap), ONE buffer per task regardless of row count, and the shuffle to
+  * the final merge carries one serialized buffer per partition — bounded by
+  * partition count, never data volume. Insert order is irrelevant (bit OR
+  * commutes), so the result is deterministic under any partitioning.
+  */
+case class BloomBuildAggregate(child: Expression, mBits: Int, k: Int = 6,
+                               mutableAggBufferOffset: Int = 0,
+                               inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
+  require(mBits >= 64, s"mBits too small: $mBits")
+  require(k >= 1 && k <= 16, s"k out of range: $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = BloomProbe.requireString(child)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](mBits / 64)
+
+  override def update(bits: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      BloomProbe.insert(bits, mBits, k,
+        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, BloomProbe.Seed1),
+        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, BloomProbe.Seed2))
+    }
+    bits
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(bits: Array[Long]): Any = new GenericArrayData(bits)
+
+  override def serialize(bits: Array[Long]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(bits.length * 8)
+    buf.asLongBuffer().put(bits)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBuildAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBuildAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BloomBuildAggregate =
+    copy(child = newChildren(0))
+}
+
+/** Probe against a COLUMN-borne bitset (the lazy build's output, usually a
+  * broadcast-joined 1-row array<long>): true iff the key might be in the
+  * set. Same kernel as the literal-bitset [[BloomMightContainExpr]]. */
+case class BloomMightContainColExpr(mBits: Int, k: Int,
+                                    left: Expression, right: Expression)
+    extends BinaryExpression {
+
   require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
   require(k >= 1 && k <= 16, s"k out of range: $k")
 
-  override def checkInputDataTypes(): TypeCheckResult = BloomProbe.requireString(child)
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(LongType, _) => BloomProbe.requireString(right)
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom bitset operand must be ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BooleanType
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    BloomProbe.positionsData(mBits, k,
+  override protected def nullSafeEval(bitsAny: Any, keyAny: Any): Any = {
+    val s = keyAny.asInstanceOf[UTF8String]
+    BloomProbe.mightContainData(bitsAny.asInstanceOf[ArrayData], mBits, k,
       XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, BloomProbe.Seed1),
       XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, BloomProbe.Seed2))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"""graft.functions.BloomProbe.positionsData($mBits, $k,
+    defineCodeGen(ctx, ev, (b, c) =>
+      s"""graft.functions.BloomProbe.mightContainData($b, $mBits, $k,
          |  org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
          |    $c.getBaseObject(), $c.getBaseOffset(), $c.numBytes(), ${BloomProbe.Seed1}L),
          |  org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
          |    $c.getBaseObject(), $c.getBaseOffset(), $c.numBytes(), ${BloomProbe.Seed2}L))""".stripMargin)
 
-  override protected def withNewChildInternal(newChild: Expression): BloomPositionsExpr =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BloomMightContainColExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 object BloomFilterOps {
 
-  /** Bit positions of one key — the probe kernel's own (h1 + i·h2) & (m−1),
-    * evaluated inside one codegen'd [[BloomPositionsExpr]] so the BUILD is
-    * fully distributed AND bit-identical to the probe (wrapping arithmetic;
-    * the earlier DataFrame-algebra form threw ANSI ARITHMETIC_OVERFLOW).
-    * Explode to k positions, or-fold per 64-bit word; only the word table
-    * (m/64 longs, bounded by construction) is collected. */
-  private def positions(c: Column, mBits: Int, k: Int): Column =
-    ColumnBridge.column(BloomPositionsExpr(mBits, k, ColumnBridge.expression(c)))
+  /** LAZY distributed build: aggregate `c`'s values into one array<long>
+    * bitset column ([[BloomBuildAggregate]]). Typical use:
+    * `df.agg(bloomAgg(col("key"), m).as("__bloom"))` → 1-row DataFrame →
+    * `crossJoin(broadcast(...))` into the probe side + [[mightContainIn]].
+    * Nothing executes until the consuming query runs. */
+  def bloomAgg(c: Column, mBits: Int, k: Int = 6): Column =
+    ColumnBridge.column(
+      BloomBuildAggregate(ColumnBridge.expression(c), mBits, k).toAggregateExpression())
 
-  /** Distributed bloom build over `df(colName)`: returns the bitset.
-    *
-    * `mBits` must be a power of two; size it ≥ ~10 bits per expected
-    * distinct key for ≲1% false positives at k=6. The collected word table
-    * is mBits/64 longs (2^24 bits = 256 KB) — the same driver-side bound a
-    * broadcast join accepts, and far below it. */
+  /** Probe column against a column-borne bitset (see [[bloomAgg]]). */
+  def mightContainIn(bitsCol: Column, mBits: Int, k: Int, c: Column): Column =
+    ColumnBridge.column(BloomMightContainColExpr(mBits, k,
+      ColumnBridge.expression(bitsCol), ColumnBridge.expression(c)))
+
+  /** EAGER build over `df(colName)`: runs the lazy aggregate now and returns
+    * the bitset for literal embedding ([[mightContain]]) — the audit/spec
+    * path. The collected bitset is mBits/64 longs (≤ 8 MB at the pickMBits
+    * cap) — the same driver-side bound a broadcast join accepts. */
   def buildBloom(df: DataFrame, colName: String, mBits: Int, k: Int = 6): Array[Long] = {
-    require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
-    require(mBits >= 64, s"mBits too small: $mBits")
-    val words = df.select(explode(positions(col(colName), mBits, k)).as("pos"))
-      .selectExpr("CAST(shiftright(pos, 6) AS INT) AS w",
-        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS b")
-      .groupBy("w").agg(bit_or(col("b")).as("word"))
-      .collect()
-    val bits = new Array[Long](mBits / 64)
-    words.foreach(r => bits(r.getAs[Int]("w")) = bits(r.getAs[Int]("w")) | r.getAs[Long]("word"))
-    bits
+    val row = df.agg(bloomAgg(col(colName), mBits, k).as("bits")).head()
+    row.getSeq[Long](0).toArray
   }
 
   /** Probe column: true iff `c` MIGHT be in the set (no false negatives). */

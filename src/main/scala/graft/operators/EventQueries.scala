@@ -323,8 +323,27 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Skew-salted aggregation ([[Salting.saltedSumCount]]) as a declared
+    * oracle query: events aggregated by event_type — a 5-value key, the
+    * skew shape salting exists for (one hot key would otherwise pull its
+    * entire share of a 100 TB stream through one reducer). The two-phase
+    * plan fans each key over 16 salt buckets first, then combines the
+    * |keys| × 16 partials; results are bit-identical to the one-shot GROUP
+    * BY because count/sum are decomposable and the per-phase sums are exact
+    * decimals (events.value is exactly 2-dp). The DuckDB mirror is the
+    * plain GROUP BY — same answer, which is the whole point. */
+  val q74SaltedAgg: QuerySpec = QuerySpec.oracle(
+    "q74_salted_agg",
+    """SELECT event_type, count(*) AS n_rows,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (spark, dir) =>
+    Salting.saltedSumCount(Tables.events(spark, dir), Seq("event_type"), "value")
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
-    q69WindowDistinct, q54GroupOutliers)
+    q69WindowDistinct, q54GroupOutliers, q74SaltedAgg)
 }

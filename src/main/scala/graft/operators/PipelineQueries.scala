@@ -408,21 +408,30 @@ object PipelineQueries {
     // Raw (NON-distinct) train shingles feed the bloom: inserts are
     // idempotent, so deduplicating first would only add a full shuffle of
     // the train side before the build — the one cost this operator exists
-    // to avoid. Sizing comes from an OVERESTIMATE (train row count × a
-    // generous shingles-per-doc bound), not a shingle-count pass: at scale
-    // that count is itself a full corpus pass, and oversizing a bloom only
-    // widens it toward the 8 MB cap — it can never affect correctness (no
-    // false negatives either way; the exact join removes false positives).
-    // So the build is ONE scan (positions → per-word or-fold, shuffle
-    // bounded by the word table, never the data), nothing is persisted,
-    // and the exact verify join below deduplicates lazily exactly as q38.
+    // to avoid. The build is fully LAZY (BloomBuildAggregate): the bitset
+    // is a 1-row array<long> aggregate inside this query's own DAG, riding
+    // a broadcast cross join to the probe side — so constructing this
+    // DataFrame runs ZERO Spark jobs (Q51ConstructionSpec pins it) and at
+    // execution the build is ONE scan whose shuffle carries one fixed-size
+    // buffer per partition, never the data. Sizing comes from an
+    // OVERESTIMATE (TOTAL table row count × a generous shingles-per-doc
+    // bound) read from the parquet FOOTERS — driver-side metadata IO, not a
+    // count() job (at scale a sizing count is itself a full corpus pass).
+    // The footer count covers ALL sources (⊇ the train subset — a wider
+    // overestimate), and oversizing a bloom only widens it toward the 8 MB
+    // cap — it can never affect correctness (no false negatives either way;
+    // the exact verify join below removes false positives and deduplicates
+    // lazily exactly as q38).
     val trDocs = docs.filter(col("source") =!= "src0")
     val trRaw = trDocs.select(explode(sh).as("sh"))
-    val mBits = BloomFilterOps.pickMBits(trDocs.count() * 256)
-    val bits = BloomFilterOps.buildBloom(trRaw, "sh", mBits)
+    val nDocs = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    val mBits = BloomFilterOps.pickMBits(nDocs * 256)
+    val bloom = trRaw.agg(BloomFilterOps.bloomAgg(col("sh"), mBits).as("__bloom"))
     val tr = trRaw.distinct()
     val nsh = ev.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val nhit = ev.filter(BloomFilterOps.mightContain(bits, mBits, 6, col("sh")))
+    val nhit = ev.crossJoin(broadcast(bloom))
+      .filter(BloomFilterOps.mightContainIn(col("__bloom"), mBits, 6, col("sh")))
+      .select("doc_id", "sh")
       .join(tr, Seq("sh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
     val out = nsh.join(nhit, Seq("doc_id"), "left")
@@ -722,16 +731,10 @@ object PipelineQueries {
       .limit(20)
   }
 
-  /** The APPLY step of near-dup dedup: q35's connected components resolved
-    * into a keep/drop decision — within each group the representative is the
-    * highest-quality member (longest text, doc_id tiebreak), NOT blindly the
-    * min-id label, matching how production dedup keeps the best copy rather
-    * than the first-seen one. Verified against the identical DuckDB
-    * recursive-CTE closure plus a window argmax. Shape at scale: inherits
-    * CC's properties (edges shuffle once, labels iterate), then one
-    * group-keyed window — the decision pass adds a single hash shuffle. */
-  val q59DedupKeeplist: QuerySpec = QuerySpec.oracle(
-    "q59_dedup_keeplist",
+  /** Shared DuckDB CTE chain for the dedup decision pass (q59/q73): shingle
+    * pair graph → recursive-closure connected components → docs joined with
+    * their group label. Ends at CTE `j(doc_id, group_id, n_chars)`. */
+  private val DedupGroupsCte =
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, $LowToksSql AS ts FROM documents WHERE doc_id < 200),
        |shl AS (SELECT doc_id, $ShinglesSql AS shs FROM toks),
@@ -749,11 +752,13 @@ object PipelineQueries {
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
        |cc AS (SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node),
        |j AS (SELECT d.doc_id, cc.group_id, d.n_chars
-       |  FROM documents d JOIN cc USING (doc_id) WHERE d.doc_id < 200)
-       |SELECT doc_id, group_id, n_chars,
-       |  row_number() OVER (PARTITION BY group_id ORDER BY n_chars DESC, doc_id) = 1 AS keep
-       |FROM j ORDER BY doc_id""".stripMargin
-  ) { (spark, dir) =>
+       |  FROM documents d JOIN cc USING (doc_id) WHERE d.doc_id < 200)""".stripMargin
+
+  /** Spark side of [[DedupGroupsCte]] + keep flag, shared by q59/q73: within
+    * each CC group the representative is the highest-quality member (longest
+    * text, doc_id tiebreak). Columns: doc_id, group_id, n_chars, keep. */
+  private def dedupKeepFlags(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, minJaccard = 0.0, maxDocFreq = 1000)
@@ -762,6 +767,49 @@ object PipelineQueries {
     groups.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
       .select(col("doc_id"), col("canonical_id").as("group_id"), col("n_chars"))
       .withColumn("keep", row_number().over(w) === 1)
+  }
+
+  /** The DECISION step of near-dup dedup: q35's connected components resolved
+    * into a keep/drop decision — within each group the representative is the
+    * highest-quality member (longest text, doc_id tiebreak), NOT blindly the
+    * min-id label, matching how production dedup keeps the best copy rather
+    * than the first-seen one. Verified against the identical DuckDB
+    * recursive-CTE closure plus a window argmax. Shape at scale: inherits
+    * CC's properties (edges shuffle once, labels iterate), then one
+    * group-keyed window — the decision pass adds a single hash shuffle. */
+  val q59DedupKeeplist: QuerySpec = QuerySpec.oracle(
+    "q59_dedup_keeplist",
+    s"""$DedupGroupsCte
+       |SELECT doc_id, group_id, n_chars,
+       |  row_number() OVER (PARTITION BY group_id ORDER BY n_chars DESC, doc_id) = 1 AS keep
+       |FROM j ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    dedupKeepFlags(spark, dir).orderBy("doc_id")
+  }
+
+  /** The APPLY step — the operator a user actually runs on a corpus: q59's
+    * keep flags filtered and joined back to the full document columns,
+    * emitting the deduped corpus itself (one representative per near-dup
+    * group, all document fields intact, plus its group label for lineage).
+    * Shape at scale: the keep-list (doc_id, group_id — ids only, a fraction
+    * of the corpus width) joins the documents table on its primary key; one
+    * hash shuffle of ids against the corpus scan, no extra pass over text. */
+  val q73DedupApply: QuerySpec = QuerySpec.oracle(
+    "q73_dedup_apply",
+    s"""$DedupGroupsCte,
+       |k AS (SELECT doc_id, group_id,
+       |    row_number() OVER (PARTITION BY group_id ORDER BY n_chars DESC, doc_id) = 1 AS keep
+       |  FROM j)
+       |SELECT k.doc_id, k.group_id, d.text, d.lang, d.source, d.n_chars
+       |FROM k JOIN documents d USING (doc_id)
+       |WHERE keep ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    dedupKeepFlags(spark, dir)
+      .filter(col("keep"))
+      .select("doc_id", "group_id")
+      .join(docs, Seq("doc_id"))
+      .select("doc_id", "group_id", "text", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
 
@@ -771,5 +819,6 @@ object PipelineQueries {
     q40KnnTopK, q41AnnLsh, q42KnnClassify, q43AnnIvf, q44QuantizeInt8,
     q45KeywordRank, q49LabelCentroids, q51ContaminationBloom,
     q52DataMixture, q53HeavyHitters, q55Curriculum,
-    q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist)
+    q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist,
+    q73DedupApply)
 }

@@ -34,14 +34,23 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Column names the sampler itself introduces; caller columns must not
+    * collide (checked loudly below — silently dropping them would lose a
+    * legitimately `__`-named caller column with no warning). */
+  private val TempCols = Set("__sample", "__pos", "__row")
+
   /** One bounded-heap pass: the n rows with the smallest `orderKey` per
     * class, exploded back to rows with their 1-based `sample_rank`. A
     * pre-existing `sample_rank` column is replaced (matching the window
-    * form's withColumn semantics), and leftover `__`-prefixed temps are
-    * excluded rather than duplicated. */
+    * form's withColumn semantics). Only the sampler's OWN temp names are
+    * reserved — any other caller column, `__`-prefixed or not, passes
+    * through untouched. */
   private def sampleByOrderKey(df: DataFrame, classCols: Seq[String],
                                orderKey: Column, n: Int): DataFrame = {
-    val keep = df.columns.filterNot(c => c == "sample_rank" || c.startsWith("__"))
+    val clash = df.columns.filter(TempCols)
+    require(clash.isEmpty,
+      s"sampler temp-column collision: rename input column(s) ${clash.mkString(", ")}")
+    val keep = df.columns.filterNot(_ == "sample_rank")
     val rowStruct = struct(keep.map(col): _*)
     df.groupBy(classCols.map(col): _*)
       .agg(BottomKRows.bottomK(orderKey, rowStruct, n).as("__sample"))

@@ -39,6 +39,15 @@ import org.apache.spark.sql.functions._
   * Null contract: key, order, and value columns must be non-null (the
   * driver tables are); a null order key has no defined stripe or position.
   *
+  * Determinism contract: the key/order/value expressions AND the input's
+  * lineage must be deterministic. [[runningSum]] evaluates them in two
+  * independent passes over `df` (the striped window and the stripe-totals
+  * aggregate); a nondeterministic expression — or a nondeterministic
+  * upstream (rand, an unstable sample, a re-read mutable source) — makes
+  * the broadcast offsets inconsistent with the intra-stripe sums and the
+  * cumulative values silently wrong, with no error raised. The same rule
+  * applies to any plan that scans its input twice.
+  *
   * Runtime note: like every ROWS-frame window, each (key, stripe) group
   * still sorts in memory within its task — the stripes bound the SIZE of
   * that sort, which is the point.
@@ -56,17 +65,25 @@ object StripedWindow {
   def hexStripe(md5Col: Column): Column = substring(md5Col, 1, 1)
 
   /** Adds [[StripeCol]]: `numStripes` range buckets over a NUMERIC order
-    * column, with cut points from one exact-percentile aggregate that rides
-    * in as a broadcast 1-row cross join (the q55-quartile idiom — lazy, no
-    * driver-side pass). Monotone in `orderCol` by construction. Heavy ties
-    * in `orderCol` collapse stripes (all ties share one bucket) — the same
-    * caveat as any range partitioning; use a higher-resolution order column
-    * when one value dominates. */
+    * column, with cut points from one APPROXIMATE-percentile aggregate that
+    * rides in as a broadcast 1-row cross join (lazy, no driver-side pass).
+    * approx_percentile, not exact percentile, on purpose: stripe cuts only
+    * need monotone non-decreasing values (ANY cuts yield a bucket monotone
+    * in `orderCol`, so [[runningSum]]'s identity is unaffected — at worst
+    * the stripes are uneven), and exact Percentile buffers every distinct
+    * order value in one final reducer — on a unique key like doc_id that
+    * single-task statistics pass would be the very bottleneck the striping
+    * removes. The sketch's memory is bounded by the accuracy parameter,
+    * independent of data volume. Monotone in `orderCol` by construction.
+    * Heavy ties in `orderCol` collapse stripes (all ties share one bucket) —
+    * the same caveat as any range partitioning; use a higher-resolution
+    * order column when one value dominates. */
   def withRangeStripe(df: DataFrame, orderCol: String, numStripes: Int): DataFrame = {
     require(numStripes >= 2, s"numStripes must be >= 2, got $numStripes")
     val fracs = (1 until numStripes).map(i => i.toDouble / numStripes)
     val cuts = df.agg(
-      expr(s"percentile($orderCol, array(${fracs.mkString(", ")}))").as("__cuts"))
+      expr(s"approx_percentile($orderCol, array(${fracs.mkString(", ")}), 10000)")
+        .as("__cuts"))
     val stripe = (1 until numStripes)
       .map(i => (col(orderCol) > col("__cuts")(i - 1)).cast("int"))
       .reduce(_ + _)

@@ -15,8 +15,23 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Per-JVM cache of inferred parquet schemas keyed by path. Spark runs a
+    * (tiny, footer-only) job to infer a parquet schema at EVERY
+    * `read.parquet` call; resolving each path once and passing the schema
+    * explicitly afterwards keeps later DataFrame CONSTRUCTIONS job-free —
+    * the catalog/metastore analog for the driver test tables, and at scale
+    * exactly what a real deployment gets from its table catalog. Assumes a
+    * path's schema is stable for the JVM's lifetime (true for the immutable
+    * testdata; a path rewritten with a new schema needs `schemaCache
+    * .remove(path)` or a fresh JVM). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "nation")
@@ -46,6 +61,27 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Exact row count of a parquet file/directory from FOOTER METADATA only —
+    * no Spark job, no data scan. Each parquet footer records its file's row
+    * count; summing them is pure driver-side metadata IO (the same footer
+    * reads Spark's own planner performs), so callers can size structures
+    * (e.g. a Bloom filter) while keeping DataFrame CONSTRUCTION job-free.
+    * Cost is one small read per file — bounded by file count, never data
+    * volume; at 100 TB this is the listing the scan planner already pays. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    def leafFiles(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(leafFiles)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
+    leafFiles(fs.getFileStatus(root)).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
 
   /** Sentiment140 schema (reference: src/main.py:64-65 — headerless CSV,
     * columns assigned positionally). Explicit schema, never inferSchema:

@@ -37,7 +37,10 @@ class PlanSweepSpec extends SparkSpec {
     "q53_heavy_hitters", "q55_curriculum", "q56_mixture_resample",
     // q36 — crossJoin(broadcast(cuts)) where cuts is the 1-row stripe
     // cut-point percentile aggregate (StripedWindow.withRangeStripe)
-    "q36_sequence_pack")
+    "q36_sequence_pack",
+    // q51 — crossJoin(broadcast(bloom)) where bloom is the 1-row lazy
+    // bitset aggregate (BloomBuildAggregate): same 1-row idiom
+    "q51_contamination_bloom")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -80,7 +83,14 @@ class PlanSweepSpec extends SparkSpec {
     "q43_ann_ivf" -> 3, "q44_embedding_quantize" -> 1,
     "q45_keyword_rank" -> 1, "q47_repetition_signals" -> 1,
     "q48_pii_scrub" -> 1, "q49_label_centroids" -> 2,
-    "q51_contamination_bloom" -> 4,
+    // q51: +1 over the old literal-bitset plan — the lazy bloom build's
+    // global aggregate plans a SinglePartition exchange carrying one
+    // fixed-size buffer per partition (the price of job-free construction)
+    "q51_contamination_bloom" -> 5,
+    // q73: q59's decision subtree + the PK join back to documents
+    "q73_dedup_apply" -> 5,
+    // q74: salted two-phase agg = partial (key, salt) + final (key) + sort
+    "q74_salted_agg" -> 3,
     "q52_data_mixture" -> 4, "q53_heavy_hitters" -> 2,
     // q56: the 20-row per-source aggregate subtree is planned twice (under
     // the 1-row max and under the rates join) + SinglePartition for the max

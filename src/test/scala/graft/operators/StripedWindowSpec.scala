@@ -33,6 +33,30 @@ class StripedWindowSpec extends SparkSpec {
     }
   }
 
+  test("stripe collapse: heavily-tied stripe key stays correct") {
+    // Degenerate documented at StripedWindow.withRangeStripe: a
+    // low-resolution stripe key (3 distinct values, 8 requested stripes)
+    // collapses most cut points onto the same value, so nearly all rows land
+    // in one or two stripes. Parallelism degrades; correctness must not.
+    // The order is (tied, doc_id) — a total order the plain window can
+    // reproduce — and the stripe is a function of `tied` alone, monotone in
+    // the lexicographic order, so the identity contract still applies.
+    val t = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("doc_id") % 3).as("tied"))
+    val striped = StripedWindow.withRangeStripe(t, "tied", 8)
+    val w = Window.partitionBy("lang").orderBy("tied", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = t.withColumn("cum", sum(col("n_chars")).over(w))
+      .select("doc_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = StripedWindow.runningSum(striped, Seq("lang"),
+        Seq(col("tied"), col("doc_id")), col("n_chars"), "cum", includeCurrent = true)
+      .select("doc_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   private def oldQ36(dir: String): DataFrame = {
     val nTok = graft.functions.Exprs.asLong(
       size(filter(split(col("text"), "\\s+"), x => x =!= "")))
@@ -93,24 +117,29 @@ class StripedWindowSpec extends SparkSpec {
   }
 
   test("q36/q52/q55 plans: no data-sized window keyed by the bare column") {
-    // Window plan lines print `Window [exprs], [partitionSpec], [orderSpec]`.
-    // Every Window must either partition by __stripe (the data pass — its
-    // parallelism is |keys| × stripes) or ORDER by __stripe (the offset scan
-    // over the |keys| × stripes totals table). A window partitioned by the
-    // bare low-cardinality key over row data — the 100×-scale killer this
-    // family escaped — matches neither and fails.
-    val windowLine = """Window \[.*\], \[([^\]]*)\], \[([^\]]*)\]""".r
+    // Inspect the optimized logical plan's Window operators directly (not a
+    // regex over the plan string — bracket-bearing expression toStrings
+    // would mis-split a line parse). Every Window must either PARTITION by
+    // __stripe (the data pass — its parallelism is |keys| × stripes) or
+    // ORDER by __stripe (the offset scan over the |keys| × stripes totals
+    // table). A window partitioned by the bare low-cardinality key over row
+    // data — the 100×-scale killer this family escaped — matches neither
+    // and fails.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     for (q <- Seq(PipelineQueries.q36SequencePack, PipelineQueries.q52DataMixture,
         PipelineQueries.q55Curriculum)) {
-      val plan = q.build(spark, sf).queryExecution.executedPlan.toString
-      val specs = windowLine.findAllMatchIn(plan).toSeq
-      assert(specs.nonEmpty, s"${q.name}: expected Window operators in plan:\n$plan")
-      val striped = specs.count(_.group(1).contains("__stripe"))
+      val plan = q.build(spark, sf).queryExecution.optimizedPlan
+      val windows = plan.collect { case w: LogicalWindow => w }
+      assert(windows.nonEmpty, s"${q.name}: expected Window operators in plan:\n$plan")
+      def names(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        exprs.flatMap(_.references.map(_.name))
+      val striped = windows.count(w => names(w.partitionSpec).contains(StripedWindow.StripeCol))
       assert(striped >= 1, s"${q.name}: no window partitioned by __stripe:\n$plan")
-      val bad = specs.filter(m =>
-        !m.group(1).contains("__stripe") && !m.group(2).contains("__stripe"))
+      val bad = windows.filter(w =>
+        !names(w.partitionSpec).contains(StripedWindow.StripeCol) &&
+          !names(w.orderSpec).contains(StripedWindow.StripeCol))
       assert(bad.isEmpty,
-        s"${q.name}: window keyed by bare column over row data: ${bad.map(_.matched)}\n$plan")
+        s"${q.name}: window keyed by bare column over row data: $bad\n$plan")
     }
   }
 }
