@@ -45,12 +45,14 @@ object BloomAudit {
         println(f"[bloom]   $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
       }
       val nTrain = timed("count train")(tr.count())
-      // The EXACT filter q51 builds: sized from the docs-count × 256
-      // overestimate (PipelineQueries.q51ContaminationBloom), not from the
-      // distinct-shingle count — so the FP/shuffle-cut numbers printed here
-      // are measurements of the shipped configuration. (Inserting distinct
-      // vs raw shingles yields an identical filter; inserts are idempotent.)
-      val mBits = BloomFilterOps.pickMBits(trDocs.count() * 256)
+      // The EXACT filter q51 builds: sized from the footer-metadata
+      // docs-count × 256 overestimate (PipelineQueries.q51ContaminationBloom),
+      // not from the distinct-shingle count — so the FP/shuffle-cut numbers
+      // printed here are measurements of the shipped configuration.
+      // (Inserting distinct vs raw shingles yields an identical filter;
+      // inserts are idempotent.)
+      val mBits = BloomFilterOps.pickMBits(
+        Tables.parquetRowCount(spark, s"$sfDir/documents.parquet") * 256)
       val bits = timed("build bloom")(BloomFilterOps.buildBloom(tr, "sh", mBits))
       val probeRows = timed("count probe")(ev.count())
       val survivors = timed("probe pass")(

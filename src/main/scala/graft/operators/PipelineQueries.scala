@@ -563,6 +563,14 @@ object PipelineQueries {
       .select(col("doc_id"), size(lowToksCol).cast("long").as("n_toks"))
     // 16-ile cut points: cuts(3)/(7)/(11) ARE percentile .25/.5/.75 — the
     // bucket values match the old scalar-percentile form exactly.
+    // Exact percentile (not approx) is REQUIRED here: the quartile bucket is
+    // part of the declared output and must match DuckDB's quantile_cont
+    // bit-for-bit. Unlike a unique key, this stays 100 TB-safe: percentile's
+    // in-memory value→count map is bounded by the DISTINCT cardinality of
+    // n_toks — token counts, capped by max document length — not by corpus
+    // row count. (Contrast StripedWindow.withRangeStripe, which stripes on
+    // arbitrary — possibly unique — order keys and therefore uses
+    // approx_percentile.)
     val fracs = (1 until 16).map(i => i.toDouble / 16)
     val cuts = t.agg(
       expr(s"percentile(n_toks, array(${fracs.mkString(", ")}))").as("__cuts"))
