@@ -233,7 +233,11 @@ object BloomFilterOps {
     ColumnBridge.column(
       BloomBuildAggregate(ColumnBridge.expression(c), mBits, k).toAggregateExpression())
 
-  /** Probe column against a column-borne bitset (see [[bloomAgg]]). */
+  /** Probe column against a column-borne bitset (see [[bloomAgg]]).
+    * Contract: `bitsCol` must be a bitset built by [[bloomAgg]] with the
+    * SAME mBits and k — the array length (mBits/64) cannot be validated at
+    * analysis time, so a mismatched array fails at runtime (out-of-bounds)
+    * or probes garbage. */
   def mightContainIn(bitsCol: Column, mBits: Int, k: Int, c: Column): Column =
     ColumnBridge.column(BloomMightContainColExpr(mBits, k,
       ColumnBridge.expression(bitsCol), ColumnBridge.expression(c)))

@@ -26,6 +26,38 @@ class BloomFilterSpec extends SparkSpec {
     assert(fp < 400, s"false-positive rate too high: $fp / 20000")
   }
 
+  test("lazy path (bloomAgg + mightContainIn) agrees with the literal path") {
+    val keys = (0 until 500).map(i => s"key_$i")
+    val df = keys.toDF("k")
+    val mBits = BloomFilterOps.pickMBits(keys.size)
+    val bits = BloomFilterOps.buildBloom(df, "k", mBits)
+    val bloom = df.agg(BloomFilterOps.bloomAgg(col("k"), mBits).as("__bloom"))
+    val probes = ((0 until 500).map(i => s"key_$i") ++
+      (0 until 2000).map(i => s"miss_$i")).toDF("k")
+    val viaLazy = probes.crossJoin(broadcast(bloom))
+      .filter(BloomFilterOps.mightContainIn(col("__bloom"), mBits, 6, col("k")))
+      .select("k").collect().map(_.getString(0)).toSet
+    val viaLiteral = probes
+      .filter(BloomFilterOps.mightContain(bits, mBits, 6, col("k")))
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(viaLazy === viaLiteral, "column-borne and literal bitsets must probe identically")
+    assert(keys.toSet.subsetOf(viaLazy), "no false negatives on the lazy path")
+  }
+
+  test("empty build side: aggregate yields the zero bitset, every probe false") {
+    val empty = Seq.empty[String].toDF("k")
+    val mBits = 1 << 14
+    // global TypedImperativeAggregate over zero rows must eval the initial
+    // buffer (all-zeros array), not null — the probe side then sees an
+    // empty SET, not a crash
+    val bloom = empty.agg(BloomFilterOps.bloomAgg(col("k"), mBits).as("__bloom"))
+    val survivors = Seq("a", "b", "c").toDF("k")
+      .crossJoin(broadcast(bloom))
+      .filter(BloomFilterOps.mightContainIn(col("__bloom"), mBits, 6, col("k")))
+      .count()
+    assert(survivors === 0L, "an empty bloom set must reject every probe")
+  }
+
   test("pickMBits: power of two, floored, capped") {
     assert(BloomFilterOps.pickMBits(0) === (1 << 14))
     assert(BloomFilterOps.pickMBits(10000) === 131072) // 120k bits → next pow2
