@@ -211,7 +211,14 @@ object Similarity {
     * so exact cosine runs against ~nProbe/nLists of the corpus instead of
     * all of it. Cell assignment is one pass; centroids are tiny and ride
     * into the plan as literals — queries never shuffle the corpus.
-    * Deterministic given the seed. */
+    * Deterministic given the seed.
+    *
+    * NOTE: calling this FITS the k-means index eagerly (jobs run at build —
+    * the centroid literals ARE the index; ConstructionSweepSpec allowlists
+    * q43 for exactly this). A production deployment fits the quantizer once
+    * over a corpus snapshot, persists the centroids + cell assignments, and
+    * serves queries against the prebuilt layout — only the fit is eager,
+    * never the serving path. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4, seed: Long = 42): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans

@@ -1,0 +1,83 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+import scala.jdk.CollectionConverters._
+
+/** Repo-wide lazy-construction contract: CONSTRUCTING a declared query's
+  * DataFrame must start ZERO Spark jobs — building a plan is metadata work,
+  * and at 100 TB a construction-time job is a full corpus pass a caller
+  * never asked to run. The exceptions are documented below and each has an
+  * in-code rationale at its definition site.
+  *
+  * Method (same as Q51ConstructionSpec): job-start events are async but
+  * FIFO, so a tagged sentinel job ordered AFTER all constructions bounds
+  * the wait — once the sentinel's event arrives, any construction-started
+  * job's event would already be visible. Tables are first-touched before
+  * the listener registers so Spark's one-time parquet schema-inference
+  * jobs (cached per path by Tables.load) don't bill to the queries.
+  */
+class ConstructionSweepSpec extends SparkSpec {
+
+  /** Queries whose BUILD legitimately executes Spark work:
+    * q35/q59/q73 — Dedup.connectedComponents iterates label-propagation
+    * rounds eagerly (each round is a job; the loop's convergence check
+    * cannot be expressed lazily);
+    * q50 — trains and evaluates MLlib models at build time (the model IS
+    * the result; excluded from the plan sweep for the same reason);
+    * q43 — IVF fits its k-means cell index at build time (the centroid
+    * literals ARE the index; a production deployment fits once and reuses
+    * — Similarity.ivfTopK documents the split). */
+  private val eagerByDesign = Set(
+    "q35_dedup_groups", "q59_dedup_keeplist", "q73_dedup_apply",
+    "q50_ml_train_eval", "q43_ann_ivf")
+
+  test("every declared query constructs with zero Spark jobs (except the eager set)") {
+    val sc = spark.sparkContext
+    // First-touch every table so schema-inference jobs happen here, not
+    // inside the swept constructions.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach(Tables.load(spark, sf, _))
+    Tables.events(spark, sf)
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    @volatile var current = "<none>"
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        seen.add((current, Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse(js.stageInfos.map(_.name).mkString(" | "))))
+    }
+    sc.addSparkListener(listener)
+    try {
+      // Drain any event backlog from earlier suites sharing the session
+      // (FIFO bus: once the flush sentinel arrives, older events are in).
+      current = "__sentinel"
+      sc.setJobDescription("__construction_flush")
+      try spark.range(1).count() finally sc.setJobDescription(null)
+      val flushDeadline = System.currentTimeMillis() + 30000
+      while (!seen.asScala.exists(_._2 == "__construction_flush") &&
+        System.currentTimeMillis() < flushDeadline) Thread.sleep(25)
+      seen.clear()
+
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (!eagerByDesign(name)) {
+          current = name
+          fn(spark, sf).columns // analysis only; must not run a job
+        }
+      }
+      current = "__sentinel"
+      sc.setJobDescription("__construction_sentinel")
+      try spark.range(1).count() finally sc.setJobDescription(null)
+      val deadline = System.currentTimeMillis() + 30000
+      while (!seen.asScala.exists(_._2 == "__construction_sentinel") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25)
+      assert(seen.asScala.exists(_._2 == "__construction_sentinel"),
+        "listener never saw the sentinel job")
+      val offenders = seen.asScala.filterNot(_._1 == "__sentinel").toSeq
+      assert(offenders.isEmpty,
+        s"construction started Spark job(s): ${offenders.distinct.mkString("; ")}")
+    } finally sc.removeSparkListener(listener)
+  }
+}
