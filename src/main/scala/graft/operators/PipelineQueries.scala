@@ -172,8 +172,8 @@ object PipelineQueries {
     * fixed 512-token training-example budgets — the concatenate-then-chunk
     * preprocessing that assembles LM training sequences. pack_id =
     * floor(tokens-before-this-doc / budget). The prefix-sum runs STRIPED
-    * ([[StripedWindow]]): 16 range stripes over doc_id (cut points from one
-    * broadcast percentile aggregate), per-(lang, stripe) windows, broadcast
+    * ([[StripedWindow]]): 16 range stripes over doc_id (equal-width cuts
+    * from one broadcast min/max aggregate), per-(lang, stripe) windows, broadcast
     * stripe offsets — value-identical to the plain per-lang window
     * (StripedWindowSpec pins it) but parallelism is |langs| × 16, so a
     * 33 TB language never serializes through one task. */

@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *
   * Cost shape: the input is scanned twice (once for the striped window,
   * once for the stripe totals) plus once more if the stripe derives from a
-  * percentile pass ([[withRangeStripe]]) — three scans that each
+  * min/max statistics pass ([[withRangeStripe]]) — three scans that each
   * parallelize over the whole cluster, traded against a single-task sort
   * that does not. A production pipeline caches the striped input; the
   * declared queries stay pure-lazy.
@@ -64,32 +64,43 @@ object StripedWindow {
     * statistics pass needed. */
   def hexStripe(md5Col: Column): Column = substring(md5Col, 1, 1)
 
-  /** Adds [[StripeCol]]: `numStripes` range buckets over a NUMERIC order
-    * column, with cut points from one APPROXIMATE-percentile aggregate that
-    * rides in as a broadcast 1-row cross join (lazy, no driver-side pass).
-    * approx_percentile, not exact percentile, on purpose: stripe cuts only
-    * need monotone non-decreasing values (ANY cuts yield a bucket monotone
-    * in `orderCol`, so [[runningSum]]'s identity is unaffected — at worst
-    * the stripes are uneven), and exact Percentile buffers every distinct
-    * order value in one final reducer — on a unique key like doc_id that
-    * single-task statistics pass would be the very bottleneck the striping
-    * removes. The sketch's memory is bounded by the accuracy parameter,
-    * independent of data volume. Monotone in `orderCol` by construction.
-    * Heavy ties in `orderCol` collapse stripes (all ties share one bucket) —
-    * the same caveat as any range partitioning; use a higher-resolution
-    * order column when one value dominates. */
+  /** Adds [[StripeCol]]: `numStripes` equal-WIDTH range buckets over a
+    * NUMERIC order column, cut from one min/max aggregate that rides in as
+    * a broadcast 1-row cross join (lazy, no driver-side pass).
+    *
+    * min/max equal-width — not percentile equal-depth — on purpose, twice
+    * over:
+    *   - exact Percentile buffers every DISTINCT order value in one final
+    *     reducer; on a unique key like doc_id that single-task statistics
+    *     pass is the very bottleneck the striping removes;
+    *   - approx_percentile bounds the memory but its sketch merge is
+    *     order-sensitive, and [[runningSum]] evaluates this subtree in TWO
+    *     independent passes — cut points that can differ between passes
+    *     violate the determinism contract and corrupt the offsets silently.
+    *   min/max merges are commutative (order-independent), O(1) memory, and
+    *   stripe cuts only need monotone non-decreasing values: ANY cuts yield
+    *   a bucket monotone in `orderCol`, so the identity to the plain window
+    *   is unaffected — at worst the stripes are uneven.
+    *
+    * `floor((x − min) / width)` (clamped to [0, numStripes−1]) is monotone
+    * non-decreasing in `orderCol`, and equal order values share a stripe by
+    * construction. Trade: equal-width buckets mirror the VALUE distribution,
+    * so a skewed order key concentrates rows in few stripes — and heavy ties
+    * collapse stripes entirely (all ties share one bucket), the same caveat
+    * as any range partitioning. Use a higher-resolution or uniformized order
+    * column (e.g. [[hexStripe]] on an md5) when one value dominates. */
   def withRangeStripe(df: DataFrame, orderCol: String, numStripes: Int): DataFrame = {
     require(numStripes >= 2, s"numStripes must be >= 2, got $numStripes")
-    val fracs = (1 until numStripes).map(i => i.toDouble / numStripes)
     val cuts = df.agg(
-      expr(s"approx_percentile($orderCol, array(${fracs.mkString(", ")}), 10000)")
-        .as("__cuts"))
-    val stripe = (1 until numStripes)
-      .map(i => (col(orderCol) > col("__cuts")(i - 1)).cast("int"))
-      .reduce(_ + _)
+      min(col(orderCol)).cast("double").as("__lo"),
+      max(col(orderCol)).cast("double").as("__hi"))
+    val width = (col("__hi") - col("__lo")) / numStripes
+    val raw = floor((col(orderCol).cast("double") - col("__lo")) / width).cast("int")
+    val stripe = when(col("__hi") === col("__lo"), lit(0)) // degenerate: one value
+      .otherwise(least(greatest(raw, lit(0)), lit(numStripes - 1)))
     df.crossJoin(broadcast(cuts))
       .withColumn(StripeCol, stripe)
-      .drop("__cuts")
+      .drop("__lo", "__hi")
   }
 
   /** Running sum of `valCol` per `keyCols` group in `orderCols` order —

@@ -36,7 +36,7 @@ class PlanSweepSpec extends SparkSpec {
     // token total): same idiom
     "q53_heavy_hitters", "q55_curriculum", "q56_mixture_resample",
     // q36 — crossJoin(broadcast(cuts)) where cuts is the 1-row stripe
-    // cut-point percentile aggregate (StripedWindow.withRangeStripe)
+    // min/max cut-point aggregate (StripedWindow.withRangeStripe)
     "q36_sequence_pack",
     // q51 — crossJoin(broadcast(bloom)) where bloom is the 1-row lazy
     // bitset aggregate (BloomBuildAggregate): same 1-row idiom
