@@ -92,6 +92,22 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bloom position kernel ≡ exact BigInt modulus for any hashes") {
+    // BloomProbe.position uses Java WRAPPING arithmetic: (h1 + i·h2) wraps
+    // mod 2^64, then & (m−1) takes mod m. Because m is a power of two,
+    // m divides 2^64 and (a mod 2^64) mod m = a mod m EXACTLY — the wrap
+    // never corrupts the probe sequence. Pin that argument against an
+    // arbitrary-precision model over full-range (including negative) hashes.
+    import graft.functions.BloomProbe
+    val two64 = BigInt(1) << 64
+    val hashes = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 200)
+    for (m <- Seq(64, 1 << 14, 1 << 26); h1 <- hashes.take(50); h2 <- hashes.drop(50).take(50); i <- 0 until 6) {
+      val exact = (((BigInt(h1) + i * BigInt(h2)) mod two64) mod BigInt(m)).toInt
+      assert(BloomProbe.position(m, i, h1, h2) === exact,
+        s"m=$m i=$i h1=$h1 h2=$h2")
+    }
+  }
+
   test("stopword filter is a subsequence preserving non-stopwords") {
     val docs = samples(Gen.listOfN(30, Gen.oneOf(word, Gen.oneOf(TextFns.EnglishStopwords))), 40)
       .map(_.mkString(" "))
