@@ -25,4 +25,19 @@ class SaltingSpec extends SparkSpec {
       assert(s.getAs[Double]("sum_v") == d.getAs[Double]("sum_v"), "decimal partials → exact")
     }
   }
+
+  test("salted aggregation is layout-independent (q74's oracle contract)") {
+    // The salt is a function of the PHYSICAL layout (partition id + row
+    // position), so different partitionings produce different partial
+    // groupings — but sum/count are decomposable over exact decimals, so
+    // the combined RESULT must be bit-identical under any layout. This is
+    // what lets q74 hash-match a plain GROUP BY oracle.
+    val ev = Tables.events(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      Salting.saltedSumCount(df, Seq("event_type"), "value")
+        .orderBy("event_type").collect().map(_.toSeq.toVector).toVector
+    val base = run(ev)
+    assert(base === run(ev.repartition(13)), "repartition must not change the result")
+    assert(base === run(ev.repartition(1)), "single partition must not change the result")
+  }
 }
