@@ -44,6 +44,17 @@ class BloomFilterSpec extends SparkSpec {
     assert(keys.toSet.subsetOf(viaLazy), "no false negatives on the lazy path")
   }
 
+  test("bloom build is layout-independent (bit OR commutes across partials)") {
+    val keys = (0 until 3000).map(i => s"key_$i")
+    val df = keys.toDF("k")
+    val mBits = BloomFilterOps.pickMBits(keys.size)
+    val base = BloomFilterOps.buildBloom(df, "k", mBits)
+    val shuffled = BloomFilterOps.buildBloom(df.repartition(13), "k", mBits)
+    val single = BloomFilterOps.buildBloom(df.repartition(1), "k", mBits)
+    assert(base.toSeq === shuffled.toSeq, "13-way layout must yield the identical bitset")
+    assert(base.toSeq === single.toSeq, "single partition must yield the identical bitset")
+  }
+
   test("empty build side: aggregate yields the zero bitset, every probe false") {
     val empty = Seq.empty[String].toDF("k")
     val mBits = 1 << 14

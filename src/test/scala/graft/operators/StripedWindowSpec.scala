@@ -33,6 +33,20 @@ class StripedWindowSpec extends SparkSpec {
     }
   }
 
+  test("runningSum is layout-independent (same result after repartition)") {
+    // Both passes (striped window + stripe totals) and the min/max cut
+    // aggregate must agree under ANY physical layout — min/max merges are
+    // commutative and the stripe is a pure function of the order key, so a
+    // repartitioned input yields the identical cumulative values.
+    val t = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("n_chars"))
+    def run(df: DataFrame): Map[Long, Long] =
+      StripedWindow.runningSum(StripedWindow.withRangeStripe(df, "doc_id", 4),
+          Seq("lang"), Seq(col("doc_id")), col("n_chars"), "cum", includeCurrent = true)
+        .select("doc_id", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(t) === run(t.repartition(13)))
+  }
+
   test("stripe collapse: heavily-tied stripe key stays correct") {
     // Degenerate documented at StripedWindow.withRangeStripe: a
     // low-resolution stripe key (3 distinct values, 8 requested stripes)
