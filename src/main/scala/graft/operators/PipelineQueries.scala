@@ -441,6 +441,51 @@ object PipelineQueries {
     out
   }
 
+  /** DECONTAMINATION — q51's production-direction twin: flag/drop TRAIN
+    * documents that contain eval-benchmark shingles, instead of profiling
+    * eval docs against the train corpus. The direction matters at 100 TB:
+    * here the bloom is built over the EVAL shingle set, whose size is
+    * bounded by the benchmark suite (not the corpus), so the filter stays
+    * comfortably under the broadcast cap at ANY corpus scale — whereas a
+    * corpus-sized bloom (q51's direction) eventually outgrows its 8 MB cap
+    * and has to fall back to the exact join. The 100 TB train side rides
+    * the scan at full parallelism; only probable-hit shingles shuffle into
+    * the exact verify join, which removes bloom false positives — so keep
+    * flags are exact, and a clean corpus shuffles almost nothing. */
+  val q75Decontaminate: QuerySpec = QuerySpec.oracle(
+    "q75_decontaminate",
+    s"""WITH toks AS (SELECT doc_id, source, $LowToksSql AS ts FROM documents),
+       |shl AS (SELECT doc_id, source, $ShinglesSql AS shs FROM toks),
+       |tr AS (SELECT doc_id, unnest(shs) AS sh FROM shl WHERE source <> 'src0'),
+       |evs AS (SELECT DISTINCT unnest(shs) AS sh FROM shl WHERE source = 'src0'),
+       |h AS (SELECT doc_id, count(*) AS n_hit FROM tr JOIN evs USING (sh) GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_eval_sh,
+       |  h.n_hit IS NULL AS keep
+       |FROM (SELECT doc_id FROM shl WHERE source <> 'src0') t
+       |LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.BloomFilterOps
+    val docs = Tables.documents(spark, dir)
+    val sh = Dedup.shingles(col("text"), 3)
+    val tr = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(sh).as("sh"))
+    val evRaw = docs.filter(col("source") === "src0").select(explode(sh).as("sh"))
+    // Sized from the footer row count (⊇ the eval subset — wider
+    // overestimate, metadata-only) exactly as q51; raw inserts, lazy build.
+    val nDocs = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    val mBits = BloomFilterOps.pickMBits(nDocs * 256)
+    val bloom = evRaw.agg(BloomFilterOps.bloomAgg(col("sh"), mBits).as("__bloom"))
+    val hits = tr.crossJoin(broadcast(bloom))
+      .filter(BloomFilterOps.mightContainIn(col("__bloom"), mBits, 6, col("sh")))
+      .join(evRaw.distinct(), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    docs.filter(col("source") =!= "src0").select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hit"), lit(0L)).as("n_eval_sh"),
+        col("n_hit").isNull.as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Per-label embedding centroids, the building block behind IVF cell
     * refresh / class prototypes / drift monitoring. Components are floor-
     * quantized to millionths FIRST, so the per-dimension aggregation is an
@@ -828,5 +873,5 @@ object PipelineQueries {
     q45KeywordRank, q49LabelCentroids, q51ContaminationBloom,
     q52DataMixture, q53HeavyHitters, q55Curriculum,
     q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist,
-    q73DedupApply)
+    q73DedupApply, q75Decontaminate)
 }

@@ -38,9 +38,9 @@ class PlanSweepSpec extends SparkSpec {
     // q36 — crossJoin(broadcast(cuts)) where cuts is the 1-row stripe
     // min/max cut-point aggregate (StripedWindow.withRangeStripe)
     "q36_sequence_pack",
-    // q51 — crossJoin(broadcast(bloom)) where bloom is the 1-row lazy
+    // q51/q75 — crossJoin(broadcast(bloom)) where bloom is the 1-row lazy
     // bitset aggregate (BloomBuildAggregate): same 1-row idiom
-    "q51_contamination_bloom")
+    "q51_contamination_bloom", "q75_decontaminate")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -91,6 +91,9 @@ class PlanSweepSpec extends SparkSpec {
     "q73_dedup_apply" -> 5,
     // q74: salted two-phase agg = partial (key, salt) + final (key) + sort
     "q74_salted_agg" -> 3,
+    // q75: q51's shape with the sides swapped (bloom agg + survivors join
+    // + per-doc agg + left join back to train ids + sort)
+    "q75_decontaminate" -> 5,
     "q52_data_mixture" -> 4, "q53_heavy_hitters" -> 2,
     // q56: the 20-row per-source aggregate subtree is planned twice (under
     // the 1-row max and under the rates join) + SinglePartition for the max
