@@ -50,7 +50,7 @@ object Sampling {
     val clash = df.columns.filter(TempCols)
     require(clash.isEmpty,
       s"sampler temp-column collision: rename input column(s) ${clash.mkString(", ")}")
-    val keep = df.columns.filterNot(_ == "sample_rank")
+    val keep = df.columns.filterNot(_ == "sample_rank").toIndexedSeq
     val rowStruct = struct(keep.map(col): _*)
     df.groupBy(classCols.map(col): _*)
       .agg(BottomKRows.bottomK(orderKey, rowStruct, n).as("__sample"))

@@ -230,7 +230,7 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         col("cell"), sqrt(VectorFns.normSq(col("embedding"))).as("c_norm"))
     // centroid list as float-array literals: cosine via the fused expression
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+    val centroids = model.clusterCenters.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat).toSeq)
     }
     val centroidCol = array(centroids.map { case (i, c) =>
