@@ -43,8 +43,17 @@ object Bench {
       val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // System 1-min load average sampled around the timed passes: BENCH_r09
+    // read 81.2 s under end-of-round machine contention while the same code
+    // measured 48.6 s idle — the load fields make a contaminated run
+    // self-identifying instead of silently mislabeling a regression.
+    // getSystemLoadAverage returns -1.0 where unsupported; reported as-is.
+    def load1(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = load1()
     val p1 = timedPass()
     val p2 = timedPass()
+    val loadAfter = load1()
     // ListMap keeps SparkEntry's insertion order so bench lines diff cleanly
     // across rounds
     val results = scala.collection.immutable.ListMap(
@@ -64,7 +73,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)}}"""
     println(line)
     // Also persist to a file: log-tail capture has truncated the printed
     // line before (BENCH parsed:null three rounds running) — the file is

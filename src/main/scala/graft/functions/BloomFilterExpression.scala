@@ -93,8 +93,16 @@ object BloomProbe {
 
   /** Same probe against an ArrayData-backed bitset (the LAZY build path,
     * where the bits arrive as a broadcast-joined array<long> COLUMN instead
-    * of a plan-time literal). Identical probe sequence to [[mightContain]]. */
+    * of a plan-time literal). Identical probe sequence to [[mightContain]].
+    * Fails fast on a build/probe mBits mismatch: a LARGER bitset than the
+    * probe's mBits would otherwise probe garbage silently (only a smaller
+    * one trips out-of-bounds), so the length is validated every call — one
+    * integer compare against k hash probes is noise. */
   def mightContainData(bits: ArrayData, mBits: Int, k: Int, h1: Long, h2: Long): Boolean = {
+    if (bits.numElements() != (mBits >> 6))
+      throw new IllegalArgumentException(
+        s"bloom bitset length ${bits.numElements()} != mBits/64 = ${mBits >> 6}: " +
+          "build and probe were configured with different mBits")
     var i = 0
     while (i < k) {
       val pos = position(mBits, i, h1, h2)
@@ -236,8 +244,8 @@ object BloomFilterOps {
   /** Probe column against a column-borne bitset (see [[bloomAgg]]).
     * Contract: `bitsCol` must be a bitset built by [[bloomAgg]] with the
     * SAME mBits and k — the array length (mBits/64) cannot be validated at
-    * analysis time, so a mismatched array fails at runtime (out-of-bounds)
-    * or probes garbage. */
+    * analysis time, so the probe kernel checks it per call and throws on
+    * the first mismatched row instead of silently probing garbage. */
   def mightContainIn(bitsCol: Column, mBits: Int, k: Int, c: Column): Column =
     ColumnBridge.column(BloomMightContainColExpr(mBits, k,
       ColumnBridge.expression(bitsCol), ColumnBridge.expression(c)))

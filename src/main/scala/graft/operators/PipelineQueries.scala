@@ -784,9 +784,20 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Pair threshold for the q59/q73 DECISION/APPLY queries. Unlike q35
+    * (which keeps every shingle-sharing pair so the tiny corpus yields
+    * non-trivial components to exercise the closure), the decision pass uses
+    * a discriminative cut — at 0.0 any shared rare shingle links two docs
+    * and 200 test docs collapse into ~2 components, so the apply join runs
+    * against a degenerate 2-row keep-list. 0.5 keeps the output shaped like
+    * production dedup: most docs survive, only real near-dups merge. */
+  private val DedupMinJaccard = 0.5
+
   /** Shared DuckDB CTE chain for the dedup decision pass (q59/q73): shingle
-    * pair graph → recursive-closure connected components → docs joined with
-    * their group label. Ends at CTE `j(doc_id, group_id, n_chars)`. */
+    * pair graph (Jaccard ≥ [[DedupMinJaccard]], mirroring
+    * Dedup.ngramJaccardPairs' rare-filtered distinct-shingle sets) →
+    * recursive-closure connected components → docs joined with their group
+    * label. Ends at CTE `j(doc_id, group_id, n_chars)`. */
   private val DedupGroupsCte =
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, $LowToksSql AS ts FROM documents WHERE doc_id < 200),
@@ -794,9 +805,16 @@ object PipelineQueries {
        |sh0 AS (SELECT doc_id AS doc, unnest(shs) AS sh FROM shl),
        |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000),
        |sh AS (SELECT doc, sh0.sh FROM sh0 JOIN rare USING (sh)),
-       |pairs AS (
-       |  SELECT a.doc AS id_a, b.doc AS id_b
+       |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+       |itx AS (
+       |  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM itx
+       |  JOIN sizes sa ON sa.doc = itx.id_a
+       |  JOIN sizes sb ON sb.doc = itx.id_b
+       |  WHERE CAST(itx.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - itx.inter)
+       |        >= $DedupMinJaccard),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION ALL SELECT id_b, id_a FROM pairs),
        |reach(node, lbl) AS (
@@ -814,7 +832,7 @@ object PipelineQueries {
                              dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, minJaccard = 0.0, maxDocFreq = 1000)
+      n = 3, minJaccard = DedupMinJaccard, maxDocFreq = 1000)
     val groups = Dedup.dedupGroups(docs.select("doc_id"), "doc_id", pairs)
     val w = Window.partitionBy("group_id").orderBy(col("n_chars").desc, col("doc_id"))
     groups.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))

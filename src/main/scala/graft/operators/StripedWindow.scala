@@ -88,7 +88,16 @@ object StripedWindow {
     * so a skewed order key concentrates rows in few stripes — and heavy ties
     * collapse stripes entirely (all ties share one bucket), the same caveat
     * as any range partitioning. Use a higher-resolution or uniformized order
-    * column (e.g. [[hexStripe]] on an md5) when one value dominates. */
+    * column (e.g. [[hexStripe]] on an md5) when one value dominates.
+    *
+    * Precision caveat: the cuts are computed in double, so integral order
+    * keys beyond 2^53 lose low bits. This CANNOT break correctness — the
+    * double cast is monotone non-decreasing and ties (including cast-induced
+    * ones) share a stripe by construction — but keys whose spread lives
+    * below the lost bits can collapse into fewer distinct stripes, degrading
+    * the parallelism the striping exists for. For id spaces wider than 2^53
+    * (snowflake ids, 64-bit hashes), stripe on a uniformized key instead
+    * ([[hexStripe]] on an md5 of the id). */
   def withRangeStripe(df: DataFrame, orderCol: String, numStripes: Int): DataFrame = {
     require(numStripes >= 2, s"numStripes must be >= 2, got $numStripes")
     val cuts = df.agg(

@@ -41,41 +41,43 @@ class ConstructionSweepSpec extends SparkSpec {
       "lineitem", "documents", "embeddings").foreach(Tables.load(spark, sf, _))
     Tables.events(spark, sf)
 
-    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
-    @volatile var current = "<none>"
+    // Attribution is by JOB DESCRIPTION, not a mutable var read at event-
+    // delivery time: setJobDescription is thread-local and captured into the
+    // job's properties synchronously at submit, so a job started by a
+    // construction carries "__construct_<name>" no matter how late the async
+    // listener bus delivers its event. (A var-based scheme misattributes any
+    // event delivered after the var moves on — the race ADVICE r9 flagged.)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        seen.add((current, Option(js.properties)
+        seen.add(Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .getOrElse(js.stageInfos.map(_.name).mkString(" | "))))
+          .getOrElse("<untagged: " + js.stageInfos.map(_.name).mkString(" | ") + ">"))
     }
     sc.addSparkListener(listener)
     try {
+      def sentinel(tag: String): Unit = {
+        sc.setJobDescription(tag)
+        try spark.range(1).count() finally sc.setJobDescription(null)
+        val deadline = System.currentTimeMillis() + 30000
+        while (!seen.contains(tag) && System.currentTimeMillis() < deadline)
+          Thread.sleep(25)
+        assert(seen.contains(tag), s"listener never saw the $tag job")
+      }
       // Drain any event backlog from earlier suites sharing the session
       // (FIFO bus: once the flush sentinel arrives, older events are in).
-      current = "__sentinel"
-      sc.setJobDescription("__construction_flush")
-      try spark.range(1).count() finally sc.setJobDescription(null)
-      val flushDeadline = System.currentTimeMillis() + 30000
-      while (!seen.asScala.exists(_._2 == "__construction_flush") &&
-        System.currentTimeMillis() < flushDeadline) Thread.sleep(25)
+      sentinel("__construction_flush")
       seen.clear()
 
       SparkEntry.queries.foreach { case (name, fn) =>
         if (!eagerByDesign(name)) {
-          current = name
-          fn(spark, sf).columns // analysis only; must not run a job
+          sc.setJobDescription(s"__construct_$name")
+          try fn(spark, sf).columns // analysis only; must not run a job
+          finally sc.setJobDescription(null)
         }
       }
-      current = "__sentinel"
-      sc.setJobDescription("__construction_sentinel")
-      try spark.range(1).count() finally sc.setJobDescription(null)
-      val deadline = System.currentTimeMillis() + 30000
-      while (!seen.asScala.exists(_._2 == "__construction_sentinel") &&
-        System.currentTimeMillis() < deadline) Thread.sleep(25)
-      assert(seen.asScala.exists(_._2 == "__construction_sentinel"),
-        "listener never saw the sentinel job")
-      val offenders = seen.asScala.filterNot(_._1 == "__sentinel").toSeq
+      sentinel("__construction_sentinel")
+      val offenders = seen.asScala.filterNot(_ == "__construction_sentinel").toSeq
       assert(offenders.isEmpty,
         s"construction started Spark job(s): ${offenders.distinct.mkString("; ")}")
     } finally sc.removeSparkListener(listener)

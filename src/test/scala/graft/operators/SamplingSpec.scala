@@ -36,7 +36,7 @@ class SamplingSpec extends SparkSpec {
       .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
     // same columns in a different physical order → same draw (keys are name-sorted)
     val reordered = Sampling.balancedSample(
-      orders.select(orders.columns.reverse.map(col): _*), "o_orderstatus", 50, seed = 15)
+      orders.select(orders.columns.reverse.toIndexedSeq.map(col): _*), "o_orderstatus", 50, seed = 15)
       .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
     assert(base === reordered, "draw must not depend on column order")
     // a map column would fail xxhash64 analysis; the default key set skips it
