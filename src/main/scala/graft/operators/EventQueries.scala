@@ -342,8 +342,46 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** The typed-cogroup surface ([[CoGroup.userConversions]]) as a declared
+    * oracle query: per-user conversion facts that need BOTH event groups at
+    * once (click count, purchase count, any-purchase-at-or-after-first-
+    * click), computed in ONE co-partitioned pass per key instead of the
+    * join-and-reaggregate the relational mirror runs. The mirror is q67's
+    * funnel shape widened to per-user rows: clicks agg FULL JOIN purchases
+    * agg LEFT JOIN the converted-user set — same rows, Catalyst-optimizable,
+    * which is why cogroup is reserved for semantics joins can't express
+    * without a per-key product. Scale: both inputs hash-shuffle once on
+    * user_id; groups stream through the merge function as iterators. */
+  val q77CogroupFunnel: QuerySpec = QuerySpec.oracle(
+    "q77_cogroup_funnel",
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS n_clicks, min(CAST(ts AS TIMESTAMP)) AS first_click
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+      |p AS (
+      |  SELECT user_id, count(*) AS n_purchases
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |conv AS (
+      |  SELECT DISTINCT e.user_id
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.first_click)
+      |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+      |  coalesce(c.n_clicks, 0) AS n_clicks,
+      |  coalesce(p.n_purchases, 0) AS n_purchases,
+      |  conv.user_id IS NOT NULL AS purchased_after_click
+      |FROM c FULL JOIN p ON c.user_id = p.user_id
+      |LEFT JOIN conv ON coalesce(c.user_id, p.user_id) = conv.user_id
+      |ORDER BY user_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    CoGroup.userConversions(
+        ev.filter(col("event_type") === "click").select("user_id", "ts"),
+        ev.filter(col("event_type") === "purchase").select("user_id", "ts"))
+      .toDF()
+      .orderBy("user_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
-    q69WindowDistinct, q54GroupOutliers, q74SaltedAgg)
+    q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel)
 }

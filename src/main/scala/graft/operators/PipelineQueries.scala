@@ -320,6 +320,87 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN approximation quality as a first-class declared output: one row per
+    * approximate method with its recall against the exact baseline and the
+    * fraction of the search space it actually scored — the two numbers that
+    * decide whether an ANN configuration is shippable at 100 TB. Before
+    * this, q41/q43's recall lived only in specs; this makes it
+    * driver-visible every round.
+    *
+    *   - `lsh_<bands>x<bits>`: banded sign-LSH against the exact cosine
+    *     pair set at q41's threshold (0.2), on q34's bounded subset (the
+    *     exact baseline is the documented bounded quadratic — at production
+    *     scale one measures recall on exactly this kind of sampled slice,
+    *     never the full corpus). Found pairs are verified, hence a subset
+    *     of the exact set: recall = |found| / |exact|. Candidate fraction =
+    *     distinct bucket-colliding pairs / C(n,2). THREE configurations
+    *     trace the recall/cost frontier, and the frontier is the finding:
+    *     the test corpus has no near-dup tail (max pair cosine ≈ 0.45), so
+    *     at 0.2 — far below the cos ≳ 0.9 regime banding solves for
+    *     (autoNumBands' documented clamp) — high recall is only reachable
+    *     by degenerating toward a full scan (28×4 buys ~0.9 recall at ~0.8
+    *     candidate mass; q41's 4×8 pays ~2% of pairs and finds ~5%).
+    *   - `ivf_top5`: q43's IVF (k-means fitted ONCE via ivfAssignments and
+    *     reused for both the top-k and the candidate mass) against q40's
+    *     brute-force top-5. Candidate fraction = probed (query, corpus-in-
+    *     probed-cell) pairs / |Q|·(|C|−1) — the ~nProbe/nLists read savings
+    *     IVF exists for.
+    *
+    * Rows-only by necessity (k-means/seeded-plane semantics are not
+    * SQL-expressible) but fully deterministic: seeded planes, seeded
+    * k-means, ratios of exact counts — the hash is stable across runs. */
+  val q78AnnRecall: QuerySpec = QuerySpec.rowsOnly("q78_ann_recall") { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+
+    // banded sign-LSH vs the exact pair set (q41's threshold, q34's bound)
+    val sub = emb.filter(col("vec_id") < 200)
+    val minCos = 0.2
+    val lshTruth = Similarity.cosinePairs(sub, minCos)
+    def lshRow(numBands: Int, bitsPerBand: Int) = {
+      val found = Similarity.signLshNearDupPairs(sub, minCos,
+        numBands = numBands, bitsPerBand = bitsPerBand)
+      val ba = Similarity.bandAssignments(sub, dims = 64, numBands = numBands,
+        bitsPerBand = bitsPerBand, seed = 42)
+      val cand = ba.select(col("band"), col("key"), col("vec_id").as("id_a"))
+        .join(ba.select(col("band"), col("key"), col("vec_id").as("id_b")), Seq("band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      lshTruth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(sub.agg(count(lit(1)).as("n_vecs"))))
+        .select(lit(s"lsh_${numBands}x$bitsPerBand").as("method"),
+          (col("n_found").cast("double") / col("n_truth")).as("recall"),
+          (col("n_cand").cast("double") / (col("n_vecs") * (col("n_vecs") - 1) / 2))
+            .as("candidate_fraction"))
+    }
+    // q41's declared config, a mid frontier point, and the recall-solved
+    // end (bands ≈ ln .05 / ln(1−p^bits) at cos 0.2) — cheap buckets first
+    val lshRows = Seq(lshRow(4, 8), lshRow(16, 6), lshRow(28, 4))
+      .reduce(_.unionByName(_))
+
+    // IVF top-5 vs brute force (q40/q43's queries, corpus, and k)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val truth = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id")
+    val (cc, qc) = Similarity.ivfAssignments(queries, emb, nLists = 16, nProbe = 4, seed = 42)
+    val found = Similarity.ivfTopKFrom(cc, qc, k = 5).select("query_id", "neighbor_id")
+    val matched = truth.join(found, Seq("query_id", "neighbor_id"))
+    val cand = cc.join(broadcast(qc.select("query_id", "cell")), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val ivfRow = truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(matched.agg(count(lit(1)).as("n_match"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(queries.agg(count(lit(1)).as("n_q"))))
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_c"))))
+      .select(lit("ivf_top5").as("method"),
+        (col("n_match").cast("double") / col("n_truth")).as("recall"),
+        (col("n_cand").cast("double") / (col("n_q") * (col("n_c") - 1)))
+          .as("candidate_fraction"))
+
+    lshRows.unionByName(ivfRow).orderBy("method")
+  }
+
   /** Keyword-search document ranking: a BM25-shaped score with the log-idf
     * replaced by the raw odds ratio (N − df + ½)/(df + ½) — a monotone
     * per-term transform that keeps EVERY arithmetic step inside exactly-
@@ -891,5 +972,5 @@ object PipelineQueries {
     q45KeywordRank, q49LabelCentroids, q51ContaminationBloom,
     q52DataMixture, q53HeavyHitters, q55Curriculum,
     q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist,
-    q73DedupApply, q75Decontaminate)
+    q73DedupApply, q75Decontaminate, q78AnnRecall)
 }

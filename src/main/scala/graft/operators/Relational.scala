@@ -506,10 +506,45 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Co-located fact-fact join over BUCKETED tables — the source-layout
+    * feature that converts the recurring orders⋈lineitem shuffle into a
+    * one-time write (SURVEY §4 "bucketing for co-located joins"). Both
+    * tables are bucketed 8-ways on the order key
+    * ([[graft.sources.Bucketing.ensureOrdersLineitemBucketed]], idempotent
+    * per session+dir), so the merge join AND the per-orderkey aggregate
+    * consume the scan's own hash partitioning: the ENTIRE plan contains
+    * ZERO exchanges, which the build asserts programmatically every time —
+    * at 100 TB this is the difference between re-shuffling both fact tables
+    * per query and never shuffling them at all. The merge hint pins the
+    * join family (a broadcast join at test scale would elide the exchange
+    * for the wrong reason and make the assert vacuous). The DuckDB mirror
+    * runs the plain unbucketed join — same rows, different layout. */
+  val q76BucketedJoin: QuerySpec = QuerySpec.oracle(
+    "q76_bucketed_join",
+    """SELECT o_orderkey, o_orderstatus, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2""".stripMargin
+  ) { (spark, dir) =>
+    val (ot, lt) = graft.sources.Bucketing.ensureOrdersLineitemBucketed(spark, dir)
+    val agg = spark.table(ot).hint("merge")
+      .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+    // the contract, checked on every build: bucketing must have elided every
+    // exchange (join both sides AND the aggregate ride the bucket layout)
+    val plan = agg.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange"),
+      s"bucketed join planned an exchange — layout not picked up:\n$plan")
+    agg
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
     q09WindowRunning, q10SetOps, q11DatesMath, q12BalancedSample,
     q13AggCube, q14Distinct, q15Percentiles, q16Profile,
-    q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue)
+    q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
+    q76BucketedJoin)
 }

@@ -221,6 +221,18 @@ object Similarity {
     * never the serving path. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4, seed: Long = 42): DataFrame = {
+    val (corpusCells, qCells) = ivfAssignments(queries, corpus, nLists, nProbe, seed)
+    ivfTopKFrom(corpusCells, qCells, k)
+  }
+
+  /** The IVF index split out so a caller (q78's recall report) can fit the
+    * k-means quantizer ONCE and reuse the cell assignments for both the
+    * top-k and the candidate-mass statistics. Returns
+    * (corpusCells(neighbor_id, c_emb, cell, c_norm),
+    *  qCells(query_id, q_emb, q_norm, cell) — one row per probed cell). */
+  private[operators] def ivfAssignments(queries: DataFrame, corpus: DataFrame,
+                                        nLists: Int, nProbe: Int,
+                                        seed: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     val v = toMlVector(corpus)
     val km = new KMeans().setK(nLists).setSeed(seed)
@@ -246,9 +258,15 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("c_sim").desc, col("cand.cell"))))
       .filter(col("cell_rank") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("q_norm"), col("cand.cell").as("cell"))
-    // exact cosine only within probed cells; the query side broadcasts so
-    // the corpus NEVER shuffles (a plain join on the 16-value cell key
-    // would hash-partition the whole corpus into ≤16 skewed groups)
+    (corpusCells, qCells)
+  }
+
+  /** Serving half of [[ivfTopK]]: exact cosine only within probed cells; the
+    * query side broadcasts so the corpus NEVER shuffles (a plain join on the
+    * 16-value cell key would hash-partition the whole corpus into ≤16 skewed
+    * groups). */
+  private[operators] def ivfTopKFrom(corpusCells: DataFrame, qCells: DataFrame,
+                                     k: Int): DataFrame =
     corpusCells.join(broadcast(qCells), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", pairSim)
@@ -257,7 +275,6 @@ object Similarity {
       .select(col("query_id"), posexplode(col("topk")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"), col("col.score").as("sim"))
-  }
 
   /** Approximate top-k for one query vector (LSH path of the ANN surface). */
   def lshTopK(corpus: DataFrame, key: Vector, k: Int, bucketLength: Double = 2.0,

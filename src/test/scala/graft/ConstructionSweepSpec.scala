@@ -28,10 +28,16 @@ class ConstructionSweepSpec extends SparkSpec {
     * the result; excluded from the plan sweep for the same reason);
     * q43 — IVF fits its k-means cell index at build time (the centroid
     * literals ARE the index; a production deployment fits once and reuses
-    * — Similarity.ivfTopK documents the split). */
+    * — Similarity.ivfTopK documents the split);
+    * q76 — FIRST build per (session, dir) writes the bucketed table layout
+    * (the one-time cost the bucketing amortizes; repeat builds find the
+    * catalog entries and are job-free — Bucketing.ensureOrdersLineitemBucketed). */
   private val eagerByDesign = Set(
     "q35_dedup_groups", "q59_dedup_keeplist", "q73_dedup_apply",
-    "q50_ml_train_eval", "q43_ann_ivf")
+    "q50_ml_train_eval", "q43_ann_ivf", "q76_bucketed_join",
+    // q78 fits q43's IVF quantizer (once, reused for top-k AND candidate
+    // stats) — same eager-index rationale as q43
+    "q78_ann_recall")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

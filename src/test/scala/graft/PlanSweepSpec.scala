@@ -40,7 +40,10 @@ class PlanSweepSpec extends SparkSpec {
     "q36_sequence_pack",
     // q51/q75 — crossJoin(broadcast(bloom)) where bloom is the 1-row lazy
     // bitset aggregate (BloomBuildAggregate): same 1-row idiom
-    "q51_contamination_bloom", "q75_decontaminate")
+    "q51_contamination_bloom", "q75_decontaminate",
+    // q78 — the recall report: q34's bounded-quadratic exact baseline +
+    // q40/q43's broadcast machinery + 1-row count cross joins
+    "q78_ann_recall")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -113,7 +116,17 @@ class PlanSweepSpec extends SparkSpec {
     "q65_range_join" -> 1, "q66_value_moments" -> 2,
     "q67_funnel" -> 4, "q68_retention" -> 4,
     "q69_window_distinct" -> 3, "q70_media_features" -> 2,
-    "q71_frame_sample" -> 2, "q72_video_meta" -> 2)
+    "q71_frame_sample" -> 2, "q72_video_meta" -> 2,
+    // q76: the whole point — bucketed layout elides the join's AND the
+    // aggregate's exchanges; the builder itself asserts zero
+    "q76_bucketed_join" -> 0,
+    // q77: one hash exchange per cogroup side + the final sort
+    "q77_cogroup_funnel" -> 3,
+    // q78: a REPORT, not a pipeline — 4 method rows × (a handful of 1-row
+    // count aggregates riding SinglePartition exchanges) + the bounded
+    // LSH/IVF candidate joins; every exchange carries either one row or a
+    // bounded candidate set, never the corpus
+    "q78_ann_recall" -> 30)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
