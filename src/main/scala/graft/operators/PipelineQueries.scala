@@ -906,6 +906,23 @@ object PipelineQueries {
        |j AS (SELECT d.doc_id, cc.group_id, d.n_chars
        |  FROM documents d JOIN cc USING (doc_id) WHERE d.doc_id < 200)""".stripMargin
 
+  /** The PRODUCTION pattern for the dedup decision: resolve keep flags from
+    * PRECOMPUTED group labels (`Dedup.dedupGroups` output — doc_id,
+    * canonical_id), so ONE connected-components run feeds every consumer
+    * (decision, apply, audit). The standalone declared queries q35/q59/q73
+    * each re-derive the labels because a declared query must be
+    * self-contained — that triple cost is a bench artifact, not the
+    * production shape; this overload is the shape. Within each group the
+    * representative is the highest-quality member (longest text, doc_id
+    * tiebreak). Columns: doc_id, group_id, n_chars, keep. */
+  def dedupKeepFlagsFrom(groups: org.apache.spark.sql.DataFrame,
+                         docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("group_id").orderBy(col("n_chars").desc, col("doc_id"))
+    groups.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .select(col("doc_id"), col("canonical_id").as("group_id"), col("n_chars"))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** Spark side of [[DedupGroupsCte]] + keep flag, shared by q59/q73: within
     * each CC group the representative is the highest-quality member (longest
     * text, doc_id tiebreak). Columns: doc_id, group_id, n_chars, keep. */
@@ -914,11 +931,7 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, minJaccard = DedupMinJaccard, maxDocFreq = 1000)
-    val groups = Dedup.dedupGroups(docs.select("doc_id"), "doc_id", pairs)
-    val w = Window.partitionBy("group_id").orderBy(col("n_chars").desc, col("doc_id"))
-    groups.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
-      .select(col("doc_id"), col("canonical_id").as("group_id"), col("n_chars"))
-      .withColumn("keep", row_number().over(w) === 1)
+    dedupKeepFlagsFrom(Dedup.dedupGroups(docs.select("doc_id"), "doc_id", pairs), docs)
   }
 
   /** The DECISION step of near-dup dedup: q35's connected components resolved

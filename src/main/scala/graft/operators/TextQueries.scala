@@ -462,9 +462,48 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Schema-evolution-tolerant scan (`Tables.readMergedParquet`) as a
+    * declared oracle query — the data-lake reality where a table's schema
+    * widens over time and a union read must surface old files' missing
+    * columns as nulls instead of failing. The build materializes the
+    * two-generation layout once per (dir): even doc_ids written with the
+    * LEGACY two-column schema, odd with the current five-column one; the
+    * merged read then aggregates per lang, where the NULL-lang bucket IS
+    * the legacy generation. The DuckDB mirror needs no file paths: the
+    * merged result is definitionally the original table with the widened
+    * columns nulled on the legacy half, so the oracle derives the same
+    * rows from `documents` with a CASE on the generation predicate —
+    * verifying the Spark-side mergeSchema semantics against first
+    * principles. Eager by design (the one-time layout write, like q76);
+    * repeat builds see the _SUCCESS markers and are job-free. */
+  val q79SchemaEvolution: QuerySpec = QuerySpec.oracle(
+    "q79_schema_evolution",
+    """SELECT CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+      |  count(*) AS n_docs,
+      |  count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_known,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (v1, v2) = (s"target/graft_evolved_$tag/v1", s"target/graft_evolved_$tag/v2")
+    if (!new java.io.File(v1, "_SUCCESS").exists || !new java.io.File(v2, "_SUCCESS").exists) {
+      val docs = Tables.documents(spark, dir)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .write.mode("overwrite").parquet(v1)
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.mode("overwrite").parquet(v2)
+    }
+    Tables.readMergedParquet(spark, v1, v2)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_known"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
     q28TokenCounts, q29DocAssembly, q37VocabOov, q39QualityFilter,
-    q47RepetitionSignals, q48PiiScrub)
+    q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution)
 }

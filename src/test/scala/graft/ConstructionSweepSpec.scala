@@ -37,7 +37,10 @@ class ConstructionSweepSpec extends SparkSpec {
     "q50_ml_train_eval", "q43_ann_ivf", "q76_bucketed_join",
     // q78 fits q43's IVF quantizer (once, reused for top-k AND candidate
     // stats) — same eager-index rationale as q43
-    "q78_ann_recall")
+    "q78_ann_recall",
+    // q79's FIRST build materializes the two-generation parquet layout the
+    // merged scan reads (one-time, _SUCCESS-marked; repeat builds job-free)
+    "q79_schema_evolution")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

@@ -126,7 +126,10 @@ class PlanSweepSpec extends SparkSpec {
     // count aggregates riding SinglePartition exchanges) + the bounded
     // LSH/IVF candidate joins; every exchange carries either one row or a
     // bounded candidate set, never the corpus
-    "q78_ann_recall" -> 30)
+    "q78_ann_recall" -> 30,
+    // q79: per-lang agg (partial→final) + the presentation sort over the
+    // merged two-generation scan
+    "q79_schema_evolution" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

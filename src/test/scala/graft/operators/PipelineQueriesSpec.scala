@@ -8,6 +8,22 @@ import graft.SparkSpec
   */
 class PipelineQueriesSpec extends SparkSpec {
 
+  test("dedupKeepFlagsFrom(precomputed labels) matches the self-contained q59 exactly") {
+    // the production pattern: ONE connected-components run feeds every
+    // consumer — labels computed once here, handed to the overload, and the
+    // result must be row-identical to the declared query that re-derives them
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5, maxDocFreq = 1000)
+    val labels = Dedup.dedupGroups(docs.select("doc_id"), "doc_id", pairs)
+    val reused = PipelineQueries.dedupKeepFlagsFrom(labels, docs)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val declared = PipelineQueries.q59DedupKeeplist.build(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(reused === declared)
+  }
+
   test("q56: deterministic sample, rates in (0, 1], rate shrinks with source size") {
     val a = PipelineQueries.q56MixtureResample.build(spark, sf).collect()
     val b = PipelineQueries.q56MixtureResample.build(spark, sf).collect()
