@@ -24,6 +24,25 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(reused === declared)
   }
 
+  test("q78: recall/candidate bounds, LSH frontier orders by candidate mass") {
+    val rows = PipelineQueries.q78AnnRecall.build(spark, sf).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Double]("recall"), r.getAs[Double]("candidate_fraction"))).toMap
+    assert(rows.keySet === Set("lsh_4x8", "lsh_16x6", "lsh_28x4", "ivf_top5"))
+    rows.foreach { case (m, (rec, cand)) =>
+      assert(rec >= 0.0 && rec <= 1.0, s"$m recall out of [0,1]: $rec")
+      assert(cand >= 0.0 && cand <= 1.0, s"$m candidate_fraction out of [0,1]: $cand")
+    }
+    // verified-candidate methods can never beat the exact set (found ⊆ truth),
+    // and more bands of fewer bits must examine more pairs AND recall more —
+    // the frontier the report exists to show
+    val frontier = Seq(rows("lsh_4x8"), rows("lsh_16x6"), rows("lsh_28x4"))
+    assert(frontier.map(_._2) === frontier.map(_._2).sorted,
+      "candidate mass grows along the 4x8 → 16x6 → 28x4 frontier")
+    assert(frontier.map(_._1) === frontier.map(_._1).sorted,
+      "recall grows along the frontier")
+  }
+
   test("q56: deterministic sample, rates in (0, 1], rate shrinks with source size") {
     val a = PipelineQueries.q56MixtureResample.build(spark, sf).collect()
     val b = PipelineQueries.q56MixtureResample.build(spark, sf).collect()
