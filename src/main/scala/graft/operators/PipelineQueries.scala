@@ -365,8 +365,13 @@ object PipelineQueries {
         .join(ba.select(col("band"), col("key"), col("vec_id").as("id_b")), Seq("band", "key"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      lshTruth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      // numerator and denominator from ONE pass over the truth subtree
+      // (found ⊆ truth, so a left join marks exactly the found pairs)
+      val hits = lshTruth.join(
+          broadcast(found.select(col("id_a"), col("id_b"), lit(1).as("__f"))),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("__f")).as("n_found"))
+      hits
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
         .crossJoin(broadcast(sub.agg(count(lit(1)).as("n_vecs"))))
         .select(lit(s"lsh_${numBands}x$bitsPerBand").as("method"),
@@ -385,11 +390,16 @@ object PipelineQueries {
       .select("query_id", "neighbor_id")
     val (cc, qc) = Similarity.ivfAssignments(queries, emb, nLists = 16, nProbe = 4, seed = 42)
     val found = Similarity.ivfTopKFrom(cc, qc, k = 5).select("query_id", "neighbor_id")
-    val matched = truth.join(found, Seq("query_id", "neighbor_id"))
     val cand = cc.join(broadcast(qc.select("query_id", "cell")), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-    val ivfRow = truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(broadcast(matched.agg(count(lit(1)).as("n_match"))))
+    // the brute-force truth subtree is the expensive half (|Q| × |corpus|
+    // fused-cosine pairs) — count total and matched in ONE pass over it via
+    // a broadcast left join against the k·|Q|-row IVF result
+    val ivfHits = truth.join(
+        broadcast(found.withColumn("__f", lit(1))),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("__f")).as("n_match"))
+    val ivfRow = ivfHits
       .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
       .crossJoin(broadcast(queries.agg(count(lit(1)).as("n_q"))))
       .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_c"))))

@@ -100,35 +100,39 @@ object Similarity {
       .otherwise(dot / norms)
   }
 
-  /** Deterministic random hyperplanes for sign-LSH (seeded driver-side;
-    * tiny — broadcast as literals into the plan). */
-  private def planes(n: Int, dims: Int, seed: Long): IndexedSeq[Seq[Float]] = {
+  /** Deterministic random hyperplanes for sign-LSH, flattened row-major
+    * (plane p occupies [p·dims, (p+1)·dims)) — seeded driver-side; tiny;
+    * rides into the plan as ONE reference object (not inlined literals). */
+  private def planeMatrix(n: Int, dims: Int, seed: Long): Array[Float] = {
     val rnd = new scala.util.Random(seed)
-    IndexedSeq.fill(n)(Seq.fill(dims)(rnd.nextGaussian().toFloat))
+    Array.fill(n * dims)(rnd.nextGaussian().toFloat)
   }
 
   /** One (vec_id, embedding, band, key) row per band: `key` packs the
     * band's sign bits into a Long (so up to 56 bits/band). Exposed within
-    * the package so the occupancy spec can measure bucket sizes directly. */
+    * the package so the occupancy spec can measure bucket sizes directly.
+    *
+    * sign(dot) ≡ sign(cosine) for any non-degenerate vector (norms are
+    * positive), so the dot skips recomputing both norms per bit — 3× fewer
+    * float ops across bands × bits hashes per row. Degenerate zero vectors
+    * DO key differently (cosine was NaN, which Spark's comparisons rank
+    * above 0 → all-ones key; dot 0 → all-zeros key) — immaterial, because
+    * the verify step's zero-norm guard NULLs a zero vector's similarity,
+    * so whichever bucket it lands in, it pairs with nothing.
+    *
+    * All bands' keys come from ONE kernel expression per row
+    * ([[graft.functions.SignBandKeysExpr]]) rather than bands × bits
+    * separate dot expressions: the plane matrix is a single plan reference
+    * object, so planning/codegen stays O(1) in the probe count (the
+    * expression-stack form cost ~1.7 s of driver time per 28×4 config,
+    * re-optimized for each of the subtree's four appearances per query). */
   private[operators] def bandAssignments(vecs: DataFrame, dims: Int, numBands: Int,
                                          bitsPerBand: Int, seed: Long): DataFrame = {
     require(bitsPerBand <= 56, s"bitsPerBand=$bitsPerBand exceeds the 56-bit Long key field")
-    val ps = planes(numBands * bitsPerBand, dims, seed)
-    // sign(dot) ≡ sign(cosine) for any non-degenerate vector (norms are
-    // positive), so the dot skips recomputing both norms per bit — 3× fewer
-    // float ops across bands × bits hashes per row. Degenerate zero vectors
-    // DO key differently (cosine was NaN, which Spark's comparisons rank
-    // above 0 → all-ones key; dot 0 → all-zeros key) — immaterial, because
-    // the verify step's zero-norm guard NULLs a zero vector's similarity,
-    // so whichever bucket it lands in, it pairs with nothing.
-    def bandKey(b: Int): Column =
-      (0 until bitsPerBand).map { i =>
-        when(DotProductExpr.dot(col("embedding"), typedlit(ps(b * bitsPerBand + i))) > 0,
-          lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    vecs.select(col("vec_id"), col("embedding"), explode(array(
-      (0 until numBands).map(b => struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val ps = planeMatrix(numBands * bitsPerBand, dims, seed)
+    val keys = graft.functions.SignBandKeys.bandKeys(
+      col("embedding"), ps, dims, numBands, bitsPerBand)
+    vecs.select(col("vec_id"), col("embedding"), posexplode(keys).as(Seq("band", "key")))
   }
 
   /** Bucket width for a corpus of `n` rows: `log2(n) + 8` sign bits keeps
