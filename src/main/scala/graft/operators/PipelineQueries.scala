@@ -884,14 +884,13 @@ object PipelineQueries {
     * production dedup: most docs survive, only real near-dups merge. */
   private val DedupMinJaccard = 0.5
 
-  /** Shared DuckDB CTE chain for the dedup decision pass (q59/q73): shingle
-    * pair graph (Jaccard ≥ [[DedupMinJaccard]], mirroring
-    * Dedup.ngramJaccardPairs' rare-filtered distinct-shingle sets) →
-    * recursive-closure connected components → docs joined with their group
-    * label. Ends at CTE `j(doc_id, group_id, n_chars)`. */
-  private val DedupGroupsCte =
-    s"""WITH RECURSIVE toks AS (
-       |  SELECT doc_id, $LowToksSql AS ts FROM documents WHERE doc_id < 200),
+  /** DuckDB CTE prefix shared by the dedup decision/incremental queries:
+    * doc-bounded shingle pair graph (Jaccard ≥ [[DedupMinJaccard]],
+    * mirroring Dedup.ngramJaccardPairs' rare-filtered distinct-shingle
+    * sets). Ends at CTE `pairs(id_a, id_b)` with id_a < id_b. */
+  private def dedupPairsCte(bound: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, $LowToksSql AS ts FROM documents WHERE doc_id < $bound),
        |shl AS (SELECT doc_id, $ShinglesSql AS shs FROM toks),
        |sh0 AS (SELECT doc_id AS doc, unnest(shs) AS sh FROM shl),
        |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000),
@@ -905,7 +904,13 @@ object PipelineQueries {
        |  JOIN sizes sa ON sa.doc = itx.id_a
        |  JOIN sizes sb ON sb.doc = itx.id_b
        |  WHERE CAST(itx.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - itx.inter)
-       |        >= $DedupMinJaccard),
+       |        >= $DedupMinJaccard)""".stripMargin
+
+  /** Shared DuckDB CTE chain for the dedup decision pass (q59/q73): the
+    * pair graph → recursive-closure connected components → docs joined with
+    * their group label. Ends at CTE `j(doc_id, group_id, n_chars)`. */
+  private val DedupGroupsCte =
+    s"""WITH RECURSIVE ${dedupPairsCte(200)},
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION ALL SELECT id_b, id_a FROM pairs),
        |reach(node, lbl) AS (
@@ -988,6 +993,87 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL dedup — the production shape for a growing corpus: a new
+    * batch (the delta, doc_id in [150, 300)) is deduped against the EXISTING
+    * corpus (doc_id < 150) and then within itself, WITHOUT re-clustering the
+    * corpus. Three-way verdict per delta doc:
+    *
+    *   - `dup_of_corpus`: shares a Jaccard ≥ [[DedupMinJaccard]] pair with
+    *     any existing doc — the existing copy wins unconditionally (the
+    *     corpus is already deduped and already served downstream; stability
+    *     of the served set beats the marginally-longer new copy);
+    *   - survivors run the q59 machinery among THEMSELVES (CC over
+    *     survivor-survivor pairs, best-quality representative per group):
+    *     `kept` or `dup_in_delta`.
+    *
+    * Shape at scale: one shingle-keyed pair join over corpus+delta (rarity
+    * from the union, i.e. the maintained index's document frequencies), but
+    * CC iterates over the DELTA-ONLY subgraph — the nightly batch, not the
+    * accumulated 100 TB corpus, which is the entire point of incremental
+    * dedup. Corpus-side shingles rejoin once; corpus labels never move. */
+  val q80DedupIncremental: QuerySpec = QuerySpec.oracle(
+    "q80_dedup_incremental",
+    s"""WITH RECURSIVE ${dedupPairsCte(300)},
+       |cdup AS (SELECT DISTINCT id_b AS doc_id FROM pairs
+       |         WHERE id_a < 150 AND id_b >= 150),
+       |ss AS (SELECT id_a, id_b FROM pairs
+       |       WHERE id_a >= 150
+       |         AND id_a NOT IN (SELECT doc_id FROM cdup)
+       |         AND id_b NOT IN (SELECT doc_id FROM cdup)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM ss
+       |          UNION ALL SELECT id_b, id_a FROM ss),
+       |surv AS (SELECT doc_id FROM toks
+       |         WHERE doc_id >= 150 AND doc_id NOT IN (SELECT doc_id FROM cdup)),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM surv
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |cc AS (SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node),
+       |j AS (SELECT d.doc_id, cc.group_id, d.n_chars
+       |      FROM documents d JOIN cc USING (doc_id)),
+       |k AS (SELECT doc_id, group_id,
+       |    row_number() OVER (PARTITION BY group_id ORDER BY n_chars DESC, doc_id) = 1 AS keep
+       |  FROM j)
+       |SELECT t.doc_id, k.group_id,
+       |  CASE WHEN cdup.doc_id IS NOT NULL THEN 'dup_of_corpus'
+       |       WHEN k.keep THEN 'kept' ELSE 'dup_in_delta' END AS reason,
+       |  coalesce(k.keep, false) AS keep
+       |FROM toks t
+       |LEFT JOIN cdup ON t.doc_id = cdup.doc_id
+       |LEFT JOIN k ON t.doc_id = k.doc_id
+       |WHERE t.doc_id >= 150
+       |ORDER BY t.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    val delta = docs.filter(col("doc_id") >= 150)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = DedupMinJaccard, maxDocFreq = 1000)
+    // pairs emit id_a < id_b, and corpus ids all precede delta ids, so a
+    // corpus-delta pair is always (corpus, delta). The dup id-set is TINY
+    // (delta-bounded) but its pair-graph subtree is expensive; the lazy
+    // localCheckpoint pins it after the CC build's first pass materializes
+    // it, so the final assembly and the survivor anti-joins reuse the ids
+    // instead of re-running the shingle join per consumer (same pattern as
+    // CC's own per-round labels).
+    val corpusDup = pairs.filter(col("id_a") < 150 && col("id_b") >= 150)
+      .select(col("id_b").as("doc_id")).distinct()
+      .localCheckpoint(eager = false)
+    val survivors = delta.join(corpusDup, Seq("doc_id"), "left_anti")
+    val ssPairs = pairs.filter(col("id_a") >= 150)
+      .join(corpusDup.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(corpusDup.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+    val flags = dedupKeepFlagsFrom(
+      Dedup.dedupGroups(survivors.select("doc_id"), "doc_id", ssPairs), survivors)
+    delta.select("doc_id")
+      .join(corpusDup.withColumn("__cd", lit(1)), Seq("doc_id"), "left")
+      .join(flags.select("doc_id", "group_id", "keep"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("group_id"),
+        when(col("__cd") === 1, lit("dup_of_corpus"))
+          .when(col("keep"), lit("kept")).otherwise(lit("dup_in_delta")).as("reason"),
+        coalesce(col("keep"), lit(false)).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
@@ -995,5 +1081,5 @@ object PipelineQueries {
     q45KeywordRank, q49LabelCentroids, q51ContaminationBloom,
     q52DataMixture, q53HeavyHitters, q55Curriculum,
     q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist,
-    q73DedupApply, q75Decontaminate, q78AnnRecall)
+    q73DedupApply, q75Decontaminate, q78AnnRecall, q80DedupIncremental)
 }

@@ -40,7 +40,9 @@ class ConstructionSweepSpec extends SparkSpec {
     "q78_ann_recall",
     // q79's FIRST build materializes the two-generation parquet layout the
     // merged scan reads (one-time, _SUCCESS-marked; repeat builds job-free)
-    "q79_schema_evolution")
+    "q79_schema_evolution",
+    // q80 iterates CC over the delta subgraph at build, like q35/q59/q73
+    "q80_dedup_incremental")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

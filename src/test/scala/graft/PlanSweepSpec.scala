@@ -129,7 +129,11 @@ class PlanSweepSpec extends SparkSpec {
     "q78_ann_recall" -> 30,
     // q79: per-lang agg (partial→final) + the presentation sort over the
     // merged two-generation scan
-    "q79_schema_evolution" -> 2)
+    "q79_schema_evolution" -> 2,
+    // q80: one pair-graph derivation (the checkpointed dup id-set + iterated
+    // CC labels arrive as LogicalRDDs) + survivor anti-join, keep window,
+    // final assembly joins + sort
+    "q80_dedup_incremental" -> 9)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
