@@ -518,7 +518,15 @@ object Relational {
     * per query and never shuffling them at all. The merge hint pins the
     * join family (a broadcast join at test scale would elide the exchange
     * for the wrong reason and make the assert vacuous). The DuckDB mirror
-    * runs the plain unbucketed join — same rows, different layout. */
+    * runs the plain unbucketed join — same rows, different layout.
+    *
+    * The remaining Sort nodes are LOCAL (per-bucket, no exchange): the
+    * layout writes one sorted file per bucket, and a session with
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` plans this
+    * query with ZERO Sort nodes too (verified) — the scan then reports the
+    * file order and the merge join pipelines straight off disk. The
+    * declared builder leaves the session conf untouched (builders are
+    * side-effect-free), so it keeps the local sorts. */
   val q76BucketedJoin: QuerySpec = QuerySpec.oracle(
     "q76_bucketed_join",
     """SELECT o_orderkey, o_orderstatus, count(*) AS n_items,
