@@ -91,12 +91,12 @@ class PlanSweepSpec extends SparkSpec {
     // fixed-size buffer per partition (the price of job-free construction)
     "q51_contamination_bloom" -> 5,
     // q73: q59's decision subtree + the PK join back to documents
-    "q73_dedup_apply" -> 5,
+    "q73_dedup_apply" -> 4,
     // q74: salted two-phase agg = partial (key, salt) + final (key) + sort
     "q74_salted_agg" -> 3,
     // q75: q51's shape with the sides swapped (bloom agg + survivors join
     // + per-doc agg + left join back to train ids + sort)
-    "q75_decontaminate" -> 5,
+    "q75_decontaminate" -> 4,
     "q52_data_mixture" -> 4, "q53_heavy_hitters" -> 2,
     // q56: the 20-row per-source aggregate subtree is planned twice (under
     // the 1-row max and under the rates join) + SinglePartition for the max
@@ -126,7 +126,7 @@ class PlanSweepSpec extends SparkSpec {
     // count aggregates riding SinglePartition exchanges) + the bounded
     // LSH/IVF candidate joins; every exchange carries either one row or a
     // bounded candidate set, never the corpus
-    "q78_ann_recall" -> 30,
+    "q78_ann_recall" -> 23,
     // q79: per-lang agg (partial→final) + the presentation sort over the
     // merged two-generation scan
     "q79_schema_evolution" -> 2,
