@@ -342,6 +342,34 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Skew-salted JOIN ([[Salting.saltedJoin]]) as a declared oracle query:
+    * events (fact) joined to a per-user dimension on user_id with the
+    * dimension replicated 8 ways and fact rows spread over the replicas by
+    * a deterministic event_id-derived salt — the manual pre-shuffle split
+    * for a hot join key, for when the dimension is too large to broadcast
+    * (the merge hint pins that production shape at test scale; a broadcast
+    * join would bypass the salted shuffle and make the query vacuous).
+    * Row-identical to the plain join, which is what the DuckDB mirror runs
+    * — the plain join IS the oracle, same as q74's salted aggregate. */
+  val q81SaltedJoin: QuerySpec = QuerySpec.oracle(
+    "q81_salted_join",
+    """WITH d AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY user_id)
+      |SELECT e.event_type, count(*) AS n_rows,
+      |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(sum(d.user_total) AS BIGINT) AS sum_user_total
+      |FROM events e JOIN d USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_total")).hint("merge")
+    Salting.saltedJoin(ev, dim, "user_id", col("event_id"), buckets = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("value")).as("sum_value"),
+        sum(col("user_total")).as("sum_user_total"))
+      .orderBy("event_type")
+  }
+
   /** The typed-cogroup surface ([[CoGroup.userConversions]]) as a declared
     * oracle query: per-user conversion facts that need BOTH event groups at
     * once (click count, purchase count, any-purchase-at-or-after-first-
@@ -383,5 +411,6 @@ object EventQueries {
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
-    q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel)
+    q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel,
+    q81SaltedJoin)
 }

@@ -133,7 +133,10 @@ class PlanSweepSpec extends SparkSpec {
     // q80: one pair-graph derivation (the checkpointed dup id-set + iterated
     // CC labels arrive as LogicalRDDs) + survivor anti-join, keep window,
     // final assembly joins + sort
-    "q80_dedup_incremental" -> 9)
+    "q80_dedup_incremental" -> 9,
+    // q81: dim build + both sides' (key, salt) shuffles + final agg + sort —
+    // the (key, salt) exchanges ARE the operator (hot key fans over buckets)
+    "q81_salted_join" -> 5)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

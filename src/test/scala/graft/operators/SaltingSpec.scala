@@ -26,6 +26,25 @@ class SaltingSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals plain join on skewed keys, spreads the hot key") {
+    import spark.implicits._
+    // 90% of fact rows share one key; dimension is unique per key
+    val fact = (1L to 10000L)
+      .map(i => (i, if (i % 10 == 0) s"key${i % 7}" else "hot", (i % 100).toDouble))
+      .toDF("id", "k", "v")
+    val dim = fact.groupBy("k").agg(count(lit(1)).as("k_total"))
+    val salted = Salting.saltedJoin(fact, dim, "k", col("id"), buckets = 8)
+      .orderBy("id").collect().map(_.toSeq.toVector).toVector
+    val plainRows = fact.join(dim, "k")
+      .select("k", "id", "v", "k_total")
+      .orderBy("id").collect().map(_.toSeq.toVector).toVector
+    assert(salted === plainRows, "salted join must be row-identical to the plain join")
+    // the hot key's fact rows really fan out: every salt bucket is hit
+    val saltsHit = fact.filter(col("k") === "hot")
+      .select(pmod(xxhash64(col("id")), lit(8)).cast("int")).distinct().count()
+    assert(saltsHit == 8, s"hot key should spread over all 8 buckets, hit $saltsHit")
+  }
+
   test("salted aggregation is layout-independent (q74's oracle contract)") {
     // The salt is a function of the PHYSICAL layout (partition id + row
     // position), so different partitionings produce different partial
