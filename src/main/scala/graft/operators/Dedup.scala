@@ -235,6 +235,64 @@ object Dedup {
       .withColumn("canonical_id", coalesce(col("canonical_id"), col(idCol).cast("long")))
   }
 
+  /** Incremental near-dup dedup — the production shape for a growing
+    * corpus: `delta` (the new batch) is deduped against the EXISTING
+    * `corpus` and then within itself, without re-clustering the corpus.
+    * Contract: id spaces disjoint (document PKs), `corpus` already deduped.
+    * A delta doc with a Jaccard ≥ `minJaccard` pair to ANY corpus doc is
+    * `dup_of_corpus` (the existing copy wins unconditionally — it is
+    * already served downstream; serving stability beats a marginally
+    * better new copy). Survivors cluster among THEMSELVES (connected
+    * components over the delta-only subgraph — the clustering cost tracks
+    * the batch, never the accumulated corpus) and each group keeps its
+    * highest-quality member (`qualityCol` desc, id tiebreak): `kept` /
+    * `dup_in_delta`. Returns one row per delta doc:
+    * (idCol, group_id, reason, keep); group_id is null for corpus dups.
+    *
+    * Shape at scale: one shingle-keyed pair join over corpus+delta (rarity
+    * from the union — the maintained index's document frequencies); the
+    * corpus-dup id-set is tiny (delta-bounded) and localCheckpoints after
+    * the CC build first materializes it, so consumers reuse the ids
+    * instead of re-running the shingle join. */
+  def incrementalDedup(corpus: DataFrame, delta: DataFrame, idCol: String,
+                       textCol: String, qualityCol: String,
+                       n: Int = 3, minJaccard: Double = 0.5,
+                       maxDocFreq: Long = 1000): DataFrame = {
+    val keep = Seq(idCol, textCol, qualityCol).map(col)
+    val union = corpus.select(keep: _*).unionByName(delta.select(keep: _*))
+    val pairs = ngramJaccardPairs(union, idCol, textCol, n, minJaccard, maxDocFreq)
+    val cIds = corpus.select(col(idCol))
+    // delta docs paired with a corpus doc, either orientation: semi-join
+    // one side into the corpus id-set, anti-join the other side out of it
+    def crossSide(corpusSide: String, deltaSide: String) =
+      pairs.join(cIds.select(col(idCol).as(corpusSide)), Seq(corpusSide), "left_semi")
+        .join(cIds.select(col(idCol).as(deltaSide)), Seq(deltaSide), "left_anti")
+        .select(col(deltaSide).as(idCol))
+    val dupOfCorpus = crossSide("id_a", "id_b")
+      .unionByName(crossSide("id_b", "id_a"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val survivors = delta.join(dupOfCorpus, Seq(idCol), "left_anti")
+    val survivorPairs = pairs
+      .join(cIds.select(col(idCol).as("id_a")), Seq("id_a"), "left_anti")
+      .join(cIds.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
+      .join(dupOfCorpus.select(col(idCol).as("id_a")), Seq("id_a"), "left_anti")
+      .join(dupOfCorpus.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
+    val groups = dedupGroups(survivors.select(idCol), idCol, survivorPairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical_id").orderBy(col(qualityCol).desc, col(idCol))
+    val flags = groups.join(survivors.select(col(idCol), col(qualityCol)), Seq(idCol))
+      .withColumn("keep", row_number().over(w) === 1)
+    delta.select(col(idCol))
+      .join(dupOfCorpus.withColumn("__cd", lit(1)), Seq(idCol), "left")
+      .join(flags.select(col(idCol), col("canonical_id").as("group_id"), col("keep")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("group_id"),
+        when(col("__cd") === 1, lit("dup_of_corpus"))
+          .when(col("keep"), lit("kept")).otherwise(lit("dup_in_delta")).as("reason"),
+        coalesce(col("keep"), lit(false)).as("keep"))
+  }
+
   /** Pairs within hamming distance ≤ `maxHamming` of each other's simhash,
     * by pigeonhole blocking: split the hash into maxHamming+1 bit blocks —
     * any pair within distance d must agree on ≥1 whole block, so candidates

@@ -1045,32 +1045,11 @@ object PipelineQueries {
        |ORDER BY t.doc_id""".stripMargin
   ) { (spark, dir) =>
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
-    val delta = docs.filter(col("doc_id") >= 150)
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, minJaccard = DedupMinJaccard, maxDocFreq = 1000)
-    // pairs emit id_a < id_b, and corpus ids all precede delta ids, so a
-    // corpus-delta pair is always (corpus, delta). The dup id-set is TINY
-    // (delta-bounded) but its pair-graph subtree is expensive; the lazy
-    // localCheckpoint pins it after the CC build's first pass materializes
-    // it, so the final assembly and the survivor anti-joins reuse the ids
-    // instead of re-running the shingle join per consumer (same pattern as
-    // CC's own per-round labels).
-    val corpusDup = pairs.filter(col("id_a") < 150 && col("id_b") >= 150)
-      .select(col("id_b").as("doc_id")).distinct()
-      .localCheckpoint(eager = false)
-    val survivors = delta.join(corpusDup, Seq("doc_id"), "left_anti")
-    val ssPairs = pairs.filter(col("id_a") >= 150)
-      .join(corpusDup.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
-      .join(corpusDup.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
-    val flags = dedupKeepFlagsFrom(
-      Dedup.dedupGroups(survivors.select("doc_id"), "doc_id", ssPairs), survivors)
-    delta.select("doc_id")
-      .join(corpusDup.withColumn("__cd", lit(1)), Seq("doc_id"), "left")
-      .join(flags.select("doc_id", "group_id", "keep"), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("group_id"),
-        when(col("__cd") === 1, lit("dup_of_corpus"))
-          .when(col("keep"), lit("kept")).otherwise(lit("dup_in_delta")).as("reason"),
-        coalesce(col("keep"), lit(false)).as("keep"))
+    Dedup.incrementalDedup(
+        corpus = docs.filter(col("doc_id") < 150),
+        delta = docs.filter(col("doc_id") >= 150),
+        idCol = "doc_id", textCol = "text", qualityCol = "n_chars",
+        n = 3, minJaccard = DedupMinJaccard, maxDocFreq = 1000)
       .orderBy("doc_id")
   }
 

@@ -15,6 +15,31 @@ class DedupSpec extends SparkSpec {
     (5L, "the quick brown fox jumps over the lazy dog near the river bank today")   // exact dup of 0
   ).toDF("doc_id", "text")
 
+  test("incremental dedup: corpus wins, delta clusters among itself, unique kept") {
+    // corpus doc 0 is already served; delta doc 10 duplicates it, delta
+    // docs 11/12 duplicate each other only (12 is longer → kept), 13 unique
+    def withLen(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("n_chars", length(col("text")).cast("long"))
+    val corpus = withLen(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "completely different words about spark distributed query engines and shuffles")
+    ).toDF("doc_id", "text"))
+    val delta = withLen(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (13L, "another unrelated document mentioning parquet columnar storage formats")
+    ).toDF("doc_id", "text"))
+    val out = Dedup.incrementalDedup(corpus, delta, "doc_id", "text", "n_chars")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("reason"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(10L) === ("dup_of_corpus", false), "existing copy wins unconditionally")
+    assert(out(12L) === ("kept", true), "longer member represents the delta group")
+    assert(out(11L) === ("dup_in_delta", false))
+    assert(out(13L) === ("kept", true))
+    assert(out.size === 4, "one verdict per delta doc, corpus rows never emitted")
+  }
+
   test("exact dedup keeps min id and counts the group") {
     val out = Dedup.exact(planted, "doc_id", Seq("text"))
       .orderBy("doc_id").collect()
