@@ -163,6 +163,33 @@ class EventsStreamSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("event_id")).toSeq == Seq(1L, 2L))
   }
 
+  test("bloom blocklist probe runs unchanged on a stream (decontamination on arrival)") {
+    // The q51/q75 scan-side probe is a stateless codegen'd expression, so
+    // the SAME decontamination predicate filters a stream on arrival — the
+    // batch/stream unification the bloom design buys. Blocklist = two event
+    // types; no false negatives is the hard guarantee being exercised.
+    import graft.functions.BloomFilterOps
+    import spark.implicits._
+    val blockedTypes = Seq("click", "purchase").toDF("t")
+    val mBits = 1 << 14
+    val bits = BloomFilterOps.buildBloom(blockedTypes, "t", mBits)
+    val (src, out, ckpt) = tempDirs()
+    writeBatch(src, "b0.json", Seq(
+      evt(1, "2024-01-01 10:00:00", 1, "click", 1),
+      evt(2, "2024-01-01 10:01:00", 1, "view", 2),
+      evt(3, "2024-01-01 10:02:00", 2, "purchase", 3)))
+    writeBatch(src, "b1.json", Seq(
+      evt(4, "2024-01-01 10:03:00", 2, "scroll", 4),
+      evt(5, "2024-01-01 10:04:00", 3, "click", 5)))
+    val stream = EventsStream.readEventStream(spark, src)
+      .filter(BloomFilterOps.mightContain(bits, mBits, 6, col("event_type")))
+    EventsStream.runToParquet(stream, out, ckpt)
+    val flagged = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(flagged === Seq(1L, 3L, 5L),
+      "every blocklisted event flagged (no false negatives), clean ones pass")
+  }
+
   test("foreachBatch applies a batch transform per micro-batch") {
     val (src, out, ckpt) = tempDirs()
     writeBatch(src, "b0.json", Seq(
