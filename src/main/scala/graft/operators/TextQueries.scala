@@ -4,7 +4,7 @@ import graft.QuerySpec
 import graft.functions.Exprs._
 import graft.functions.TextFns
 import graft.functions.TextFns._
-import graft.sources.Tables
+import graft.sources.{Sinks, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -501,9 +501,33 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** ORC round-trip (`Sinks.writeOrc`/`readOrc`) as a declared oracle
+    * query — Spark's second built-in columnar format, exercised
+    * driver-visibly: documents written ONCE per (dir) through the sized ORC
+    * sink (4 files, rows-per-file ceiling), read back through the ORC scan,
+    * and aggregated; the DuckDB mirror runs the same aggregate over the
+    * PARQUET source table, so a hash match proves the ORC round-trip is
+    * lossless (values, types, nulls) without DuckDB ever reading ORC.
+    * Eager by design (the one-time sink write, like q76/q79); repeat
+    * builds see the _SUCCESS marker and are job-free. */
+  val q82OrcRoundtrip: QuerySpec = QuerySpec.oracle(
+    "q82_orc_roundtrip",
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"target/graft_orc_$tag/documents"
+    if (!new java.io.File(path, "_SUCCESS").exists)
+      Sinks.writeOrc(Tables.documents(spark, dir), path, targetFiles = 4)
+    Sinks.readOrc(spark, path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
     q28TokenCounts, q29DocAssembly, q37VocabOov, q39QualityFilter,
-    q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution)
+    q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution, q82OrcRoundtrip)
 }

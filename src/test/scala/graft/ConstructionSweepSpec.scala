@@ -42,7 +42,9 @@ class ConstructionSweepSpec extends SparkSpec {
     // merged scan reads (one-time, _SUCCESS-marked; repeat builds job-free)
     "q79_schema_evolution",
     // q80 iterates CC over the delta subgraph at build, like q35/q59/q73
-    "q80_dedup_incremental")
+    "q80_dedup_incremental",
+    // q82's FIRST build writes the ORC layout (one-time, _SUCCESS-marked)
+    "q82_orc_roundtrip")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

@@ -136,7 +136,9 @@ class PlanSweepSpec extends SparkSpec {
     "q80_dedup_incremental" -> 9,
     // q81: dim build + both sides' (key, salt) shuffles + final agg + sort —
     // the (key, salt) exchanges ARE the operator (hot key fans over buckets)
-    "q81_salted_join" -> 5)
+    "q81_salted_join" -> 5,
+    // q82: per-lang agg (partial→final) + sort over the ORC scan
+    "q82_orc_roundtrip" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
