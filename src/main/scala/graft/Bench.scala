@@ -32,6 +32,15 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Sample the 1-min load BEFORE the warmup pass: the field exists to
+    // flag EXTERNAL contention (BENCH_r09 read 81 s where idle measured
+    // 48.6 s), and sampling after warmup would conflate the bench's own
+    // CPU burn with the machine state it is trying to report.
+    // getSystemLoadAverage returns -1.0 where unsupported; reported as-is.
+    def load1(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = load1()
+
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
@@ -43,17 +52,46 @@ object Bench {
       val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // System 1-min load average sampled around the timed passes: BENCH_r09
-    // read 81.2 s under end-of-round machine contention while the same code
-    // measured 48.6 s idle — the load fields make a contaminated run
-    // self-identifying instead of silently mislabeling a regression.
-    // getSystemLoadAverage returns -1.0 where unsupported; reported as-is.
-    def load1(): Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val loadBefore = load1()
+    // CPU-time split across the timed passes from /proc/stat (Linux; -1
+    // elsewhere): steal_pct exposes hypervisor contention loadavg cannot
+    // see — a guest's runnable threads count toward load even while the
+    // host denies them cycles, which is exactly the failure mode that
+    // makes same-code bench totals swing with no in-guest signal.
+    def cpuTicks(): Option[Array[Long]] =
+      scala.util.Try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        try f.getLines().next().split("\\s+").drop(1).take(8).map(_.toLong)
+        finally f.close()
+      }.toOption
+    // Fixed-work single-thread CPU canary (xorshift64*, ~0.5 s at full
+    // speed): its wall time scales inversely with the EFFECTIVE clock the
+    // hypervisor grants, which neither loadavg nor steal%% exposes (cloud
+    // burst-credit throttling shows up here and nowhere else — measured
+    // same-code totals swinging 58→77 s with idle loadavg and 0.1%% steal).
+    // Divide query seconds by (canary / its clean-machine value) to
+    // normalize a contaminated run.
+    def cpuCanarySec(): Double = {
+      var x = 88172645463325252L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 300000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      if (x == 0) println("") // keep the loop un-eliminable
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryBefore = cpuCanarySec()
+    val ticks0 = cpuTicks()
     val p1 = timedPass()
     val p2 = timedPass()
     val loadAfter = load1()
+    val canaryAfter = cpuCanarySec()
+    val stealPct = (for (a <- ticks0; b <- cpuTicks()) yield {
+      val d = a.indices.map(i => b(i) - a(i))
+      val tot = d.sum.toDouble
+      if (tot > 0) 100.0 * d(7) / tot else -1.0 // field 8 = steal
+    }).getOrElse(-1.0)
     // ListMap keeps SparkEntry's insertion order so bench lines diff cleanly
     // across rounds
     val results = scala.collection.immutable.ListMap(
@@ -74,7 +112,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)}}"""
+      s""""load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)},""" +
+      s""""steal_pct":${fmt(stealPct)},"canary_sec_before":${fmt(canaryBefore)},"canary_sec_after":${fmt(canaryAfter)}}"""
     println(line)
     // Also persist to a file: log-tail capture has truncated the printed
     // line before (BENCH parsed:null three rounds running) — the file is
