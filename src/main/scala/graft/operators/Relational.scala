@@ -548,11 +548,41 @@ object Relational {
     agg
   }
 
+  /** Two-dimensional selective scan over a Z-ORDERED copy of lineitem
+    * ([[graft.sources.Sinks.writeParquetZOrdered]]: rows tiled by the Morton
+    * interleave of range-normalized (l_partkey, l_suppkey)) — the layout
+    * under which BOTH filter columns carry tight per-file/row-group min/max
+    * statistics, so this query's conjunctive predicate prunes most of the
+    * corpus at the footer level where a single-column sort would prune on
+    * its leading column only (SinksSpec measures the gap). The DuckDB
+    * mirror runs the same filter+aggregate over the unordered source table
+    * — same rows, different layout, which is the claim: z-ordering is pure
+    * physical design. Layout write is one-time per (dir), _SUCCESS-marked;
+    * eager by design like q76/q79/q82. */
+  val q83ZOrderScan: QuerySpec = QuerySpec.oracle(
+    "q83_zorder_scan",
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 5
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"target/graft_zorder_$tag/lineitem"
+    if (!new java.io.File(path, "_SUCCESS").exists)
+      graft.sources.Sinks.writeParquetZOrdered(
+        Tables.lineitem(spark, dir), path, partitions = 8, "l_partkey", "l_suppkey")
+    spark.read.parquet(path)
+      .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 5)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
     q09WindowRunning, q10SetOps, q11DatesMath, q12BalancedSample,
     q13AggCube, q14Distinct, q15Percentiles, q16Profile,
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
-    q76BucketedJoin)
+    q76BucketedJoin, q83ZOrderScan)
 }

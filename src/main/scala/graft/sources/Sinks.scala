@@ -35,6 +35,39 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write parquet Z-ORDERED on two long columns: rows range-partitioned
+    * AND sorted by the Morton interleave of (colA, colB), so files tile the
+    * two-dimensional key plane — BOTH columns get tight per-file and
+    * per-row-group min/max statistics, and a scan filtering on EITHER one
+    * prunes effectively. A plain sort clusters its leading column only; at
+    * 100 TB the difference is reading one tile vs one full dimension slice.
+    *
+    * Both columns are first range-normalized to a common 16-bit scale from
+    * one min/max aggregate — WITHOUT this the wider-ranged column owns all
+    * the interleave's high bits and the key degenerates to a plain sort on
+    * it (the classic z-order pitfall; the SinksSpec baseline demonstrates
+    * it). The normalization pass is one tiny eager aggregate — acceptable
+    * in a sink utility whose very next line is a full write action. NULLs
+    * in either column z-key to NULL and range-partition first. */
+  def writeParquetZOrdered(df: DataFrame, path: String, partitions: Int,
+                           colA: String, colB: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val mm = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    def norm(c: String, lo: Long, hi: Long) =
+      if (hi == lo) lit(0L)
+      else ((col(c).cast("long") - lit(lo)) * 65535L / lit(hi - lo)).cast("long")
+    val key = graft.functions.ZOrderKernel.zorderKey(
+      norm(colA, mm.getLong(0), mm.getLong(1)),
+      norm(colB, mm.getLong(2), mm.getLong(3)))
+    df.withColumn("__zkey", key)
+      .repartitionByRange(partitions, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** ORC sink (Spark's second built-in columnar format — Hive-ecosystem
     * interchange) with the SAME layout bounds as the parquet sized writer:
     * target file count plus a rows-per-file ceiling. Same pushdown/pruning

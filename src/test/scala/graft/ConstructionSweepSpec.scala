@@ -44,7 +44,10 @@ class ConstructionSweepSpec extends SparkSpec {
     // q80 iterates CC over the delta subgraph at build, like q35/q59/q73
     "q80_dedup_incremental",
     // q82's FIRST build writes the ORC layout (one-time, _SUCCESS-marked)
-    "q82_orc_roundtrip")
+    "q82_orc_roundtrip",
+    // q83's FIRST build writes the z-ordered layout (+ its one-row min/max
+    // normalization aggregate); one-time, _SUCCESS-marked
+    "q83_zorder_scan")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

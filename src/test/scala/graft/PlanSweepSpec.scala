@@ -138,7 +138,9 @@ class PlanSweepSpec extends SparkSpec {
     // the (key, salt) exchanges ARE the operator (hot key fans over buckets)
     "q81_salted_join" -> 5,
     // q82: per-lang agg (partial→final) + sort over the ORC scan
-    "q82_orc_roundtrip" -> 2)
+    "q82_orc_roundtrip" -> 2,
+    // q83: per-flag agg (partial→final) + sort over the z-ordered scan
+    "q83_zorder_scan" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

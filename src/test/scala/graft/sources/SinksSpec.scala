@@ -19,6 +19,39 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == Tables.lineitem(spark, sf).count())
   }
 
+  test("z-ordered layout clusters BOTH dimensions; plain sort only its leading column") {
+    import org.apache.spark.sql.functions._
+    val src = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey", "l_quantity")
+    // avg per-file min/max spread of a column, as a fraction of its global spread
+    def avgFileSpread(path: String, c: String): Double = {
+      val global = src.agg((max(col(c)) - min(col(c))).cast("double")).head().getDouble(0)
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(((max(col(c)) - min(col(c))).cast("double") / global).as("fr"))
+        .agg(avg(col("fr"))).head().getDouble(0)
+    }
+    val zout = Files.createTempDirectory("graft_z").toString + "/li"
+    Sinks.writeParquetZOrdered(src, zout, partitions = 4, "l_partkey", "l_suppkey")
+    val pout = Files.createTempDirectory("graft_p").toString + "/li"
+    src.repartitionByRange(4, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(pout)
+    // the round-trip is lossless
+    assert(spark.read.parquet(zout).count() == src.count())
+    // 4 z-tiles over a 2-D plane → each file spans ~half of EACH dimension
+    // (a little more where range-partition cut points straddle quadrant
+    // boundaries — the bound is loose for that, and still far below the
+    // unclustered baseline's ~1.0)
+    assert(avgFileSpread(zout, "l_partkey") <= 0.75,
+      s"z-order should bound partkey per file: ${avgFileSpread(zout, "l_partkey")}")
+    assert(avgFileSpread(zout, "l_suppkey") <= 0.75,
+      s"z-order should bound suppkey per file: ${avgFileSpread(zout, "l_suppkey")}")
+    // the single-column sort leaves the SECOND dimension unclustered — every
+    // file spans (nearly) the whole suppkey range, so min/max stats on it
+    // prune nothing; this gap is what z-ordering exists to close
+    assert(avgFileSpread(pout, "l_suppkey") >= 0.9,
+      s"plain partkey sort should NOT cluster suppkey: ${avgFileSpread(pout, "l_suppkey")}")
+  }
+
   test("ORC round-trip preserves schema and values; filters push into the scan") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft_orc").toString + "/li"
