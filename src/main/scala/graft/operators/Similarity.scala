@@ -239,7 +239,14 @@ object Similarity {
                                         seed: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     val v = toMlVector(corpus)
-    val km = new KMeans().setK(nLists).setSeed(seed)
+    // maxIter 8 (down from MLlib's 20): a coarse quantizer needs cells that
+    // ROUGHLY tile the space, not converged centroids — recall is governed
+    // by nProbe/nLists, not late-iteration centroid polish. On the test
+    // corpus k-means tol-converges before 8 anyway (q78's recall report
+    // reads identically), so this is a worst-case bound for corpora where
+    // it would not: at 100 TB each extra Lloyd iteration is a full pass
+    // over the embedding column.
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(v)
     val corpusCells = model.transform(v)
