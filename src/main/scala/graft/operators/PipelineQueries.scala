@@ -611,6 +611,44 @@ object PipelineQueries {
   private def lowToksCol: Column =
     filter(split(lower(col("text")), "\\W+"), t => t =!= "")
 
+  /** Document chunking — the preprocessing step between cleaning and
+    * sequence packing: each document's token stream split into overlapping
+    * fixed-width windows (width 128, stride 96 → 32-token overlap, the
+    * standard long-document treatment so no span is ever cut without
+    * context). One row per (doc, chunk); empty docs yield no chunks.
+    * Shape at scale: a pure per-row explode — the fan-out is bounded by
+    * ceil(len/stride) per doc, no shuffle except the presentation sort;
+    * embarrassingly parallel over the corpus. */
+  val q84DocChunks: QuerySpec = QuerySpec.oracle(
+    "q84_doc_chunks",
+    s"""WITH toks AS (SELECT doc_id, $LowToksSql AS ts FROM documents),
+       |starts AS (SELECT doc_id, ts,
+       |    unnest(generate_series(1, greatest(len(ts), 1), 96)) AS s
+       |  FROM toks),
+       |c AS (SELECT doc_id, CAST((s - 1) // 96 AS BIGINT) AS chunk_idx,
+       |    ts[s:s+127] AS chunk
+       |  FROM starts)
+       |SELECT doc_id, chunk_idx,
+       |  array_to_string(chunk, ' ') AS chunk_text,
+       |  CAST(len(chunk) AS BIGINT) AS n_tokens
+       |FROM c WHERE len(chunk) > 0
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  ) { (spark, dir) =>
+    val (width, stride) = (128, 96)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lowToksCol.as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), greatest(size(col("ts")), lit(1)), lit(stride))).as("s"))
+      .select(col("doc_id"),
+        ((col("s") - 1).cast("long") / stride).cast("long").as("chunk_idx"),
+        slice(col("ts"), col("s"), lit(width)).as("chunk"))
+      .filter(size(col("chunk")) > 0)
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", col("chunk")).as("chunk_text"),
+        size(col("chunk")).cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Training-data mixture construction: each source contributes documents
     * until a fixed per-source token budget is hit, in a DETERMINISTIC
     * pseudo-random order (md5 of doc_id — layout-independent, so the same
@@ -1060,5 +1098,6 @@ object PipelineQueries {
     q45KeywordRank, q49LabelCentroids, q51ContaminationBloom,
     q52DataMixture, q53HeavyHitters, q55Curriculum,
     q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist,
-    q73DedupApply, q75Decontaminate, q78AnnRecall, q80DedupIncremental)
+    q73DedupApply, q75Decontaminate, q78AnnRecall, q80DedupIncremental,
+    q84DocChunks)
 }

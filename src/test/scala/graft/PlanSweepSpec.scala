@@ -140,7 +140,9 @@ class PlanSweepSpec extends SparkSpec {
     // q82: per-lang agg (partial→final) + sort over the ORC scan
     "q82_orc_roundtrip" -> 2,
     // q83: per-flag agg (partial→final) + sort over the z-ordered scan
-    "q83_zorder_scan" -> 2)
+    "q83_zorder_scan" -> 2,
+    // q84: pure per-row explode + the presentation sort
+    "q84_doc_chunks" -> 1)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
