@@ -99,9 +99,13 @@ object BloomProbe {
     * one trips out-of-bounds), so the length is validated every call — one
     * integer compare against k hash probes is noise. */
   def mightContainData(bits: ArrayData, mBits: Int, k: Int, h1: Long, h2: Long): Boolean = {
-    if (bits.numElements() != (mBits >> 6))
+    // ceil-divide so the check stays correct even for an mBits that is not
+    // a multiple of 64 — the expression layer requires power-of-two mBits,
+    // but this helper is public and shouldn't depend on that caller contract
+    val expectWords = (mBits + 63) >> 6
+    if (bits.numElements() != expectWords)
       throw new IllegalArgumentException(
-        s"bloom bitset length ${bits.numElements()} != mBits/64 = ${mBits >> 6}: " +
+        s"bloom bitset length ${bits.numElements()} != ceil(mBits/64) = $expectWords: " +
           "build and probe were configured with different mBits")
     var i = 0
     while (i < k) {

@@ -253,7 +253,16 @@ object Dedup {
     * from the union — the maintained index's document frequencies); the
     * corpus-dup id-set is tiny (delta-bounded) and localCheckpoints after
     * the CC build first materializes it, so consumers reuse the ids
-    * instead of re-running the shingle join. */
+    * instead of re-running the shingle join.
+    *
+    * DELIBERATE exception to the operators-don't-cache convention (stated
+    * at [[ngramJaccardPairs]]): the lazy localCheckpoint pins only the
+    * delta-bounded dup id-set — kilobytes per nightly batch, not corpus-
+    * scale — and without it the result plan references the shingle join
+    * THREE times (anti-join, survivor-pair pruning, verdict join), tripling
+    * the one genuinely expensive stage. A caller who needs a fully
+    * unmaterialized plan can rebuild from [[ngramJaccardPairs]] directly;
+    * storage is released with the session like any localCheckpoint. */
   def incrementalDedup(corpus: DataFrame, delta: DataFrame, idCol: String,
                        textCol: String, qualityCol: String,
                        n: Int = 3, minJaccard: Double = 0.5,

@@ -362,7 +362,17 @@ object EventQueries {
   ) { (spark, dir) =>
     val ev = Tables.events(spark, dir)
     val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_total")).hint("merge")
-    Salting.saltedJoin(ev, dim, "user_id", col("event_id"), buckets = 8)
+    val joined = Salting.saltedJoin(ev, dim, "user_id", col("event_id"), buckets = 8)
+    // the contract, checked on every build (same pattern as q76's zero-
+    // Exchange require): the merge hint must survive saltedJoin's
+    // withColumn+explode rewrite — if it didn't, the planner would
+    // broadcast the dimension at test scale and the salted-SHUFFLE shape
+    // this query exists to pin would be vacuous (results stay correct,
+    // which is exactly why only a plan assert can catch it).
+    val plan = joined.queryExecution.executedPlan.toString
+    require(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"salted join planned as broadcast — merge hint lost in the rewrite:\n$plan")
+    joined
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_rows"),
         dsum(col("value")).as("sum_value"),

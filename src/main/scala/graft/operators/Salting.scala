@@ -44,9 +44,16 @@ object Salting {
     * load. Use when the small side is too large to broadcast and a key is
     * hot enough that a plain shuffle serializes it through one task —
     * the replication cost is |small| × buckets rows, traded against the
-    * hot reducer. */
+    * hot reducer. If `small` has duplicate rows per key, output duplicates
+    * amplify exactly as in the plain join (inner-join semantics) — the
+    * dimension-uniqueness contract is about meaning, not correctness of
+    * the rewrite. Neither input may already carry a `__salt` column: the
+    * working column would silently collide (fact-side replaced, join then
+    * pairing unrelated salts), so that is rejected up front. */
   def saltedJoin(fact: DataFrame, small: DataFrame, key: String,
                  saltSrc: Column, buckets: Int = 16): DataFrame = {
+    require(!fact.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename it on the input first")
     val salted = fact.withColumn("__salt", pmod(xxhash64(saltSrc), lit(buckets)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until buckets).map(b => lit(b)): _*)))

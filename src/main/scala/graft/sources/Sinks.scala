@@ -55,9 +55,15 @@ object Sinks {
     val mm = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    // scale in DOUBLE: long arithmetic would overflow the (col - lo) * 65535
+    // product once the column range passes ~2^47, silently aliasing the
+    // normalized values (layout-only damage — rows still written — but it
+    // destroys exactly the clustering this sink exists for). Double keeps
+    // ~52 significant bits, far more than the 16 the interleave consumes.
     def norm(c: String, lo: Long, hi: Long) =
       if (hi == lo) lit(0L)
-      else ((col(c).cast("long") - lit(lo)) * 65535L / lit(hi - lo)).cast("long")
+      else ((col(c).cast("double") - lit(lo.toDouble)) * 65535.0 /
+        (hi.toDouble - lo.toDouble)).cast("long")
     val key = graft.functions.ZOrderKernel.zorderKey(
       norm(colA, mm.getLong(0), mm.getLong(1)),
       norm(colB, mm.getLong(2), mm.getLong(3)))
