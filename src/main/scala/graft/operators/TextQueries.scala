@@ -525,9 +525,50 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Hive-style partition PRUNING ([[Sinks.writeParquetPartitioned]]) as a
+    * declared oracle query — the classic warehouse layout: documents
+    * written ONCE per (dir) into `lang=.../` directories, read back with a
+    * lang predicate, so the planner prunes whole directories before any
+    * task launches. The in-build require (same pattern as q76's
+    * zero-Exchange assert) pins the contract on every build: the scan must
+    * carry non-empty `PartitionFilters` AND the filtered file listing must
+    * select strictly fewer partitions than the total — a layout or
+    * inference regression that silently fell back to reading everything
+    * would still return correct rows, which is exactly why only a plan
+    * assert can catch it. The DuckDB mirror runs the same filter+aggregate
+    * over the unpartitioned source table: partitioning is pure physical
+    * design, same claim as q83. Eager by design (one-time layout write,
+    * _SUCCESS-guarded like q76/q79/q82/q83). */
+  val q85PartitionPrunedScan: QuerySpec = QuerySpec.oracle(
+    "q85_partition_pruned_scan",
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"target/graft_partitioned_$tag/documents"
+    if (!new java.io.File(path, "_SUCCESS").exists)
+      Sinks.writeParquetPartitioned(Tables.documents(spark, dir), path, "lang")
+    val agg = spark.read.parquet(path)
+      .filter(col("lang").isin("en", "zh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+    val scan = agg.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(sys.error("q85: no FileSourceScanExec in the plan"))
+    require(scan.partitionFilters.nonEmpty,
+      s"q85: scan planned without PartitionFilters — pruning lost:\n${agg.queryExecution.sparkPlan}")
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    require(selected < total,
+      s"q85: partition pruning vacuous — selected $selected of $total partitions")
+    agg
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
     q28TokenCounts, q29DocAssembly, q37VocabOov, q39QualityFilter,
-    q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution, q82OrcRoundtrip)
+    q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution, q82OrcRoundtrip,
+    q85PartitionPrunedScan)
 }

@@ -74,6 +74,24 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Hive-style directory-partitioned parquet write: one subdirectory per
+    * `partitionCol` value (`lang=en/...`), the layout under which a filter
+    * on that column prunes whole directories at PLANNING time (the scan's
+    * `PartitionFilters`, before any task launches) — at 100 TB the
+    * difference between listing one partition and footer-checking every
+    * file in the corpus. One hash repartition on the partition column
+    * first so each value is written by ONE task: the naive write (every
+    * task holding rows of every value) emits tasks × values files — the
+    * classic small-files explosion that kills the NEXT scan's planning.
+    * Choose the partition column by cardinality: tens-to-thousands of
+    * values (each becomes a directory the planner lists), never an id. */
+  def writeParquetPartitioned(df: DataFrame, path: String,
+                              partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+  }
+
   /** ORC sink (Spark's second built-in columnar format — Hive-ecosystem
     * interchange) with the SAME layout bounds as the parquet sized writer:
     * target file count plus a rows-per-file ceiling. Same pushdown/pruning

@@ -47,7 +47,11 @@ class ConstructionSweepSpec extends SparkSpec {
     "q82_orc_roundtrip",
     // q83's FIRST build writes the z-ordered layout (+ its one-row min/max
     // normalization aggregate); one-time, _SUCCESS-marked
-    "q83_zorder_scan")
+    "q83_zorder_scan",
+    // q85's FIRST build writes the lang-partitioned directory layout
+    // (one-time, _SUCCESS-marked; the pruning asserts are driver-side
+    // file-listing only, job-free on repeat builds)
+    "q85_partition_pruned_scan")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

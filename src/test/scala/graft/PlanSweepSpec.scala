@@ -142,7 +142,10 @@ class PlanSweepSpec extends SparkSpec {
     // q83: per-flag agg (partial→final) + sort over the z-ordered scan
     "q83_zorder_scan" -> 2,
     // q84: pure per-row explode + the presentation sort
-    "q84_doc_chunks" -> 1)
+    "q84_doc_chunks" -> 1,
+    // q85: per-source agg (partial→final) + sort over the partition-pruned
+    // scan — pruning itself is planning-time, no exchange
+    "q85_partition_pruned_scan" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
