@@ -525,6 +525,52 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  private val documentsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  /** CSV round-trip ([[Tables.writeVersionedCsv]] — the reference's
+    * versioned CSV sink, here with a declared consumer) verified at
+    * per-ROW granularity: documents written once per (dir) as quoted
+    * header CSV, read back with the EXPLICIT schema (inference would be
+    * an extra full scan and would widen types from whatever it sampled),
+    * and returned row-for-row; the DuckDB mirror returns the same rows
+    * from the parquet source, so the hash match proves every value —
+    * unicode text included — survived text serialization. Eager by design
+    * (one-time layout write, _SUCCESS-guarded like q82). */
+  val q86CsvRoundtrip: QuerySpec = QuerySpec.oracle(
+    "q86_csv_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+  ) { (spark, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"target/graft_csv_$tag"
+    if (!new java.io.File(s"$base/v1", "_SUCCESS").exists)
+      Tables.writeVersionedCsv(Tables.documents(spark, dir).coalesce(4), base, "v1")
+    spark.read.schema(documentsSchema).option("header", "true").csv(s"$base/v1")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** JSON-lines round-trip ([[Sinks.writeJsonLines]]/`readJsonLines`),
+    * same per-row lossless claim as q86 for the splittable
+    * object-per-line interchange format. Eager by design (one-time
+    * layout write, _SUCCESS-guarded). */
+  val q87JsonRoundtrip: QuerySpec = QuerySpec.oracle(
+    "q87_json_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+  ) { (spark, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"target/graft_json_$tag/documents"
+    if (!new java.io.File(path, "_SUCCESS").exists)
+      Sinks.writeJsonLines(Tables.documents(spark, dir), path, targetFiles = 4)
+    Sinks.readJsonLines(spark, path, documentsSchema)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Hive-style partition PRUNING ([[Sinks.writeParquetPartitioned]]) as a
     * declared oracle query — the classic warehouse layout: documents
     * written ONCE per (dir) into `lang=.../` directories, read back with a
@@ -570,5 +616,5 @@ object TextQueries {
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
     q28TokenCounts, q29DocAssembly, q37VocabOov, q39QualityFilter,
     q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution, q82OrcRoundtrip,
-    q85PartitionPrunedScan)
+    q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip)
 }

@@ -107,4 +107,20 @@ object Sinks {
   /** ORC scan (lazy; filters/projection push into the stripe reader). */
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** JSON-lines sink — the interchange format for row-oriented export
+    * (one JSON object per line, so files stay SPLITTABLE: a 10 GB file
+    * still fans out over many tasks, unlike a single JSON array which
+    * one task must parse end-to-end). Columnar formats beat it for
+    * analytics; it exists for the boundary with systems that speak JSON. */
+  def writeJsonLines(df: DataFrame, path: String, targetFiles: Int): Unit =
+    df.repartition(targetFiles).write.mode("overwrite").json(path)
+
+  /** JSON-lines scan with a CALLER-SUPPLIED schema — never inference:
+    * schema inference on JSON is a full extra pass over the data (at
+    * 100 TB, a second scan), and silently widens types from whatever the
+    * sampled rows happened to contain. */
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

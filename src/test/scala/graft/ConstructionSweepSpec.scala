@@ -51,7 +51,10 @@ class ConstructionSweepSpec extends SparkSpec {
     // q85's FIRST build writes the lang-partitioned directory layout
     // (one-time, _SUCCESS-marked; the pruning asserts are driver-side
     // file-listing only, job-free on repeat builds)
-    "q85_partition_pruned_scan")
+    "q85_partition_pruned_scan",
+    // q86/q87's FIRST builds write the CSV / JSON-lines layouts the
+    // round-trips read (one-time, _SUCCESS-marked)
+    "q86_csv_roundtrip", "q87_json_roundtrip")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

@@ -145,7 +145,10 @@ class PlanSweepSpec extends SparkSpec {
     "q84_doc_chunks" -> 1,
     // q85: per-source agg (partial→final) + sort over the partition-pruned
     // scan — pruning itself is planning-time, no exchange
-    "q85_partition_pruned_scan" -> 2)
+    "q85_partition_pruned_scan" -> 2,
+    // q86/q87: pure scan + the presentation sort (round-trip queries)
+    "q86_csv_roundtrip" -> 1,
+    "q87_json_roundtrip" -> 1)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
