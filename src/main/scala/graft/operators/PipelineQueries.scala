@@ -1091,6 +1091,56 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** MinHash-LSH candidate PAIRS ([[Dedup.minHashPairs]]) as a declared
+    * oracle query — the fourth dedup family's pair generation made
+    * driver-visible (q31 covers shingle-join pairs, q32 the signatures,
+    * q33 simhash; this closes the matrix). Banding is the scale story:
+    * docs sharing any 4-hash band key join on the key — bucket join,
+    * never all-pairs — and only the surfaced candidates pay the exact
+    * Jaccard verification. On the doc_id < 200 slice the corpus's 3 true
+    * near-dup pairs (Jaccard ≥ 0.9, bimodal against ~0.03 junk) all
+    * band-collide deterministically, so the declared output at the shared
+    * [[DedupMinJaccard]] threshold is exactly the true-dup pair set. The
+    * DuckDB mirror replays the identical banding (the md5-seeded hashes
+    * are cross-engine, proven by q32) and the exact-Jaccard verification
+    * from first principles. */
+  val q88MinHashPairs: QuerySpec = QuerySpec.oracle(
+    "q88_dedup_minhash_pairs", {
+      val hashExprs = (0 until NumHashes).map { i =>
+        s"coalesce(list_min(list_transform(shs, s -> ${Dedup.seededHashSql("s", i)})), 9223372036854775807)"
+      }
+      val rpb = NumHashes / NumBands
+      val bandSelects = (0 until NumBands).map { b =>
+        val (lo, hi) = (b * rpb + 1, b * rpb + rpb)
+        s"SELECT doc_id AS doc, $b AS band, md5(array_to_string(sig[$lo:$hi], ',')) AS bkey FROM sigs"
+      }
+      s"""WITH toks AS (
+         |  SELECT doc_id, $LowToksSql AS ts FROM documents WHERE doc_id < 200),
+         |shl AS (SELECT doc_id, $ShinglesSql AS shs FROM toks),
+         |ne AS (SELECT doc_id, shs FROM shl WHERE len(shs) > 0),
+         |sigs AS (SELECT doc_id, ${hashExprs.mkString("[", ",\n  ", "]")} AS sig FROM ne),
+         |bands AS (${bandSelects.mkString("\n  UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc),
+         |sized AS (
+         |  SELECT id_a, id_b, len(list_intersect(sa.shs, sb.shs)) AS inter,
+         |    len(sa.shs) AS n_a, len(sb.shs) AS n_b
+         |  FROM cand
+         |  JOIN shl sa ON sa.doc_id = id_a
+         |  JOIN shl sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
+         |FROM sized WHERE inter / (n_a + n_b - inter) >= $DedupMinJaccard
+         |ORDER BY id_a, id_b""".stripMargin
+    }
+  ) { (spark, dir) =>
+    Dedup.minHashPairs(
+        Tables.documents(spark, dir).filter(col("doc_id") < 200),
+        "doc_id", "text", n = 3, numHashes = NumHashes, numBands = NumBands,
+        minJaccard = DedupMinJaccard)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
@@ -1099,5 +1149,5 @@ object PipelineQueries {
     q52DataMixture, q53HeavyHitters, q55Curriculum,
     q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist,
     q73DedupApply, q75Decontaminate, q78AnnRecall, q80DedupIncremental,
-    q84DocChunks)
+    q84DocChunks, q88MinHashPairs)
 }

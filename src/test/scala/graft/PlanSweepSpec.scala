@@ -148,7 +148,11 @@ class PlanSweepSpec extends SparkSpec {
     "q85_partition_pruned_scan" -> 2,
     // q86/q87: pure scan + the presentation sort (round-trip queries)
     "q86_csv_roundtrip" -> 1,
-    "q87_json_roundtrip" -> 1)
+    "q87_json_roundtrip" -> 1,
+    // q88: band-key self-join (2 sides) + candidate distinct + the two
+    // shingle-set rejoins for exact-Jaccard verify + presentation sort —
+    // every exchange carries signatures or the bounded candidate set
+    "q88_dedup_minhash_pairs" -> 8)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
