@@ -81,12 +81,41 @@ object Bench {
       if (x == 0) println("") // keep the loop un-eliminable
       (System.nanoTime() - t0) / 1e9
     }
+    // Fixed-work PARALLEL canary: the single-thread canary stayed flat
+    // (0.61 s) across same-code runs whose totals swung 58→66 s, so it
+    // provably does NOT expose the dominant noise source — multi-core
+    // THROUGHPUT (shared cache / memory bandwidth / host co-tenancy),
+    // which only shows under concurrent load. Same xorshift kernel, same
+    // per-thread work, one thread per available core; wall time inflates
+    // exactly when the host grants less aggregate throughput. Ratio
+    // canary_par / its clean-machine value (BASELINE.md) normalizes a
+    // contaminated run the way canary_sec does for clock throttling.
+    def cpuCanaryParSec(): Double = {
+      val n = Runtime.getRuntime.availableProcessors
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { t =>
+        new Thread(() => {
+          var x = 88172645463325252L + t
+          var i = 0L
+          while (i < 300000000L) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            i += 1
+          }
+          if (x == 0) println("") // keep the loop un-eliminable
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     val canaryBefore = cpuCanarySec()
+    val canaryParBefore = cpuCanaryParSec()
     val ticks0 = cpuTicks()
     val p1 = timedPass()
     val p2 = timedPass()
     val loadAfter = load1()
     val canaryAfter = cpuCanarySec()
+    val canaryParAfter = cpuCanaryParSec()
     val stealPct = (for (a <- ticks0; b <- cpuTicks()) yield {
       val d = a.indices.map(i => b(i) - a(i))
       val tot = d.sum.toDouble
@@ -113,7 +142,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)},""" +
-      s""""steal_pct":${fmt(stealPct)},"canary_sec_before":${fmt(canaryBefore)},"canary_sec_after":${fmt(canaryAfter)}}"""
+      s""""steal_pct":${fmt(stealPct)},"canary_sec_before":${fmt(canaryBefore)},"canary_sec_after":${fmt(canaryAfter)},""" +
+      s""""canary_par_before":${fmt(canaryParBefore)},"canary_par_after":${fmt(canaryParAfter)}}"""
     println(line)
     // Also persist to a file: log-tail capture has truncated the printed
     // line before (BENCH parsed:null three rounds running) — the file is
