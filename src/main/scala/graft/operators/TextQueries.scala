@@ -611,10 +611,38 @@ object TextQueries {
     agg
   }
 
+  /** Two-dimensional selective scan over a DICTIONARY-z-ordered copy of
+    * documents ([[Sinks.writeParquetZOrderedDict]]: lang and source rank-
+    * coded, Morton-interleaved) — q83's layout claim generalized to the
+    * string-typed columns a text corpus actually filters on: the
+    * conjunctive (lang, source-range) predicate prunes at the file/row-
+    * group level on BOTH dims, where a lang-sorted layout prunes on lang
+    * only (SinksSpec measures the gap on exactly this table). The DuckDB
+    * mirror runs the same filter+aggregate over the unordered source
+    * table: dictionary z-ordering is pure physical design. Eager by
+    * design (one-time layout write, _SUCCESS-guarded). */
+  val q89ZOrderDictScan: QuerySpec = QuerySpec.oracle(
+    "q89_zorder_dict_scan",
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang = 'es' AND source IN ('src3', 'src4', 'src5')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"target/graft_zdict_$tag/documents"
+    if (!new java.io.File(path, "_SUCCESS").exists)
+      Sinks.writeParquetZOrderedDict(
+        Tables.documents(spark, dir), path, partitions = 8, "lang", "source")
+    spark.read.parquet(path)
+      .filter(col("lang") === "es" && col("source").isin("src3", "src4", "src5"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
     q28TokenCounts, q29DocAssembly, q37VocabOov, q39QualityFilter,
     q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution, q82OrcRoundtrip,
-    q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip)
+    q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip, q89ZOrderDictScan)
 }

@@ -64,13 +64,58 @@ object Sinks {
       if (hi == lo) lit(0L)
       else ((col(c).cast("double") - lit(lo.toDouble)) * 65535.0 /
         (hi.toDouble - lo.toDouble)).cast("long")
-    val key = graft.functions.ZOrderKernel.zorderKey(
+    zorderSortWrite(df, path, partitions,
       norm(colA, mm.getLong(0), mm.getLong(1)),
-      norm(colB, mm.getLong(2), mm.getLong(3)))
+      norm(colB, mm.getLong(2), mm.getLong(3)), dropCols = Nil)
+  }
+
+  /** Z-ordered write for STRING (dictionary) dims — the lang/source-typed
+    * columns a text corpus actually filters on, which [[writeParquetZOrdered]]
+    * can't take (`ZOrderKeyExpr` needs non-negative longs). Each column is
+    * dictionary-coded by sorted-distinct rank (a broadcast-joined lookup;
+    * the single-task rank window is bounded by DICTIONARY cardinality, the
+    * defining property of a dictionary dim — tens to thousands of values,
+    * never an id), codes are range-scaled to the common 16-bit plane, and
+    * the Morton interleave + range-partitioned sort proceed exactly as the
+    * long path. Sorted-rank coding (not hashing) is what makes per-file
+    * min/max statistics MEANINGFUL on the coded order: lexicographically
+    * adjacent values land in the same tile. NULL dictionary values code
+    * like any other value (null-safe join, rank 0). Two tiny eager
+    * aggregates (dictionaries + max codes) — same sink-utility contract as
+    * the long path's min/max pass. */
+  def writeParquetZOrderedDict(df: DataFrame, path: String, partitions: Int,
+                               colA: String, colB: String): Unit = {
+    import org.apache.spark.sql.functions._
+    def dict(c: String, codeName: String) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      df.select(col(c).as("__v")).distinct()
+        .withColumn(codeName, (row_number().over(w) - 1).cast("long"))
+    }
+    val coded = df
+      .join(broadcast(dict(colA, "__ca")), col(colA) <=> col("__v")).drop("__v")
+      .join(broadcast(dict(colB, "__cb")), col(colB) <=> col("__v")).drop("__v")
+    val mm = coded.agg(max(col("__ca")), max(col("__cb"))).head()
+    def scale(c: String, hi: Long) =
+      if (hi == 0L) lit(0L)
+      else (col(c).cast("double") * 65535.0 / hi.toDouble).cast("long")
+    zorderSortWrite(coded, path, partitions,
+      scale("__ca", mm.getLong(0)), scale("__cb", mm.getLong(1)),
+      dropCols = Seq("__ca", "__cb"))
+  }
+
+  /** Shared z-order tail: Morton key, range partition, in-file sort, write
+    * — with the key and any working columns dropped from the output. */
+  private def zorderSortWrite(df: DataFrame, path: String, partitions: Int,
+                              keyA: org.apache.spark.sql.Column,
+                              keyB: org.apache.spark.sql.Column,
+                              dropCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val key = graft.functions.ZOrderKernel.zorderKey(keyA, keyB)
     df.withColumn("__zkey", key)
       .repartitionByRange(partitions, col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
+      .drop(dropCols: _*)
       .write.mode("overwrite").parquet(path)
   }
 

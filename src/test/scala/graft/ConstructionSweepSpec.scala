@@ -54,7 +54,10 @@ class ConstructionSweepSpec extends SparkSpec {
     "q85_partition_pruned_scan",
     // q86/q87's FIRST builds write the CSV / JSON-lines layouts the
     // round-trips read (one-time, _SUCCESS-marked)
-    "q86_csv_roundtrip", "q87_json_roundtrip")
+    "q86_csv_roundtrip", "q87_json_roundtrip",
+    // q89's FIRST build writes the dict-z-ordered layout (+ its two tiny
+    // dictionary/max-code aggregates); one-time, _SUCCESS-marked
+    "q89_zorder_dict_scan")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

@@ -152,7 +152,10 @@ class PlanSweepSpec extends SparkSpec {
     // q88: band-key self-join (2 sides) + candidate distinct + the two
     // shingle-set rejoins for exact-Jaccard verify + presentation sort —
     // every exchange carries signatures or the bounded candidate set
-    "q88_dedup_minhash_pairs" -> 8)
+    "q88_dedup_minhash_pairs" -> 8,
+    // q89: per-source agg (partial→final) + sort over the dict-z-ordered
+    // scan — same shape as q83
+    "q89_zorder_dict_scan" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

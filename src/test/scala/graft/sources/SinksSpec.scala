@@ -52,6 +52,40 @@ class SinksSpec extends SparkSpec {
       s"plain partkey sort should NOT cluster suppkey: ${avgFileSpread(pout, "l_suppkey")}")
   }
 
+  test("dict z-order clusters BOTH string dims; a lang sort leaves source unclustered") {
+    import org.apache.spark.sql.functions._
+    val src = Tables.documents(spark, sf).select("doc_id", "lang", "source")
+    // avg per-file distinct-value count of a dim, as a fraction of its
+    // global cardinality — the string-dim analog of the numeric spread
+    def avgFileDistinctFrac(path: String, c: String): Double = {
+      val global = src.agg(countDistinct(col(c)).cast("double")).head().getDouble(0)
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((countDistinct(col(c)).cast("double") / global).as("fr"))
+        .agg(avg(col("fr"))).head().getDouble(0)
+    }
+    val zout = Files.createTempDirectory("graft_zdict").toString + "/docs"
+    Sinks.writeParquetZOrderedDict(src, zout, partitions = 4, "lang", "source")
+    val back = spark.read.parquet(zout)
+    // lossless, working columns dropped
+    assert(back.count() == src.count())
+    assert(back.columns.sorted.sameElements(src.columns.sorted),
+      s"dict codes must not leak into the output: ${back.columns.mkString(",")}")
+    // 4 z-tiles over the (5 lang × 20 source) code grid → each file spans
+    // a bounded slice of EACH dictionary, not one full dimension
+    assert(avgFileDistinctFrac(zout, "lang") <= 0.75,
+      s"dict z-order should bound langs per file: ${avgFileDistinctFrac(zout, "lang")}")
+    assert(avgFileDistinctFrac(zout, "source") <= 0.75,
+      s"dict z-order should bound sources per file: ${avgFileDistinctFrac(zout, "source")}")
+    // the single-column lang sort leaves source unclustered: every file
+    // sees (nearly) the whole source dictionary
+    val pout = Files.createTempDirectory("graft_zdictp").toString + "/docs"
+    src.repartitionByRange(4, col("lang")).sortWithinPartitions("lang")
+      .write.mode("overwrite").parquet(pout)
+    assert(avgFileDistinctFrac(pout, "source") >= 0.9,
+      s"plain lang sort should NOT cluster source: ${avgFileDistinctFrac(pout, "source")}")
+  }
+
   test("ORC round-trip preserves schema and values; filters push into the scan") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft_orc").toString + "/li"
