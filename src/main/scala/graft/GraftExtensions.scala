@@ -1,8 +1,8 @@
 package graft
 
 import graft.functions.{CleanTokensExpr, CosineSimilarityExpr, IsStopwordExpr,
-  ShinglesExpr, SimHashExpr, StemExpression, StemTokensExpr, TokenIdsExpr,
-  TopTokenCountExpr}
+  MinHashSigExpr, ShinglesExpr, SimHashExpr, StemExpression, StemTokensExpr,
+  TokenIdsExpr, TopTokenCountExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHashExpr(children(0), litInt(children(1), "graft_simhash(text, bits)"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => MinHashSigExpr(children(0),
+        litInt(children(1), "graft_minhash_sig(text, n, numHashes)"),
+        litInt(children(2), "graft_minhash_sig(text, n, numHashes)"))))
     ext.injectFunction((
       FunctionIdentifier("graft_token_ids"),
       new ExpressionInfo(classOf[TokenIdsExpr].getName, "graft_token_ids"),

@@ -74,8 +74,18 @@ object Dedup {
     s"CAST(concat('0x', substring(md5(concat('$seed', ':', $s)), 1, 15)) AS BIGINT)"
 
   /** MinHash signature: array of `numHashes` minima of seeded hashes over the
-    * doc's shingle set. Empty shingle set → all Long.MaxValue. */
-  def minHashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    * doc's shingle set. Empty shingle set → all Long.MaxValue. The codegen'd
+    * [[graft.functions.MinHashSigExpr]] kernel — the composable form below
+    * pays `numHashes` interpreted transform lambdas per row (spec-pinned
+    * value-identical). The outer coalesce preserves the composable form's
+    * null-text behavior (null text → all-MaxValue row, not null). */
+  def minHashSignature(text: Column, n: Int, numHashes: Int): Column =
+    coalesce(graft.functions.MinHashSigExpr.signature(text, n, numHashes),
+      array((0 until numHashes).map(_ => lit(Long.MaxValue)): _*))
+
+  /** The composable-expression definition of [[minHashSignature]], kept as
+    * the kernel's executable specification (DedupSpec pins equality). */
+  def minHashSignatureComposable(text: Column, n: Int, numHashes: Int): Column = {
     val sh = shingles(text, n)
     array((0 until numHashes).map { i =>
       coalesce(array_min(transform(sh, s => seededHash(s, i))), lit(Long.MaxValue))

@@ -42,7 +42,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
             |  graft_shingles('a b c d', 3) AS sh,
             |  graft_simhash('spark engine', 16) AS sim,
             |  graft_token_ids(array('spark'), 1000) AS ids,
-            |  graft_top_token_count(array('a', 'b', 'a')) AS ttc
+            |  graft_top_token_count(array('a', 'b', 'a')) AS ttc,
+            |  graft_minhash_sig('a b c d', 3, 4) AS mh
             |""".stripMargin).collect().head
         assert(kernelRow.getAs[scala.collection.Seq[String]]("ct") == Seq("Spark", "engine", "runs", "fast"))
         assert(kernelRow.getAs[scala.collection.Seq[String]]("st") == Seq("connect", "run"))
@@ -56,6 +57,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         assert(mirror.getAs[Boolean]("ci"), "simhash tokenization lowercases")
         assert(mirror.getAs[Boolean]("idok"), "token id matches the md5 definition")
         assert(kernelRow.getAs[Int]("ttc") == 2)
+        // matches the composable md5 definition: min over the two shingles
+        // of the seed-0 hash in slot 0
+        val mh0 = spark.sql(
+          """SELECT least(
+            |  CAST(conv(substring(md5('0:a b c'), 1, 15), 16, 10) AS BIGINT),
+            |  CAST(conv(substring(md5('0:b c d'), 1, 15), 16, 10) AS BIGINT)) AS v
+            |""".stripMargin).collect().head.getAs[Long]("v")
+        assert(kernelRow.getSeq[Long](6).head == mh0, "minhash slot 0 matches md5 definition")
 
         // FuseCosineRule: the composable HOF cosine optimizes into the
         // fused expression, with identical values

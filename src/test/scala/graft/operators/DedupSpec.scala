@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -62,6 +63,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((0L, 1L)), "identical docs always collide in every band")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash kernel signature equals the composable form, incl. null/empty text") {
+    // the kernel is an optimization of an executable specification: both
+    // forms must agree value-for-value on real docs AND the degenerate rows
+    // (null text / too-short text → all-MaxValue signature)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(NULL AS STRING) AS text " +
+        "UNION ALL SELECT CAST(-2 AS BIGINT), 'two words'"))
+    val rows = docs.select(
+        col("doc_id"),
+        Dedup.minHashSignature(col("text"), 3, 16).as("kernel"),
+        Dedup.minHashSignatureComposable(col("text"), 3, 16).as("spec"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1).toVector === r.getSeq[Long](2).toVector,
+        s"signature mismatch for doc ${r.getAs[Long]("doc_id")}")
+    }
+    assert(rows.find(_.getAs[Long]("doc_id") == -1L).get
+      .getSeq[Long](1).forall(_ == Long.MaxValue))
   }
 
   test("simhash groups exact dups together and separates distinct docs") {
