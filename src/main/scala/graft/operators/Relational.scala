@@ -578,11 +578,76 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Keyed upsert ([[Merge.upsert]]) as a declared oracle query — the
+    * MERGE primitive of nightly table maintenance: a patched delta
+    * (150 docs with source/n_chars rewritten, half overlapping the
+    * target, half new keys) merged into a 300-doc target. Updates win,
+    * unmatched target rows pass through, new keys append. The anti
+    * join's build side is the delta's KEY PROJECTION — broadcastable at
+    * any corpus scale whenever the nightly key set fits an executor, so
+    * the corpus never shuffles. The DuckDB mirror derives the same merge
+    * from first principles (delta UNION target-minus-delta-keys). */
+  val q90MergeUpsert: QuerySpec = QuerySpec.oracle(
+    "q90_merge_upsert",
+    """WITH target AS (SELECT * FROM documents WHERE doc_id < 300),
+      |u AS (SELECT doc_id, text, lang, 'patched' AS source,
+      |        n_chars + 1000 AS n_chars
+      |      FROM documents WHERE doc_id BETWEEN 200 AND 349)
+      |SELECT doc_id, text, lang, source, n_chars FROM u
+      |UNION ALL
+      |SELECT t.doc_id, t.text, t.lang, t.source, t.n_chars FROM target t
+      |WHERE t.doc_id NOT IN (SELECT doc_id FROM u)
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val target = docs.filter(col("doc_id") < 300)
+    val updates = docs.filter(col("doc_id").between(200, 349))
+      .withColumn("source", lit("patched"))
+      .withColumn("n_chars", col("n_chars") + 1000)
+    Merge.upsert(target, updates, "doc_id")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Unpivot (wide→long melt): per-returnflag sums of four lineitem
+    * measures unpivoted to (flag, measure, value) rows — the inverse of
+    * q07's pivot, closing the reshape pair. Spark's native `unpivot`
+    * plans an Expand (pure per-row fan-out, no shuffle); the DuckDB
+    * mirror is the definitional UNION ALL of one SELECT per measure. */
+  val q91Unpivot: QuerySpec = QuerySpec.oracle(
+    "q91_unpivot", {
+      val measures = Seq(
+        "sum_qty" -> "l_quantity", "sum_price" -> "l_extendedprice",
+        "sum_disc" -> "l_discount", "sum_tax" -> "l_tax")
+      val aggs = measures.map { case (a, c) =>
+        s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS $a"
+      }.mkString(",\n  ")
+      val arms = measures.map { case (a, _) =>
+        s"SELECT l_returnflag, '$a' AS measure, $a AS value FROM a"
+      }.mkString("\nUNION ALL ")
+      s"""WITH a AS (SELECT l_returnflag, $aggs FROM lineitem GROUP BY 1)
+         |$arms
+         |ORDER BY l_returnflag, measure""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"),
+        dsum(col("l_tax")).as("sum_tax"))
+    agg.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc"), col("sum_tax")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
     q09WindowRunning, q10SetOps, q11DatesMath, q12BalancedSample,
     q13AggCube, q14Distinct, q15Percentiles, q16Profile,
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
-    q76BucketedJoin, q83ZOrderScan)
+    q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q91Unpivot)
 }

@@ -155,7 +155,12 @@ class PlanSweepSpec extends SparkSpec {
     "q88_dedup_minhash_pairs" -> 8,
     // q89: per-source agg (partial→final) + sort over the dict-z-ordered
     // scan — same shape as q83
-    "q89_zorder_dict_scan" -> 2)
+    "q89_zorder_dict_scan" -> 2,
+    // q90: broadcast anti join (no corpus shuffle) + union + the
+    // presentation sort
+    "q90_merge_upsert" -> 1,
+    // q91: per-flag agg + Expand (no shuffle) + presentation sort
+    "q91_unpivot" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
