@@ -7,6 +7,42 @@ import org.apache.spark.sql.functions._
 
 class TablesSpec extends SparkSpec {
 
+  test("CSV and JSON sinks round-trip hostile text (quotes, commas, newlines)") {
+    // q86/q87 prove per-row losslessness on the (verified-clean) corpus;
+    // this pins the GENERAL contract a 100 TB shard will eventually need:
+    // separator, quote, escape, newline and non-ASCII content survive both
+    // sinks. CSV needs multiLine on read-back once text embeds newlines —
+    // which forfeits file splittability, so at scale newline-bearing text
+    // belongs in parquet/JSON; this is the interchange fallback.
+    import spark.implicits._
+    val src = Seq(
+      (1L, "plain"),
+      (2L, "comma, separated"),
+      (3L, "he said \"hi\" twice: \"hi\""),
+      (4L, "line one\nline two\r\nline three"),
+      (5L, "back\\slash, tab\tand 中文 éü")
+    ).toDF("id", "text")
+    val expect = src.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+    val csvBase = Files.createTempDirectory("graft_csv_hostile").toString
+    Tables.writeVersionedCsv(src, csvBase, "v1")
+    val csvBack = spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .csv(s"$csvBase/v1")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(csvBack === expect, "CSV round-trip must preserve hostile text")
+
+    val jsonPath = Files.createTempDirectory("graft_json_hostile").toString + "/t"
+    Sinks.writeJsonLines(src, jsonPath, targetFiles = 2)
+    val jsonBack = Sinks.readJsonLines(spark, jsonPath, schema)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(jsonBack === expect,
+      "JSON-lines round-trip must preserve hostile text with no reader options")
+  }
+
   test("permissive CSV scan quarantines malformed rows instead of failing") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val rows = Seq(
