@@ -149,10 +149,10 @@ class PlanSweepSpec extends SparkSpec {
     // q86/q87: pure scan + the presentation sort (round-trip queries)
     "q86_csv_roundtrip" -> 1,
     "q87_json_roundtrip" -> 1,
-    // q88: band-key self-join (2 sides) + candidate distinct + the two
-    // shingle-set rejoins for exact-Jaccard verify + presentation sort —
-    // every exchange carries signatures or the bounded candidate set
-    "q88_dedup_minhash_pairs" -> 8,
+    // q88: candidate distinct + presentation sort carry the exchanges; the
+    // band self-join and both shingle-set rejoins broadcast at test scale
+    // (the bounded candidate set is broadcast-sized by construction)
+    "q88_dedup_minhash_pairs" -> 4,
     // q89: per-source agg (partial→final) + sort over the dict-z-ordered
     // scan — same shape as q83
     "q89_zorder_dict_scan" -> 2,
