@@ -593,7 +593,8 @@ object TextQueries {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"target/graft_partitioned_$tag/documents"
     if (!new java.io.File(path, "_SUCCESS").exists)
-      Sinks.writeParquetPartitioned(Tables.documents(spark, dir), path, "lang")
+      Sinks.writeParquetPartitioned(Tables.documents(spark, dir), path, "lang",
+        spreadCol = col("doc_id"), tasksPerValue = 2)
     val agg = spark.read.parquet(path)
       .filter(col("lang").isin("en", "zh"))
       .groupBy("source")

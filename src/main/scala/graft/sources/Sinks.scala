@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Sink-side layout control: at 100 TB the number and size of output files
   * is a first-order concern (a million 1 MB files kills the next scan's
@@ -124,16 +124,27 @@ object Sinks {
     * on that column prunes whole directories at PLANNING time (the scan's
     * `PartitionFilters`, before any task launches) — at 100 TB the
     * difference between listing one partition and footer-checking every
-    * file in the corpus. One hash repartition on the partition column
-    * first so each value is written by ONE task: the naive write (every
-    * task holding rows of every value) emits tasks × values files — the
-    * classic small-files explosion that kills the NEXT scan's planning.
-    * Choose the partition column by cardinality: tens-to-thousands of
-    * values (each becomes a directory the planner lists), never an id. */
+    * file in the corpus. Choose the partition column by cardinality:
+    * tens-to-thousands of values (each becomes a directory the planner
+    * lists), never an id.
+    *
+    * Writer parallelism is the explicit trade `tasksPerValue` names. The
+    * naive unrepartitioned write emits tasks × values files (the
+    * small-files explosion that kills the NEXT scan's planning); the
+    * opposite extreme — one task per value — serializes a hot partition
+    * (a dominant lang can be 40% of a corpus) through one writer. So rows
+    * repartition on (partition value, deterministic spread of `spreadCol`
+    * into `tasksPerValue` buckets): each value gets exactly
+    * `tasksPerValue` writers and at most that many files. Size it to
+    * hot-partition-bytes / target-file-size; 1 is right for dimension-
+    * sized tables. `spreadCol` should be a stable per-row id so the
+    * layout is reproducible run-to-run. */
   def writeParquetPartitioned(df: DataFrame, path: String,
-                              partitionCol: String): Unit = {
-    import org.apache.spark.sql.functions.col
-    df.repartition(col(partitionCol))
+                              partitionCol: String, spreadCol: Column,
+                              tasksPerValue: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
+    require(tasksPerValue >= 1, s"tasksPerValue out of range: $tasksPerValue")
+    df.repartition(col(partitionCol), pmod(xxhash64(spreadCol), lit(tasksPerValue)))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
   }
 

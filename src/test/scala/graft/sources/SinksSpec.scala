@@ -52,6 +52,23 @@ class SinksSpec extends SparkSpec {
       s"plain partkey sort should NOT cluster suppkey: ${avgFileSpread(pout, "l_suppkey")}")
   }
 
+  test("partitioned writer bounds files per partition value") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_part").toString + "/docs"
+    val src = Tables.documents(spark, sf)
+    Sinks.writeParquetPartitioned(src, out, "lang", spreadCol = col("doc_id"),
+      tasksPerValue = 2)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("lang="))
+    assert(dirs.nonEmpty, "expected lang= partition directories")
+    dirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      // exactly tasksPerValue writers per value → at most that many files
+      // (fewer when a spread bucket is empty), never tasks × values
+      assert(n >= 1 && n <= 2, s"${d.getName} has $n files")
+    }
+    assert(spark.read.parquet(out).count() == src.count())
+  }
+
   test("dict z-order clusters BOTH string dims; a lang sort leaves source unclustered") {
     import org.apache.spark.sql.functions._
     val src = Tables.documents(spark, sf).select("doc_id", "lang", "source")
