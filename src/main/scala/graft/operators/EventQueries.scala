@@ -3,6 +3,7 @@ package graft.operators
 import graft.QuerySpec
 import graft.functions.Exprs._
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time operators in batch form (SURVEY.md §2.9): the same
@@ -418,9 +419,52 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Event-type transition matrix (first-order Markov structure of the
+    * stream): for each consecutive (prev → next) pair within a user's
+    * timeline, the transition count and conditional probability — the
+    * sequence-level signal behind session modeling and bot detection (a
+    * user whose transitions concentrate on one edge is a scripted client).
+    * `lag` rides a window PARTITIONED BY user_id: at 100 TB the window
+    * carries full parallelism (user cardinality ≫ cores) and per-task state
+    * is one user's timeline, never a global sort. The transition table
+    * itself is bounded by |event_type|² (25 rows here), so the per-source
+    * totals ride back in via broadcast and the probability is an exact
+    * single IEEE division of two integer counts — hash-identical across
+    * engines, same bar as q57's p_cond. Ordering ties break on event_id
+    * (unique), making the lag deterministic on both sides. */
+  val q92EventTransitions: QuerySpec = QuerySpec.oracle(
+    "q92_event_transitions",
+    """WITH d AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |  FROM events),
+      |p AS (SELECT prev_type, event_type, count(*) AS n_trans
+      |      FROM d WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+      |      FROM p GROUP BY 1)
+      |SELECT p.prev_type, p.event_type, n_trans, n_from,
+      |  CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE) AS p_trans
+      |FROM p JOIN t USING (prev_type)
+      |ORDER BY prev_type, event_type""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val d = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+    val p = d.groupBy("prev_type", "event_type").agg(count(lit(1)).as("n_trans"))
+    val t = p.groupBy("prev_type").agg(sum(col("n_trans")).as("n_from"))
+    p.join(broadcast(t), Seq("prev_type"))
+      .select(col("prev_type"), col("event_type"), col("n_trans"), col("n_from"),
+        (col("n_trans").cast("double") / col("n_from").cast("double")).as("p_trans"))
+      .orderBy("prev_type", "event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
     q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel,
+    q92EventTransitions,
     q81SaltedJoin)
 }

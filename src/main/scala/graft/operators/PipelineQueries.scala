@@ -1141,6 +1141,64 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Collocation mining (the phrase-detection pass that runs before
+    * tokenizer training — "hot dog" should become one token if its parts
+    * co-occur far above chance): bigram lift = P(a,b) / (P(a·)·P(·b)),
+    * computed entirely from the bigram table as n_ab·N / (n_a·*n_·b) so
+    * every input is an exact integer count. The standard PMI is
+    * log2(lift); the log is MONOTONE, so ranking by lift ranks by PMI
+    * while keeping every arithmetic step exactly-rounded IEEE (two exact
+    * integer-valued double products, then one division) — the same
+    * no-libm bar as q45's idf and q58's quantized surprisal, which is
+    * what lets the scores hash-match DuckDB's. Shape at scale: one
+    * map-side-combined pair aggregation (the only corpus-sized shuffle);
+    * prefix/suffix marginals and the 1-row grand total are vocabulary-
+    * and unit-sized, riding back in via broadcast + the lazy 1-row
+    * cross-join idiom (q27/q45). min-count 5 kills the long noise tail
+    * before ranking. */
+  val q94Collocations: QuerySpec = QuerySpec.oracle(
+    "q94_collocations",
+    s"""WITH toks AS (SELECT $LowToksSql AS ts FROM documents),
+       |bg AS (SELECT unnest(CASE WHEN len(ts) >= 2
+       |    THEN list_transform(generate_series(1, len(ts) - 1),
+       |      i -> concat_ws(' ', ts[i], ts[i+1]))
+       |    ELSE [] END) AS bg FROM toks),
+       |p AS (SELECT str_split(bg, ' ')[1] AS a, str_split(bg, ' ')[2] AS b,
+       |    count(*) AS n_ab FROM bg GROUP BY 1, 2),
+       |pre AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM p GROUP BY 1),
+       |suf AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM p GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bg FROM p)
+       |SELECT p.a, p.b, n_ab, n_a, n_b,
+       |  (CAST(n_ab AS DOUBLE) * CAST(n_bg AS DOUBLE))
+       |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift
+       |FROM p JOIN pre USING (a) JOIN suf USING (b) CROSS JOIN tot
+       |WHERE n_ab >= 5
+       |ORDER BY lift DESC, a, b LIMIT 30""".stripMargin
+  ) { (spark, dir) =>
+    // Same codegen'd slice+arrays_zip pair stream as q57 (the HOF/regex
+    // alternative measured 9.5 s vs 0.6 s at sf0.1).
+    val n1 = greatest(size(col("ts")) - 1, lit(0))
+    val bg = Tables.documents(spark, dir)
+      .select(lowToksCol.as("ts"))
+      .select(explode(arrays_zip(
+        slice(col("ts"), lit(1), n1).as("a"),
+        slice(col("ts"), lit(2), n1).as("b"))).as("z"))
+      .select(col("z.a"), col("z.b"))
+    val p = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val pre = p.groupBy("a").agg(sum(col("n_ab")).as("n_a"))
+    val suf = p.groupBy("b").agg(sum(col("n_ab")).as("n_b"))
+    val tot = p.agg(sum(col("n_ab")).as("n_bg"))
+    p.filter(col("n_ab") >= 5)
+      .join(broadcast(pre), Seq("a"))
+      .join(broadcast(suf), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast("double") * col("n_bg").cast("double"))
+          / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(30)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
@@ -1149,5 +1207,5 @@ object PipelineQueries {
     q52DataMixture, q53HeavyHitters, q55Curriculum,
     q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist,
     q73DedupApply, q75Decontaminate, q78AnnRecall, q80DedupIncremental,
-    q84DocChunks, q88MinHashPairs)
+    q84DocChunks, q88MinHashPairs, q94Collocations)
 }

@@ -643,11 +643,114 @@ object Relational {
       .orderBy("l_returnflag", "measure")
   }
 
+  /** Dictionary-blocked fuzzy match (edit-distance similarity join): all
+    * part-NAME pairs within Levenshtein distance 3, each carrying its
+    * corpus frequency. The scale story is the whole point: the quadratic
+    * runs over the DISTINCT-name dictionary (64 names at every sf — vocab-
+    * bounded, it does not grow with the corpus), never over parts, so the
+    * nested-loop side is a broadcast of a dictionary-sized aggregate and
+    * the corpus contributes only the per-name count aggregation. This is
+    * the same dedup-to-dictionary discipline q31/q35 apply to shingles:
+    * make the O(n²) step O(|vocab|²) and attach rows back by equi-join /
+    * pre-aggregation. `levenshtein` is codegen'd in Spark and semantically
+    * identical to DuckDB's (classic unit-cost DP), so distances and
+    * therefore rows hash-match. */
+  val q93FuzzyNamePairs: QuerySpec = QuerySpec.oracle(
+    "q93_fuzzy_name_pairs",
+    """WITH names AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist,
+      |  a.n_parts AS n_a, b.n_parts AS n_b
+      |FROM names a JOIN names b ON a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY dist, name_a, name_b""".stripMargin
+  ) { (spark, dir) =>
+    val names = Tables.part(spark, dir)
+      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+    val a = names.select(col("p_name").as("name_a"), col("n_parts").as("n_a"))
+    val b = names.select(col("p_name").as("name_b"), col("n_parts").as("n_b"))
+    a.join(broadcast(b), col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 3)
+      .select("name_a", "name_b", "dist", "n_a", "n_b")
+      .orderBy("dist", "name_a", "name_b")
+  }
+
+  /** Fixed-width histogram + cumulative distribution of order totals —
+    * the data-profiling primitive behind outlier thresholds and mixture
+    * budgeting. Binning is pure per-row arithmetic (floor of one exactly-
+    * rounded IEEE division — no percentile sort, no sampling), so the
+    * heavy step is an ordinary map-side-combined count aggregate; the
+    * running total then rides a GLOBAL ordered window, which is safe here
+    * and only here because its input is the histogram itself — bounded by
+    * the bucket count (~20 rows), not the corpus (the same bounded-window
+    * argument as q55's cut-point table). cum_share is one integer-ratio
+    * division, hash-identical across engines. */
+  val q95PriceHistogram: QuerySpec = QuerySpec.oracle(
+    "q95_price_histogram",
+    """WITH h AS (
+      |  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM h)
+      |SELECT bucket, bucket * 25000.0 AS lo, (bucket + 1) * 25000.0 AS hi,
+      |  n_orders,
+      |  CAST(sum(n_orders) OVER (ORDER BY bucket
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_orders,
+      |  CAST(CAST(sum(n_orders) OVER (ORDER BY bucket
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+      |    / CAST(n_total AS DOUBLE) AS cum_share
+      |FROM h CROSS JOIN t
+      |ORDER BY bucket""".stripMargin
+  ) { (spark, dir) =>
+    val h = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / lit(25000.0)).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
+    val t = h.agg(sum(col("n_orders")).as("n_total"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.crossJoin(broadcast(t))
+      .withColumn("cum_orders", sum(col("n_orders")).over(w))
+      .select(col("bucket"),
+        (col("bucket") * lit(25000.0)).as("lo"),
+        ((col("bucket") + lit(1)) * lit(25000.0)).as("hi"),
+        col("n_orders"), col("cum_orders"),
+        (col("cum_orders").cast("double") / col("n_total").cast("double")).as("cum_share"))
+      .orderBy("bucket")
+  }
+
+  /** GROUPING SETS with DISJOINT sets — the grouping shape rollup/cube
+    * (q06/q13) cannot express: status-only marginals, priority-only
+    * marginals, and the grand total, with NO (status, priority) cross
+    * cells. Spark plans one scan + Expand (3× fan-out of the grouping
+    * columns only, same machinery as rollup) + one aggregate — the
+    * marginals never rescan the source. */
+  val q96GroupingSets: QuerySpec = QuerySpec.oracle(
+    "q96_grouping_sets",
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       |  coalesce(o_orderpriority, 'ALL') AS priority,
+       |  count(*) AS n_orders, $SumPrice AS total_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY status, priority""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
     q09WindowRunning, q10SetOps, q11DatesMath, q12BalancedSample,
     q13AggCube, q14Distinct, q15Percentiles, q16Profile,
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
-    q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q91Unpivot)
+    q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q91Unpivot,
+    q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets)
 }

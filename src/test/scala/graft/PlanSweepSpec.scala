@@ -43,7 +43,14 @@ class PlanSweepSpec extends SparkSpec {
     "q51_contamination_bloom", "q75_decontaminate",
     // q78 — the recall report: q34's bounded-quadratic exact baseline +
     // q40/q43's broadcast machinery + 1-row count cross joins
-    "q78_ann_recall")
+    "q78_ann_recall",
+    // q93 — the fuzzy-match quadratic runs over the DISTINCT-NAME
+    // dictionary (64 names at every sf; vocabulary-bounded, not
+    // corpus-sized), broadcast as an inequality nested loop
+    "q93_fuzzy_name_pairs",
+    // q94/q95 — crossJoin(broadcast(x)) where x is the 1-row grand-total
+    // aggregate: the same lazy scalar-subquery idiom as q27/q45
+    "q94_collocations", "q95_price_histogram")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -160,7 +167,26 @@ class PlanSweepSpec extends SparkSpec {
     // presentation sort
     "q90_merge_upsert" -> 1,
     // q91: per-flag agg + Expand (no shuffle) + presentation sort
-    "q91_unpivot" -> 2)
+    "q91_unpivot" -> 2,
+    // q92: the per-user lag window's hash partition + pair agg
+    // (partial→final) appear under both the main branch and the broadcast
+    // totals subtree (no static reuse pre-AQE) + presentation sort
+    "q92_event_transitions" -> 6,
+    // q93: the distinct-name agg (partial→final) planned under both sides
+    // of the dictionary nested loop (the broadcast side re-aggregates) +
+    // presentation sort
+    "q93_fuzzy_name_pairs" -> 3,
+    // q94: the bigram pair agg subtree planned under the main branch and
+    // the two broadcast marginals (prefix/suffix re-aggregate it) + the
+    // 1-row total + presentation sort
+    "q94_collocations" -> 7,
+    // q95: bucket agg (partial→final) under both the main branch and the
+    // 1-row total subtree + the bounded global window's SinglePartition
+    // (input = the ~20-bucket histogram, documented in the scaladoc)
+    "q95_price_histogram" -> 4,
+    // q96: one scan + Expand (3 grouping sets) + agg (partial→final) +
+    // presentation sort
+    "q96_grouping_sets" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
