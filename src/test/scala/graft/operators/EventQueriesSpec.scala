@@ -67,4 +67,39 @@ class EventQueriesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("event_id")).toSeq === Seq(13L))
     assert(out.head.getAs[Double]("z") > 2)
   }
+
+  test("q92: hand-computed transition matrix on a planted two-user log") {
+    import spark.implicits._
+    // user 1: A→B→A (transitions A→B, B→A); user 2: B→B (transition B→B).
+    // Matrix: A→B p=1.0 (n_from(A)=1); B→A and B→B p=0.5 each (n_from(B)=2).
+    val rows = Seq(
+      (1L, 10L, "A", ts("2024-01-01 00:00:00")),
+      (2L, 10L, "B", ts("2024-01-01 00:01:00")),
+      (3L, 10L, "A", ts("2024-01-01 00:02:00")),
+      (4L, 20L, "B", ts("2024-01-01 00:00:00")),
+      (5L, 20L, "B", ts("2024-01-01 00:01:00")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q92").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.q92EventTransitions.build(spark, dir).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_trans"), r.getAs[Long]("n_from"), r.getAs[Double]("p_trans"))).toMap
+    assert(out == Map(
+      ("A", "B") -> (1L, 1L, 1.0),
+      ("B", "A") -> (1L, 2L, 0.5),
+      ("B", "B") -> (1L, 2L, 0.5)))
+  }
+
+  test("q92: probabilities sum to 1 per source state; transition count = events − users") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val out = EventQueries.q92EventTransitions.build(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_trans")).sum ==
+      ev.count() - ev.select("user_id").distinct().count(),
+      "every event except each user's first contributes exactly one transition")
+    out.groupBy(_.getAs[String]("prev_type")).foreach { case (prev, rows) =>
+      val sum = rows.map(_.getAs[Double]("p_trans")).sum
+      assert(math.abs(sum - 1.0) < 1e-9, s"p_trans out of $prev sums to $sum")
+      assert(rows.map(_.getAs[Long]("n_trans")).sum == rows.head.getAs[Long]("n_from"))
+    }
+  }
 }

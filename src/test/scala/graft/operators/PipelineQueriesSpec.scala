@@ -108,4 +108,21 @@ class PipelineQueriesSpec extends SparkSpec {
     val ids = rows.map(_.getAs[Long]("doc_id")).toSeq
     assert(ids.distinct.length === ids.length)
   }
+
+  test("q94: lifts are internally consistent (single integer N) and ordered desc") {
+    val rows = PipelineQueries.q94Collocations.build(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    // lift = n_ab·N / (n_a·n_b) ⇒ N = lift·n_a·n_b / n_ab must recover the
+    // SAME integer bigram total from every row — any marginal/total mixup
+    // (swapped n_a/n_b, filtered-before-marginal counts) breaks this
+    val ns = rows.map { r =>
+      val lift = r.getAs[Double]("lift")
+      lift * r.getAs[Long]("n_a") * r.getAs[Long]("n_b") / r.getAs[Long]("n_ab")
+    }
+    val n0 = math.round(ns.head)
+    ns.foreach(n => assert(math.abs(n - n0) < 1e-6 * n0, s"inconsistent N: $n vs $n0"))
+    rows.foreach(r => assert(r.getAs[Long]("n_ab") >= 5, "min-count filter applied"))
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b }, "ranked by lift desc")
+  }
 }

@@ -75,4 +75,71 @@ class RelationalSpec extends SparkSpec {
     assert(zipped.filter(col("doc_id") =!= col("d2")).count() == 0,
       "same order => rows align positionally")
   }
+
+  /** Reference Levenshtein (two-row DP) — the independent mirror for q93. */
+  private def lev(a: String, b: String): Int = {
+    var prev = (0 to b.length).toArray
+    for (i <- 1 to a.length) {
+      val cur = new Array[Int](b.length + 1)
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      prev = cur
+    }
+    prev(b.length)
+  }
+
+  test("q93: pair set equals an independent driver-side Levenshtein over the dictionary") {
+    val rows = Relational.q93FuzzyNamePairs.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, d) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"), r.getAs[Long]("dist"))
+      assert(na < nb, "pairs must be canonically ordered (a < b)")
+      assert(d >= 1 && d <= 3, s"distance out of declared band: $d")
+      assert(lev(na, nb) == d, s"engine distance disagrees with reference DP for ($na, $nb)")
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    }
+    // completeness: every dictionary pair within distance 3 is present
+    val names = Tables.part(spark, sf).select("p_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    val expected = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 3
+    } yield (a, b)).toSet
+    val got = rows.map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("q95: cumulative counts are a complete monotone cover ending at share 1.0") {
+    val rows = Relational.q95PriceHistogram.build(spark, sf).orderBy("bucket").collect()
+    assert(rows.nonEmpty)
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == total, "buckets partition the table")
+    val cums = rows.map(_.getAs[Long]("cum_orders"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b }, "cum strictly increasing")
+    assert(cums.last == total)
+    assert(rows.last.getAs[Double]("cum_share") == 1.0, "exact integer ratio: last share is exactly 1.0")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("hi") - r.getAs[Double]("lo") == 25000.0)
+    }
+  }
+
+  test("q96: disjoint grouping sets = both marginals + grand total, nothing else") {
+    val orders = Tables.orders(spark, sf)
+    val rows = Relational.q96GroupingSets.build(spark, sf).collect()
+    val nStatus = orders.select("o_orderstatus").distinct().count()
+    val nPrio = orders.select("o_orderpriority").distinct().count()
+    assert(rows.length == nStatus + nPrio + 1, "no (status, priority) cross cells")
+    val grand = rows.filter(r =>
+      r.getAs[String]("status") == "ALL" && r.getAs[String]("priority") == "ALL")
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_orders") == orders.count())
+    // status marginals match a direct groupBy
+    val direct = orders.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("count")).toMap
+    rows.filter(r => r.getAs[String]("priority") == "ALL" && r.getAs[String]("status") != "ALL")
+      .foreach { r =>
+        assert(r.getAs[Long]("n_orders") == direct(r.getAs[String]("status")))
+      }
+  }
 }
