@@ -461,10 +461,43 @@ object EventQueries {
       .orderBy("prev_type", "event_type")
   }
 
+  /** User journey paths (product-analytics "top paths" report): each
+    * user's first three events rendered as a `a>b>c` path string, counted
+    * across users. The ranking window is per-user (full parallelism, one
+    * timeline per task, event_id tiebreak → deterministic); the path
+    * assembly sorts each user's ≤3 collected (rank, type) structs inside
+    * the row — a 3-element in-row sort, not a shuffle — and the final
+    * aggregate is path-keyed, bounded by |event_type|³. The HOF lambda
+    * here is the allowed kind (3-element arrays, trivial body); the
+    * DuckDB mirror is the definitional ordered string_agg. */
+  val q98EventPaths: QuerySpec = QuerySpec.oracle(
+    "q98_event_paths",
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events),
+      |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |      FROM r WHERE rn <= 3 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users FROM p
+      |GROUP BY 1 ORDER BY n_users DESC, path""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
     q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel,
-    q92EventTransitions,
+    q92EventTransitions, q98EventPaths,
     q81SaltedJoin)
 }

@@ -745,6 +745,91 @@ object Relational {
       .orderBy("status", "priority")
   }
 
+  /** Table diff (the change-data-capture primitive behind snapshot
+    * reconciliation): classify every key as added / removed / changed
+    * between two versions of a table — here the q90-style fixture, an old
+    * snapshot (doc_id < 300) against a new one (100–399, with the 200–299
+    * band's source rewritten). The scale discipline is what matters: each
+    * side is projected to (key, md5(payload)) AT THE SCAN, so the
+    * co-partitioned full-outer join shuffles 16-byte fingerprints — the
+    * document bodies never move, and 'changed' detection is one hash
+    * comparison instead of a wide row compare. md5 over identical UTF-8
+    * concatenations is cross-engine (q32's seeded hashes prove the md5
+    * primitive), so the classification hash-matches DuckDB's first-
+    * principles mirror. Unchanged keys (100–199) are dropped by the
+    * post-join filter. */
+  val q97TableDiff: QuerySpec = QuerySpec.oracle(
+    "q97_table_diff",
+    """WITH v_old AS (
+      |  SELECT doc_id,
+      |    md5(concat_ws('|', text, lang, source, CAST(n_chars AS VARCHAR))) AS h
+      |  FROM documents WHERE doc_id < 300),
+      |v_new AS (
+      |  SELECT doc_id,
+      |    md5(concat_ws('|', text, lang,
+      |      CASE WHEN doc_id BETWEEN 200 AND 299 THEN 'patched' ELSE source END,
+      |      CAST(n_chars AS VARCHAR))) AS h
+      |  FROM documents WHERE doc_id BETWEEN 100 AND 399)
+      |SELECT coalesce(v_old.doc_id, v_new.doc_id) AS doc_id,
+      |  CASE WHEN v_old.doc_id IS NULL THEN 'added'
+      |       WHEN v_new.doc_id IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change
+      |FROM v_old FULL JOIN v_new ON v_old.doc_id = v_new.doc_id
+      |WHERE v_old.doc_id IS NULL OR v_new.doc_id IS NULL OR v_old.h <> v_new.h
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val fingerprint = md5(concat_ws("|",
+      col("text"), col("lang"), col("source"), col("n_chars").cast("string")))
+    val docs = Tables.documents(spark, dir)
+    val oldV = docs.filter(col("doc_id") < 300)
+      .select(col("doc_id").as("old_id"), fingerprint.as("old_h"))
+    val newV = docs.filter(col("doc_id").between(100, 399))
+      .withColumn("source",
+        when(col("doc_id").between(200, 299), lit("patched")).otherwise(col("source")))
+      .select(col("doc_id").as("new_id"), fingerprint.as("new_h"))
+    oldV.join(newV, col("old_id") === col("new_id"), "full_outer")
+      .filter(col("old_id").isNull || col("new_id").isNull ||
+        col("old_h") =!= col("new_h"))
+      .select(coalesce(col("old_id"), col("new_id")).as("doc_id"),
+        when(col("old_id").isNull, lit("added"))
+          .when(col("new_id").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("change"))
+      .orderBy("doc_id")
+  }
+
+  /** Weekly revenue with week-over-week growth — the reporting time
+    * series every pipeline ends in. The heavy step is the ordinary
+    * per-week aggregate; lag/growth then ride a GLOBAL ordered window
+    * whose input is the weekly series itself — bounded by the calendar
+    * (≤ ~350 weeks for this corpus's 1995–2001 span), not the corpus,
+    * the same bounded-window argument as q95's buckets. The growth ratio
+    * is (rev − prev) / prev on decimal-exact revenues: two exactly-
+    * rounded IEEE ops on identical inputs, so it hash-matches; the first
+    * week's NULLs survive as genuine NULLs on both engines. */
+  val q99WeeklyWow: QuerySpec = QuerySpec.oracle(
+    "q99_weekly_wow",
+    """WITH w AS (
+      |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+      |    count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT week, n_orders, revenue,
+      |  lag(revenue) OVER (ORDER BY week) AS prev_revenue,
+      |  (revenue - lag(revenue) OVER (ORDER BY week))
+      |    / lag(revenue) OVER (ORDER BY week) AS wow
+      |FROM w ORDER BY week""".stripMargin
+  ) { (spark, dir) =>
+    val weekly = Tables.orders(spark, dir)
+      .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    val win = Window.orderBy("week")
+    weekly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(win))
+      .withColumn("wow",
+        (col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+      .orderBy("week")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
@@ -752,5 +837,6 @@ object Relational {
     q13AggCube, q14Distinct, q15Percentiles, q16Profile,
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
     q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q91Unpivot,
-    q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets)
+    q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
+    q97TableDiff, q99WeeklyWow)
 }

@@ -186,7 +186,19 @@ class PlanSweepSpec extends SparkSpec {
     "q95_price_histogram" -> 4,
     // q96: one scan + Expand (3 grouping sets) + agg (partial→final) +
     // presentation sort
-    "q96_grouping_sets" -> 2)
+    "q96_grouping_sets" -> 2,
+    // q97: one hash partition per snapshot side (16-byte fingerprints,
+    // never document bodies) for the co-partitioned full-outer +
+    // presentation sort
+    "q97_table_diff" -> 3,
+    // q98: per-user rank window's hash partition + path agg
+    // (partial→final) + presentation sort; the per-user path assembly is
+    // an in-row 3-element sort, not an exchange
+    "q98_event_paths" -> 3,
+    // q99: weekly agg (partial→final) + the calendar-bounded global
+    // window's SinglePartition (input = the ≤~350-week series, documented
+    // in the scaladoc); the final sort reuses the window's ordering
+    "q99_weekly_wow" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -90,6 +90,26 @@ class EventQueriesSpec extends SparkSpec {
       ("B", "B") -> (1L, 2L, 0.5)))
   }
 
+  test("q98: planted journeys — path truncates at 3, short timelines keep their length") {
+    import spark.implicits._
+    // user 1: A,B,A,C → first-3 path A>B>A (4th event ignored);
+    // user 2: B,B → path B>B; user 3: C → path C.
+    val rows = Seq(
+      (1L, 10L, "A", ts("2024-01-01 00:00:00")),
+      (2L, 10L, "B", ts("2024-01-01 00:01:00")),
+      (3L, 10L, "A", ts("2024-01-01 00:02:00")),
+      (4L, 10L, "C", ts("2024-01-01 00:03:00")),
+      (5L, 20L, "B", ts("2024-01-01 00:00:00")),
+      (6L, 20L, "B", ts("2024-01-01 00:01:00")),
+      (7L, 30L, "C", ts("2024-01-01 00:00:00")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q98").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.q98EventPaths.build(spark, dir).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map("A>B>A" -> 1L, "B>B" -> 1L, "C" -> 1L))
+  }
+
   test("q92: probabilities sum to 1 per source state; transition count = events − users") {
     val ev = graft.sources.Tables.events(spark, sf)
     val out = EventQueries.q92EventTransitions.build(spark, sf).collect()

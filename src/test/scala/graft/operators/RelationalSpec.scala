@@ -125,6 +125,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q97: diff classifies exactly the planted bands; unchanged rows are silent") {
+    val rows = Relational.q97TableDiff.build(spark, sf).collect()
+    val byChange = rows.groupBy(_.getAs[String]("change"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).sorted.toSeq).toMap
+    assert(byChange("removed") == (0L until 100L), "old-only band 0-99")
+    assert(byChange("changed") == (200L until 300L), "patched band 200-299")
+    assert(byChange("added") == (300L until 400L), "new-only band 300-399")
+    // the unchanged overlap (100-199) must NOT appear — fingerprint equality
+    assert(!rows.exists(r => r.getAs[Long]("doc_id") >= 100 && r.getAs[Long]("doc_id") < 200))
+  }
+
+  test("q99: growth ratio is exactly (rev - prev) / prev; first week genuinely NULL") {
+    val rows = Relational.q99WeeklyWow.build(spark, sf).orderBy("week").collect()
+    assert(rows.length > 50, "multi-year corpus yields a real weekly series")
+    assert(rows.head.isNullAt(rows.head.fieldIndex("prev_revenue")) &&
+      rows.head.isNullAt(rows.head.fieldIndex("wow")), "no prior week for the first row")
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getAs[Double]("prev_revenue") == prev.getAs[Double]("revenue"),
+        "lag carries the prior week's revenue")
+      val expected = (cur.getAs[Double]("revenue") - cur.getAs[Double]("prev_revenue")) /
+        cur.getAs[Double]("prev_revenue")
+      assert(cur.getAs[Double]("wow") == expected, "wow is the exact IEEE ratio")
+    }
+  }
+
   test("q96: disjoint grouping sets = both marginals + grand total, nothing else") {
     val orders = Tables.orders(spark, sf)
     val rows = Relational.q96GroupingSets.build(spark, sf).collect()
