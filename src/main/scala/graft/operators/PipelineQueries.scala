@@ -1199,6 +1199,46 @@ object PipelineQueries {
       .limit(30)
   }
 
+  /** Inverted-index construction (the retrieval-side artifact q45 ranks
+    * against): per token, document frequency plus the first 20 postings in
+    * doc order. The posting-list truncation is where the 100 TB design
+    * lives: a collect-then-slice materializes a stopword's corpus-sized
+    * posting array in one aggregation buffer before slicing — the exact
+    * failure mode [[graft.functions.BottomKRows]] exists to avoid. The
+    * bounded heap keeps ≤20 (key, row) candidates per token per input
+    * partition, map-side combines, and ships fixed-size buffers, so
+    * per-token state is O(k) no matter how skewed the token — the same
+    * machinery as q12's exact-n sampler, re-targeted at postings. The
+    * order key is the zero-padded decimal doc_id (byte order = numeric
+    * order for non-negative ids, per the BottomKRows contract). df ≥ 10
+    * keeps the declared report off the hapax tail; df itself is exact and
+    * uncapped. */
+  val q100InvertedIndex: QuerySpec = QuerySpec.oracle(
+    "q100_inverted_index",
+    s"""WITH toks AS (SELECT doc_id, $LowToksSql AS ts FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, unnest(ts) AS token FROM toks)
+       |SELECT token, count(*) AS df,
+       |  array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings_csv
+       |FROM tok GROUP BY token
+       |HAVING count(*) >= 10
+       |ORDER BY token""".stripMargin
+  ) { (spark, dir) =>
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(lowToksCol).as("token"))
+      .distinct()
+    pairs.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        graft.functions.BottomKRows.bottomK(
+          lpad(col("doc_id").cast("string"), 10, "0"),
+          struct(col("doc_id")), 20).as("__post"))
+      .filter(col("df") >= 10)
+      .select(col("token"), col("df"),
+        array_join(
+          transform(col("__post"), x => x.getField("doc_id").cast("string")),
+          ",").as("postings_csv"))
+      .orderBy("token")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
@@ -1207,5 +1247,5 @@ object PipelineQueries {
     q52DataMixture, q53HeavyHitters, q55Curriculum,
     q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist,
     q73DedupApply, q75Decontaminate, q78AnnRecall, q80DedupIncremental,
-    q84DocChunks, q88MinHashPairs, q94Collocations)
+    q84DocChunks, q88MinHashPairs, q94Collocations, q100InvertedIndex)
 }

@@ -830,6 +830,60 @@ object Relational {
       .orderBy("week")
   }
 
+  /** Exact reproducible bivariate statistics — Pearson correlation and
+    * sample covariance of (l_quantity, l_discount) per return flag,
+    * derived from decimal-exact sums the way q66 derives variance.
+    * Spark's native corr/covar_samp stream Welford-style updates whose
+    * result depends on partition order — not reproducible run-to-run, let
+    * alone engine-to-engine. Here the five sufficient statistics (Σx, Σy,
+    * Σxy, Σx², Σy²) are order-independent decimal sums, and the closing
+    * arithmetic (two sqrt, exactly-rounded IEEE) is bit-identical across
+    * engines. The sqrt arguments are clamped at 0 on both sides: a
+    * zero-variance group's numerator can cancel slightly negative in
+    * doubles (q66's documented clamp), and a zero denominator pins NULL
+    * (undefined correlation) on both engines. */
+  val q101Correlation: QuerySpec = QuerySpec.oracle(
+    "q101_correlation",
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  CASE WHEN n < 2 THEN NULL ELSE
+      |    (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) END AS cov_qty_disc,
+      |  CASE WHEN n < 2
+      |      OR sqrt(greatest(CAST(n AS DOUBLE) * sxx - sx * sx, 0)) = 0
+      |      OR sqrt(greatest(CAST(n AS DOUBLE) * syy - sy * sy, 0)) = 0 THEN NULL
+      |    ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |      / (sqrt(greatest(CAST(n AS DOUBLE) * sxx - sx * sx, 0))
+      |         * sqrt(greatest(CAST(n AS DOUBLE) * syy - sy * sy, 0))) END AS corr_qty_disc
+      |FROM s ORDER BY l_returnflag""".stripMargin
+  ) { (spark, dir) =>
+    val s = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_discount")).as("sy"),
+        dsum(col("l_quantity") * col("l_discount"), 4).as("sxy"),
+        dsum(col("l_quantity") * col("l_quantity"), 4).as("sxx"),
+        dsum(col("l_discount") * col("l_discount"), 4).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val dx = sqrt(greatest(nD * col("sxx") - col("sx") * col("sx"), lit(0d)))
+    val dy = sqrt(greatest(nD * col("syy") - col("sy") * col("sy"), lit(0d)))
+    s.select(col("l_returnflag"), col("n"),
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(num / (nD * (nD - lit(1)))).as("cov_qty_disc"),
+        when(col("n") < 2 || dx === 0d || dy === 0d, lit(null).cast("double"))
+          .otherwise(num / (dx * dy)).as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
@@ -838,5 +892,5 @@ object Relational {
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
     q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q91Unpivot,
     q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
-    q97TableDiff, q99WeeklyWow)
+    q97TableDiff, q99WeeklyWow, q101Correlation)
 }

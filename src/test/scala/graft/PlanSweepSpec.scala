@@ -198,7 +198,13 @@ class PlanSweepSpec extends SparkSpec {
     // q99: weekly agg (partial→final) + the calendar-bounded global
     // window's SinglePartition (input = the ≤~350-week series, documented
     // in the scaladoc); the final sort reuses the window's ordering
-    "q99_weekly_wow" -> 2)
+    "q99_weekly_wow" -> 2,
+    // q100: (doc, token) distinct + token-keyed agg (the bounded-heap
+    // posting aggregate map-side combines) + presentation sort
+    "q100_inverted_index" -> 3,
+    // q101: per-flag sufficient-statistics agg (partial→final) +
+    // presentation sort
+    "q101_correlation" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -109,6 +109,31 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(ids.distinct.length === ids.length)
   }
 
+  test("q100: bounded-heap postings ≡ collect-then-slice; df consistent with list length") {
+    val out = PipelineQueries.q100InvertedIndex.build(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val postings = r.getAs[String]("postings_csv").split(",").map(_.toLong)
+      assert(df >= 10, "df threshold applied")
+      assert(postings.length == math.min(df, 20L), "postings truncate at 20, never below df")
+      assert(postings.zip(postings.tail).forall { case (a, b) => a < b },
+        "postings strictly increasing in doc order")
+    }
+    // the bounded heap must agree with the definitional collect-then-slice
+    // (safe at spec scale, the thing the heap replaces at corpus scale)
+    import org.apache.spark.sql.functions._
+    val naive = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(filter(split(lower(col("text")), "\\W+"), t => t =!= "")).as("token"))
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("post"))
+      .filter(col("df") >= 10)
+      .select(col("token"), array_join(slice(col("post"), 1, 20).cast("array<string>"), ",").as("postings_csv"))
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[String]("postings_csv")).toMap
+    assert(out.map(r => r.getAs[String]("token") -> r.getAs[String]("postings_csv")).toMap == naive)
+  }
+
   test("q94: lifts are internally consistent (single integer N) and ordered desc") {
     val rows = PipelineQueries.q94Collocations.build(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 30)

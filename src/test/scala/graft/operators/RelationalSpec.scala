@@ -150,6 +150,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q101: exact-sum correlation agrees with Spark's native corr/covar_samp") {
+    val rows = Relational.q101Correlation.build(spark, sf).collect()
+    val native = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_discount")).as("c"),
+        covar_samp(col("l_quantity"), col("l_discount")).as("cv"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("c"), r.getAs[Double]("cv"))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, cv) = native(r.getAs[String]("l_returnflag"))
+      // native Welford streaming is partition-order-dependent — agreement is
+      // statistical (1e-9 relative), exactness is the decimal-sum form's claim
+      assert(math.abs(r.getAs[Double]("corr_qty_disc") - c) < 1e-9 * math.max(1, math.abs(c)))
+      assert(math.abs(r.getAs[Double]("cov_qty_disc") - cv) < 1e-9 * math.max(1, math.abs(cv)))
+      assert(math.abs(r.getAs[Double]("corr_qty_disc")) <= 1.0, "Pearson r in [-1, 1]")
+    }
+  }
+
   test("q96: disjoint grouping sets = both marginals + grand total, nothing else") {
     val orders = Tables.orders(spark, sf)
     val rows = Relational.q96GroupingSets.build(spark, sf).collect()
