@@ -428,7 +428,10 @@ object EventQueries {
     * carries full parallelism (user cardinality ≫ cores) and per-task state
     * is one user's timeline, never a global sort. The transition table
     * itself is bounded by |event_type|² (25 rows here), so the per-source
-    * totals ride back in via broadcast and the probability is an exact
+    * totals come from a window OVER THE AGGREGATED TABLE — partitioned on
+    * prev_type over ≤|event_type|² rows, never a rescan of the event
+    * stream (the broadcast-join formulation would plan the corpus window +
+    * pair aggregate under BOTH branches) — and the probability is an exact
     * single IEEE division of two integer counts — hash-identical across
     * engines, same bar as q57's p_cond. Ordering ties break on event_id
     * (unique), making the lag deterministic on both sides. */
@@ -440,12 +443,12 @@ object EventQueries {
       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
       |  FROM events),
       |p AS (SELECT prev_type, event_type, count(*) AS n_trans
-      |      FROM d WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-      |t AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from
-      |      FROM p GROUP BY 1)
-      |SELECT p.prev_type, p.event_type, n_trans, n_from,
-      |  CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE) AS p_trans
-      |FROM p JOIN t USING (prev_type)
+      |      FROM d WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, event_type, n_trans,
+      |  CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+      |  CAST(n_trans AS DOUBLE)
+      |    / CAST(CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS DOUBLE) AS p_trans
+      |FROM p
       |ORDER BY prev_type, event_type""".stripMargin
   ) { (spark, dir) =>
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -454,10 +457,10 @@ object EventQueries {
         lag(col("event_type"), 1).over(w).as("prev_type"))
       .filter(col("prev_type").isNotNull)
     val p = d.groupBy("prev_type", "event_type").agg(count(lit(1)).as("n_trans"))
-    val t = p.groupBy("prev_type").agg(sum(col("n_trans")).as("n_from"))
-    p.join(broadcast(t), Seq("prev_type"))
-      .select(col("prev_type"), col("event_type"), col("n_trans"), col("n_from"),
-        (col("n_trans").cast("double") / col("n_from").cast("double")).as("p_trans"))
+    val totals = Window.partitionBy("prev_type")
+    p.withColumn("n_from", sum(col("n_trans")).over(totals))
+      .withColumn("p_trans",
+        col("n_trans").cast("double") / col("n_from").cast("double"))
       .orderBy("prev_type", "event_type")
   }
 

@@ -168,10 +168,12 @@ class PlanSweepSpec extends SparkSpec {
     "q90_merge_upsert" -> 1,
     // q91: per-flag agg + Expand (no shuffle) + presentation sort
     "q91_unpivot" -> 2,
-    // q92: the per-user lag window's hash partition + pair agg
-    // (partial→final) appear under both the main branch and the broadcast
-    // totals subtree (no static reuse pre-AQE) + presentation sort
-    "q92_event_transitions" -> 6,
+    // q92: per-user lag window's hash partition + pair agg
+    // (partial→final) + the |event_type|²-bounded totals window's
+    // repartition on prev_type + presentation sort — ONE event-stream
+    // scan (the totals ride a window over the aggregated table, not a
+    // broadcast-join that would duplicate the corpus subtree)
+    "q92_event_transitions" -> 4,
     // q93: the distinct-name agg (partial→final) planned under both sides
     // of the dictionary nested loop (the broadcast side re-aggregates) +
     // presentation sort
