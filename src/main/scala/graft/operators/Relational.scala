@@ -652,9 +652,14 @@ object Relational {
     * the corpus contributes only the per-name count aggregation. This is
     * the same dedup-to-dictionary discipline q31/q35 apply to shingles:
     * make the O(n²) step O(|vocab|²) and attach rows back by equi-join /
-    * pre-aggregation. `levenshtein` is codegen'd in Spark and semantically
-    * identical to DuckDB's (classic unit-cost DP), so distances and
-    * therefore rows hash-match. */
+    * pre-aggregation. The distance kernel is the THRESHOLD-bounded
+    * Levenshtein — a banded DP that visits O(k·min(|a|,|b|)) cells and
+    * abandons a pair the moment every band entry exceeds k, returning −1
+    * — instead of filtering the full O(|a|·|b|) distance after the fact;
+    * on a pair that can't match, that's the difference between rejecting
+    * at the length gap and computing the whole matrix. For pairs within
+    * the threshold the bounded form returns the exact distance, so rows
+    * and values hash-match DuckDB's classic unit-cost DP. */
   val q93FuzzyNamePairs: QuerySpec = QuerySpec.oracle(
     "q93_fuzzy_name_pairs",
     """WITH names AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1)
@@ -670,8 +675,8 @@ object Relational {
     val a = names.select(col("p_name").as("name_a"), col("n_parts").as("n_a"))
     val b = names.select(col("p_name").as("name_b"), col("n_parts").as("n_b"))
     a.join(broadcast(b), col("name_a") < col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 3)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3).cast("long"))
+      .filter(col("dist") >= 0)
       .select("name_a", "name_b", "dist", "n_a", "n_b")
       .orderBy("dist", "name_a", "name_b")
   }
@@ -884,6 +889,46 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Bounded sliding-frame window (4-week rolling revenue) — the moving-
+    * aggregate reporting primitive q09's UNBOUNDED-PRECEDING cumulative
+    * form doesn't cover. The frame sum goes through DECIMAL inside the
+    * window: sliding-window engines are free to re-associate frame
+    * members (DuckDB's segment tree vs Spark's running accumulator), and
+    * only an associative-exact type makes the two orders bit-identical —
+    * q09's trick, now load-bearing for a genuinely reordered frame. The
+    * window input is the weekly series (calendar-bounded, q99's
+    * argument); the head-of-series average divides by the real frame
+    * count, not a constant 4. */
+  val q102RollingRevenue: QuerySpec = QuerySpec.oracle(
+    "q102_rolling_revenue",
+    """WITH w AS (
+      |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT week, revenue,
+      |  CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER (ORDER BY week
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll4_revenue,
+      |  count(*) OVER (ORDER BY week
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll4_weeks,
+      |  CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER (ORDER BY week
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(count(*) OVER (ORDER BY week
+      |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll4_avg
+      |FROM w ORDER BY week""".stripMargin
+  ) { (spark, dir) =>
+    val weekly = Tables.orders(spark, dir)
+      .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val frame = Window.orderBy("week").rowsBetween(-3, Window.currentRow)
+    weekly
+      .withColumn("roll4_revenue",
+        sum(col("revenue").cast("decimal(18,2)")).over(frame).cast("double"))
+      .withColumn("roll4_weeks", count(lit(1)).over(frame))
+      .withColumn("roll4_avg",
+        col("roll4_revenue") / col("roll4_weeks").cast("double"))
+      .orderBy("week")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
@@ -892,5 +937,5 @@ object Relational {
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
     q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q91Unpivot,
     q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
-    q97TableDiff, q99WeeklyWow, q101Correlation)
+    q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue)
 }

@@ -206,7 +206,10 @@ class PlanSweepSpec extends SparkSpec {
     "q100_inverted_index" -> 3,
     // q101: per-flag sufficient-statistics agg (partial→final) +
     // presentation sort
-    "q101_correlation" -> 2)
+    "q101_correlation" -> 2,
+    // q102: weekly agg (partial→final) + the calendar-bounded sliding
+    // frame's SinglePartition (q99's bounded-window argument)
+    "q102_rolling_revenue" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
