@@ -640,10 +640,56 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Dynamic partition overwrite ([[Sinks.overwritePartitionsDynamic]]) as
+    * a declared oracle query — the partition-level MERGE: the 'de'
+    * partition of a lang-partitioned documents layout is re-scored
+    * (source → 'patched', n_chars + 1000) by writing ONLY that partition
+    * in dynamic mode; sibling partitions' files are proven byte-untouched
+    * by an in-build name+mtime comparison, every first build. The query
+    * returns the whole merged table; the DuckDB mirror derives the same
+    * state from the source table with a CASE patch — so the hash match
+    * proves the overwrite replaced exactly the patched partition and
+    * nothing else. Patch rows derive from the SOURCE table, so the merged
+    * state is idempotent; the one-time step is sentinel-guarded like the
+    * other layout builders (eager by design). */
+  val q103PartitionOverwrite: QuerySpec = QuerySpec.oracle(
+    "q103_partition_overwrite",
+    """SELECT doc_id, text, lang,
+      |  CASE WHEN lang = 'de' THEN 'patched' ELSE source END AS source,
+      |  CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"target/graft_dynpart_$tag/documents"
+    val sentinel = new java.io.File(path, "_PATCHED")
+    if (!sentinel.exists) {
+      Sinks.writeParquetPartitioned(Tables.documents(spark, dir), path, "lang",
+        spreadCol = col("doc_id"), tasksPerValue = 2)
+      def siblings: Seq[String] = new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName != "lang=de")
+        .flatMap(d => d.listFiles().map(f =>
+          s"${d.getName}/${f.getName}@${f.lastModified}"))
+        .sorted.toSeq
+      val before = siblings
+      val patch = Tables.documents(spark, dir).filter(col("lang") === "de")
+        .withColumn("source", lit("patched"))
+        .withColumn("n_chars", col("n_chars") + 1000)
+      Sinks.overwritePartitionsDynamic(patch, path, "lang",
+        spreadCol = col("doc_id"), tasksPerValue = 2)
+      require(siblings == before,
+        "q103: dynamic overwrite touched sibling partitions — mode not applied")
+      new java.io.FileOutputStream(sentinel).close()
+    }
+    spark.read.parquet(path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
     q28TokenCounts, q29DocAssembly, q37VocabOov, q39QualityFilter,
     q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution, q82OrcRoundtrip,
-    q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip, q89ZOrderDictScan)
+    q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip, q89ZOrderDictScan,
+    q103PartitionOverwrite)
 }

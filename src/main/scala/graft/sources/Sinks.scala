@@ -148,6 +148,28 @@ object Sinks {
       .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
   }
 
+  /** Dynamic partition overwrite into a [[writeParquetPartitioned]]-style
+    * layout: replaces ONLY the partitions present in `patch`, leaving every
+    * sibling partition's files byte-untouched — the partition-level MERGE
+    * of nightly maintenance. When a delta aligns with the partitioning
+    * (reprocess one day, re-score one source), this is the cheap upsert: IO
+    * proportional to the patched partitions, no key join at all, where
+    * static `mode("overwrite")` would drop the whole table and a keyed
+    * MERGE (`Merge.upsert`) would read it. The mode rides a per-WRITE
+    * option, not a session conf — builders stay side-effect-free. Same
+    * writer-parallelism contract as the full writer (`tasksPerValue`
+    * spread per patched value). */
+  def overwritePartitionsDynamic(patch: DataFrame, path: String,
+                                 partitionCol: String, spreadCol: Column,
+                                 tasksPerValue: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
+    require(tasksPerValue >= 1, s"tasksPerValue out of range: $tasksPerValue")
+    patch.repartition(col(partitionCol), pmod(xxhash64(spreadCol), lit(tasksPerValue)))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
+  }
+
   /** ORC sink (Spark's second built-in columnar format — Hive-ecosystem
     * interchange) with the SAME layout bounds as the parquet sized writer:
     * target file count plus a rows-per-file ceiling. Same pushdown/pruning

@@ -57,7 +57,11 @@ class ConstructionSweepSpec extends SparkSpec {
     "q86_csv_roundtrip", "q87_json_roundtrip",
     // q89's FIRST build writes the dict-z-ordered layout (+ its two tiny
     // dictionary/max-code aggregates); one-time, _SUCCESS-marked
-    "q89_zorder_dict_scan")
+    "q89_zorder_dict_scan",
+    // q103's FIRST build writes the lang-partitioned layout then
+    // dynamic-overwrites the 'de' partition (one-time, _PATCHED-marked;
+    // repeat builds job-free)
+    "q103_partition_overwrite")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

@@ -209,7 +209,10 @@ class PlanSweepSpec extends SparkSpec {
     "q101_correlation" -> 2,
     // q102: weekly agg (partial→final) + the calendar-bounded sliding
     // frame's SinglePartition (q99's bounded-window argument)
-    "q102_rolling_revenue" -> 2)
+    "q102_rolling_revenue" -> 2,
+    // q103: pure scan of the merged layout + presentation sort (the
+    // overwrite itself is the sentinel-guarded one-time build step)
+    "q103_partition_overwrite" -> 1)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -119,6 +119,38 @@ class SinksSpec extends SparkSpec {
     assert(filtered.count() == src.filter(col("l_quantity") > 45).count())
   }
 
+  test("dynamic partition overwrite replaces only the patched partition; static drops siblings") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Tables.documents(spark, sf)
+    def partitionFiles(root: String): Map[String, Seq[String]] =
+      new java.io.File(root).listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().map(f => s"${f.getName}@${f.lastModified}").sorted.toSeq)
+        .toMap
+    val patch = docs.filter(col("lang") === "de").withColumn("source", lit("patched"))
+
+    val dyn = Files.createTempDirectory("graft_dynow").toString + "/docs"
+    Sinks.writeParquetPartitioned(docs, dyn, "lang", spreadCol = col("doc_id"))
+    val before = partitionFiles(dyn)
+    Sinks.overwritePartitionsDynamic(patch, dyn, "lang", spreadCol = col("doc_id"))
+    val after = partitionFiles(dyn)
+    assert((before - "lang=de") == (after - "lang=de"),
+      "sibling partitions must be byte-untouched (names and mtimes)")
+    assert(before("lang=de") != after("lang=de"), "patched partition replaced")
+    val merged = spark.read.parquet(dyn)
+    assert(merged.count() == docs.count())
+    assert(merged.filter(col("lang") === "de" && col("source") =!= "patched").count() == 0)
+    assert(merged.filter(col("lang") =!= "de" && col("source") === "patched").count() == 0)
+
+    // the contrast that makes dynamic mode load-bearing: a STATIC overwrite
+    // of the same patch drops every sibling partition
+    val stat = Files.createTempDirectory("graft_statow").toString + "/docs"
+    Sinks.writeParquetPartitioned(docs, stat, "lang", spreadCol = col("doc_id"))
+    patch.repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(stat)
+    assert(partitionFiles(stat).keySet == Set("lang=de"),
+      "static overwrite truncates the table to the patch's partitions")
+  }
+
   test("clustered writer sorts within files for row-group pruning") {
     val out = Files.createTempDirectory("graft_clustered").toString + "/li"
     Sinks.writeParquetClustered(Tables.lineitem(spark, sf), out, 2, Seq("l_shipdate"))
