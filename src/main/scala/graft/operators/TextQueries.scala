@@ -685,11 +685,43 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Small-file compaction ([[Sinks.compactParquet]]) as a declared
+    * oracle query: the first build fragments documents into 64 shard
+    * files (the streaming-sink accretion pattern), compacts them with
+    * the zero-shuffle coalesce rewrite, and asserts the file count
+    * actually collapsed; the query reads the compacted layout and the
+    * hash match against the source table proves compaction is
+    * value-neutral — pure physical design, like q83/q85/q89's layouts.
+    * Sentinel-guarded one-time build (eager by design). */
+  val q104Compaction: QuerySpec = QuerySpec.oracle(
+    "q104_compaction",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+  ) { (spark, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"target/graft_compact_$tag/documents"
+    val sentinel = new java.io.File(path, "_COMPACTED")
+    if (!sentinel.exists) {
+      Tables.documents(spark, dir).repartition(64)
+        .write.mode("overwrite").parquet(path)
+      def nFiles = new java.io.File(path).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val before = nFiles
+      require(before == 64, s"q104: fragmentation step wrote $before files")
+      Sinks.compactParquet(spark, path, targetFileBytes = 8L << 20)
+      require(nFiles < before / 4,
+        s"q104: compaction left $nFiles of $before files — no collapse")
+      new java.io.FileOutputStream(sentinel).close()
+    }
+    spark.read.parquet(path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
     q28TokenCounts, q29DocAssembly, q37VocabOov, q39QualityFilter,
     q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution, q82OrcRoundtrip,
     q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip, q89ZOrderDictScan,
-    q103PartitionOverwrite)
+    q103PartitionOverwrite, q104Compaction)
 }

@@ -170,6 +170,36 @@ object Sinks {
       .partitionBy(partitionCol).parquet(path)
   }
 
+  /** Small-file compaction — the third leg of table maintenance next to
+    * the keyed MERGE (`Merge.upsert`) and the partition overwrite
+    * ([[overwritePartitionsDynamic]]): rewrite a fragmented parquet
+    * directory into size-derived files. Streaming sinks and per-task
+    * writers accrete small files, and every later scan pays their
+    * planning/footer cost; compaction is the nightly job that caps it.
+    * The target file count comes from driver-side metadata IO (sum of
+    * file lengths — no Spark job), and the rewrite uses `coalesce`, a
+    * NARROW dependency: tasks concatenate input splits with zero
+    * shuffle, which is the whole economics of compaction at 100 TB.
+    * The rewrite lands in a temp directory first and swaps in only after
+    * success, so a failed compaction leaves the original layout intact —
+    * the manual analog of a table format's manifest swap.
+    * Returns the compacted file count. */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetFileBytes: Long = 128L << 20): Int = {
+    val dir = new java.io.File(path)
+    val bytes = dir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new java.io.File(path + ".compacting")
+    spark.read.parquet(path).coalesce(target)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    val old = new java.io.File(path + ".precompact")
+    if (old.exists) old.listFiles().foreach(_.delete())
+    require(dir.renameTo(old) && tmp.renameTo(dir),
+      s"compaction swap failed for $path")
+    old.listFiles().foreach(_.delete()); old.delete()
+    target
+  }
+
   /** ORC sink (Spark's second built-in columnar format — Hive-ecosystem
     * interchange) with the SAME layout bounds as the parquet sized writer:
     * target file count plus a rows-per-file ceiling. Same pushdown/pruning

@@ -61,7 +61,10 @@ class ConstructionSweepSpec extends SparkSpec {
     // q103's FIRST build writes the lang-partitioned layout then
     // dynamic-overwrites the 'de' partition (one-time, _PATCHED-marked;
     // repeat builds job-free)
-    "q103_partition_overwrite")
+    "q103_partition_overwrite",
+    // q104's FIRST build fragments documents into 64 shards then compacts
+    // them (one-time, _COMPACTED-marked; repeat builds job-free)
+    "q104_compaction")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

@@ -212,7 +212,9 @@ class PlanSweepSpec extends SparkSpec {
     "q102_rolling_revenue" -> 2,
     // q103: pure scan of the merged layout + presentation sort (the
     // overwrite itself is the sentinel-guarded one-time build step)
-    "q103_partition_overwrite" -> 1)
+    "q103_partition_overwrite" -> 1,
+    // q104: pure scan of the compacted layout + presentation sort
+    "q104_compaction" -> 1)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -151,6 +151,30 @@ class SinksSpec extends SparkSpec {
       "static overwrite truncates the table to the patch's partitions")
   }
 
+  test("compaction collapses fragments via narrow coalesce, values intact, failure-safe swap") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_compact").toString + "/docs"
+    val src = Tables.documents(spark, sf)
+    src.repartition(32).write.mode("overwrite").parquet(out)
+    def parquetFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles.length == 32)
+    // the compaction read must plan NO shuffle (coalesce is narrow)
+    val plan = spark.read.parquet(out).coalesce(2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"coalesce must stay narrow:\n$plan")
+    val n = Sinks.compactParquet(spark, out, targetFileBytes = 1L << 20)
+    assert(parquetFiles.length == n && n < 32)
+    assert(!new java.io.File(out + ".compacting").exists &&
+      !new java.io.File(out + ".precompact").exists, "temp dirs cleaned up")
+    val back = spark.read.parquet(out)
+    assert(back.count() == src.count())
+    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(src.select("doc_id").collect().map(_.getLong(0)).sorted))
+    assert(back.filter(col("n_chars") <= 0).count() ==
+      src.filter(col("n_chars") <= 0).count())
+  }
+
   test("clustered writer sorts within files for row-group pruning") {
     val out = Files.createTempDirectory("graft_clustered").toString + "/li"
     Sinks.writeParquetClustered(Tables.lineitem(spark, sf), out, 2, Seq("l_shipdate"))
