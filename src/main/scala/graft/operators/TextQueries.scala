@@ -717,11 +717,64 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Data-quality gate ([[Quality]]) as a declared oracle query: a
+    * five-rule expectation report over a corpus with PLANTED violations
+    * (the driver tables are pristine — an all-zero report would verify
+    * nothing — so both engines derive the same corrupted view from the
+    * source: doc_ids 0-9 emptied, 10-19 duplicated, 20-29 given an
+    * unknown lang, 30-39 a negative n_chars). Three predicate rules fuse
+    * into ONE conditional-count scan; uniqueness adds a key-only
+    * distinct; the referential rule (orphaned lineitems — 0, the clean
+    * baseline among the planted reds) is a broadcast-able anti join on
+    * the parent's key projection. */
+  val q105QualityGate: QuerySpec = QuerySpec.oracle(
+    "q105_quality_gate",
+    """WITH corrupted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id < 10 THEN '' ELSE text END AS text,
+      |    CASE WHEN doc_id BETWEEN 20 AND 29 THEN 'xx' ELSE lang END AS lang,
+      |    source,
+      |    CASE WHEN doc_id BETWEEN 30 AND 39 THEN -1 ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  WHERE doc_id BETWEEN 10 AND 19)
+      |SELECT 'dup_doc_id' AS rule,
+      |  count(*) - count(DISTINCT doc_id) AS n_violations FROM corrupted
+      |UNION ALL SELECT 'empty_text',
+      |  count(*) FILTER (WHERE length(text) = 0) FROM corrupted
+      |UNION ALL SELECT 'lang_unknown',
+      |  count(*) FILTER (WHERE lang NOT IN ('de','en','es','fr','zh')) FROM corrupted
+      |UNION ALL SELECT 'n_chars_negative',
+      |  count(*) FILTER (WHERE n_chars < 0) FROM corrupted
+      |UNION ALL SELECT 'orphan_lineitem',
+      |  (SELECT count(*) FROM lineitem l
+      |   LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |   WHERE o.o_orderkey IS NULL)
+      |ORDER BY rule""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val corrupted = docs
+      .withColumn("text", when(col("doc_id") < 10, lit("")).otherwise(col("text")))
+      .withColumn("lang", when(col("doc_id").between(20, 29), lit("xx")).otherwise(col("lang")))
+      .withColumn("n_chars", when(col("doc_id").between(30, 39), lit(-1L)).otherwise(col("n_chars")))
+      .unionByName(docs.filter(col("doc_id").between(10, 19)))
+    Quality.predicateReport(corrupted, Seq(
+        "empty_text" -> (length(col("text")) === 0),
+        "lang_unknown" -> !col("lang").isin("de", "en", "es", "fr", "zh"),
+        "n_chars_negative" -> (col("n_chars") < 0)))
+      .unionByName(Quality.duplicateKeyCount(corrupted, "doc_id", "dup_doc_id"))
+      .unionByName(Quality.orphanCount(
+        Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+        "l_orderkey", "o_orderkey", "orphan_lineitem"))
+      .orderBy("rule")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
     q28TokenCounts, q29DocAssembly, q37VocabOov, q39QualityFilter,
     q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution, q82OrcRoundtrip,
     q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip, q89ZOrderDictScan,
-    q103PartitionOverwrite, q104Compaction)
+    q103PartitionOverwrite, q104Compaction, q105QualityGate)
 }

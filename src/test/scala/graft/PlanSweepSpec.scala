@@ -214,7 +214,10 @@ class PlanSweepSpec extends SparkSpec {
     // overwrite itself is the sentinel-guarded one-time build step)
     "q103_partition_overwrite" -> 1,
     // q104: pure scan of the compacted layout + presentation sort
-    "q104_compaction" -> 1)
+    "q104_compaction" -> 1,
+    // q105: fused conditional-count agg + the key-distinct agg + the anti
+    // join's child agg + union + presentation sort
+    "q105_quality_gate" -> 5)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+
+  test("a pristine corpus passes the gate: every rule reports zero") {
+    val docs = Tables.documents(spark, sf)
+    val report = Quality.predicateReport(docs, Seq(
+        "empty_text" -> (length(col("text")) === 0),
+        "lang_unknown" -> !col("lang").isin("de", "en", "es", "fr", "zh"),
+        "n_chars_negative" -> (col("n_chars") < 0)))
+      .unionByName(Quality.duplicateKeyCount(docs, "doc_id", "dup_doc_id"))
+      .unionByName(Quality.orphanCount(
+        Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+        "l_orderkey", "o_orderkey", "orphan_lineitem"))
+      .collect()
+    assert(report.length == 5)
+    report.foreach(r => assert(r.getAs[Long]("n_violations") == 0L,
+      s"${r.getAs[String]("rule")} nonzero on clean data"))
+  }
+
+  test("planted orphans are counted; parent keys project before the anti join") {
+    import spark.implicits._
+    val child = Seq((1L, "a"), (2L, "b"), (99L, "orphan"), (98L, "orphan"))
+      .toDF("fk", "payload")
+    val parent = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("pk", "stuff")
+    val row = Quality.orphanCount(child, parent, "fk", "pk", "orphans").collect().head
+    assert(row.getAs[String]("rule") == "orphans")
+    assert(row.getAs[Long]("n_violations") == 2L)
+    // the join must not resolve against the parent's payload columns
+    val plan = Quality.orphanCount(child, parent, "fk", "pk", "orphans")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("stuff"), s"parent payload should be pruned:\n$plan")
+  }
+
+  test("predicateReport counts every rule independently in one pass") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "ok"), (3L, ""), (4L, "also")).toDF("id", "t")
+    val out = Quality.predicateReport(df, Seq(
+        "empty" -> (length(col("t")) === 0),
+        "long" -> (length(col("t")) > 3)))
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations")).toMap
+    assert(out == Map("empty" -> 2L, "long" -> 1L))
+  }
+}
