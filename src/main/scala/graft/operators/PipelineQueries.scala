@@ -1239,6 +1239,54 @@ object PipelineQueries {
       .orderBy("token")
   }
 
+  /** Vector-hygiene gate: [[graft.operators.Quality.predicateReport]]
+    * re-targeted at the embedding column — the validation pass that runs
+    * before ANN indexing, where one ragged or NaN vector poisons a whole
+    * index build (cosine against NaN is NaN, which every comparison
+    * silently drops). Same planted-violation discipline as q105 (the
+    * driver vectors are pristine): 0-9 truncated to 8 dims, 10-19 zeroed,
+    * 20-29 NaN-injected — both engines derive the identical corrupted
+    * view. The NaN rule uses `isnan`, NOT x <> x: Spark SQL defines
+    * NaN = NaN as TRUE (its documented total ordering), so the idiomatic
+    * IEEE self-inequality probe is exactly the predicate that silently
+    * never fires there. All three rules fuse into one conditional-count
+    * scan. */
+  val q106VectorHygiene: QuerySpec = QuerySpec.oracle(
+    "q106_vector_hygiene",
+    s"""WITH corrupted AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id < 10 THEN embedding[1:8]
+       |         WHEN vec_id BETWEEN 10 AND 19
+       |           THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+       |         WHEN vec_id BETWEEN 20 AND 29
+       |           THEN list_concat(list_concat(embedding[1:1], ['NaN'::FLOAT]), embedding[3:64])
+       |         ELSE embedding END AS embedding
+       |  FROM embeddings)
+       |SELECT 'dim_mismatch' AS rule,
+       |  count(*) FILTER (WHERE len(embedding) <> 64) AS n_violations FROM corrupted
+       |UNION ALL SELECT 'nan_vector',
+       |  count(*) FILTER (WHERE len(list_filter(embedding, x -> isnan(x))) > 0)
+       |  FROM corrupted
+       |UNION ALL SELECT 'zero_vector',
+       |  count(*) FILTER (WHERE ${VectorFns.Sql.normSq("embedding")} = 0.0)
+       |  FROM corrupted
+       |ORDER BY rule""".stripMargin
+  ) { (spark, dir) =>
+    val corrupted = Tables.embeddings(spark, dir).withColumn("embedding",
+      when(col("vec_id") < 10, slice(col("embedding"), 1, 8))
+        .when(col("vec_id").between(10, 19),
+          transform(col("embedding"), _ => lit(0.0f)))
+        .when(col("vec_id").between(20, 29),
+          concat(slice(col("embedding"), 1, 1), array(lit(Float.NaN)),
+            slice(col("embedding"), 3, 62)))
+        .otherwise(col("embedding")))
+    Quality.predicateReport(corrupted, Seq(
+        "dim_mismatch" -> (size(col("embedding")) =!= 64),
+        "nan_vector" -> exists(col("embedding"), x => isnan(x)),
+        "zero_vector" -> (VectorFns.normSq(col("embedding")) === 0.0)))
+      .orderBy("rule")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
@@ -1247,5 +1295,6 @@ object PipelineQueries {
     q52DataMixture, q53HeavyHitters, q55Curriculum,
     q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist,
     q73DedupApply, q75Decontaminate, q78AnnRecall, q80DedupIncremental,
-    q84DocChunks, q88MinHashPairs, q94Collocations, q100InvertedIndex)
+    q84DocChunks, q88MinHashPairs, q94Collocations, q100InvertedIndex,
+    q106VectorHygiene)
 }

@@ -217,7 +217,11 @@ class PlanSweepSpec extends SparkSpec {
     "q104_compaction" -> 1,
     // q105: fused conditional-count agg + the key-distinct agg + the anti
     // join's child agg + union + presentation sort
-    "q105_quality_gate" -> 5)
+    "q105_quality_gate" -> 5,
+    // q106: one fused conditional-count agg (partial→final) over the
+    // corrupted view; Expand adds no shuffle; presentation sort is on 3
+    // rows
+    "q106_vector_hygiene" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
