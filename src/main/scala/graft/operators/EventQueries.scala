@@ -497,10 +497,60 @@ object EventQueries {
       .orderBy(col("n_users").desc, col("path"))
   }
 
+  /** Per-user session metrics — aggregation OVER q61's session windows
+    * (sessions as first-class rows feeding a second aggregate), the
+    * engagement summary behind DAU/stickiness reporting: session count,
+    * event volume, the largest session, total sessionized time, and
+    * events-per-session as an exact integer ratio. Both aggregation
+    * levels key on user_id, so the second one reuses the first's
+    * partitioning — one shuffle total for the whole two-level rollup
+    * (the session window already clustered by user). Durations subtract
+    * whole-second epochs (session bounds are minute-grained), exact on
+    * both engines; the mirror rebuilds sessions with q61's
+    * gaps-and-islands CTE and aggregates the same columns. */
+  val q107SessionMetrics: QuerySpec = QuerySpec.oracle(
+    "q107_session_metrics",
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |m AS (SELECT user_id, ts,
+      |  CASE WHEN prev IS NULL OR ts - prev > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM d),
+      |s AS (SELECT user_id, ts,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m),
+      |sess AS (SELECT user_id, sid, count(*) AS n_events,
+      |    date_diff('second', min(ts), max(ts) + INTERVAL 10 MINUTE) AS dur_secs
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT user_id,
+      |  count(*) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(max(n_events) AS BIGINT) AS max_session_events,
+      |  CAST(sum(dur_secs) AS BIGINT) AS total_session_secs,
+      |  CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS events_per_session
+      |FROM sess GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+  ) { (spark, dir) =>
+    val sessions = Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("sess_events"))
+      .select(col("user_id"), col("sess_events"),
+        (unix_timestamp(col("w.end")) - unix_timestamp(col("w.start"))).as("dur_secs"))
+    sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("sess_events")).as("n_events"),
+        max(col("sess_events")).as("max_session_events"),
+        sum(col("dur_secs")).as("total_session_secs"),
+        (sum(col("sess_events")).cast("double")
+          / count(lit(1)).cast("double")).as("events_per_session"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
     q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel,
-    q92EventTransitions, q98EventPaths,
+    q92EventTransitions, q98EventPaths, q107SessionMetrics,
     q81SaltedJoin)
 }

@@ -221,7 +221,11 @@ class PlanSweepSpec extends SparkSpec {
     // q106: one fused conditional-count agg (partial→final) over the
     // corrupted view; Expand adds no shuffle; presentation sort is on 3
     // rows
-    "q106_vector_hygiene" -> 2)
+    "q106_vector_hygiene" -> 2,
+    // q107: the session window's user_id hash partition + presentation
+    // sort — the second-level per-user aggregate REUSES the window's
+    // partitioning (no extra exchange for the rollup)
+    "q107_session_metrics" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
