@@ -929,6 +929,48 @@ object Relational {
       .orderBy("week")
   }
 
+  /** Ratio-to-parent + rank-within-parent (the BI "share of region"
+    * report): nation order revenue as a fraction of its region's total,
+    * ranked inside the region. Both windows run over the AGGREGATED
+    * 25-nation table (q92's discipline — never a window over the fact
+    * stream), partitioned by region: bounded by dimension cardinality.
+    * The share's denominator goes through DECIMAL inside the window
+    * (q102's re-association argument) and the share itself is one exact
+    * IEEE division of decimal-derived doubles. rank() needs the n_name
+    * tiebreak only for bit-stable plans — revenue ties can't occur on
+    * decimal-exact sums of distinct order sets, but determinism is not
+    * left to luck. */
+  val q108RevenueShare: QuerySpec = QuerySpec.oracle(
+    "q108_revenue_share",
+    """WITH nr AS (
+      |  SELECT r_name, n_name, count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM region
+      |  JOIN nation ON n_regionkey = r_regionkey
+      |  JOIN customer ON c_nationkey = n_nationkey
+      |  JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, n_orders, revenue,
+      |  revenue / CAST(sum(CAST(revenue AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY r_name) AS DOUBLE) AS region_share,
+      |  CAST(rank() OVER (PARTITION BY r_name
+      |    ORDER BY revenue DESC, n_name) AS BIGINT) AS region_rank
+      |FROM nr ORDER BY r_name, region_rank""".stripMargin
+  ) { (spark, dir) =>
+    val nr = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    val region = Window.partitionBy("r_name")
+    val ranked = Window.partitionBy("r_name").orderBy(col("revenue").desc, col("n_name"))
+    nr.withColumn("region_share",
+        col("revenue") / sum(col("revenue").cast("decimal(18,2)")).over(region).cast("double"))
+      .withColumn("region_rank", rank().over(ranked).cast("long"))
+      .orderBy("r_name", "region_rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
@@ -937,5 +979,6 @@ object Relational {
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
     q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q91Unpivot,
     q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
-    q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue)
+    q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
+    q108RevenueShare)
 }

@@ -225,7 +225,10 @@ class PlanSweepSpec extends SparkSpec {
     // q107: the session window's user_id hash partition + presentation
     // sort — the second-level per-user aggregate REUSES the window's
     // partitioning (no extra exchange for the rollup)
-    "q107_session_metrics" -> 2)
+    "q107_session_metrics" -> 2,
+    // q108: fact agg (partial→final, dims broadcast) + the 25-row
+    // windows' r_name repartition + presentation sort
+    "q108_revenue_share" -> 3)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
