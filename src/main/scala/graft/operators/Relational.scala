@@ -971,6 +971,51 @@ object Relational {
       .orderBy("r_name", "region_rank")
   }
 
+  /** Time-series densification (gap detection): the calendar scaffold —
+    * every (nation, week) cell the corpus COULD have filled, built from
+    * `sequence` over the span bounds × the nation dimension — anti-joined
+    * against the observed cells, emitting the 1,500+ empty cells a naive
+    * per-key aggregate silently omits (a dashboard that never renders a
+    * zero week hides every outage). Scaffold physics: the calendar comes
+    * from a 1-row bounds aggregate (lazy scalar idiom) and the cross
+    * product is dimension × calendar (25 × ~345) — bounded by design,
+    * never corpus-sized; the only corpus-scale work is the distinct
+    * (nation, week) projection the anti join probes. */
+  val q109DensifyGaps: QuerySpec = QuerySpec.oracle(
+    "q109_densify_gaps",
+    """WITH b AS (
+      |  SELECT min(CAST(date_trunc('week', o_orderdate) AS DATE)) AS lo,
+      |         max(CAST(date_trunc('week', o_orderdate) AS DATE)) AS hi
+      |  FROM orders),
+      |cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 7 DAY))::DATE AS week FROM b),
+      |nw AS (SELECT n_name, CAST(date_trunc('week', o_orderdate) AS DATE) AS week
+      |       FROM orders
+      |       JOIN customer ON o_custkey = c_custkey
+      |       JOIN nation ON c_nationkey = n_nationkey
+      |       GROUP BY 1, 2),
+      |scaffold AS (
+      |  SELECT n_name, week FROM (SELECT DISTINCT n_name FROM nw) CROSS JOIN cal)
+      |SELECT s.n_name AS n_name, s.week AS week
+      |FROM scaffold s
+      |LEFT JOIN nw ON nw.n_name = s.n_name AND nw.week = s.week
+      |WHERE nw.n_name IS NULL
+      |ORDER BY s.n_name, s.week""".stripMargin
+  ) { (spark, dir) =>
+    val weekCol = date_trunc("week", col("o_orderdate")).cast("date")
+    val observed = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), weekCol.as("week")).distinct()
+    val bounds = Tables.orders(spark, dir)
+      .agg(min(weekCol).as("lo"), max(weekCol).as("hi"))
+    val cal = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 7 days"))).as("week"))
+    observed.select("n_name").distinct()
+      .crossJoin(broadcast(cal))
+      .join(observed, Seq("n_name", "week"), "left_anti")
+      .orderBy("n_name", "week")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
@@ -980,5 +1025,5 @@ object Relational {
     q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q91Unpivot,
     q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
     q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
-    q108RevenueShare)
+    q108RevenueShare, q109DensifyGaps)
 }

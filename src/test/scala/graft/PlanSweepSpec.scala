@@ -48,6 +48,10 @@ class PlanSweepSpec extends SparkSpec {
     // dictionary (64 names at every sf; vocabulary-bounded, not
     // corpus-sized), broadcast as an inequality nested loop
     "q93_fuzzy_name_pairs",
+    // q109 — the densification scaffold: nation dimension × the calendar
+    // derived from a 1-row bounds aggregate (25 × ~345, bounded by
+    // design, never corpus-sized)
+    "q109_densify_gaps",
     // q94/q95 — crossJoin(broadcast(x)) where x is the 1-row grand-total
     // aggregate: the same lazy scalar-subquery idiom as q27/q45
     "q94_collocations", "q95_price_histogram")
@@ -228,7 +232,11 @@ class PlanSweepSpec extends SparkSpec {
     "q107_session_metrics" -> 2,
     // q108: fact agg (partial→final, dims broadcast) + the 25-row
     // windows' r_name repartition + presentation sort
-    "q108_revenue_share" -> 3)
+    "q108_revenue_share" -> 3,
+    // q109: observed-cells distinct (partial→final) planned under the
+    // scaffold's nation side and the anti join's probe side + the 1-row
+    // bounds agg + presentation sort
+    "q109_densify_gaps" -> 5)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
