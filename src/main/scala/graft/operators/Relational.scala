@@ -1016,6 +1016,74 @@ object Relational {
       .orderBy("n_name", "week")
   }
 
+  /** Gaps-and-islands in batch form (longest outage per nation): q109's
+    * gap cells grouped into CONSECUTIVE runs by the difference-of-
+    * sequences key — week minus 7·row_number is constant exactly within
+    * an unbroken weekly run — then reduced to each nation's longest run.
+    * This is the islands idiom q61's DuckDB mirror uses to verify
+    * session_window, now as the declared Spark-side operator for
+    * non-temporal-gap semantics session_window can't express (it merges
+    * by event gaps, not by missing CALENDAR cells). Every window here
+    * runs over the bounded gap/run tables (≤ dimension × calendar rows);
+    * the longest-run pick is max_by over a (len, earliest-start) struct
+    * — one aggregate, no second window pass. */
+  val q110LongestGap: QuerySpec = QuerySpec.oracle(
+    "q110_longest_gap",
+    """WITH b AS (
+      |  SELECT min(CAST(date_trunc('week', o_orderdate) AS DATE)) AS lo,
+      |         max(CAST(date_trunc('week', o_orderdate) AS DATE)) AS hi
+      |  FROM orders),
+      |cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 7 DAY))::DATE AS week FROM b),
+      |nw AS (SELECT n_name, CAST(date_trunc('week', o_orderdate) AS DATE) AS week
+      |       FROM orders
+      |       JOIN customer ON o_custkey = c_custkey
+      |       JOIN nation ON c_nationkey = n_nationkey
+      |       GROUP BY 1, 2),
+      |gaps AS (
+      |  SELECT s.n_name AS n_name, s.week AS week
+      |  FROM (SELECT n_name, week FROM (SELECT DISTINCT n_name FROM nw) CROSS JOIN cal) s
+      |  LEFT JOIN nw ON nw.n_name = s.n_name AND nw.week = s.week
+      |  WHERE nw.n_name IS NULL),
+      |isl AS (SELECT n_name, week,
+      |  week - CAST(7 * row_number() OVER (PARTITION BY n_name ORDER BY week) AS INTEGER) AS island
+      |  FROM gaps),
+      |runs AS (SELECT n_name, island, count(*) AS run_weeks, min(week) AS run_start
+      |         FROM isl GROUP BY 1, 2)
+      |SELECT n_name,
+      |  count(*) AS n_runs,
+      |  CAST(max(run_weeks) AS BIGINT) AS longest_run_weeks,
+      |  min(run_start) FILTER (WHERE run_weeks = (
+      |    SELECT max(r2.run_weeks) FROM runs r2 WHERE r2.n_name = runs.n_name))
+      |    AS longest_run_start
+      |FROM runs GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+  ) { (spark, dir) =>
+    val weekCol = date_trunc("week", col("o_orderdate")).cast("date")
+    val observed = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), weekCol.as("week")).distinct()
+    val bounds = Tables.orders(spark, dir)
+      .agg(min(weekCol).as("lo"), max(weekCol).as("hi"))
+    val cal = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 7 days"))).as("week"))
+    val gaps = observed.select("n_name").distinct()
+      .crossJoin(broadcast(cal))
+      .join(observed, Seq("n_name", "week"), "left_anti")
+    val rn = Window.partitionBy("n_name").orderBy("week")
+    val runs = gaps
+      .withColumn("island", date_sub(col("week"), (lit(7) * row_number().over(rn)).cast("int")))
+      .groupBy("n_name", "island")
+      .agg(count(lit(1)).as("run_weeks"), min(col("week")).as("run_start"))
+    runs.groupBy("n_name")
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_weeks")).as("longest_run_weeks"),
+        min_by(col("run_start"),
+          struct((-col("run_weeks")).as("neg"), col("run_start").cast("timestamp").as("t")))
+          .as("longest_run_start"))
+      .orderBy("n_name")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
@@ -1025,5 +1093,5 @@ object Relational {
     q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q91Unpivot,
     q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
     q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
-    q108RevenueShare, q109DensifyGaps)
+    q108RevenueShare, q109DensifyGaps, q110LongestGap)
 }

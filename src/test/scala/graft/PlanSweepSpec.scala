@@ -48,10 +48,10 @@ class PlanSweepSpec extends SparkSpec {
     // dictionary (64 names at every sf; vocabulary-bounded, not
     // corpus-sized), broadcast as an inequality nested loop
     "q93_fuzzy_name_pairs",
-    // q109 — the densification scaffold: nation dimension × the calendar
-    // derived from a 1-row bounds aggregate (25 × ~345, bounded by
-    // design, never corpus-sized)
-    "q109_densify_gaps",
+    // q109/q110 — the densification scaffold: nation dimension × the
+    // calendar derived from a 1-row bounds aggregate (25 × ~345, bounded
+    // by design, never corpus-sized)
+    "q109_densify_gaps", "q110_longest_gap",
     // q94/q95 — crossJoin(broadcast(x)) where x is the 1-row grand-total
     // aggregate: the same lazy scalar-subquery idiom as q27/q45
     "q94_collocations", "q95_price_histogram")
@@ -236,7 +236,10 @@ class PlanSweepSpec extends SparkSpec {
     // q109: observed-cells distinct (partial→final) planned under the
     // scaffold's nation side and the anti join's probe side + the 1-row
     // bounds agg + presentation sort
-    "q109_densify_gaps" -> 5)
+    "q109_densify_gaps" -> 5,
+    // q110: q109's shape + the bounded islands window's n_name partition
+    // (run grouping and the final reduce reuse it)
+    "q110_longest_gap" -> 6)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
