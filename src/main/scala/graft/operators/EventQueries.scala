@@ -547,10 +547,59 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Basket co-occurrence (single-level association mining): which event
+    * types appear together in the SAME user's behavior, scored by support
+    * (fraction of users with both) and lift — q94's log-free ratio
+    * discipline applied to unordered baskets instead of adjacent bigrams.
+    * Shape at scale: the basket is the distinct (user, item) projection;
+    * the pair join is a SELF EQUI-JOIN on user_id — co-partitioned, one
+    * shuffle, per-user fan-out bounded by |item vocabulary|² (25 here) —
+    * never an all-pairs product; item marginals and the 1-row user count
+    * broadcast back. Every score is exact integer-count arithmetic in
+    * exactly-rounded IEEE ops. */
+  val q111Cooccurrence: QuerySpec = QuerySpec.oracle(
+    "q111_cooccurrence",
+    """WITH basket AS (SELECT DISTINCT user_id, event_type FROM events),
+      |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM basket),
+      |item AS (SELECT event_type, count(*) AS n FROM basket GROUP BY 1),
+      |pair AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+      |    count(*) AS n_ab
+      |  FROM basket a JOIN basket b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT item_a, item_b, n_ab, ia.n AS n_a, ib.n AS n_b,
+      |  CAST(n_ab AS DOUBLE) / CAST(n_users AS DOUBLE) AS support,
+      |  (CAST(n_ab AS DOUBLE) * CAST(n_users AS DOUBLE))
+      |    / (CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)) AS lift
+      |FROM pair
+      |JOIN item ia ON ia.event_type = item_a
+      |JOIN item ib ON ib.event_type = item_b
+      |CROSS JOIN u
+      |ORDER BY item_a, item_b""".stripMargin
+  ) { (spark, dir) =>
+    val basket = Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct()
+    val users = basket.agg(countDistinct(col("user_id")).as("n_users"))
+    val item = basket.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pair = basket.select(col("user_id"), col("event_type").as("item_a"))
+      .join(basket.select(col("user_id"), col("event_type").as("item_b")), "user_id")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+    pair
+      .join(broadcast(item.select(col("event_type").as("item_a"), col("n").as("n_a"))), Seq("item_a"))
+      .join(broadcast(item.select(col("event_type").as("item_b"), col("n").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(users))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / col("n_users").cast("double")).as("support"),
+        ((col("n_ab").cast("double") * col("n_users").cast("double"))
+          / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy("item_a", "item_b")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
     q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel,
-    q92EventTransitions, q98EventPaths, q107SessionMetrics,
+    q92EventTransitions, q98EventPaths, q107SessionMetrics, q111Cooccurrence,
     q81SaltedJoin)
 }

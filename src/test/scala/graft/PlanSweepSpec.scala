@@ -52,9 +52,10 @@ class PlanSweepSpec extends SparkSpec {
     // calendar derived from a 1-row bounds aggregate (25 × ~345, bounded
     // by design, never corpus-sized)
     "q109_densify_gaps", "q110_longest_gap",
-    // q94/q95 — crossJoin(broadcast(x)) where x is the 1-row grand-total
-    // aggregate: the same lazy scalar-subquery idiom as q27/q45
-    "q94_collocations", "q95_price_histogram")
+    // q94/q95/q111 — crossJoin(broadcast(x)) where x is the 1-row
+    // grand-total aggregate: the same lazy scalar-subquery idiom as
+    // q27/q45
+    "q94_collocations", "q95_price_histogram", "q111_cooccurrence")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -239,7 +240,11 @@ class PlanSweepSpec extends SparkSpec {
     "q109_densify_gaps" -> 5,
     // q110: q109's shape + the bounded islands window's n_name partition
     // (run grouping and the final reduce reuse it)
-    "q110_longest_gap" -> 6)
+    "q110_longest_gap" -> 6,
+    // q111: the basket-distinct subtree (2 exchanges) is planned under
+    // the pair self-join's two sides, both item marginals, and the 1-row
+    // user count (no static reuse pre-AQE; runtime ReuseExchange dedupes)
+    "q111_cooccurrence" -> 10)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
