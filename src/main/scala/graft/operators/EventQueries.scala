@@ -596,10 +596,50 @@ object EventQueries {
       .orderBy("item_a", "item_b")
   }
 
+  /** User-growth (adoption) curve: new users per HOUR — first-seen
+    * timestamp per user, the same anchor q68's retention cohorts use —
+    * accumulated into a running total and an exact share of the final
+    * user count. Hour grain because this stream's users all onboard
+    * within the first two days (a daily curve would be 2 rows — the
+    * degenerate shape the gates exist to catch). The corpus-scale work
+    * is one user-keyed min aggregate; the cumulative window and the
+    * 1-row denominator ride the time-bounded hourly series (q99's
+    * bounded-window argument). No decimal trick needed — the running sum
+    * is over integer counts, exact in any association order. */
+  val q113GrowthCurve: QuerySpec = QuerySpec.oracle(
+    "q113_growth_curve",
+    """WITH fs AS (
+      |  SELECT user_id, date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS first_hour
+      |  FROM events GROUP BY user_id),
+      |hourly AS (SELECT first_hour, count(*) AS new_users FROM fs GROUP BY 1),
+      |tot AS (SELECT CAST(sum(new_users) AS BIGINT) AS n_total FROM hourly)
+      |SELECT first_hour, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY first_hour
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+      |  CAST(CAST(sum(new_users) OVER (ORDER BY first_hour
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+      |    / CAST(n_total AS DOUBLE) AS cum_share
+      |FROM hourly CROSS JOIN tot
+      |ORDER BY first_hour""".stripMargin
+  ) { (spark, dir) =>
+    val hourly = Tables.events(spark, dir)
+      .groupBy("user_id").agg(date_trunc("hour", min(col("ts"))).as("first_hour"))
+      .groupBy("first_hour").agg(count(lit(1)).as("new_users"))
+    val tot = hourly.agg(sum(col("new_users")).as("n_total"))
+    val w = Window.orderBy("first_hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.crossJoin(broadcast(tot))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(col("first_hour"), col("new_users"), col("cum_users"),
+        (col("cum_users").cast("double") / col("n_total").cast("double")).as("cum_share"))
+      .orderBy("first_hour")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
     q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel,
     q92EventTransitions, q98EventPaths, q107SessionMetrics, q111Cooccurrence,
+    q113GrowthCurve,
     q81SaltedJoin)
 }

@@ -770,11 +770,51 @@ object TextQueries {
       .orderBy("rule")
   }
 
+  /** Sentence-level statistics — the quality signal q21's char/token
+    * ratios can't see (Gopher-style filters threshold on MEAN WORDS PER
+    * SENTENCE; a wall of 3-word fragments and a normal paragraph can
+    * share identical char/token counts). Sentences are terminator-split
+    * fragments ('[.!?]+' — literal inside a class, so Java and RE2 agree),
+    * exploded to rows and tokenized by the corpus tokenizer — explode +
+    * codegen'd split/size, no nested lambdas; empty fragments (trailing
+    * terminators) drop before aggregation so a doc with no terminator is
+    * one sentence, never zero. Per-row fan-out bounded by sentences per
+    * doc; one doc-keyed aggregation. */
+  val q112SentenceStats: QuerySpec = QuerySpec.oracle(
+    "q112_sentence_stats",
+    raw"""WITH frag AS (
+       |  SELECT doc_id, unnest(str_split_regex(text, '[.!?]+')) AS frag
+       |  FROM documents),
+       |ftok AS (SELECT doc_id,
+       |    len(list_filter(str_split_regex(lower(frag), '\W+'), t -> t <> '')) AS n_toks
+       |  FROM frag),
+       |ne AS (SELECT doc_id, n_toks FROM ftok WHERE n_toks > 0)
+       |SELECT doc_id, count(*) AS n_sentences,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(max(n_toks) AS BIGINT) AS max_sentence_tokens,
+       |  CAST(sum(n_toks) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_sentence_tokens
+       |FROM ne GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val ftok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("frag"))
+      .select(col("doc_id"),
+        size(filter(split(lower(col("frag")), "\\W+"), t => t =!= "")).as("n_toks"))
+      .filter(col("n_toks") > 0)
+    ftok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("n_toks")).as("n_tokens"),
+        asLong(max(col("n_toks"))).as("max_sentence_tokens"),
+        (sum(col("n_toks")).cast("double")
+          / count(lit(1)).cast("double")).as("avg_sentence_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
     q28TokenCounts, q29DocAssembly, q37VocabOov, q39QualityFilter,
     q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution, q82OrcRoundtrip,
     q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip, q89ZOrderDictScan,
-    q103PartitionOverwrite, q104Compaction, q105QualityGate)
+    q103PartitionOverwrite, q104Compaction, q105QualityGate, q112SentenceStats)
 }

@@ -55,7 +55,8 @@ class PlanSweepSpec extends SparkSpec {
     // q94/q95/q111 — crossJoin(broadcast(x)) where x is the 1-row
     // grand-total aggregate: the same lazy scalar-subquery idiom as
     // q27/q45
-    "q94_collocations", "q95_price_histogram", "q111_cooccurrence")
+    "q94_collocations", "q95_price_histogram", "q111_cooccurrence",
+    "q113_growth_curve")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -244,7 +245,14 @@ class PlanSweepSpec extends SparkSpec {
     // q111: the basket-distinct subtree (2 exchanges) is planned under
     // the pair self-join's two sides, both item marginals, and the 1-row
     // user count (no static reuse pre-AQE; runtime ReuseExchange dedupes)
-    "q111_cooccurrence" -> 10)
+    "q111_cooccurrence" -> 10,
+    // q112: terminator explode + doc-keyed agg (partial→final) +
+    // presentation sort
+    "q112_sentence_stats" -> 2,
+    // q113: the two-level first-seen/hourly agg subtree planned under the
+    // main branch and the 1-row total + the hour-bounded cumulative
+    // window's SinglePartition + presentation sort
+    "q113_growth_curve" -> 6)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
