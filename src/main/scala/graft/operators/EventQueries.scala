@@ -635,11 +635,61 @@ object EventQueries {
       .orderBy("first_hour")
   }
 
+  /** Robust per-group outlier detection via MAD (median absolute
+    * deviation) — the resistant complement to q54's mean/std z-scores,
+    * which a single extreme value can drag until it masks itself; the
+    * median-based fence cannot be moved by the outliers it hunts. Two
+    * exact-median passes (q15's percentile ↔ quantile_cont equivalence),
+    * each broadcast back so the event stream shuffles ZERO times — both
+    * joins are against |event_type|-sized aggregates. The 3σ-equivalent
+    * fence is mad·3.0·1.4826 written with IDENTICAL association on both
+    * engines (a pre-multiplied literal could differ in the last ulp from
+    * the folded product). Exact-median state is bounded by distinct
+    * values per group — the q15 trade; q53's sketch is the stated
+    * alternative when that bound breaks. */
+  val q114RobustOutliers: QuerySpec = QuerySpec.oracle(
+    "q114_robust_outliers",
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |        FROM dev GROUP BY 1)
+      |SELECT d.event_type, count(*) AS n_events,
+      |  min(d.med) AS med, min(mm.mad) AS mad,
+      |  count(*) FILTER (WHERE d.adev > mm.mad * 3.0 * 1.4826) AS n_outliers,
+      |  CAST(count(*) FILTER (WHERE d.adev > mm.mad * 3.0 * 1.4826) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS outlier_rate
+      |FROM dev d JOIN mad mm USING (event_type)
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("adev"), col("med"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    val fenced = dev.join(broadcast(mad), "event_type")
+    fenced.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"),
+        sum(when(col("adev") > col("mad") * lit(3.0) * lit(1.4826), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        (sum(when(col("adev") > col("mad") * lit(3.0) * lit(1.4826), 1L)
+          .otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("outlier_rate"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
     q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel,
     q92EventTransitions, q98EventPaths, q107SessionMetrics, q111Cooccurrence,
-    q113GrowthCurve,
+    q113GrowthCurve, q114RobustOutliers,
     q81SaltedJoin)
 }

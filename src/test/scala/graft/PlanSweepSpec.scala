@@ -252,7 +252,11 @@ class PlanSweepSpec extends SparkSpec {
     // q113: the two-level first-seen/hourly agg subtree planned under the
     // main branch and the 1-row total + the hour-bounded cumulative
     // window's SinglePartition + presentation sort
-    "q113_growth_curve" -> 6)
+    "q113_growth_curve" -> 6,
+    // q114: the two exact-median aggregates (each partial→final over the
+    // |event_type|-keyed groups) + the final fence agg; the event stream
+    // itself never shuffles — both medians broadcast back
+    "q114_robust_outliers" -> 5)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
