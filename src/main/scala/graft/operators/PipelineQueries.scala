@@ -1287,6 +1287,57 @@ object PipelineQueries {
       .orderBy("rule")
   }
 
+  /** Per-document keyword extraction: each document's top-3 terms by
+    * tf·idf, with q45's odds-ratio idf ((N−df+½)/(df+½) — monotone in the
+    * textbook log-idf but every step exactly-rounded IEEE, so scores
+    * hash-match). Shape at scale: tf is the (doc, token)-keyed count, df
+    * the token-keyed count over distinct pairs; they meet in an ordinary
+    * token-keyed equi join with NO broadcast hint — the vocabulary is
+    * corpus-sized and must never be forced resident (q27's rule; AQE may
+    * still choose broadcast at small scale, which is its call, not a plan
+    * contract). The top-3 pick is a per-doc rank window (doc-cardinality
+    * parallelism) assembled in-row exactly like q98's paths. */
+  val q115KeywordExtract: QuerySpec = QuerySpec.oracle(
+    "q115_keyword_extract",
+    s"""WITH toks AS (SELECT doc_id, $LowToksSql AS ts FROM documents),
+       |pair AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM pair GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, token FROM pair) GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toks),
+       |sc AS (SELECT doc_id, token,
+       |    CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |      / (CAST(df AS DOUBLE) + 0.5)) AS score
+       |  FROM tf JOIN df USING (token) CROSS JOIN nd),
+       |rk AS (SELECT doc_id, token, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+       |  FROM sc)
+       |SELECT doc_id, string_agg(token, ',' ORDER BY rn) AS keywords,
+       |  max(score) AS top_score
+       |FROM rk WHERE rn <= 3 GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val pair = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(lowToksCol).as("token"))
+    val tf = pair.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = pair.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val sc = tf.join(df, Seq("token")).crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("token"),
+        (col("tf").cast("double") *
+          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)))).as("score"))
+    val rn = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    sc.withColumn("rn", row_number().over(rn))
+      .filter(col("rn") <= 3)
+      .groupBy("doc_id")
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("token")))),
+            x => x.getField("token")), ",").as("keywords"),
+        max(col("score")).as("top_score"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
@@ -1296,5 +1347,5 @@ object PipelineQueries {
     q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist,
     q73DedupApply, q75Decontaminate, q78AnnRecall, q80DedupIncremental,
     q84DocChunks, q88MinHashPairs, q94Collocations, q100InvertedIndex,
-    q106VectorHygiene)
+    q106VectorHygiene, q115KeywordExtract)
 }

@@ -56,7 +56,7 @@ class PlanSweepSpec extends SparkSpec {
     // grand-total aggregate: the same lazy scalar-subquery idiom as
     // q27/q45
     "q94_collocations", "q95_price_histogram", "q111_cooccurrence",
-    "q113_growth_curve")
+    "q113_growth_curve", "q115_keyword_extract")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -256,7 +256,11 @@ class PlanSweepSpec extends SparkSpec {
     // q114: the two exact-median aggregates (each partial→final over the
     // |event_type|-keyed groups) + the final fence agg; the event stream
     // itself never shuffles — both medians broadcast back
-    "q114_robust_outliers" -> 5)
+    "q114_robust_outliers" -> 5,
+    // q115: tf agg + df distinct+agg + the unhinted token join + the
+    // per-doc rank window's repartition + 1-row n_docs + keyword agg
+    // (reuses the window's doc partitioning)
+    "q115_keyword_extract" -> 6)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
