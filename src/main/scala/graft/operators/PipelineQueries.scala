@@ -1338,6 +1338,49 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Source-overlap matrix — pairwise shingle Jaccard between SOURCES
+    * (not documents): the corpus-composition audit run before fixing a
+    * data mixture, where two crawls of the same site masquerading as
+    * independent sources would double-weight their content. Set sizes
+    * and intersections are exact integer counts over distinct
+    * (source, shingle) pairs; the pair join is a co-partitioned SELF
+    * EQUI-JOIN on the shingle key with per-shingle fan-out bounded by
+    * |sources|² — q31's shingle-keyed discipline lifted from doc pairs
+    * to source pairs, never an all-pairs product over content. Source
+    * totals broadcast back (the source dimension is tiny by definition). */
+  val q116SourceOverlap: QuerySpec = QuerySpec.oracle(
+    "q116_source_overlap",
+    s"""WITH toks AS (SELECT doc_id, source, $LowToksSql AS ts FROM documents),
+       |shl AS (SELECT source, $ShinglesSql AS shs FROM toks),
+       |sh AS (SELECT DISTINCT source, unnest(shs) AS sh FROM shl),
+       |tot AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+       |pair AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_ab
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_ab, ta.n AS n_a, tb.n AS n_b,
+       |  CAST(n_ab AS DOUBLE) / CAST(ta.n + tb.n - n_ab AS DOUBLE) AS jaccard
+       |FROM pair
+       |JOIN tot ta ON ta.source = src_a
+       |JOIN tot tb ON tb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  ) { (spark, dir) =>
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      .distinct()
+    val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val pair = sh.select(col("sh"), col("source").as("src_a"))
+      .join(sh.select(col("sh"), col("source").as("src_b")), "sh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_ab"))
+    pair
+      .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double")
+          / (col("n_a") + col("n_b") - col("n_ab")).cast("double")).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
@@ -1347,5 +1390,5 @@ object PipelineQueries {
     q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist,
     q73DedupApply, q75Decontaminate, q78AnnRecall, q80DedupIncremental,
     q84DocChunks, q88MinHashPairs, q94Collocations, q100InvertedIndex,
-    q106VectorHygiene, q115KeywordExtract)
+    q106VectorHygiene, q115KeywordExtract, q116SourceOverlap)
 }

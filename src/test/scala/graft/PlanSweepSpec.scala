@@ -260,7 +260,11 @@ class PlanSweepSpec extends SparkSpec {
     // q115: tf agg + df distinct+agg + the unhinted token join + the
     // per-doc rank window's repartition + 1-row n_docs + keyword agg
     // (reuses the window's doc partitioning)
-    "q115_keyword_extract" -> 6)
+    "q115_keyword_extract" -> 6,
+    // q116: the (source, shingle) distinct subtree (2 exchanges) planned
+    // under both self-join sides and both broadcast totals + the pair agg
+    // (no static reuse pre-AQE)
+    "q116_source_overlap" -> 8)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
