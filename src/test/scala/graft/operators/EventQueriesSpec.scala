@@ -110,6 +110,31 @@ class EventQueriesSpec extends SparkSpec {
     assert(out == Map("A>B>A" -> 1L, "B>B" -> 1L, "C" -> 1L))
   }
 
+  test("q111: co-occurrence counts bounded by marginals; lift recovers one user total") {
+    val rows = EventQueries.q111Cooccurrence.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ns = rows.map { r =>
+      val (nab, na, nb) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(nab <= math.min(na, nb), "intersection bounded by both marginals")
+      val support = r.getAs[Double]("support")
+      assert(support > 0 && support <= 1.0)
+      // N = lift·n_a·n_b / n_ab must be the same integer user count on every row
+      r.getAs[Double]("lift") * na * nb / nab
+    }
+    ns.foreach(n => assert(math.abs(n - ns.head) < 1e-6 * ns.head, "inconsistent user total"))
+  }
+
+  test("q114: MAD fences are resistant — outliers stay a small minority of each group") {
+    val rows = EventQueries.q114RobustOutliers.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, out) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_outliers"))
+      assert(out < n, "a fence that flags everything is no fence")
+      assert(r.getAs[Double]("mad") >= 0 &&
+        r.getAs[Double]("outlier_rate") == out.toDouble / n.toDouble)
+    }
+  }
+
   test("q92: probabilities sum to 1 per source state; transition count = events − users") {
     val ev = graft.sources.Tables.events(spark, sf)
     val out = EventQueries.q92EventTransitions.build(spark, sf).collect()

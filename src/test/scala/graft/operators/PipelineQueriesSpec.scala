@@ -134,6 +134,30 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(out.map(r => r.getAs[String]("token") -> r.getAs[String]("postings_csv")).toMap == naive)
   }
 
+  test("q116: source Jaccard in (0, 1]; intersections bounded by both set sizes") {
+    val rows = PipelineQueries.q116SourceOverlap.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nab, na, nb) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(nab <= math.min(na, nb))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0 && j <= 1.0)
+      assert(j == nab.toDouble / (na + nb - nab).toDouble, "exact set arithmetic")
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"), "canonical pair order")
+    }
+  }
+
+  test("q115: keywords are ≤3 per doc, every doc covered, top_score positive") {
+    val rows = PipelineQueries.q115KeywordExtract.build(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == docs, "every (non-empty) document gets keywords")
+    rows.foreach { r =>
+      val kws = r.getAs[String]("keywords").split(",")
+      assert(kws.nonEmpty && kws.length <= 3 && kws.distinct.length == kws.length)
+      assert(r.getAs[Double]("top_score") > 0)
+    }
+  }
+
   test("q94: lifts are internally consistent (single integer N) and ordered desc") {
     val rows = PipelineQueries.q94Collocations.build(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 30)
