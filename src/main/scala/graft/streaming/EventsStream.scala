@@ -50,9 +50,18 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Streaming exact dedup on event_id, state bounded by the watermark. */
+  /** Streaming exact dedup on event_id with state GENUINELY bounded by
+    * the watermark. The classic `dropDuplicates("event_id")` would be a
+    * scale bug here: watermark eviction applies to key-only dedup state
+    * ONLY when the event-time column is part of the dedup key, so a
+    * key-only dropDuplicates retains every id ever seen — unbounded state
+    * on an unbounded stream. `dropDuplicatesWithinWatermark` is the
+    * purpose-built form: dedup on the key alone, state evicted once the
+    * watermark passes an id's first-seen event time — the right contract
+    * for re-delivery dedup, where duplicates arrive within the delivery
+    * delay, not forever. */
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
   /** Per-user session windows (gap-based). Same operator works in batch —
     * Relational-side oracle q60/q61 verify the semantics against an
