@@ -3,6 +3,7 @@ package graft.operators
 import graft.QuerySpec
 import graft.functions.Exprs._
 import graft.sources.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -685,11 +686,43 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Sketch-accuracy report (q78's discipline applied to the aggregation
+    * sketches): per event type, HLL++ approximate distinct users and
+    * Greenwald-Khanna approximate p50/p95 against their exact twins, each
+    * with its relative error — so sketch quality is driver-visible every
+    * round instead of resting on a one-time spec. Rows-only by necessity:
+    * the approximations are Spark-internal algorithms with no DuckDB
+    * mirror (and GK's merge is partition-order-sensitive within its
+    * accuracy envelope, so approx values may not hash-match even
+    * run-to-run); the EXACT side of every row is q14/q15-verified
+    * machinery, and EventQueriesSpec bounds the errors. One pass per
+    * metric family over the |event_type|-keyed groups. */
+  val q117SketchReport: QuerySpec = QuerySpec.rowsOnly(
+    "q117_sketch_report"
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    def relErr(approx: Column, exact: Column): Column =
+      abs(approx.cast("double") - exact.cast("double")) /
+        greatest(abs(exact.cast("double")), lit(1e-12))
+    val distincts = ev.groupBy("event_type").agg(
+        countDistinct(col("user_id")).cast("double").as("exact"),
+        approx_count_distinct(col("user_id"), 0.02).cast("double").as("approx"))
+      .select(lit("distinct_users").as("metric"), col("event_type"),
+        col("exact"), col("approx"), relErr(col("approx"), col("exact")).as("rel_err"))
+    def pct(p: Double, name: String) = ev.groupBy("event_type").agg(
+        expr(s"percentile(value, $p)").as("exact"),
+        expr(s"approx_percentile(value, $p, 10000)").cast("double").as("approx"))
+      .select(lit(name).as("metric"), col("event_type"),
+        col("exact"), col("approx"), relErr(col("approx"), col("exact")).as("rel_err"))
+    distincts.unionByName(pct(0.5, "p50_value")).unionByName(pct(0.95, "p95_value"))
+      .orderBy("metric", "event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
     q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel,
     q92EventTransitions, q98EventPaths, q107SessionMetrics, q111Cooccurrence,
-    q113GrowthCurve, q114RobustOutliers,
+    q113GrowthCurve, q114RobustOutliers, q117SketchReport,
     q81SaltedJoin)
 }

@@ -264,7 +264,10 @@ class PlanSweepSpec extends SparkSpec {
     // q116: the (source, shingle) distinct subtree (2 exchanges) planned
     // under both self-join sides and both broadcast totals + the pair agg
     // (no static reuse pre-AQE)
-    "q116_source_overlap" -> 8)
+    "q116_source_overlap" -> 8,
+    // q117: one |event_type|-keyed agg per metric family (distinct +
+    // two percentile passes) unioned + presentation sort
+    "q117_sketch_report" -> 5)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -135,6 +135,20 @@ class EventQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q117: every sketch lands inside its accuracy envelope against the exact twin") {
+    val rows = EventQueries.q117SketchReport.build(spark, sf).collect()
+    assert(rows.length == 15, "3 metrics x 5 event types")
+    rows.foreach { r =>
+      val (m, e) = (r.getAs[String]("metric"), r.getAs[Double]("rel_err"))
+      // GK guarantees RANK accuracy, not value accuracy: on a ~200-row
+      // spec-scale group the neighboring rank's VALUE can sit a few
+      // percent away, so the value-space bound is looser than 1/accuracy
+      val bound = if (m == "distinct_users") 0.05 else 0.10
+      assert(e >= 0 && e < bound,
+        s"$m/${r.getAs[String]("event_type")}: rel_err $e outside $bound")
+    }
+  }
+
   test("q92: probabilities sum to 1 per source state; transition count = events − users") {
     val ev = graft.sources.Tables.events(spark, sf)
     val out = EventQueries.q92EventTransitions.build(spark, sf).collect()
