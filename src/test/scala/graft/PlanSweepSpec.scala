@@ -265,9 +265,10 @@ class PlanSweepSpec extends SparkSpec {
     // under both self-join sides and both broadcast totals + the pair agg
     // (no static reuse pre-AQE)
     "q116_source_overlap" -> 8,
-    // q117: one |event_type|-keyed agg per metric family (distinct +
-    // two percentile passes) unioned + presentation sort
-    "q117_sketch_report" -> 5)
+    // q117: the Expand-free percentile agg + the distinct agg (its Expand
+    // doubles only the narrow projection) unioned + presentation sort —
+    // deliberately TWO passes, see the builder comment
+    "q117_sketch_report" -> 4)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
