@@ -37,8 +37,14 @@ object Quality {
     * the parent side is its key projection, broadcastable when the parent
     * key set fits an executor. */
   def orphanCount(child: DataFrame, parent: DataFrame,
-                  fkCol: String, pkCol: String, rule: String): DataFrame =
-    child.join(parent.select(col(pkCol)), col(fkCol) === col(pkCol), "left_anti")
+                  fkCol: String, pkCol: String, rule: String): DataFrame = {
+    // same-named keys would make col(fk) === col(pk) ambiguous after the
+    // join; rename the parent's key to a reserved name unconditionally
+    require(!child.columns.contains("__qk"),
+      "orphanCount reserves column name __qk")
+    child.join(parent.select(col(pkCol).as("__qk")),
+        col(fkCol) === col("__qk"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(rule).as("rule"), col("n_violations"))
+  }
 }

@@ -187,6 +187,13 @@ object Sinks {
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L << 20): Int = {
     val dir = new java.io.File(path)
+    // a Hive-partitioned layout (lang=…/ subdirectories) must not go
+    // through this flat rewrite: the read would surface the partition
+    // columns and the write would flatten the directory structure,
+    // silently destroying the pruning layout; compact per-partition
+    // instead (each partition directory is itself a flat parquet dir)
+    require(!dir.listFiles().exists(f => f.isDirectory && f.getName.contains("=")),
+      s"compactParquet on a partitioned layout: $path — compact each partition directory")
     val bytes = dir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new java.io.File(path + ".compacting")

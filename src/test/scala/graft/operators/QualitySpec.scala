@@ -36,6 +36,14 @@ class QualitySpec extends SparkSpec {
     assert(!plan.contains("stuff"), s"parent payload should be pruned:\n$plan")
   }
 
+  test("orphanCount works when child and parent share the key column NAME") {
+    import spark.implicits._
+    val child = Seq((1L, "a"), (9L, "x")).toDF("k", "payload")
+    val parent = Seq((1L, "y")).toDF("k", "stuff")
+    val row = Quality.orphanCount(child, parent, "k", "k", "orphans").collect().head
+    assert(row.getAs[Long]("n_violations") == 1L)
+  }
+
   test("predicateReport counts every rule independently in one pass") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "ok"), (3L, ""), (4L, "also")).toDF("id", "t")

@@ -168,6 +168,33 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q108: shares sum to 1 per region; rank 1 holds the region max") {
+    val rows = Relational.q108RevenueShare.build(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("r_name")).foreach { case (region, members) =>
+      val shareSum = members.map(_.getAs[Double]("region_share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-12, s"$region shares sum to $shareSum")
+      val top = members.minBy(_.getAs[Long]("region_rank"))
+      assert(top.getAs[Long]("region_rank") == 1L)
+      assert(top.getAs[Double]("revenue") == members.map(_.getAs[Double]("revenue")).max)
+    }
+  }
+
+  test("q109 gap cells and q110 runs partition the same set") {
+    val gaps = Relational.q109DensifyGaps.build(spark, sf).collect()
+      .groupBy(_.getAs[String]("n_name")).view.mapValues(_.length.toLong).toMap
+    val runs = Relational.q110LongestGap.build(spark, sf).collect()
+    runs.foreach { r =>
+      val nation = r.getAs[String]("n_name")
+      assert(r.getAs[Long]("longest_run_weeks") >= 1)
+      // runs are a partition of that nation's gap cells — their count can't
+      // exceed the cells, and the longest run can't either
+      assert(r.getAs[Long]("longest_run_weeks") <= gaps.getOrElse(nation, 0L))
+      assert(r.getAs[Long]("n_runs") <= gaps.getOrElse(nation, 0L))
+    }
+    // every nation with gaps appears in the runs report and vice versa
+    assert(runs.map(_.getAs[String]("n_name")).toSet == gaps.keySet)
+  }
+
   test("q96: disjoint grouping sets = both marginals + grand total, nothing else") {
     val orders = Tables.orders(spark, sf)
     val rows = Relational.q96GroupingSets.build(spark, sf).collect()

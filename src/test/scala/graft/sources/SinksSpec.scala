@@ -141,6 +141,14 @@ class SinksSpec extends SparkSpec {
     assert(merged.filter(col("lang") === "de" && col("source") =!= "patched").count() == 0)
     assert(merged.filter(col("lang") =!= "de" && col("source") === "patched").count() == 0)
 
+    // compaction must REFUSE the partitioned layout instead of silently
+    // flattening it (the read would surface partition columns and the
+    // rewrite would destroy the pruning directories)
+    val refused = intercept[IllegalArgumentException] {
+      Sinks.compactParquet(spark, dyn, targetFileBytes = 1L << 20)
+    }
+    assert(refused.getMessage.contains("partitioned layout"))
+
     // the contrast that makes dynamic mode load-bearing: a STATIC overwrite
     // of the same patch drops every sibling partition
     val stat = Files.createTempDirectory("graft_statow").toString + "/docs"
