@@ -1084,6 +1084,74 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Join fan-out profile — the distribution of lineitems per order,
+    * i.e. the key-multiplicity histogram that DECIDES join strategy
+    * (a heavy tail here is what sends q81 to salting and AQE to skew
+    * splits; a bounded profile clears plain SMJ). count(l_orderkey)
+    * (not count(*)) so an itemless order profiles as fan-out 0 instead
+    * of 1 through the left join. The per-key count is the only
+    * corpus-scale work; the histogram and its share window are bounded
+    * by the max multiplicity (≤7 here). */
+  val q118FanoutProfile: QuerySpec = QuerySpec.oracle(
+    "q118_fanout_profile",
+    """WITH f AS (
+      |  SELECT o_orderkey, count(l_orderkey) AS n_items
+      |  FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
+      |h AS (SELECT n_items, count(*) AS n_orders FROM f GROUP BY 1)
+      |SELECT n_items, n_orders,
+      |  CAST(n_orders AS DOUBLE)
+      |    / CAST(CAST(sum(n_orders) OVER () AS BIGINT) AS DOUBLE) AS order_share
+      |FROM h ORDER BY n_items""".stripMargin
+  ) { (spark, dir) =>
+    val f = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select("l_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy("o_orderkey").agg(count(col("l_orderkey")).as("n_items"))
+    val h = f.groupBy("n_items").agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy()
+    h.select(col("n_items"), col("n_orders"),
+        (col("n_orders").cast("double")
+          / sum(col("n_orders")).over(w).cast("double")).as("order_share"))
+      .orderBy("n_items")
+  }
+
+  /** Equi-DEPTH histogram (deciles) — the complement of q95's fixed-width
+    * form: bucket boundaries are the exact interpolated 10..90th
+    * percentiles (q15's percentile ↔ quantile_cont equivalence), shipped
+    * as ONE 9-element row via the lazy 1-row cross-join idiom, and each
+    * row's bucket is how many cut points its price strictly exceeds — a
+    * 9-element lambda, the allowed cheap-HOF kind. No ntile, no global
+    * sort: this is q55's cut-point discipline declared as the histogram
+    * artifact itself. Bucket populations come out near-equal by
+    * construction (exactly equal up to ties at the cuts). */
+  val q119EquidepthHistogram: QuerySpec = QuerySpec.oracle(
+    "q119_equidepth_histogram",
+    """WITH c AS (
+      |  SELECT quantile_cont(o_totalprice,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+      |  FROM orders)
+      |SELECT len(list_filter(cuts, x -> o_totalprice > x)) + 1 AS bucket,
+      |  count(*) AS n_orders,
+      |  min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price
+      |FROM orders CROSS JOIN c
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (spark, dir) =>
+    val cuts = Tables.orders(spark, dir).agg(
+      expr("percentile(o_totalprice, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
+        .as("cuts"))
+    Tables.orders(spark, dir).crossJoin(broadcast(cuts))
+      .select(
+        (size(filter(col("cuts"), x => col("o_totalprice") > x)) + lit(1))
+          .cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo_price"),
+        max(col("o_totalprice")).as("hi_price"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
@@ -1093,5 +1161,6 @@ object Relational {
     q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q91Unpivot,
     q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
     q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
-    q108RevenueShare, q109DensifyGaps, q110LongestGap)
+    q108RevenueShare, q109DensifyGaps, q110LongestGap,
+    q118FanoutProfile, q119EquidepthHistogram)
 }

@@ -56,7 +56,10 @@ class PlanSweepSpec extends SparkSpec {
     // grand-total aggregate: the same lazy scalar-subquery idiom as
     // q27/q45
     "q94_collocations", "q95_price_histogram", "q111_cooccurrence",
-    "q113_growth_curve", "q115_keyword_extract")
+    "q113_growth_curve", "q115_keyword_extract",
+    // q119 — crossJoin(broadcast(cuts)) where cuts is the 1-row decile
+    // aggregate: the same idiom as q55's cut points
+    "q119_equidepth_histogram")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -268,7 +271,13 @@ class PlanSweepSpec extends SparkSpec {
     // q117: the Expand-free percentile agg + the distinct agg (its Expand
     // doubles only the narrow projection) unioned + presentation sort —
     // deliberately TWO passes, see the builder comment
-    "q117_sketch_report" -> 4)
+    "q117_sketch_report" -> 4,
+    // q118: per-key fan-out agg over the orderkey join (partial→final) +
+    // the ≤8-row histogram's share window + presentation sort
+    "q118_fanout_profile" -> 3,
+    // q119: the 1-row decile agg + bucket agg (partial→final) +
+    // presentation sort
+    "q119_equidepth_histogram" -> 3)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
