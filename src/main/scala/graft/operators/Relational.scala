@@ -758,8 +758,12 @@ object Relational {
     * side is projected to (key, md5(payload)) AT THE SCAN, so the
     * co-partitioned full-outer join shuffles 16-byte fingerprints — the
     * document bodies never move, and 'changed' detection is one hash
-    * comparison instead of a wide row compare. md5 over identical UTF-8
-    * concatenations is cross-engine (q32's seeded hashes prove the md5
+    * comparison instead of a wide row compare. Each field is hashed
+    * BEFORE concatenation (fixed-width hex), so field boundaries can
+    * never be forged by delimiter characters inside a value — a raw
+    * `concat_ws('|', text, lang)` would fingerprint ("a|b", "c") and
+    * ("a", "b|c") identically and misclassify such an edit as unchanged.
+    * md5 over identical UTF-8 is cross-engine (q32 proves the
     * primitive), so the classification hash-matches DuckDB's first-
     * principles mirror. Unchanged keys (100–199) are dropped by the
     * post-join filter. */
@@ -767,13 +771,14 @@ object Relational {
     "q97_table_diff",
     """WITH v_old AS (
       |  SELECT doc_id,
-      |    md5(concat_ws('|', text, lang, source, CAST(n_chars AS VARCHAR))) AS h
+      |    md5(concat(md5(text), md5(lang), md5(source),
+      |      md5(CAST(n_chars AS VARCHAR)))) AS h
       |  FROM documents WHERE doc_id < 300),
       |v_new AS (
       |  SELECT doc_id,
-      |    md5(concat_ws('|', text, lang,
-      |      CASE WHEN doc_id BETWEEN 200 AND 299 THEN 'patched' ELSE source END,
-      |      CAST(n_chars AS VARCHAR))) AS h
+      |    md5(concat(md5(text), md5(lang),
+      |      md5(CASE WHEN doc_id BETWEEN 200 AND 299 THEN 'patched' ELSE source END),
+      |      md5(CAST(n_chars AS VARCHAR)))) AS h
       |  FROM documents WHERE doc_id BETWEEN 100 AND 399)
       |SELECT coalesce(v_old.doc_id, v_new.doc_id) AS doc_id,
       |  CASE WHEN v_old.doc_id IS NULL THEN 'added'
@@ -783,8 +788,9 @@ object Relational {
       |WHERE v_old.doc_id IS NULL OR v_new.doc_id IS NULL OR v_old.h <> v_new.h
       |ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
-    val fingerprint = md5(concat_ws("|",
-      col("text"), col("lang"), col("source"), col("n_chars").cast("string")))
+    val fingerprint = md5(concat(
+      md5(col("text")), md5(col("lang")), md5(col("source")),
+      md5(col("n_chars").cast("string"))))
     val docs = Tables.documents(spark, dir)
     val oldV = docs.filter(col("doc_id") < 300)
       .select(col("doc_id").as("old_id"), fingerprint.as("old_h"))
