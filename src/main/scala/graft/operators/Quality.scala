@@ -27,9 +27,19 @@ object Quality {
         "rule", "n_violations")
   }
 
-  /** Key-uniqueness rule: surplus rows beyond one per key value. */
+  /** Key-uniqueness rule: surplus rows beyond one per NON-NULL key value.
+    * `count(key)` (not `count(*)`) so NULL-keyed rows are excluded from
+    * both sides — countDistinct skips NULLs, and counting them on the raw
+    * side would report a lone NULL-keyed row as a "duplicate". NULL keys
+    * are a different defect; gate them with [[nullKeyCount]]. */
   def duplicateKeyCount(df: DataFrame, keyCol: String, rule: String): DataFrame =
-    df.agg((count(lit(1)) - countDistinct(col(keyCol))).as("n_violations"))
+    df.agg((count(col(keyCol)) - countDistinct(col(keyCol))).as("n_violations"))
+      .select(lit(rule).as("rule"), col("n_violations"))
+
+  /** Null-key rule: rows whose key is NULL — the companion to
+    * [[duplicateKeyCount]] so the two defect classes report separately. */
+  def nullKeyCount(df: DataFrame, keyCol: String, rule: String): DataFrame =
+    df.agg(sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("n_violations"))
       .select(lit(rule).as("rule"), col("n_violations"))
 
   /** Referential-integrity rule: child rows whose foreign key has no match

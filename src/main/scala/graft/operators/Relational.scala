@@ -765,20 +765,28 @@ object Relational {
     * ("a", "b|c") identically and misclassify such an edit as unchanged.
     * md5 over identical UTF-8 is cross-engine (q32 proves the
     * primitive), so the classification hash-matches DuckDB's first-
-    * principles mirror. Unchanged keys (100–199) are dropped by the
-    * post-join filter. */
+    * principles mirror. Each field hash is wrapped in coalesce with a
+    * field-distinct sentinel ('<' and '>' never appear in hex output, so
+    * a sentinel can't be forged by real data): without it md5(NULL) is
+    * NULL, concat propagates it, and the post-join `old_h <> new_h`
+    * filter — NULL under three-valued logic — would silently drop every
+    * edit touching a row with any NULL payload field. Unchanged keys
+    * (100–199) are dropped by the post-join filter. */
   val q97TableDiff: QuerySpec = QuerySpec.oracle(
     "q97_table_diff",
     """WITH v_old AS (
       |  SELECT doc_id,
-      |    md5(concat(md5(text), md5(lang), md5(source),
-      |      md5(CAST(n_chars AS VARCHAR)))) AS h
+      |    md5(concat(coalesce(md5(text), '<null:text>'),
+      |      coalesce(md5(lang), '<null:lang>'),
+      |      coalesce(md5(source), '<null:source>'),
+      |      coalesce(md5(CAST(n_chars AS VARCHAR)), '<null:n_chars>'))) AS h
       |  FROM documents WHERE doc_id < 300),
       |v_new AS (
       |  SELECT doc_id,
-      |    md5(concat(md5(text), md5(lang),
-      |      md5(CASE WHEN doc_id BETWEEN 200 AND 299 THEN 'patched' ELSE source END),
-      |      md5(CAST(n_chars AS VARCHAR)))) AS h
+      |    md5(concat(coalesce(md5(text), '<null:text>'),
+      |      coalesce(md5(lang), '<null:lang>'),
+      |      coalesce(md5(CASE WHEN doc_id BETWEEN 200 AND 299 THEN 'patched' ELSE source END), '<null:source>'),
+      |      coalesce(md5(CAST(n_chars AS VARCHAR)), '<null:n_chars>'))) AS h
       |  FROM documents WHERE doc_id BETWEEN 100 AND 399)
       |SELECT coalesce(v_old.doc_id, v_new.doc_id) AS doc_id,
       |  CASE WHEN v_old.doc_id IS NULL THEN 'added'
@@ -789,8 +797,10 @@ object Relational {
       |ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     val fingerprint = md5(concat(
-      md5(col("text")), md5(col("lang")), md5(col("source")),
-      md5(col("n_chars").cast("string"))))
+      coalesce(md5(col("text")), lit("<null:text>")),
+      coalesce(md5(col("lang")), lit("<null:lang>")),
+      coalesce(md5(col("source")), lit("<null:source>")),
+      coalesce(md5(col("n_chars").cast("string")), lit("<null:n_chars>"))))
     val docs = Tables.documents(spark, dir)
     val oldV = docs.filter(col("doc_id") < 300)
       .select(col("doc_id").as("old_id"), fingerprint.as("old_h"))

@@ -539,8 +539,13 @@ object TextQueries {
     * an extra full scan and would widen types from whatever it sampled),
     * and returned row-for-row; the DuckDB mirror returns the same rows
     * from the parquet source, so the hash match proves every value —
-    * unicode text included — survived text serialization. Eager by design
-    * (one-time layout write, _SUCCESS-guarded like q82). */
+    * unicode text included — survived text serialization. The read-back
+    * sets `multiLine` because quoted text MAY contain newlines (the
+    * TablesSpec hostile-text case proves default line-splitting breaks
+    * such rows); multiLine makes each file one task's unit — the price of
+    * newline-bearing CSV, and why parquet is the analytic format and CSV
+    * only the boundary one. Eager by design (one-time layout write,
+    * _SUCCESS-guarded like q82). */
   val q86CsvRoundtrip: QuerySpec = QuerySpec.oracle(
     "q86_csv_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
@@ -549,7 +554,8 @@ object TextQueries {
     val base = s"target/graft_csv_$tag"
     if (!new java.io.File(s"$base/v1", "_SUCCESS").exists)
       Tables.writeVersionedCsv(Tables.documents(spark, dir).coalesce(4), base, "v1")
-    spark.read.schema(documentsSchema).option("header", "true").csv(s"$base/v1")
+    spark.read.schema(documentsSchema)
+      .option("header", "true").option("multiLine", "true").csv(s"$base/v1")
       .select("doc_id", "text", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
@@ -740,7 +746,7 @@ object TextQueries {
       |  SELECT doc_id, text, lang, source, n_chars FROM documents
       |  WHERE doc_id BETWEEN 10 AND 19)
       |SELECT 'dup_doc_id' AS rule,
-      |  count(*) - count(DISTINCT doc_id) AS n_violations FROM corrupted
+      |  count(doc_id) - count(DISTINCT doc_id) AS n_violations FROM corrupted
       |UNION ALL SELECT 'empty_text',
       |  count(*) FILTER (WHERE length(text) = 0) FROM corrupted
       |UNION ALL SELECT 'lang_unknown',

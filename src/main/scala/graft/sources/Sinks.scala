@@ -86,6 +86,13 @@ object Sinks {
   def writeParquetZOrderedDict(df: DataFrame, path: String, partitions: Int,
                                colA: String, colB: String): Unit = {
     import org.apache.spark.sql.functions._
+    // reserved working columns: an input already carrying one would be
+    // silently overwritten by the withColumn chain and then dropped from
+    // the output (data loss) — same guard contract as saltedJoin's __salt
+    Seq("__v", "__ca", "__cb", "__zkey").foreach { r =>
+      require(!df.columns.contains(r),
+        s"input column '$r' collides with a reserved z-order working column")
+    }
     def dict(c: String, codeName: String) = {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
       df.select(col(c).as("__v")).distinct()
@@ -110,6 +117,8 @@ object Sinks {
                               keyB: org.apache.spark.sql.Column,
                               dropCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.col
+    require(!df.columns.contains("__zkey"),
+      "input column '__zkey' collides with the reserved z-order key column")
     val key = graft.functions.ZOrderKernel.zorderKey(keyA, keyB)
     df.withColumn("__zkey", key)
       .repartitionByRange(partitions, col("__zkey"))
@@ -181,8 +190,14 @@ object Sinks {
     * NARROW dependency: tasks concatenate input splits with zero
     * shuffle, which is the whole economics of compaction at 100 TB.
     * The rewrite lands in a temp directory first and swaps in only after
-    * success, so a failed compaction leaves the original layout intact —
-    * the manual analog of a table format's manifest swap.
+    * success, so a failed REWRITE leaves the original layout intact. The
+    * final swap itself is two renames (`dir -> .precompact`,
+    * `.compacting -> dir`) and is NOT atomic: if the second rename fails
+    * the first is rolled back, but a process crash BETWEEN them leaves the
+    * table directory absent with the data intact at `<path>.precompact` —
+    * recover by renaming it back. A real lakehouse closes this window with
+    * a manifest/table format; for a local maintenance utility the loud
+    * failure plus the documented recovery path is the contract.
     * Returns the compacted file count. */
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L << 20): Int = {
@@ -201,8 +216,15 @@ object Sinks {
       .write.mode("overwrite").parquet(tmp.getPath)
     val old = new java.io.File(path + ".precompact")
     if (old.exists) old.listFiles().foreach(_.delete())
-    require(dir.renameTo(old) && tmp.renameTo(dir),
-      s"compaction swap failed for $path")
+    require(dir.renameTo(old), s"compaction swap failed for $path")
+    if (!tmp.renameTo(dir)) {
+      // roll the first rename back so the table never vanishes from `path`
+      // on a same-process failure (a crash between the renames still needs
+      // the manual .precompact recovery documented above)
+      val rolledBack = old.renameTo(dir)
+      require(rolledBack, s"compaction swap AND rollback failed for $path — recover from $old")
+      throw new IllegalStateException(s"compaction swap failed for $path — original layout restored")
+    }
     old.listFiles().foreach(_.delete()); old.delete()
     target
   }

@@ -44,6 +44,22 @@ class QualitySpec extends SparkSpec {
     assert(row.getAs[Long]("n_violations") == 1L)
   }
 
+  test("NULL keys are not duplicates; they report under the null-key rule") {
+    import spark.implicits._
+    // one NULL-keyed row + distinct non-null keys: zero duplicates
+    val lone = Seq(Some(1L), Some(2L), None).toDF("k")
+    assert(Quality.duplicateKeyCount(lone, "k", "dup").collect()
+      .head.getAs[Long]("n_violations") == 0L)
+    assert(Quality.nullKeyCount(lone, "k", "nullk").collect()
+      .head.getAs[Long]("n_violations") == 1L)
+    // two NULLs + a genuinely duplicated key: 1 duplicate, 2 null keys
+    val mixed = Seq(Some(1L), Some(1L), None, None).toDF("k")
+    assert(Quality.duplicateKeyCount(mixed, "k", "dup").collect()
+      .head.getAs[Long]("n_violations") == 1L)
+    assert(Quality.nullKeyCount(mixed, "k", "nullk").collect()
+      .head.getAs[Long]("n_violations") == 2L)
+  }
+
   test("predicateReport counts every rule independently in one pass") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "ok"), (3L, ""), (4L, "also")).toDF("id", "t")

@@ -183,6 +183,24 @@ class SinksSpec extends SparkSpec {
       src.filter(col("n_chars") <= 0).count())
   }
 
+  test("z-order writers refuse inputs that collide with reserved working columns") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_zguard").toString + "/t"
+    // dict path reserves __v/__ca/__cb/__zkey; long path reserves __zkey
+    for (bad <- Seq("__v", "__ca", "__cb", "__zkey")) {
+      val df = Seq(("en", "web", 1L)).toDF("lang", "source", bad)
+      val e = intercept[IllegalArgumentException] {
+        Sinks.writeParquetZOrderedDict(df, out, 2, "lang", "source")
+      }
+      assert(e.getMessage.contains(bad))
+    }
+    val longBad = Seq((1L, 2L, 3L)).toDF("a", "b", "__zkey")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.writeParquetZOrdered(longBad, out, 2, "a", "b")
+    }
+    assert(e.getMessage.contains("__zkey"))
+  }
+
   test("clustered writer sorts within files for row-group pruning") {
     val out = Files.createTempDirectory("graft_clustered").toString + "/li"
     Sinks.writeParquetClustered(Tables.lineitem(spark, sf), out, 2, Seq("l_shipdate"))
