@@ -732,11 +732,59 @@ object EventQueries {
     pcts.unionByName(distincts).orderBy("metric", "event_type")
   }
 
+  /** Volume-anomaly gate ([[Quality.volumeAnomalyReport]]) as a declared
+    * oracle query: per-day event counts fenced against the trailing
+    * 7-day median ± 3σ (MAD × 1.4826) — the quality rule that catches a
+    * partial ingest ("today's partition is 40% smaller than trend"),
+    * which q105/q106's row-level predicates cannot see. The driver
+    * stream's daily volume is pristine (~±10% natural spread), so both
+    * engines derive the same CORRUPTED view — 2024-01-20 loses the 70%
+    * of its rows with event_id % 10 < 7, a partial-ingest dip planted
+    * mid-series with a full trailing window behind it (q105's
+    * planted-violation pattern). The report shows the dip day fenced
+    * while natural variation stays inside; the hash match pins the exact
+    * trailing medians, MADs, and flags (the fence arms only after
+    * `minTrailing = 3` periods of history — a one-sample MAD of 0 would
+    * fence everything). Fence product keeps q114's association order on
+    * both engines. */
+  val q122VolumeAnomaly: QuerySpec = QuerySpec.oracle(
+    "q122_volume_anomaly",
+    """WITH c AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_id
+      |  FROM events),
+      |f AS (SELECT day FROM c
+      |      WHERE NOT (day = DATE '2024-01-20' AND event_id % 10 < 7)),
+      |d AS (SELECT day, count(*) AS n_events FROM f GROUP BY 1),
+      |pairs AS (
+      |  SELECT i.day, j.n_events AS t_n
+      |  FROM d i JOIN d j ON j.day >= i.day - 7 AND j.day < i.day),
+      |med AS (SELECT day, quantile_cont(t_n, 0.5) AS trail_med,
+      |          count(*) AS n_trail
+      |        FROM pairs GROUP BY 1),
+      |dev AS (SELECT p.day, abs(CAST(p.t_n AS DOUBLE) - m.trail_med) AS adev
+      |        FROM pairs p JOIN med m USING (day)),
+      |mad AS (SELECT day, quantile_cont(adev, 0.5) AS trail_mad
+      |        FROM dev GROUP BY 1)
+      |SELECT d.day, d.n_events, m.trail_med, mm.trail_mad,
+      |  coalesce(abs(CAST(d.n_events AS DOUBLE) - m.trail_med)
+      |    > mm.trail_mad * 3.0 * 1.4826 AND m.n_trail >= 3, false) AS is_anomaly
+      |FROM d LEFT JOIN med m USING (day) LEFT JOIN mad mm USING (day)
+      |ORDER BY d.day""".stripMargin
+  ) { (spark, dir) =>
+    val corrupted = Tables.events(spark, dir)
+      .filter(!(to_date(col("ts")) === lit("2024-01-20").cast("date")
+        && col("event_id") % 10 < 7))
+    Quality.volumeAnomalyReport(corrupted, to_date(col("ts")),
+        trailingDays = 7, k = 3.0)
+      .withColumnRenamed("n_rows", "n_events")
+      .orderBy("day")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
     q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel,
     q92EventTransitions, q98EventPaths, q107SessionMetrics, q111Cooccurrence,
     q113GrowthCurve, q114RobustOutliers, q117SketchReport,
-    q81SaltedJoin)
+    q122VolumeAnomaly, q81SaltedJoin)
 }

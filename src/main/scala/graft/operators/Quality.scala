@@ -37,9 +37,65 @@ object Quality {
       .select(lit(rule).as("rule"), col("n_violations"))
 
   /** Null-key rule: rows whose key is NULL — the companion to
-    * [[duplicateKeyCount]] so the two defect classes report separately. */
+    * [[duplicateKeyCount]] so the two defect classes report separately.
+    * `count(when(...))` rather than `sum(when(...))`: count yields 0 over
+    * an EMPTY frame where sum yields NULL, and a gate comparing
+    * `n_violations == 0` on an empty table must read 0, not NULL —
+    * the same contract [[duplicateKeyCount]]'s count arithmetic gives. */
   def nullKeyCount(df: DataFrame, keyCol: String, rule: String): DataFrame =
-    df.agg(sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("n_violations"))
+    df.agg(count(when(col(keyCol).isNull, lit(1))).as("n_violations"))
+      .select(lit(rule).as("rule"), col("n_violations"))
+
+  /** Volume-anomaly report: per-period row counts fenced against a
+    * TRAILING calendar window's robust trend — the rule that catches
+    * "today's partition is 40% smaller than trend", which no row-level
+    * predicate can see (every surviving row is individually valid; the
+    * defect is in what's MISSING). Each period's count is compared to
+    * the exact median of the preceding `trailingDays` periods, fenced at
+    * `k` × 1.4826 × the trailing MAD (q114's robust-outlier machinery,
+    * lifted from values to volumes; MAD × 1.4826 estimates σ, so k is in
+    * sigmas). Trailing bounds are CALENDAR bounds (day − trailing ≤ t <
+    * day), so missing periods shrink the window instead of silently
+    * widening it. Periods with fewer than `minTrailing` trailing periods
+    * report is_anomaly = false: spread estimated from one or two samples
+    * is noise (a single trailing day gives MAD 0, fencing EVERY
+    * deviation), so the fence arms only once real history exists.
+    *
+    * Scale shape: the per-period count is the only corpus-scale work (one
+    * map-side-combined aggregate); everything after operates on the
+    * period SERIES — tens-to-hundreds of rows — where the non-equi
+    * trailing self-joins are broadcast nested loops over a bounded frame
+    * (the q114 pattern: medians ride tiny frames, the fact table never
+    * re-shuffles). */
+  def volumeAnomalyReport(df: DataFrame, dayCol: Column,
+                          trailingDays: Int = 7, k: Double = 3.0,
+                          minTrailing: Int = 3): DataFrame = {
+    val days = df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("n_rows"))
+    val t = days.select(col("day").as("t_day"), col("n_rows").as("t_n"))
+    val pairs = days.join(t,
+      col("t_day") >= date_sub(col("day"), trailingDays) && col("t_day") < col("day"))
+    val med = pairs.groupBy("day").agg(
+      expr("percentile(t_n, 0.5)").as("trail_med"),
+      count(lit(1)).as("n_trail"))
+    val dev = pairs.join(med, "day")
+      .select(col("day"),
+        abs(col("t_n").cast("double") - col("trail_med")).as("adev"))
+    val mad = dev.groupBy("day").agg(expr("percentile(adev, 0.5)").as("trail_mad"))
+    days.join(med, Seq("day"), "left").join(mad, Seq("day"), "left")
+      .select(col("day"), col("n_rows"), col("trail_med"), col("trail_mad"),
+        coalesce(
+          abs(col("n_rows").cast("double") - col("trail_med")) >
+            col("trail_mad") * lit(k) * lit(1.4826) &&
+            col("n_trail") >= minTrailing,
+          lit(false)).as("is_anomaly"))
+  }
+
+  /** [[volumeAnomalyReport]] folded to the gate's (rule, n_violations)
+    * shape — how many periods broke their trailing fence. */
+  def volumeAnomalyCount(df: DataFrame, dayCol: Column, rule: String,
+                         trailingDays: Int = 7, k: Double = 3.0): DataFrame =
+    volumeAnomalyReport(df, dayCol, trailingDays, k)
+      .agg(count(when(col("is_anomaly"), lit(1))).as("n_violations"))
       .select(lit(rule).as("rule"), col("n_violations"))
 
   /** Referential-integrity rule: child rows whose foreign key has no match

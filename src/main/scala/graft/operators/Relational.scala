@@ -1168,6 +1168,50 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Rank-DISTRIBUTION window family — percent_rank, cume_dist, ntile:
+    * the relative-standing trio (the one window family with no declared
+    * consumer until now; rank/dense_rank/row_number ride q08/q108).
+    * Two window specs over the SAME nation partitioning, so Catalyst
+    * plans ONE n_name exchange with two sort orders. percent_rank and
+    * cume_dist rank each order's PRIORITY within its nation — a COARSE
+    * order with real peer groups (5 priority values × thousands of
+    * orders), so the peer semantics the engines must share are actually
+    * exercised: percent_rank = (rank-1)/(n-1) uses the peer group's
+    * FIRST row number, cume_dist counts THROUGH the peer group — a
+    * total order would degenerate both to row_number arithmetic and
+    * verify nothing. ntile(8) runs on the (o_totalprice, o_orderkey)
+    * total order instead: tile assignment over ties is
+    * implementation-arbitrary, so the deterministic tiebreak IS the
+    * correctness condition. The ratios divide small exact integers in
+    * double — IEEE rounds them identically in both engines, so the
+    * hash comparison is sound (q118's order_share argument). */
+  val q121RankDistribution: QuerySpec = QuerySpec.oracle(
+    "q121_rank_distribution",
+    """SELECT n_name, o_orderkey,
+      |  percent_rank() OVER (PARTITION BY n_name ORDER BY o_orderpriority) AS pr_priority,
+      |  cume_dist() OVER (PARTITION BY n_name ORDER BY o_orderpriority) AS cd_priority,
+      |  CAST(ntile(8) OVER (PARTITION BY n_name
+      |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_tile
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY n_name, o_orderkey""".stripMargin
+  ) { (spark, dir) =>
+    val peers = Window.partitionBy("n_name").orderBy("o_orderpriority")
+    val total = Window.partitionBy("n_name").orderBy("o_totalprice", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey"),
+        percent_rank().over(peers).as("pr_priority"),
+        cume_dist().over(peers).as("cd_priority"),
+        ntile(8).over(total).cast("long").as("price_tile"))
+      .orderBy("n_name", "o_orderkey")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
@@ -1178,5 +1222,5 @@ object Relational {
     q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
     q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
     q108RevenueShare, q109DensifyGaps, q110LongestGap,
-    q118FanoutProfile, q119EquidepthHistogram)
+    q118FanoutProfile, q119EquidepthHistogram, q121RankDistribution)
 }

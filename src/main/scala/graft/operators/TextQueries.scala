@@ -816,11 +816,63 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-partition compaction ([[Sinks.compactParquetPartitioned]]) as a
+    * declared oracle query — the maintenance leg q104's flat rewrite
+    * refuses on the very layout q85/q103 recommend. The first build writes
+    * a lang-partitioned documents layout deliberately fragmented via the
+    * NAIVE unaligned write ([[Sinks.writeParquetPartitioned]]'s scaladoc
+    * explosion: 16 explicit spread tasks × partitionBy → up to 16 files
+    * per lang — the accretion pattern of an unaligned per-task or
+    * streaming writer), compacts it per partition,
+    * and asserts every partition's file count collapsed while the Hive
+    * directory set (the pruning layout) is unchanged; then a SECOND
+    * compaction pass is proven a no-op by name+mtime comparison — the
+    * skip-untouched-partitions contract, same assert shape as q103's
+    * sibling check. The query reads the maintained layout and the hash
+    * match against the source table proves per-partition compaction is
+    * value-neutral and keeps the partition column readable — pure
+    * physical design. Sentinel-guarded one-time build (eager by design). */
+  val q120CompactionPartitioned: QuerySpec = QuerySpec.oracle(
+    "q120_compaction_partitioned",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+  ) { (spark, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"target/graft_compactpart_$tag/documents"
+    val sentinel = new java.io.File(path, "_COMPACTED")
+    if (!sentinel.exists) {
+      Tables.documents(spark, dir).repartition(16, col("doc_id"))
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      def layout: Map[String, Seq[String]] = new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${f.getName}@${f.lastModified}").sorted.toSeq).toMap
+      val before = layout
+      require(before.nonEmpty && before.values.forall(_.size > 4),
+        s"q120: fragmentation step too tame: ${before.view.mapValues(_.size).toMap}")
+      Sinks.compactParquetPartitioned(spark, path, targetFileBytes = 8L << 20)
+      val after = layout
+      require(after.keySet == before.keySet,
+        "q120: compaction changed the partition directory set — pruning layout lost")
+      require(after.forall { case (p, fs) => fs.size < before(p).size },
+        s"q120: no per-partition collapse: ${after.view.mapValues(_.size).toMap}")
+      // a second pass must skip every (already-compact) partition:
+      // names AND mtimes byte-identical, no rewrite IO
+      Sinks.compactParquetPartitioned(spark, path, targetFileBytes = 8L << 20)
+      require(layout == after,
+        "q120: re-compaction touched already-compact partitions — skip contract broken")
+      new java.io.FileOutputStream(sentinel).close()
+    }
+    spark.read.parquet(path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
     q28TokenCounts, q29DocAssembly, q37VocabOov, q39QualityFilter,
     q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution, q82OrcRoundtrip,
     q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip, q89ZOrderDictScan,
-    q103PartitionOverwrite, q104Compaction, q105QualityGate, q112SentenceStats)
+    q103PartitionOverwrite, q104Compaction, q105QualityGate, q112SentenceStats,
+    q120CompactionPartitioned)
 }

@@ -52,6 +52,10 @@ object Sinks {
   def writeParquetZOrdered(df: DataFrame, path: String, partitions: Int,
                            colA: String, colB: String): Unit = {
     import org.apache.spark.sql.functions._
+    // fail fast, BEFORE the eager min/max aggregate below runs a Spark job —
+    // zorderSortWrite re-checks, but by then a full scan has already burned
+    require(!df.columns.contains("__zkey"),
+      "input column '__zkey' collides with the reserved z-order key column")
     val mm = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
@@ -205,25 +209,81 @@ object Sinks {
     // a Hive-partitioned layout (lang=…/ subdirectories) must not go
     // through this flat rewrite: the read would surface the partition
     // columns and the write would flatten the directory structure,
-    // silently destroying the pruning layout; compact per-partition
-    // instead (each partition directory is itself a flat parquet dir)
+    // silently destroying the pruning layout; use
+    // [[compactParquetPartitioned]] instead
     require(!dir.listFiles().exists(f => f.isDirectory && f.getName.contains("=")),
-      s"compactParquet on a partitioned layout: $path — compact each partition directory")
+      s"compactParquet on a partitioned layout: $path — use compactParquetPartitioned")
+    val target = sizeTarget(dir, targetFileBytes)
+    rewriteSwap(spark, dir,
+      new java.io.File(path + ".compacting"),
+      new java.io.File(path + ".precompact"), target)
+  }
+
+  /** Per-partition small-file compaction over a [[writeParquetPartitioned]]
+    * layout — the maintenance leg the flat [[compactParquet]] refuses:
+    * each `col=value` partition directory is itself a flat parquet
+    * directory, so each gets the same metadata-IO sizing + narrow-coalesce
+    * rewrite + temp-swap, INDEPENDENTLY, and the Hive directory structure
+    * (the pruning layout) survives untouched. Partitions already at or
+    * below their size-derived target file count are SKIPPED — files
+    * byte-untouched, mtimes preserved — mirroring
+    * [[overwritePartitionsDynamic]]'s touch-only-what-changed contract:
+    * a nightly run over a mostly-cold table pays IO only for the
+    * partitions that actually fragmented. Temp/backup directories are
+    * dot-prefixed siblings inside the table root (`.lang=de.compacting`),
+    * which Spark's file listing ignores — an in-flight or crashed
+    * compaction never surfaces as a bogus partition to a concurrent
+    * reader (an undotted `lang=de.compacting` sibling WOULD parse as
+    * partition value `de.compacting`). Same non-atomic-swap contract and
+    * `.precompact` recovery path as the flat rewrite, per partition.
+    * Returns the per-partition resulting file count (skipped partitions
+    * report their existing count). */
+  def compactParquetPartitioned(spark: SparkSession, path: String,
+                                targetFileBytes: Long = 128L << 20): Map[String, Int] = {
+    val root = new java.io.File(path)
+    val parts = root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+    require(parts.nonEmpty,
+      s"compactParquetPartitioned on a flat layout: $path — use compactParquet")
+    parts.map { d =>
+      // one level only: nested partitioning would need recursion and a
+      // different basePath story — refuse loudly like the flat guard
+      require(!d.listFiles().exists(f => f.isDirectory && f.getName.contains("=")),
+        s"nested partition layout under ${d.getName} — not supported")
+      val target = sizeTarget(d, targetFileBytes)
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      val resulting =
+        if (files <= target) files // already compact: byte-untouched
+        else rewriteSwap(spark, d,
+          new java.io.File(root, s".${d.getName}.compacting"),
+          new java.io.File(root, s".${d.getName}.precompact"), target)
+      d.getName -> resulting
+    }.toMap
+  }
+
+  /** Size-derived target file count from driver-side metadata IO (sum of
+    * file lengths — no Spark job). */
+  private def sizeTarget(dir: java.io.File, targetFileBytes: Long): Int = {
     val bytes = dir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
-    val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = new java.io.File(path + ".compacting")
-    spark.read.parquet(path).coalesce(target)
+    math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+  }
+
+  /** Shared compaction tail: narrow-coalesce rewrite of `dir` into `tmp`,
+    * then the two-rename swap (`dir -> old`, `tmp -> dir`) with rollback
+    * of the first rename if the second fails. Returns `target`. */
+  private def rewriteSwap(spark: SparkSession, dir: java.io.File,
+                          tmp: java.io.File, old: java.io.File,
+                          target: Int): Int = {
+    spark.read.parquet(dir.getPath).coalesce(target)
       .write.mode("overwrite").parquet(tmp.getPath)
-    val old = new java.io.File(path + ".precompact")
     if (old.exists) old.listFiles().foreach(_.delete())
-    require(dir.renameTo(old), s"compaction swap failed for $path")
+    require(dir.renameTo(old), s"compaction swap failed for $dir")
     if (!tmp.renameTo(dir)) {
-      // roll the first rename back so the table never vanishes from `path`
+      // roll the first rename back so the table never vanishes from `dir`
       // on a same-process failure (a crash between the renames still needs
       // the manual .precompact recovery documented above)
       val rolledBack = old.renameTo(dir)
-      require(rolledBack, s"compaction swap AND rollback failed for $path — recover from $old")
-      throw new IllegalStateException(s"compaction swap failed for $path — original layout restored")
+      require(rolledBack, s"compaction swap AND rollback failed for $dir — recover from $old")
+      throw new IllegalStateException(s"compaction swap failed for $dir — original layout restored")
     }
     old.listFiles().foreach(_.delete()); old.delete()
     target

@@ -64,7 +64,11 @@ class ConstructionSweepSpec extends SparkSpec {
     "q103_partition_overwrite",
     // q104's FIRST build fragments documents into 64 shards then compacts
     // them (one-time, _COMPACTED-marked; repeat builds job-free)
-    "q104_compaction")
+    "q104_compaction",
+    // q120's FIRST build writes a fragmented lang-partitioned layout then
+    // compacts each partition (one-time, _COMPACTED-marked; the second
+    // compaction pass is skip-all and job-free; repeat builds job-free)
+    "q120_compaction_partitioned")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

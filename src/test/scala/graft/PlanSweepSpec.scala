@@ -59,7 +59,12 @@ class PlanSweepSpec extends SparkSpec {
     "q113_growth_curve", "q115_keyword_extract",
     // q119 — crossJoin(broadcast(cuts)) where cuts is the 1-row decile
     // aggregate: the same idiom as q55's cut points
-    "q119_equidepth_histogram")
+    "q119_equidepth_histogram",
+    // q122 — the trailing-window self-joins run over the per-DAY series
+    // (≤ #periods rows, ~30 here; period-bounded, never corpus-sized),
+    // broadcast as calendar-inequality nested loops — q109's scaffold
+    // argument
+    "q122_volume_anomaly")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -277,7 +282,18 @@ class PlanSweepSpec extends SparkSpec {
     "q118_fanout_profile" -> 3,
     // q119: the 1-row decile agg + bucket agg (partial→final) +
     // presentation sort
-    "q119_equidepth_histogram" -> 3)
+    "q119_equidepth_histogram" -> 3,
+    // q120: pure scan of the per-partition-compacted layout +
+    // presentation sort (q104's shape over the Hive layout)
+    "q120_compaction_partitioned" -> 1,
+    // q121: one n_name window exchange shared by both window specs (two
+    // sorts, one partitioning) + presentation sort; dims broadcast
+    "q121_rank_distribution" -> 2,
+    // q122: the corpus-scale day-count agg subtree is planned under every
+    // series branch (pairs i/j, med, dev, mad, report — no static reuse
+    // pre-AQE; runtime ReuseExchange dedupes, q111's argument) +
+    // presentation sort
+    "q122_volume_anomaly" -> 11)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -60,6 +60,40 @@ class QualitySpec extends SparkSpec {
       .head.getAs[Long]("n_violations") == 2L)
   }
 
+  test("key rules read 0 (never NULL) over an EMPTY frame") {
+    import spark.implicits._
+    // a gate comparing n_violations == 0 on an empty table must see 0;
+    // sum(when(...)) over zero rows yields NULL, count(when(...)) yields 0
+    val empty = Seq.empty[Option[Long]].toDF("k")
+    val nk = Quality.nullKeyCount(empty, "k", "nullk").collect().head
+    assert(!nk.isNullAt(nk.fieldIndex("n_violations")), "nullKeyCount NULL on empty")
+    assert(nk.getAs[Long]("n_violations") == 0L)
+    val dk = Quality.duplicateKeyCount(empty, "k", "dup").collect().head
+    assert(!dk.isNullAt(dk.fieldIndex("n_violations")), "duplicateKeyCount NULL on empty")
+    assert(dk.getAs[Long]("n_violations") == 0L)
+  }
+
+  test("volume-anomaly rule fences a planted dip; minTrailing gates early noise") {
+    import spark.implicits._
+    // flat 20-row days, a 30-row spike on day 2 (only ONE trailing period
+    // — must be gated by minTrailing), a 5-row dip on day 8 (full trailing
+    // history — must be fenced)
+    val counts = Map(1 -> 20, 2 -> 30, 3 -> 20, 4 -> 20, 5 -> 20,
+      6 -> 20, 7 -> 20, 8 -> 5, 9 -> 20, 10 -> 20)
+    val df = counts.toSeq.flatMap { case (d, n) =>
+      (0 until n).map(i => (java.sql.Date.valueOf(f"2024-01-$d%02d"), i))
+    }.toDF("day", "i")
+    val rep = Quality.volumeAnomalyReport(df, col("day")).collect()
+      .map(r => r.getDate(0).toString -> r.getBoolean(r.fieldIndex("is_anomaly"))).toMap
+    assert(rep.size == 10)
+    assert(rep("2024-01-08"), "the planted dip day must be fenced")
+    assert(!rep("2024-01-02"), "a deviation with <3 trailing periods must be gated")
+    assert(rep.values.count(identity) == 1, s"exactly the dip flags: $rep")
+    val cnt = Quality.volumeAnomalyCount(df, col("day"), "volume_dip").collect().head
+    assert(cnt.getAs[String]("rule") == "volume_dip")
+    assert(cnt.getAs[Long]("n_violations") == 1L)
+  }
+
   test("predicateReport counts every rule independently in one pass") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "ok"), (3L, ""), (4L, "also")).toDF("id", "t")

@@ -183,6 +183,55 @@ class SinksSpec extends SparkSpec {
       src.filter(col("n_chars") <= 0).count())
   }
 
+  test("partitioned compaction collapses per partition, skips compact ones, keeps the layout") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_cpart").toString + "/docs"
+    val src = Tables.documents(spark, sf)
+    // fragment via the NAIVE unaligned write (tasks × values files — the
+    // explosion writeParquetPartitioned exists to avoid): 8 explicit spread
+    // tasks, each writing one file into every lang directory it touches
+    src.repartition(8, col("doc_id"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    def layout: Map[String, Seq[String]] = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getName}@${f.lastModified}").sorted.toSeq).toMap
+    val before = layout
+    assert(before.nonEmpty && before.values.forall(_.size > 4),
+      s"fragmentation step too tame: ${before.view.mapValues(_.size).toMap}")
+    // each variant refuses the other's layout
+    val e1 = intercept[IllegalArgumentException] {
+      Sinks.compactParquet(spark, out, targetFileBytes = 1L << 20)
+    }
+    assert(e1.getMessage.contains("compactParquetPartitioned"))
+    val flat = Files.createTempDirectory("graft_cflat").toString + "/docs"
+    src.repartition(4).write.mode("overwrite").parquet(flat)
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.compactParquetPartitioned(spark, flat, targetFileBytes = 1L << 20)
+    }
+    assert(e2.getMessage.contains("flat layout"))
+
+    val res = Sinks.compactParquetPartitioned(spark, out, targetFileBytes = 8L << 20)
+    val after = layout
+    assert(after.keySet == before.keySet, "partition directory set must survive")
+    after.foreach { case (p, fs) =>
+      assert(fs.size < before(p).size, s"$p did not collapse")
+      assert(fs.size == res(p), s"$p: reported ${res(p)} files, found ${fs.size}")
+    }
+    // temp/backup dirs cleaned up (dot-prefixed siblings inside the root)
+    assert(!new java.io.File(out).listFiles()
+      .exists(f => f.getName.contains("compacting") || f.getName.contains("precompact")))
+    // value-neutral, partition column still readable
+    val back = spark.read.parquet(out)
+    assert(back.count() == src.count())
+    assert(back.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == src.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // a second pass skips every already-compact partition: names AND mtimes identical
+    val res2 = Sinks.compactParquetPartitioned(spark, out, targetFileBytes = 8L << 20)
+    assert(layout == after, "re-compaction must be byte-untouched")
+    assert(res2 == res)
+  }
+
   test("z-order writers refuse inputs that collide with reserved working columns") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_zguard").toString + "/t"
@@ -195,10 +244,23 @@ class SinksSpec extends SparkSpec {
       assert(e.getMessage.contains(bad))
     }
     val longBad = Seq((1L, 2L, 3L)).toDF("a", "b", "__zkey")
-    val e = intercept[IllegalArgumentException] {
-      Sinks.writeParquetZOrdered(longBad, out, 2, "a", "b")
+    // the long path's guard must fire BEFORE the eager min/max aggregate —
+    // a guard that only trips inside zorderSortWrite has already burned a
+    // full scan by the time it raises
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
     }
-    assert(e.getMessage.contains("__zkey"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sinks.writeParquetZOrdered(longBad, out, 2, "a", "b")
+      }
+      assert(e.getMessage.contains("__zkey"))
+      Thread.sleep(300) // listener events post async; give any stray job time to surface
+      assert(jobs.get() == 0, s"guard must fail fast, but ${jobs.get()} job(s) ran")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("clustered writer sorts within files for row-group pruning") {

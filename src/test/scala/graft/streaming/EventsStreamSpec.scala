@@ -58,6 +58,61 @@ class EventsStreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("dedup state PLATEAUS under the watermark while naive key-only state grows forever") {
+    // The evidence for EventsStream.dedupEvents' scale claim: replay 8
+    // hourly micro-batches of 10 fresh event_ids each and watch
+    // StreamingQueryProgress.stateOperators.numRowsTotal. With
+    // dropDuplicatesWithinWatermark (1h delay) an id's state expires once
+    // the watermark passes its event time, so the store holds only the
+    // last few hours' keys — the totals stop growing (plateau) while
+    // cumulative input keeps climbing. The naive key-only
+    // dropDuplicates("event_id") — the classic scale bug the scaladoc
+    // names — retains every id ever seen: its store must reach exactly
+    // the 80 distinct keys. Asserting BOTH turns the API choice into
+    // measured state-store evidence.
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    def runTracked(df: org.apache.spark.sql.DataFrame, out: String, ckpt: String): Long = {
+      val q = df.writeStream.outputMode(OutputMode.Append).format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // last progress entry that actually reports the dedup state store
+      q.recentProgress.reverseIterator
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+        .getOrElse(sys.error("no stateOperators progress reported"))
+    }
+    val src = Files.createTempDirectory("graft_plateau_src").toString
+    val (outB, ckptB) = (Files.createTempDirectory("graft_plateau_outb").toString,
+      Files.createTempDirectory("graft_plateau_ckptb").toString)
+    val (outN, ckptN) = (Files.createTempDirectory("graft_plateau_outn").toString,
+      Files.createTempDirectory("graft_plateau_ckptn").toString)
+    val hours = 0 until 8
+    val (bounded, naive) = hours.foldLeft((Vector.empty[Long], Vector.empty[Long])) {
+      case ((b, n), h) =>
+        writeBatch(src, f"b$h%02d.json", (0 until 10).map { i =>
+          evt(h * 10L + i, f"2024-01-01 ${10 + h}%02d:00:00", 1, "click", 1)
+        })
+        val stream = () => EventsStream.readEventStream(spark, src)
+        (b :+ runTracked(EventsStream.dedupEvents(stream(), watermark = "1 hour"), outB, ckptB),
+         n :+ runTracked(stream().withWatermark("ts", "1 hour").dropDuplicates("event_id"), outN, ckptN))
+    }
+    // both variants pass every (distinct) row through
+    assert(spark.read.parquet(outB).count() == 80L)
+    assert(spark.read.parquet(outN).count() == 80L)
+    // the naive store grows with every batch and ends holding ALL keys
+    assert(naive.last == 80L, s"naive key-only state should hold every id: $naive")
+    assert(naive == naive.sorted && naive.distinct.size == naive.size,
+      s"naive state must grow strictly: $naive")
+    // the watermarked store plateaus: the last runs hold a constant few
+    // hours of keys, well below the 80 the stream carried
+    val tail3 = bounded.takeRight(3)
+    assert(tail3.distinct.size == 1,
+      s"bounded state should be steady over the final runs: $bounded")
+    assert(bounded.last <= 45L,
+      s"bounded state should hold only within-watermark keys: $bounded")
+  }
+
   test("session windows split on gap > 10 minutes") {
     val (src, out, ckpt) = tempDirs()
     writeBatch(src, "b0.json", Seq(
