@@ -52,16 +52,21 @@ object RangeJoin {
     // pmod first makes the numerator an exact multiple of w, so the double
     // division is exact (both operands < 2^53) and the cast is lossless
     def bin(c: Column): Column = ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    // unix_micros requires the session-zoned TIMESTAMP type; inputs may
+    // arrive as TIMESTAMP_NTZ (e.g. parquet micros written without UTC
+    // adjustment). The cast is a no-op on TIMESTAMP and, with the session TZ
+    // pinned UTC, lossless on NTZ — same wall-clock instants either way.
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
     val l = left
-      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__lus", micros(col(leftTs)))
       .withColumn("__bin", explode(array_distinct(array(
         bin(col("__lus") + lit(lowerUs)), bin(col("__lus") + lit(upperUs))))))
     val r = right.select(keyCols.map(col) ++ Seq(
         col(rightTs).as("r_ts"),
-        bin(unix_micros(col(rightTs))).as("__bin")) ++
+        bin(micros(col(rightTs))).as("__bin")) ++
         rightValCols.map(c => col(c).as(s"r_$c")): _*)
     l.join(r, keyCols :+ "__bin")
-      .filter(unix_micros(col("r_ts")).between(
+      .filter(micros(col("r_ts")).between(
         col("__lus") + lit(lowerUs), col("__lus") + lit(upperUs)))
       .drop("__lus", "__bin")
   }

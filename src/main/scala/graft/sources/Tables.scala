@@ -56,6 +56,12 @@ object Tables {
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Parquet micros without isAdjustedToUTC infer as TIMESTAMP_NTZ in
+      // Spark 4, which temporal functions like unix_micros reject. The
+      // session TZ is pinned UTC everywhere in this repo, so casting to the
+      // session-zoned TIMESTAMP keeps the same wall-clock instants (lossless)
+      // and gives downstream operators one canonical temporal type.
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _        => raw
     }
   }
