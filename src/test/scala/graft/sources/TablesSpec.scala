@@ -60,6 +60,35 @@ class TablesSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("event queries are NTZ-robust: a TIMESTAMP_NTZ ts yields identical results") {
+    // The driver testdata's ts column has drifted between parquet
+    // TIMESTAMP(NANOS) (read as long) and micros-without-UTC-adjustment
+    // (inferred TIMESTAMP_NTZ by Spark 4). Tables.events must normalize every
+    // variant to the session-zoned TIMESTAMP so temporal operators
+    // (unix_micros in RangeJoin, window(), as-of) never see a type they
+    // reject. This pins the NTZ variant end-to-end: rewrite events with an
+    // NTZ ts and require bit-identical results from every event-band query.
+    val dir = Files.createTempDirectory("graft_ntz").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"))
+      Files.createSymbolicLink(Paths.get(s"$dir/$t.parquet"), Paths.get(s"$sf/$t.parquet"))
+    Tables.events(spark, sf)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.parquet(s"$dir/events.parquet")
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType, "fixture must really be NTZ")
+    assert(Tables.events(spark, dir).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType, "Tables.events must normalize NTZ")
+    for (q <- Seq("q60_tumbling_window", "q61_session_window", "q62_asof_join",
+                  "q63_sliding_window", "q65_range_join")) {
+      val expect = graft.SparkEntry.queries(q)(spark, sf).collect().toSeq
+        .sortBy(_.toString)
+      val got = graft.SparkEntry.queries(q)(spark, dir).collect().toSeq
+        .sortBy(_.toString)
+      assert(got == expect, s"$q must be invariant to an NTZ ts column")
+    }
+  }
+
   test("mergeSchema read unions evolved parquet schemas") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_evolve").toString
