@@ -135,18 +135,23 @@ object Bench {
         k -> (if (samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1))
       }.toSeq: _*)
     // The build log is tail-captured to its last 2000 chars downstream, and
-    // anything after the JSON line (sbt's success banner) eats into that
-    // window too — so the line must stay comfortably short or its HEAD gets
-    // truncated and it never parses (the likely cause of three straight
-    // BENCH parsed:null rounds: 119 queries at 3-decimal precision put the
-    // line at ~1.9k chars, and the banner pushed its head past the window).
-    // Three levers: CENTISECOND precision on the stdout line (the values
-    // are per-query medians; 10 ms resolution is below host noise), the
-    // unique qNN prefix as the query key (the full names cost ~15 chars ×
-    // 119 queries; the numbers map 1:1 to SparkEntry.queries / CORRECTNESS
-    // rows), and the full-fidelity copy living in target/bench.json.
+    // anything after the JSON line (sbt's success banner, ~70 chars) eats
+    // into that window too — BENCH_r14's tail proves it: the captured tail
+    // starts MID-LINE at "q13", i.e. the line's head (and its opening brace)
+    // fell off the front of the window, so it never parses (4 straight
+    // parsed:null rounds). The stdout line must therefore fit in
+    // 2000 − banner − margin chars. Levers, applied below: centisecond
+    // precision with trailing zeros stripped ("0.50"→"0.5", "1.00"→"1";
+    // medians at 10 ms resolution are below host noise), the unique qNN
+    // prefix as the query key, and NO host-load meta on the stdout line
+    // (load/steal/canary live in target/bench.json, the full-fidelity
+    // record). At ~122 queries this lands ~1.3k chars, leaving ~600 spare —
+    // room for ~50 more queries before it tightens again.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def fmt2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def fmt2(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
     def qsJson(f: Double => String) =
       results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
         .mkString("{", ",", "}")
@@ -155,7 +160,7 @@ object Bench {
       s""""load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)},""" +
       s""""steal_pct":${fmt(stealPct)},"canary_sec_before":${fmt(canaryBefore)},"canary_sec_after":${fmt(canaryAfter)},""" +
       s""""canary_par_before":${fmt(canaryParBefore)},"canary_par_after":${fmt(canaryParAfter)}"""
-    val line = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":${qsJson(fmt2)},$meta}"""
+    val line = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":${qsJson(fmt2)},"sf":"$sfDir"}"""
     println(line)
     // The file carries the full-fidelity record: 3-decimal medians plus the
     // raw per-pass samples ("passes") so a contaminated round can be
