@@ -98,6 +98,9 @@ object Sinks {
         s"input column '$r' collides with a reserved z-order working column")
     }
     def dict(c: String, codeName: String) = {
+      // ACCEPTED WindowExec warning: the window runs over the DISTINCT
+      // dictionary values (the dict path exists for low-cardinality
+      // columns), so single-partition execution is bounded by design
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
       df.select(col(c).as("__v")).distinct()
         .withColumn(codeName, (row_number().over(w) - 1).cast("long"))
@@ -211,7 +214,8 @@ object Sinks {
     // columns and the write would flatten the directory structure,
     // silently destroying the pruning layout; use
     // [[compactParquetPartitioned]] instead
-    require(!dir.listFiles().exists(f => f.isDirectory && f.getName.contains("=")),
+    require(!dir.listFiles().exists(f => f.isDirectory && !isHiddenName(f.getName) &&
+        f.getName.contains("=")),
       s"compactParquet on a partitioned layout: $path — use compactParquetPartitioned")
     val target = sizeTarget(dir, targetFileBytes)
     rewriteSwap(spark, dir,
@@ -241,13 +245,19 @@ object Sinks {
   def compactParquetPartitioned(spark: SparkSession, path: String,
                                 targetFileBytes: Long = 128L << 20): Map[String, Int] = {
     val root = new java.io.File(path)
-    val parts = root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+    // hidden (./_-prefixed) siblings are NOT partitions: Spark's listing
+    // ignores them, and after a crash they are exactly the
+    // `.lang=de.precompact` backup the documented recovery depends on —
+    // enumerating them here would compact the backup itself
+    val parts = root.listFiles().filter(f => f.isDirectory &&
+      !isHiddenName(f.getName) && f.getName.contains("="))
     require(parts.nonEmpty,
       s"compactParquetPartitioned on a flat layout: $path — use compactParquet")
     parts.map { d =>
       // one level only: nested partitioning would need recursion and a
       // different basePath story — refuse loudly like the flat guard
-      require(!d.listFiles().exists(f => f.isDirectory && f.getName.contains("=")),
+      require(!d.listFiles().exists(f => f.isDirectory && !isHiddenName(f.getName) &&
+          f.getName.contains("=")),
         s"nested partition layout under ${d.getName} — not supported")
       val target = sizeTarget(d, targetFileBytes)
       val files = d.listFiles().count(_.getName.endsWith(".parquet"))
@@ -260,6 +270,11 @@ object Sinks {
     }.toMap
   }
 
+  /** Names Spark's file listing skips (and this module's own temp/backup
+    * convention uses): dot- or underscore-prefixed. */
+  private def isHiddenName(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
   /** Size-derived target file count from driver-side metadata IO (sum of
     * file lengths — no Spark job). */
   private def sizeTarget(dir: java.io.File, targetFileBytes: Long): Int = {
@@ -269,7 +284,10 @@ object Sinks {
 
   /** Shared compaction tail: narrow-coalesce rewrite of `dir` into `tmp`,
     * then the two-rename swap (`dir -> old`, `tmp -> dir`) with rollback
-    * of the first rename if the second fails. Returns `target`. */
+    * of the first rename if the second fails. Returns the ACTUAL resulting
+    * `.parquet` file count — `coalesce(target)` is a ceiling, not a
+    * guarantee (a read with fewer partitions than `target` writes fewer
+    * files), so reporting `target` would over-count. */
   private def rewriteSwap(spark: SparkSession, dir: java.io.File,
                           tmp: java.io.File, old: java.io.File,
                           target: Int): Int = {
@@ -286,7 +304,7 @@ object Sinks {
       throw new IllegalStateException(s"compaction swap failed for $dir — original layout restored")
     }
     old.listFiles().foreach(_.delete()); old.delete()
-    target
+    dir.listFiles().count(_.getName.endsWith(".parquet"))
   }
 
   /** ORC sink (Spark's second built-in columnar format — Hive-ecosystem

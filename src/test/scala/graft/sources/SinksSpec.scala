@@ -232,6 +232,54 @@ class SinksSpec extends SparkSpec {
     assert(res2 == res)
   }
 
+  test("compaction leaves crash leftovers (hidden dirs) untouched and never enumerates them") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_chidden").toString + "/docs"
+    val src = Tables.documents(spark, sf)
+    src.repartition(8, col("doc_id"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    // first pass: collapse everything so the follow-up pass is all-skip —
+    // the nightly-run shape in which a crashed predecessor's leftovers are
+    // lying around next to partitions that need no work
+    Sinks.compactParquetPartitioned(spark, out, targetFileBytes = 8L << 20)
+    // simulate that crashed prior compaction: the backup dir a recovery
+    // depends on, plus an in-flight temp — both hidden, both contain "="
+    val leftover = new java.io.File(out, ".lang=de.precompact")
+    val inflight = new java.io.File(out, ".lang=de.compacting")
+    assert(leftover.mkdir() && inflight.mkdir())
+    val marker = new java.io.File(leftover, "backup.parquet")
+    Files.write(marker.toPath, Array[Byte](1, 2, 3))
+    val markerM = marker.lastModified
+
+    val res = Sinks.compactParquetPartitioned(spark, out, targetFileBytes = 8L << 20)
+    assert(!res.keySet.exists(_.startsWith(".")),
+      "hidden dirs must never be enumerated as partitions")
+    assert(leftover.isDirectory && marker.exists && marker.length == 3 &&
+      marker.lastModified == markerM,
+      "a crash-recovery backup must survive a compaction pass byte-untouched")
+    assert(inflight.isDirectory, "an in-flight temp dir is not this pass's to delete")
+
+    // the flat guard must likewise ignore hidden dirs: a flat table with a
+    // stale hidden "=" sibling is still a flat table
+    val flat = Files.createTempDirectory("graft_fhidden").toString + "/docs"
+    src.limit(10).coalesce(1).write.mode("overwrite").parquet(flat)
+    assert(new java.io.File(flat, ".k=v.precompact").mkdir())
+    Sinks.compactParquet(spark, flat, targetFileBytes = 1L << 20) // must not refuse
+  }
+
+  test("compaction reports the real file count when the read has fewer partitions than target") {
+    val out = Files.createTempDirectory("graft_cfew").toString + "/docs"
+    val src = Tables.documents(spark, sf).limit(200)
+    src.coalesce(1).write.mode("overwrite").parquet(out)
+    def files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    val bytes = files.map(_.length).sum
+    // size-derived target lands ~6, but the 1-file read packs into one
+    // partition, so coalesce(6) can only write 1 file — the return value
+    // must be the file count on disk, not the target ceiling
+    val n = Sinks.compactParquet(spark, out, targetFileBytes = math.max(1L, bytes / 6))
+    assert(n == files.length, s"reported $n files, found ${files.length}")
+  }
+
   test("z-order writers refuse inputs that collide with reserved working columns") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_zguard").toString + "/t"
