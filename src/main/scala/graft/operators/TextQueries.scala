@@ -847,13 +847,22 @@ object TextQueries {
         .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
           .map(f => s"${f.getName}@${f.lastModified}").sorted.toSeq).toMap
       val before = layout
-      require(before.nonEmpty && before.values.forall(_.size > 4),
+      // fragmentation is only guaranteed where there are rows to spread: a
+      // rare lang can land in ≤4 of the 16 hash buckets at small/skewed
+      // scale factors, so assert the WORST partition fragmented (that's
+      // what the compaction must fix) rather than demanding every
+      // partition did
+      require(before.nonEmpty && before.values.map(_.size).max > 4,
         s"q120: fragmentation step too tame: ${before.view.mapValues(_.size).toMap}")
       Sinks.compactParquetPartitioned(spark, path, targetFileBytes = 8L << 20)
       val after = layout
       require(after.keySet == before.keySet,
         "q120: compaction changed the partition directory set — pruning layout lost")
-      require(after.forall { case (p, fs) => fs.size < before(p).size },
+      // fragmented partitions must collapse; sparse ones (already at or
+      // under target) may be skipped byte-untouched, but none may grow
+      require(after.forall { case (p, fs) =>
+          if (before(p).size > 4) fs.size < before(p).size
+          else fs.size <= before(p).size },
         s"q120: no per-partition collapse: ${after.view.mapValues(_.size).toMap}")
       // a second pass must skip every (already-compact) partition:
       // names AND mtimes byte-identical, no rewrite IO
