@@ -627,6 +627,8 @@ object EventQueries {
       .groupBy("user_id").agg(date_trunc("hour", min(col("ts"))).as("first_hour"))
       .groupBy("first_hour").agg(count(lit(1)).as("new_users"))
     val tot = hourly.agg(sum(col("new_users")).as("n_total"))
+    // ACCEPTED WindowExec warning: calendar-bounded input (one row per
+    // HOUR — bounded by the calendar, not the event stream)
     val w = Window.orderBy("first_hour")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hourly.crossJoin(broadcast(tot))
