@@ -12,6 +12,30 @@ import org.apache.spark.sql.SparkSession
   * reported numbers are the timed pass only).
   */
 object Bench {
+
+  /** Chars available to the stdout JSON line: the driver tail-captures the
+    * last 2000 chars of the build log, and sbt's success banner (~70 chars)
+    * plus the `[info] ` prefix land inside that window too — anything
+    * longer loses its HEAD (the opening brace) and never parses. */
+  val LineBudget: Int = 1850
+
+  /** The driver-contract stdout line, built from per-query medians. Pure so
+    * BenchLineSpec can pin the budget against the FULL current query set at
+    * worst-case value widths — the guard that keeps query growth from
+    * silently re-truncating the line. Values at centisecond precision with
+    * trailing zeros stripped; host-load meta stays in target/bench.json. */
+  def stdoutLine(results: scala.collection.immutable.ListMap[String, Double],
+                 sfDir: String): String = {
+    def fmt2(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -148,10 +172,6 @@ object Bench {
     // record). At ~122 queries this lands ~1.3k chars, leaving ~600 spare —
     // room for ~50 more queries before it tightens again.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def fmt2(v: Double): String = {
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
-    }
     def qsJson(f: Double => String) =
       results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
         .mkString("{", ",", "}")
@@ -160,8 +180,7 @@ object Bench {
       s""""load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)},""" +
       s""""steal_pct":${fmt(stealPct)},"canary_sec_before":${fmt(canaryBefore)},"canary_sec_after":${fmt(canaryAfter)},""" +
       s""""canary_par_before":${fmt(canaryParBefore)},"canary_par_after":${fmt(canaryParAfter)}"""
-    val line = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":${qsJson(fmt2)},"sf":"$sfDir"}"""
-    println(line)
+    println(stdoutLine(results, sfDir))
     // The file carries the full-fidelity record: 3-decimal medians plus the
     // raw per-pass samples ("passes") so a contaminated round can be
     // attributed query-by-query instead of argued from totals. The stdout
