@@ -30,7 +30,25 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
-    spark.read.schema(schema).parquet(path)
+    normalizeNtz(spark.read.schema(schema).parquet(path))
+  }
+
+  /** One canonical temporal type for every loader, no matter which variant
+    * the testdata writer produced (it has drifted across rounds: events.ts
+    * has arrived as TIMESTAMP(NANOS), UTC-adjusted micros, and NTZ micros;
+    * orders/lineitem dates are NTZ micros today). DuckDB — the correctness
+    * oracle — reads parquet micros as a single TIMESTAMP type regardless of
+    * UTC adjustment, while Spark 4 splits them into TIMESTAMP vs
+    * TIMESTAMP_NTZ and several temporal functions (unix_micros among them)
+    * reject the latter. The session TZ is pinned UTC repo-wide, so casting
+    * NTZ to the session-zoned TIMESTAMP preserves every wall-clock instant
+    * and downstream operators see one type. Top-level columns only — the
+    * driver tables carry no nested timestamps. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntzCols = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntzCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 
   def region(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "region")
@@ -54,14 +72,10 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
+    // the NTZ-micros variant is already normalized by load(); only the
+    // nanos-as-long arrival needs table-specific handling here
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // Parquet micros without isAdjustedToUTC infer as TIMESTAMP_NTZ in
-      // Spark 4, which temporal functions like unix_micros reject. The
-      // session TZ is pinned UTC everywhere in this repo, so casting to the
-      // session-zoned TIMESTAMP keeps the same wall-clock instants (lossless)
-      // and gives downstream operators one canonical temporal type.
-      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _        => raw
     }
   }

@@ -87,6 +87,26 @@ class TablesSpec extends SparkSpec {
         .sortBy(_.toString)
       assert(got == expect, s"$q must be invariant to an NTZ ts column")
     }
+
+    // ...and the OTHER drift direction for orders: today's testdata writes
+    // o_orderdate as NTZ micros; a writer change to UTC-adjusted micros
+    // (session-zoned TIMESTAMP) must be equally invisible to date queries
+    val dir2 = Files.createTempDirectory("graft_ltz").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "lineitem", "events", "documents", "embeddings"))
+      Files.createSymbolicLink(Paths.get(s"$dir2/$t.parquet"), Paths.get(s"$sf/$t.parquet"))
+    Tables.orders(spark, sf)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .write.parquet(s"$dir2/orders.parquet")
+    assert(Tables.orders(spark, dir2).schema("o_orderdate").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    for (q <- Seq("q11_dates_math", "q99_weekly_wow")) {
+      val expect = graft.SparkEntry.queries(q)(spark, sf).collect().toSeq
+        .sortBy(_.toString)
+      val got = graft.SparkEntry.queries(q)(spark, dir2).collect().toSeq
+        .sortBy(_.toString)
+      assert(got == expect, s"$q must be invariant to the o_orderdate zone variant")
+    }
   }
 
   test("mergeSchema read unions evolved parquet schemas") {
