@@ -168,6 +168,45 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Semantic (embedding-space) dedup resolution — q35's pipeline with the
+    * edge set swapped from shingle Jaccard to exact cosine similarity:
+    * pairs at cos ≥ 0.3 over the bounded subset (the documented quadratic;
+    * at scale sign-LSH candidates feed the SAME resolution tail), closed
+    * transitively by [[Dedup.connectedComponents]], min-id canonical,
+    * keep = canonical member. Verified against a DuckDB recursive-CTE
+    * closure over the identical edge set — the cosine values are
+    * bit-matched cross-engine (q34), so both engines derive the same
+    * edges, components, and keep-list. */
+  val q123SemanticDedup: QuerySpec = QuerySpec.oracle(
+    "q123_semantic_dedup",
+    s"""WITH RECURSIVE v AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |  WHERE ${VectorFns.Sql.cosine("a.embedding", "b.embedding")} >= 0.3),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT vec_id, vec_id FROM v
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |cc AS (SELECT node AS vec_id, min(lbl) AS canonical_id FROM reach GROUP BY node)
+       |SELECT vec_id, canonical_id,
+       |  count(*) OVER (PARTITION BY canonical_id) AS n_in_group,
+       |  vec_id = canonical_id AS keep
+       |FROM cc ORDER BY vec_id""".stripMargin
+  ) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < 200)
+    val edges = Similarity.cosinePairs(emb, minCosine = 0.3).select("id_a", "id_b")
+    val groups = Dedup.dedupGroups(emb.select("vec_id"), "vec_id", edges)
+    val sizes = groups.groupBy("canonical_id").agg(count(lit(1)).as("n_in_group"))
+    groups.join(sizes, "canonical_id")
+      .select(col("vec_id"), col("canonical_id"), col("n_in_group"),
+        (col("vec_id") === col("canonical_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Sequence packing: chunk each language's doc stream (doc_id order) into
     * fixed 512-token training-example budgets — the concatenate-then-chunk
     * preprocessing that assembles LM training sequences. pack_id =
@@ -1391,7 +1430,7 @@ object PipelineQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
-    q34CosinePairs, q35DedupGroups, q36SequencePack, q38Contamination,
+    q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
     q40KnnTopK, q41AnnLsh, q42KnnClassify, q43AnnIvf, q44QuantizeInt8,
     q45KeywordRank, q49LabelCentroids, q51ContaminationBloom,
     q52DataMixture, q53HeavyHitters, q55Curriculum,

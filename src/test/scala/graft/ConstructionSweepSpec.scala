@@ -43,6 +43,8 @@ class ConstructionSweepSpec extends SparkSpec {
     "q79_schema_evolution",
     // q80 iterates CC over the delta subgraph at build, like q35/q59/q73
     "q80_dedup_incremental",
+    // q123 iterates CC over the cosine-pair graph at build, like q35
+    "q123_semantic_dedup",
     // q82's FIRST build writes the ORC layout (one-time, _SUCCESS-marked)
     "q82_orc_roundtrip",
     // q83's FIRST build writes the z-ordered layout (+ its one-row min/max

@@ -286,6 +286,11 @@ class PlanSweepSpec extends SparkSpec {
     // q120: pure scan of the per-partition-compacted layout +
     // presentation sort (q104's shape over the Hive layout)
     "q120_compaction_partitioned" -> 1,
+    // q123: q35's static resolution shape on the cosine-pair graph — CC
+    // labels join + group-sizes agg + its join back + final sort, with the
+    // labels/sizes subtrees planned under two branches (the CC rounds
+    // themselves execute at build time exactly as q35's do)
+    "q123_semantic_dedup" -> 7,
     // q121: one n_name window exchange shared by both window specs (two
     // sorts, one partitioning) + presentation sort; dims broadcast
     "q121_rank_distribution" -> 2,
