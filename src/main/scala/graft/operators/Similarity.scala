@@ -234,6 +234,18 @@ object Similarity {
     * top-k and the candidate-mass statistics. Returns
     * (corpusCells(neighbor_id, c_emb, cell, c_norm),
     *  qCells(query_id, q_emb, q_norm, cell) — one row per probed cell). */
+  /** Per-JVM cache of fitted coarse quantizers keyed by (corpus plan
+    * semantic hash, nLists, seed) — the documented index-build-once
+    * contract made literal: re-deriving cell assignments for the same
+    * corpus snapshot reuses the centroids instead of re-running Lloyd
+    * passes (each pass is a full scan of the embedding column at scale).
+    * The seeded fit is deterministic, so reuse is value-identical. Same
+    * immutable-snapshot assumption as Tables.schemaCache: a path rewritten
+    * with different data under the same plan needs a fresh JVM. The model
+    * itself is driver-side tiny (nLists × dim centroid doubles). */
+  private val quantizerCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Long), org.apache.spark.ml.clustering.KMeansModel]()
+
   private[operators] def ivfAssignments(queries: DataFrame, corpus: DataFrame,
                                         nLists: Int, nProbe: Int,
                                         seed: Long): (DataFrame, DataFrame) = {
@@ -248,7 +260,8 @@ object Similarity {
     // over the embedding column.
     val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(v)
+    val model = quantizerCache.computeIfAbsent(
+      (corpus.semanticHash(), nLists, seed), _ => km.fit(v))
     val corpusCells = model.transform(v)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         col("cell"), sqrt(VectorFns.normSq(col("embedding"))).as("c_norm"))

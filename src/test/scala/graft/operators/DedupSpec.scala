@@ -166,6 +166,26 @@ class DedupSpec extends SparkSpec {
       "empty pair graph must not crash; singletons keep themselves")
   }
 
+  test("semantic dedup: cosine-pair graph closes transitively, keeps min id") {
+    // q123's shape on a planted fixture: v1~v2 and v2~v3 are near (chain —
+    // v1·v3 alone is below threshold), v4 is orthogonal. The closure must
+    // group {1,2,3} under min id 1 and keep the singleton 4 as itself.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.436f, 0.0f)),   // cos(v1,v2) ≈ 0.90
+      (3L, Seq(0.62f, 0.785f, 0.0f)),  // cos(v2,v3) ≈ 0.90, cos(v1,v3) ≈ 0.62
+      (4L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val edges = Similarity.cosinePairs(vecs, minCosine = 0.85).select("id_a", "id_b")
+    val pairSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == Set((1L, 2L), (2L, 3L)),
+      s"fixture must be a chain, not a clique: $pairSet")
+    val groups = Dedup.dedupGroups(vecs.select("vec_id"), "vec_id", edges).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L),
+      s"transitive closure under min id; orthogonal vector untouched: $groups")
+  }
+
   test("shingles handle short and empty texts") {
     val df = Seq((0L, "one two"), (1L, ""), (2L, "a b c d")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
