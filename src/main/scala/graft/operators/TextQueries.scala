@@ -876,6 +876,71 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The composed corpus-construction audit — the end-to-end accounting a
+    * training-data pipeline actually reports: every document flows through
+    * the QUALITY gate (q39's exact rule arithmetic) then EXACT DEDUP (q30's
+    * min-id-per-text convention, applied to survivors only), and the output
+    * is the per-(lang, source) funnel — raw → clean → kept doc counts plus
+    * kept token mass, the numbers a mixture step (q52) consumes. Reusing
+    * q39/q30's engine-matched arithmetic means the whole composition stays
+    * bit-identical in DuckDB — the oracle verifies the PIPELINE, not just
+    * its stages.
+    *
+    * Shape at scale: one scan computes the stats columns; the only
+    * corpus-sized shuffle is the dedup groupBy on text (the same key q30
+    * pays) plus the winner join back on doc_id; both accounting aggregates
+    * are keyed by the bounded (lang, source) set and the final join moves
+    * rows proportional to that set, never the corpus. */
+  val q124PipelineCorpus: QuerySpec = QuerySpec.oracle(
+    "q124_pipeline_corpus",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source, text,
+       |    $RawStatsSql
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, (n_tokens >= 5 AND n_chars <= 20000
+       |    AND n_punct / greatest(n_chars, 1) <= 0.3
+       |    AND n_stop / greatest(n_tokens, 1) >= 0.01) AS keep
+       |  FROM t),
+       |k AS (SELECT min(doc_id) AS doc_id FROM r WHERE keep GROUP BY text),
+       |w AS (SELECT r.lang, r.source, r.n_tokens FROM r JOIN k USING (doc_id)),
+       |base AS (
+       |  SELECT lang, source, count(*) AS n_raw,
+       |    count(*) FILTER (WHERE keep) AS n_clean
+       |  FROM r GROUP BY 1, 2),
+       |kept AS (
+       |  SELECT lang, source, count(*) AS n_kept,
+       |    CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+       |  FROM w GROUP BY 1, 2)
+       |SELECT lang, source, n_raw, n_clean,
+       |  coalesce(n_kept, 0) AS n_kept,
+       |  coalesce(kept_tokens, 0) AS kept_tokens
+       |FROM base LEFT JOIN kept USING (lang, source)
+       |ORDER BY lang, source""".stripMargin
+  ) { (spark, dir) =>
+    val stats = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("lang"), col("source"), col("text")) ++ rawStatsCols: _*)
+    val r = stats.withColumn("keep",
+      (col("n_tokens") >= 5) && (col("n_chars") <= 20000) &&
+        (col("n_punct") / greatest(col("n_chars"), lit(1)) <= 0.3) &&
+        (col("n_stop") / greatest(col("n_tokens"), lit(1)) >= 0.01))
+    val winners = r.filter(col("keep"))
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val w = r.join(winners, Seq("doc_id")).select("lang", "source", "n_tokens")
+    val base = r.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_raw"),
+      count(when(col("keep"), 1)).as("n_clean"))
+    val kept = w.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_kept"),
+      sum(col("n_tokens")).as("kept_tokens"))
+    base.join(kept, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_raw"), col("n_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
@@ -883,5 +948,5 @@ object TextQueries {
     q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution, q82OrcRoundtrip,
     q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip, q89ZOrderDictScan,
     q103PartitionOverwrite, q104Compaction, q105QualityGate, q112SentenceStats,
-    q120CompactionPartitioned)
+    q120CompactionPartitioned, q124PipelineCorpus)
 }

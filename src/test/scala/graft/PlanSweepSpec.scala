@@ -286,6 +286,10 @@ class PlanSweepSpec extends SparkSpec {
     // q120: pure scan of the per-partition-compacted layout +
     // presentation sort (q104's shape over the Hive layout)
     "q120_compaction_partitioned" -> 1,
+    // q124: dedup groupBy on text + winner join back on doc_id + the two
+    // bounded (lang, source) accounting aggregates ride AQE-coalesced
+    // exchanges; the final bounded join broadcasts
+    "q124_pipeline_corpus" -> 4,
     // q123: q35's static resolution shape on the cosine-pair graph — CC
     // labels join + group-sizes agg + its join back + final sort, with the
     // labels/sizes subtrees planned under two branches (the CC rounds
