@@ -1390,11 +1390,15 @@ object PipelineQueries {
     * data mixture, where two crawls of the same site masquerading as
     * independent sources would double-weight their content. Set sizes
     * and intersections are exact integer counts over distinct
-    * (source, shingle) pairs; the pair join is a co-partitioned SELF
-    * EQUI-JOIN on the shingle key with per-shingle fan-out bounded by
-    * |sources|² — q31's shingle-keyed discipline lifted from doc pairs
-    * to source pairs, never an all-pairs product over content. Source
-    * totals broadcast back (the source dimension is tiny by definition). */
+    * (source, shingle) pairs, all derived from ONE corpus pass: a single
+    * groupBy on the shingle key (collect_set is the distinct) emits each
+    * shingle's source pairs AND memberships, with per-shingle fan-out
+    * bounded by |sources|² — q31's shingle-keyed discipline lifted from
+    * doc pairs to source pairs, never an all-pairs product over content
+    * and never a second scan. The |sources|²-bounded aggregate packs into
+    * one map+array row so the totals lookup is an element_at, not a join
+    * branch re-running corpus lineage (the source dimension is tiny by
+    * definition). */
   val q116SourceOverlap: QuerySpec = QuerySpec.oracle(
     "q116_source_overlap",
     s"""WITH toks AS (SELECT doc_id, source, $LowToksSql AS ts FROM documents),
@@ -1411,20 +1415,47 @@ object PipelineQueries {
        |JOIN tot tb ON tb.source = src_b
        |ORDER BY src_a, src_b""".stripMargin
   ) { (spark, dir) =>
-    val sh = Tables.documents(spark, dir)
+    // ONE corpus pass, one linear chain: the earlier self-join formulation
+    // referenced the scan→shingle→distinct subtree FOUR times (the pair
+    // join's two sides + the totals under each broadcast branch) and Spark
+    // re-executed all four — four corpus scans at 100 TB. Instead, group
+    // once on the shingle key (collect_set is the distinct) and emit each
+    // shingle's ordered source PAIRS and per-source MEMBERSHIPS from that
+    // one pass, aggregated together keyed (src_a, src_b) with src_b NULL
+    // marking a membership row. That aggregate is |sources|(²)-bounded —
+    // tiny — so rather than splitting it into totals/pairs branches (every
+    // re-reference re-runs the corpus lineage; a checkpoint would run jobs
+    // at construction), ONE single-row aggregate packs the totals into a
+    // map and the pairs into an array, and the final projection explodes
+    // the pairs and looks totals up via element_at. Nothing downstream of
+    // the shingle groupBy ever touches the corpus again.
+    val srcs = array_sort(collect_set(col("source")))
+    val grp = Tables.documents(spark, dir)
+      .filter(col("source").isNotNull)
       .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
-      .distinct()
-    val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
-    val pair = sh.select(col("sh"), col("source").as("src_a"))
-      .join(sh.select(col("sh"), col("source").as("src_b")), "sh")
-      .filter(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_ab"))
-    pair
-      .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
-      .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
-      .select(col("src_a"), col("src_b"), col("n_ab"), col("n_a"), col("n_b"),
-        (col("n_ab").cast("double")
-          / (col("n_a") + col("n_b") - col("n_ab")).cast("double")).as("jaccard"))
+      .groupBy("sh").agg(srcs.as("srcs"))
+    val pairsArr = flatten(transform(col("srcs"), (a, i) =>
+      transform(slice(col("srcs"), i + lit(2), size(col("srcs"))), b =>
+        struct(a.as("src_a"), b.as("src_b")))))
+    val singlesArr = transform(col("srcs"), a =>
+      struct(a.as("src_a"), lit(null).cast("string").as("src_b")))
+    val counts = grp
+      .select(explode(concat(singlesArr, pairsArr)).as("e"))
+      .groupBy(col("e.src_a").as("src_a"), col("e.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n"))
+    val packed = counts.agg(
+      map_from_entries(collect_list(
+        when(col("src_b").isNull, struct(col("src_a"), col("n"))))).as("tot"),
+      collect_list(when(col("src_b").isNotNull,
+        struct(col("src_a"), col("src_b"), col("n")))).as("pairs"))
+    packed
+      .select(col("tot"), explode(col("pairs")).as("p"))
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"),
+        col("p.n").as("n_ab"),
+        element_at(col("tot"), col("p.src_a")).as("n_a"),
+        element_at(col("tot"), col("p.src_b")).as("n_b"))
+      .withColumn("jaccard", col("n_ab").cast("double")
+        / (col("n_a") + col("n_b") - col("n_ab")).cast("double"))
       .orderBy("src_a", "src_b")
   }
 

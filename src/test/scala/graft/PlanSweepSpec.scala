@@ -269,10 +269,10 @@ class PlanSweepSpec extends SparkSpec {
     // per-doc rank window's repartition + 1-row n_docs + keyword agg
     // (reuses the window's doc partitioning)
     "q115_keyword_extract" -> 6,
-    // q116: the (source, shingle) distinct subtree (2 exchanges) planned
-    // under both self-join sides and both broadcast totals + the pair agg
-    // (no static reuse pre-AQE)
-    "q116_source_overlap" -> 8,
+    // q116 (single-pass rewrite): shingle groupBy + (src_a, src_b) counts
+    // agg + the single-row map/array pack + the presentation sort — the
+    // corpus is scanned and shuffled exactly once
+    "q116_source_overlap" -> 4,
     // q117: the Expand-free percentile agg + the distinct agg (its Expand
     // doubles only the narrow projection) unioned + presentation sort —
     // deliberately TWO passes, see the builder comment
