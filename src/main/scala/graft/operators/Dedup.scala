@@ -30,35 +30,56 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.ShinglesExpr.shingles(text, n)
 
-  /** (doc_id, shingle) exploded, with shingles occurring in more than
-    * `maxDocFreq` docs dropped (stop-shingle guard). */
-  private def shingleTable(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int, maxDocFreq: Long): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("sh"))
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select("sh")
-    sh.join(rare, "sh")
-  }
-
-  /** All pairs (i < j) with shingle-set Jaccard ≥ `minJaccard`.
-    * Intersections come from a self-join on the shingle key (co-partitioned,
-    * no product); sizes from a per-doc count over the same filtered table. */
+  /** All pairs (i < j) with shingle-set Jaccard ≥ `minJaccard`, in ONE
+    * linear chain over ONE corpus scan.
+    *
+    * The earlier formulation self-joined a filtered (doc, shingle) table
+    * and joined per-doc sizes back twice; every re-reference re-executed
+    * the scan→explode→rare-filter lineage (the custom shingle kernel's
+    * subtrees defeat exchange reuse), so the corpus was scanned up to
+    * EIGHT times per evaluation. This chain touches it once:
+    *
+    *   1. group the exploded shingles by shingle key — doc occurrence
+    *      LIST + occurrence count `df` in one aggregate (collect_list is
+    *      bounded by the `maxDocFreq` stop-shingle guard that keeps hot
+    *      shingles out of the pair fan-out in any formulation);
+    *   2. re-explode the rare rows and attach each doc's rare-shingle
+    *      occurrence count `n_sh` with a doc-keyed window;
+    *   3. regroup by shingle and emit the ordered index pairs from the
+    *      doc-sorted occurrence list — equal-doc index pairs dropped, so
+    *      each (a, b) pair surfaces exactly (occ_a × occ_b) times per
+    *      shingle, the same multiset count the self-join produced;
+    *   4. one (id_a, id_b)-keyed aggregate sums intersections and carries
+    *      the sizes (`first` — constant per doc), then the identical
+    *      jaccard arithmetic filters.
+    *
+    * Shuffles are all keyed (shingle, doc, shingle, pair) — value-for-value
+    * identical to the join formulation (DedupSpec pins planted fixtures;
+    * q31/q35 hash-match their DuckDB mirrors), with occurrence (multiset)
+    * semantics preserved exactly: `df`, `n_sh`, and `inter` all count
+    * occurrence rows, not distinct docs. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.8,
                         maxDocFreq: Long = 1000): DataFrame = {
-    // no cache: the table is consumed three times but each use is one
-    // scan+explode, and a cache here would pin executor storage for the
-    // whole session (operators must stay side-effect-free)
-    val sh = shingleTable(docs, idCol, textCol, n, maxDocFreq)
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), "id_b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+    val perDoc = docs
+      .select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("sh"))
+      .groupBy("sh").agg(collect_list(col("doc")).as("docs"), count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("sh"), explode(col("docs")).as("doc"))
+      .withColumn("n_sh", count(lit(1)).over(w))
+    val pairsArr = flatten(transform(col("ds"), (a, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
+        struct(a.getField("doc").as("id_a"), a.getField("n_sh").as("n_a"),
+          b.getField("doc").as("id_b"), b.getField("n_sh").as("n_b")))))
+    perDoc
+      .groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("doc"), col("n_sh")))).as("ds"))
+      .select(explode(pairsArr).as("p"))
+      .filter(col("p.id_a") =!= col("p.id_b"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("p.n_a")).as("n_a"), first(col("p.n_b")).as("n_b"))
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "inter", "jaccard")
