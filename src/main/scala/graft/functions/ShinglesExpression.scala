@@ -62,6 +62,28 @@ object ShingleKernel {
     (raw, nToks)
   }
 
+  /** Tokens → ordered n-grams WITH repeats (gram i starts at token i); the
+    * positional stream behind [[graft.functions.PositionalGramsExpr]]. */
+  def orderedGrams(text: UTF8String, n: Int): GenericArrayData = {
+    val (raw, nToks) = lowerTokens(text)
+    if (nToks < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nToks - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= nToks - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(raw(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Tokens → distinct ordered n-grams, one allocation-light pass.
     * Mirrors Spark built-ins step for step: UTF8String.toLowerCase ≡
     * lower(), Pattern("\\W+").split(s, -1) ≡ split(text, "\\W+"), empty
@@ -95,4 +117,38 @@ object ShingleKernel {
 object ShinglesExpr {
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), n))
+}
+
+/** ORDERED word n-grams of a text column — [[ShinglesExpr]] without the
+  * distinct, so element index i (0-based) IS the gram's token position.
+  * This is the fingerprint stream exact substring-span dedup needs
+  * (Lee et al. 2021: duplicated spans are maximal runs of position-aligned
+  * equal grams); the distinct shingle set used by Jaccard/MinHash cannot
+  * carry positions. Same tokenize loop, same single-space join, same
+  * codegen shape as the shingle kernel.
+  */
+case class PositionalGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1 && n <= 16, s"n out of range: $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_positional_grams requires a STRING child, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.orderedGrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.orderedGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalGramsExpr =
+    copy(child = newChild)
+}
+
+object PositionalGramsExpr {
+  def grams(text: Column, n: Int): Column =
+    ColumnBridge.column(PositionalGramsExpr(ColumnBridge.expression(text), n))
 }

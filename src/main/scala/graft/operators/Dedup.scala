@@ -333,6 +333,130 @@ object Dedup {
         coalesce(col("keep"), lit(false)).as("keep"))
   }
 
+  /** Positional k-gram fingerprint stream: one row per (doc, pos, gram),
+    * `pos` 1-based at the gram's first token. The codegen'd
+    * [[graft.functions.PositionalGramsExpr]] kernel (ordered, WITH repeats —
+    * unlike [[shingles]], whose distinct drops the positions span matching
+    * needs). */
+  def positionalGrams(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc"),
+        posexplode(graft.functions.PositionalGramsExpr.grams(col(textCol), k)))
+      .select(col("doc"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+
+  /** Position-aligned gram matches between distinct docs: (id_a, pa, id_b,
+    * pb) for every occurrence pair of a shared k-gram with id_a < id_b —
+    * the raw material [[spanPairs]] chains into maximal spans.
+    *
+    * One corpus scan (the q31 linear-chain shape): group the positional
+    * stream by gram, keep each gram's occurrence list, emit the ordered
+    * cross-doc index pairs from the list. Per-gram state is BOUNDED by the
+    * [[graft.functions.BottomKRows]] heap at maxOcc+1 entries — a
+    * boilerplate gram with millions of occurrences costs a constant-size
+    * buffer before its `occ > maxOcc` row is dropped, where a collect_list
+    * would materialize every occurrence in one aggregation buffer (the
+    * hot-key OOM at corpus scale). Dropping over-frequent grams can split
+    * a span that crosses one — the standard fingerprint-sampling caveat
+    * (Lee et al. 2021 §4 accept the same for their frequency cutoffs);
+    * both engines apply the identical cutoff so results still match. */
+  def spanMatches(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int, maxOcc: Int): DataFrame = {
+    val g = positionalGrams(docs, idCol, textCol, k)
+    // byte-ordered (doc, pos) key: sign-flipped zero-padded hex (the
+    // balancedSample encoding) so the heap's binary order IS (doc, pos)
+    // ascending and the output array needs no re-sort
+    val key = concat(
+      lpad(hex(col("doc").bitwiseXOR(lit(Long.MinValue))), 16, "0"),
+      lpad(hex(col("pos")), 16, "0"))
+    val occs = g.groupBy("gram")
+      .agg(count(lit(1)).as("occ"),
+        graft.functions.BottomKRows.bottomK(
+          key, struct(col("doc"), col("pos")), maxOcc + 1).as("os"))
+      .filter(col("occ") <= maxOcc)
+    // ordered cross-doc pairs from the (doc,pos)-sorted occurrence list;
+    // later elements with the same doc are intra-doc repeats (q47's
+    // self-repetition band, not a cross-doc dup) — filtered out
+    val pairsArr = flatten(transform(col("os"), (a, i) =>
+      transform(
+        filter(slice(col("os"), i + lit(2), size(col("os"))),
+          b => b.getField("doc") =!= a.getField("doc")),
+        b => struct(a.getField("doc").as("id_a"), a.getField("pos").as("pa"),
+          b.getField("doc").as("id_b"), b.getField("pos").as("pb")))))
+    occs.select(explode(pairsArr).as("m"))
+      .select(col("m.id_a").as("id_a"), col("m.pa").as("pa"),
+        col("m.id_b").as("id_b"), col("m.pb").as("pb"))
+  }
+
+  /** Exact duplicated substring spans across documents (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): maximal
+    * runs of ≥ `minSpan` consecutive tokens shared verbatim between two
+    * docs. Their suffix-array formulation is replaced by the Spark-native
+    * equivalent: position-aligned k-gram matches ([[spanMatches]]) chained
+    * into maximal runs with gaps-and-islands — two matches at (pa, pb) and
+    * (pa+1, pb+1) lie on the same diagonal `pa − pb`, so a maximal span is
+    * a maximal consecutive-pa run within (id_a, id_b, diag), found by the
+    * `pa − row_number()` grouping constant. A run of m grams covers
+    * m + k − 1 tokens.
+    *
+    * Scale shape: the only corpus-sized shuffles are the gram groupBy
+    * (bounded state, see [[spanMatches]]) and the match aggregation; the
+    * islands window partitions by (id_a, id_b, diag) — match-pair
+    * granularity, no giant partitions. Returns (id_a, id_b, start_a,
+    * start_b, span_toks), one row per maximal span. */
+  def spanPairs(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3, minSpan: Int = 20, maxOcc: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    spanMatches(docs, idCol, textCol, k, maxOcc)
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("id_a", "id_b", "diag", "grp")
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + k - 1).as("span_toks"))
+      .filter(col("span_toks") >= minSpan)
+      .select("id_a", "id_b", "start_a", "start_b", "span_toks")
+  }
+
+  /** The APPLY step of span dedup — Lee et al. cut every duplicated
+    * substring but one copy; here the lower-id doc keeps its text and each
+    * higher-id doc has its duplicated token ranges removed. Returns one
+    * row per doc: (idCol, n_toks, n_removed, clean_text) where clean_text
+    * is the surviving tokens rejoined.
+    *
+    * Overlapping cut ranges (one doc duplicating several sources) are
+    * union-merged per doc with gaps-and-islands over a running max — a
+    * window partitioned by doc over interval-count rows, then the merged
+    * interval list (small: spans per doc, not tokens) rides back to the
+    * corpus on a doc-keyed left join, and one array pass drops covered
+    * positions. The corpus is never shuffled on anything but its own id. */
+  def spanScrub(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3, minSpan: Int = 20, maxOcc: Int = 1000): DataFrame = {
+    val spans = spanPairs(docs, idCol, textCol, k, minSpan, maxOcc)
+    val iv = spans.select(col("id_b").as("doc"), col("start_b").as("s"),
+      (col("start_b") + col("span_toks") - 1).as("e"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("s", "e")
+    import org.apache.spark.sql.expressions.Window.{unboundedPreceding, currentRow}
+    val merged = iv
+      .withColumn("pe", max(col("e")).over(wOrd.rowsBetween(unboundedPreceding, -1)))
+      .withColumn("nw", when(col("pe").isNull || col("s") > col("pe") + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("nw")).over(wOrd.rowsBetween(unboundedPreceding, currentRow)))
+      .groupBy("doc", "grp").agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val ivs = merged.groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
+        sum(col("e") - col("s") + 1).as("n_removed"))
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    docs.select(col(idCol).cast("long").as("doc"), toks.as("ts"))
+      .join(ivs, Seq("doc"), "left")
+      .withColumn("kept", when(col("ivs").isNull, col("ts")).otherwise(
+        transform(
+          filter(sequence(lit(1L), size(col("ts")).cast("long")),
+            p => !exists(col("ivs"), v => p >= v.getField("s") && p <= v.getField("e"))),
+          p => element_at(col("ts"), p.cast("int")))))
+      .select(col("doc").as(idCol), size(col("ts")).cast("long").as("n_toks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** Pairs within hamming distance ≤ `maxHamming` of each other's simhash,
     * by pigeonhole blocking: split the hash into maxHamming+1 bit blocks —
     * any pair within distance d must agree on ≥1 whole block, so candidates

@@ -1459,6 +1459,82 @@ object PipelineQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** DuckDB mirror of [[Dedup.spanPairs]]'s span CTE chain (k=3,
+    * maxOcc=200, minSpan=15): positional trigrams → stop-gram cutoff →
+    * cross-doc position-aligned matches → gaps-and-islands on the
+    * diagonal. Shared by q125 (report) and q126 (scrub). */
+  private def SpanCteSql(k: Int, maxOcc: Int, minSpan: Int): String = {
+    val gramCols = (0 until k).map(j => s"ts[i+$j]").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $LowToksSql AS ts FROM documents),
+       |g AS (SELECT doc_id AS doc, unnest(generate_series(1, len(ts)-${k - 1})) AS pos,
+       |  unnest(list_transform(generate_series(1, len(ts)-${k - 1}),
+       |    i -> concat_ws(' ', $gramCols))) AS gram FROM toks),
+       |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= $maxOcc),
+       |gr AS (SELECT doc, pos, g.gram FROM g JOIN rare USING (gram)),
+       |m AS (SELECT a.doc AS id_a, a.pos AS pa, b.doc AS id_b, b.pos AS pb
+       |  FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc < b.doc),
+       |isl AS (SELECT id_a, id_b, pa, pb, pa - pb AS diag,
+       |  pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp FROM m),
+       |spans AS (SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
+       |    count(*) + ${k - 1} AS span_toks
+       |  FROM isl GROUP BY id_a, id_b, diag, grp
+       |  HAVING count(*) + ${k - 1} >= $minSpan)""".stripMargin
+  }
+
+  private val SpanK = 3
+  private val SpanMaxOcc = 200
+  private val SpanMin = 15
+
+  /** Exact duplicated-substring spans (Lee et al. 2021) — see
+    * [[Dedup.spanPairs]]. The corpus plants real shared prefixes (93-token
+    * spans measured at sf0.01), so the report is non-trivially non-empty;
+    * (id_a, id_b, start_a, start_b) is unique per maximal span, so the
+    * order-by is total and the LIMIT deterministic. */
+  val q125SpanPairs: QuerySpec = QuerySpec.oracle(
+    "q125_span_pairs",
+    SpanCteSql(SpanK, SpanMaxOcc, SpanMin) +
+      "\nSELECT id_a, id_b, start_a, start_b, span_toks FROM spans " +
+      "ORDER BY span_toks DESC, id_a, id_b, start_a, start_b LIMIT 100"
+  ) { (spark, dir) =>
+    Dedup.spanPairs(Tables.documents(spark, dir), "doc_id", "text",
+        k = SpanK, minSpan = SpanMin, maxOcc = SpanMaxOcc)
+      .orderBy(col("span_toks").desc, col("id_a"), col("id_b"),
+        col("start_a"), col("start_b"))
+      .limit(100)
+  }
+
+  /** Span-dedup APPLY — duplicated token ranges cut from the higher-id
+    * copy, per-doc interval union, cleaned text fingerprinted (md5 keeps
+    * the compared rows narrow; the full text round-trips through the
+    * identical concat both sides). See [[Dedup.spanScrub]]. */
+  val q126SpanScrub: QuerySpec = QuerySpec.oracle(
+    "q126_span_scrub",
+    SpanCteSql(SpanK, SpanMaxOcc, SpanMin) +
+      s""",
+         |iv AS (SELECT id_b AS doc, start_b AS s, start_b + span_toks - 1 AS e FROM spans),
+         |mx AS (SELECT doc, s, e, max(e) OVER (PARTITION BY doc ORDER BY s, e
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM iv),
+         |isl2 AS (SELECT doc, s, e, sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+         |  OVER (PARTITION BY doc ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp FROM mx),
+         |mrg AS (SELECT doc, min(s) AS s, max(e) AS e FROM isl2 GROUP BY doc, grp),
+         |ivl AS (SELECT doc, list(struct_pack(s := s, e := e) ORDER BY s, e) AS ivs,
+         |  sum(e - s + 1) AS n_removed FROM mrg GROUP BY doc)
+         |SELECT d.doc_id, len(ts) AS n_toks,
+         |  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(array_to_string(CASE WHEN ivs IS NULL THEN ts
+         |    ELSE list_transform(list_filter(generate_series(1, len(ts)),
+         |      p -> len(list_filter(ivs, iv -> p >= iv.s AND p <= iv.e)) = 0),
+         |      p -> ts[p]) END, ' '), '')) AS clean_md5
+         |FROM (SELECT doc_id, ts FROM toks) d LEFT JOIN ivl ON ivl.doc = d.doc_id
+         |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    Dedup.spanScrub(Tables.documents(spark, dir), "doc_id", "text",
+        k = SpanK, minSpan = SpanMin, maxOcc = SpanMaxOcc)
+      .select(col("doc_id"), col("n_toks"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -1468,5 +1544,6 @@ object PipelineQueries {
     q56MixtureResample, q57BigramLm, q58LmSurprisal, q59DedupKeeplist,
     q73DedupApply, q75Decontaminate, q78AnnRecall, q80DedupIncremental,
     q84DocChunks, q88MinHashPairs, q94Collocations, q100InvertedIndex,
-    q106VectorHygiene, q115KeywordExtract, q116SourceOverlap)
+    q106VectorHygiene, q115KeywordExtract, q116SourceOverlap,
+    q125SpanPairs, q126SpanScrub)
 }

@@ -273,6 +273,14 @@ class PlanSweepSpec extends SparkSpec {
     // agg + the single-row map/array pack + the presentation sort — the
     // corpus is scanned and shuffled exactly once
     "q116_source_overlap" -> 4,
+    // q125: the bounded-heap gram agg (partial→final, ONE corpus shuffle)
+    // + the islands window on (id_a, id_b, diag) — the span groupBy reuses
+    // the window's partitioning and the top-100 is TakeOrdered, no exchange
+    "q125_span_pairs" -> 2,
+    // q126: q125's two + the per-doc interval-merge window (the span agg's
+    // output re-keyed on the cut doc) + the doc-keyed join that carries the
+    // merged interval lists back to the corpus
+    "q126_span_scrub" -> 4,
     // q117: the Expand-free percentile agg + the distinct agg (its Expand
     // doubles only the narrow projection) unioned + presentation sort —
     // deliberately TWO passes, see the builder comment

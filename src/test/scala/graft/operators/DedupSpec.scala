@@ -194,4 +194,74 @@ class DedupSpec extends SparkSpec {
     assert(out(1).getSeq[String](1).isEmpty)
     assert(out(2).getSeq[String](1) == Seq("a b c", "b c d"))
   }
+
+  // ── exact substring-span dedup (q125/q126, Lee et al. 2021) ──
+  // doc 0 and doc 1 share the run "c d e f g h" at different offsets;
+  // doc 2 is a strict substring of doc 0's tail (and overlaps doc 1's
+  // shared run) so its cut intervals [1,8] ∪ [1,6] must union-merge to
+  // full removal; doc 3 repeats a phrase only WITHIN itself; doc 4 is
+  // too short for a trigram.
+  private lazy val spanDocs = Seq(
+    (0L, "x1 x2 c d e f g h x3 x4"),
+    (1L, "y1 c d e f g h y2"),
+    (2L, "c d e f g h x3 x4"),
+    (3L, "p q r s p q r s p q r s"),
+    (4L, "zz")
+  ).toDF("doc_id", "text")
+
+  test("spanPairs reports maximal duplicated runs with exact positions") {
+    val spans = Dedup.spanPairs(spanDocs, "doc_id", "text",
+        k = 2, minSpan = 4, maxOcc = 100)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+        r.getAs[Long]("span_toks"))).toSet
+    assert(spans === Set(
+      (0L, 1L, 3L, 2L, 6L),   // "c d e f g h": doc0 pos 3-8, doc1 pos 2-7
+      (0L, 2L, 3L, 1L, 8L),   // "c d e f g h x3 x4": doc2 is doc0's tail
+      (1L, 2L, 2L, 1L, 6L)),
+      s"exactly the planted maximal spans, nothing from the intra-doc repeat: $spans")
+  }
+
+  test("spanPairs: intra-doc repetition alone is never a cross-doc span") {
+    val only3 = spanDocs.filter(col("doc_id") === 3L)
+    assert(Dedup.spanPairs(only3, "doc_id", "text", k = 2, minSpan = 2, maxOcc = 100)
+      .isEmpty, "a doc repeating itself emits no pairs")
+  }
+
+  test("spanPairs stop-gram cutoff drops over-frequent grams") {
+    val two = spanDocs.filter(col("doc_id") < 2L)
+    // every shared bigram occurs twice; maxOcc = 1 drops them all
+    assert(Dedup.spanPairs(two, "doc_id", "text", k = 2, minSpan = 4, maxOcc = 1).isEmpty)
+    assert(!Dedup.spanPairs(two, "doc_id", "text", k = 2, minSpan = 4, maxOcc = 2).isEmpty)
+  }
+
+  test("spanScrub cuts only the higher-id copy and union-merges overlaps") {
+    val out = Dedup.spanScrub(spanDocs, "doc_id", "text",
+        k = 2, minSpan = 4, maxOcc = 100)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(0L) === ((10L, 0L, "x1 x2 c d e f g h x3 x4")), "lowest id keeps its text")
+    assert(out(1L) === ((8L, 6L, "y1 y2")), "doc1 loses the shared run, keeps its frame")
+    assert(out(2L) === ((8L, 8L, "")), "[1,8] and [1,6] merge to full removal")
+    assert(out(3L) === ((12L, 0L, "p q r s p q r s p q r s")), "self-repeat untouched")
+    assert(out(4L) === ((1L, 0L, "zz")), "sub-gram-length doc passes through")
+    // conservation: survivors + removed = original token count, every doc
+    out.values.foreach { case (n, cut, clean) =>
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept + cut === n)
+    }
+  }
+
+  test("positional grams kernel: ordered with repeats, empty below k") {
+    val df = Seq((0L, "A b; a B c"), (1L, "x"), (2L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.functions.PositionalGramsExpr.grams(col("text"), 2).as("g"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](1) === Seq("a b", "b a", "a b", "b c"),
+      "lowercased, order preserved, repeats kept (unlike shingles' distinct)")
+    assert(out(1).getSeq[String](1).isEmpty && out(2).getSeq[String](1).isEmpty)
+  }
 }
