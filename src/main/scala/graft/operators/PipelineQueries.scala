@@ -359,6 +359,20 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization/ADC ANN with exact re-rank (Jégou et al. 2011's
+    * ADC+R) — the memory-compression scale path alongside IVF's read
+    * reduction: the corpus is SCANNED as 8 6-bit PQ codes per vector via
+    * per-query lookup tables (~42× narrower than the float column), and
+    * raw floats are read only for each query's 50-candidate shortlist.
+    * k-means codebooks → rows-only; recall vs brute force is asserted in
+    * SimilaritySpec and reported by q78's `pq_8x64_r50` row. */
+  val q127AnnPq: QuerySpec = QuerySpec.rowsOnly("q127_ann_pq") { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.pqTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 5,
+        m = 8, ksub = 64, refine = 50)
+      .orderBy("query_id", "rank")
+  }
+
   /** ANN approximation quality as a first-class declared output: one row per
     * approximate method with its recall against the exact baseline and the
     * fraction of the search space it actually scored — the two numbers that
@@ -455,7 +469,25 @@ object PipelineQueries {
         (col("n_cand").cast("double") / (col("n_q") * (col("n_c") - 1)))
           .as("candidate_fraction"))
 
-    lshRows.unionByName(ivfRow).orderBy("method")
+    // PQ/ADC+refine top-5 vs the same brute-force truth (q127's config).
+    // PQ's candidate_fraction counts RAW-FLOAT reads — the analog of IVF's
+    // read fraction: the code scan touches every row but at 16-byte width;
+    // full-width embeddings are read only for the refine-50 shortlist, so
+    // the fraction is refine/(|C|−1) per query.
+    val pqRefine = 50
+    val pqFound = Similarity.pqTopK(queries, emb, k = 5,
+        m = 8, ksub = 64, refine = pqRefine)
+      .select("query_id", "neighbor_id")
+    val pqRow = truth.join(
+        broadcast(pqFound.withColumn("__f", lit(1))),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("__f")).as("n_match"))
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_c"))))
+      .select(lit("pq_8x64_r50").as("method"),
+        (col("n_match").cast("double") / col("n_truth")).as("recall"),
+        (lit(pqRefine).cast("double") / (col("n_c") - 1)).as("candidate_fraction"))
+
+    lshRows.unionByName(ivfRow).unionByName(pqRow).orderBy("method")
   }
 
   /** Keyword-search document ranking: a BM25-shaped score with the log-idf
@@ -1481,7 +1513,13 @@ object PipelineQueries {
        |  HAVING count(*) + ${k - 1} >= $minSpan)""".stripMargin
   }
 
-  private val SpanK = 3
+  // k=5: over this corpus's 31-word vocabulary, TRIGRAMS collide by
+  // chance (14k cross-doc match rows at sf0.01) while 5-grams collide
+  // essentially only inside genuinely duplicated text (1.2k rows, the
+  // IDENTICAL 24 spans ≥ 15 — measured both ways); real corpora have the
+  // same property at lower k. minSpan 15 ≥ 2k−1 so a reported span always
+  // contains at least two overlapping grams of genuine run.
+  private val SpanK = 5
   private val SpanMaxOcc = 200
   private val SpanMin = 15
 
@@ -1545,5 +1583,5 @@ object PipelineQueries {
     q73DedupApply, q75Decontaminate, q78AnnRecall, q80DedupIncremental,
     q84DocChunks, q88MinHashPairs, q94Collocations, q100InvertedIndex,
     q106VectorHygiene, q115KeywordExtract, q116SourceOverlap,
-    q125SpanPairs, q126SpanScrub)
+    q125SpanPairs, q126SpanScrub, q127AnnPq)
 }

@@ -300,6 +300,124 @@ object Similarity {
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"), col("col.score").as("sim"))
 
+  /** Per-JVM cache of fitted PQ codebooks keyed like [[quantizerCache]]
+    * (corpus plan semantic hash + shape + seed) — the m per-subspace
+    * k-means fits are the index build; reuse is value-identical under the
+    * same immutable-snapshot assumption. The codebook is driver-side tiny:
+    * m × ksub × subDim floats (= dims × ksub — 4 KB at 64×16). */
+  private val pqCodebookCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int, Int, Long), Array[Float]]()
+
+  /** Product-quantization codebook (Jégou et al. 2011): `m` independent
+    * k-means fits, one per `subDim = dims/m` subspace of the embedding,
+    * `ksub` centroids each, flattened `[(j·ksub + c)·subDim + d]`. Eager
+    * by the same index-build contract as [[ivfTopK]]'s quantizer. */
+  def pqCodebook(corpus: DataFrame, dims: Int, m: Int, ksub: Int, seed: Long): Array[Float] = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    pqCodebookCache.computeIfAbsent((corpus.semanticHash(), dims, m, ksub, seed), _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      val cb = new Array[Float](m * ksub * subDim)
+      // one fit per subspace; each scans only its OWN dims-slice of the
+      // column (the slice prunes before the vector conversion). maxIter 8:
+      // same coarse-tiling rationale as the IVF quantizer. Degenerate rows
+      // (ragged/null-element — the q106 hygiene failures) are excluded from
+      // the FIT (a 3-dim slice would crash the summarizer merge); encode
+      // handles them via the rnorm-0 contract instead.
+      val clean = corpus.filter(size(col("embedding")) === dims &&
+        !exists(col("embedding"), e => e.isNull))
+      (0 until m).foreach { j =>
+        val sub = clean.select(
+          org.apache.spark.ml.functions.array_to_vector(
+            slice(col("embedding"), j * subDim + 1, subDim).cast("array<double>"))
+            .as("features"))
+        val km = new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(8)
+          .setFeaturesCol("features").setPredictionCol("cell")
+        km.fit(sub).clusterCenters.zipWithIndex.foreach { case (c, ci) =>
+          val arr = c.toArray
+          var d = 0
+          while (d < subDim) {
+            cb((j * ksub + ci) * subDim + d) = arr(d).toFloat
+            d += 1
+          }
+        }
+      }
+      cb
+    })
+  }
+
+  /** PQ/ADC approximate top-k — the memory-compression scale path that
+    * complements IVF's read-reduction: the corpus is scored from its m-byte
+    * PQ codes (32× smaller than 64 float dims), never from the raw
+    * embeddings. Each query precomputes one m×ksub lookup table of exact
+    * subvector dots ([[graft.functions.PqLutExpr]]); every (query, corpus)
+    * pair then costs m table reads ([[graft.functions.AdcDotExpr]]) instead
+    * of `dims` multiplies — at 100 TB the index that no longer fits in
+    * executor memory as floats DOES fit as codes, and the scan streams at
+    * code width. Ranking is approximate cosine against the RECONSTRUCTED
+    * vector: adc_dot/(‖q‖·‖x̂‖), ‖x̂‖ carried from encode time. Queries
+    * broadcast (queries ≪ corpus); the corpus never shuffles — the top-k
+    * is the same bounded-heap aggregate as [[bruteForceTopK]].
+    *
+    * `refine` > k turns on the re-rank stage (Jégou et al.'s ADC+R, the
+    * standard production shape): the compressed scan keeps an ADC top-
+    * `refine` SHORTLIST per query, raw embeddings are fetched for the
+    * shortlist alone (an id-keyed join of refine·|Q| rows — at 10⁹ corpus
+    * vectors the floats for thousands of candidates, not billions), and
+    * exact cosine re-ranks the shortlist to the final k. Quantization loss
+    * then only has to keep the true neighbors inside the shortlist, not
+    * rank them — recall@k tracks the much-easier shortlist recall.
+    *
+    * Degenerate (null/ragged/zero) vectors encode to rnorm 0 and NULL
+    * similarity, so they never rank — the [[signLshNearDupPairs]] guard
+    * convention. Fully deterministic given the seed; recall vs brute force
+    * is asserted in SimilaritySpec and reported by q78. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int = 64,
+             m: Int = 8, ksub: Int = 16, seed: Long = 42,
+             refine: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+    val subDim = dims / m
+    val cb = pqCodebook(corpus, dims, m, ksub, seed)
+    val enc = corpus.select(col("vec_id").as("neighbor_id"),
+        graft.functions.PqExprs.encode(col("embedding"), cb, m, ksub, subDim).as("pq"))
+      .select(col("neighbor_id"), col("pq.codes").as("codes"), col("pq.rnorm").as("rnorm"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      graft.functions.PqExprs.lut(col("embedding"), cb, m, ksub, subDim).as("lut"),
+      sqrt(VectorFns.normSq(col("embedding"))).as("q_norm"))
+    val joined = enc.crossJoin(broadcast(q))
+    val filtered =
+      if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined
+    val normProd = col("q_norm") * col("rnorm")
+    val shortlistK = if (refine > k) refine else k
+    val adcTopK = filtered
+      .withColumn("sim",
+        when(col("q_norm").isNull || normProd === 0.0, lit(null).cast("double"))
+          .otherwise(graft.functions.PqExprs.adcDot(col("codes"), col("lut"), ksub) / normProd))
+      .groupBy("query_id")
+      .agg(TopKByScore.topK(col("sim"), col("neighbor_id"), shortlistK).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.score").as("sim"))
+    if (refine <= k) adcTopK
+    else {
+      // exact re-rank: the shortlist (refine·|Q| rows, tiny) broadcasts
+      // into an id-keyed join against the corpus — the only stage that
+      // touches raw floats, and it reads them for shortlist members only
+      val shortlist = adcTopK.select(col("query_id"), col("neighbor_id"))
+      val qRaw = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        sqrt(VectorFns.normSq(col("embedding"))).as("q_norm"))
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+          sqrt(VectorFns.normSq(col("embedding"))).as("c_norm"))
+        .join(broadcast(shortlist), Seq("neighbor_id"))
+        .join(broadcast(qRaw), Seq("query_id"))
+        .withColumn("sim", pairSim)
+        .groupBy("query_id")
+        .agg(TopKByScore.topK(col("sim"), col("neighbor_id"), k).as("topk"))
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("long").as("rank"), col("col.score").as("sim"))
+    }
+  }
+
   /** Approximate top-k for one query vector (LSH path of the ANN surface). */
   def lshTopK(corpus: DataFrame, key: Vector, k: Int, bucketLength: Double = 2.0,
               numTables: Int = 8, seed: Long = 42): DataFrame = {

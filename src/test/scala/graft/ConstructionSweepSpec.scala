@@ -36,8 +36,12 @@ class ConstructionSweepSpec extends SparkSpec {
     "q35_dedup_groups", "q59_dedup_keeplist", "q73_dedup_apply",
     "q50_ml_train_eval", "q43_ann_ivf", "q76_bucketed_join",
     // q78 fits q43's IVF quantizer (once, reused for top-k AND candidate
-    // stats) — same eager-index rationale as q43
+    // stats) — same eager-index rationale as q43; round 15 adds q127's PQ
+    // codebook fit to its build
     "q78_ann_recall",
+    // q127 fits the PQ codebook (m per-subspace k-means) at build — the
+    // codebook IS the index, same contract as q43's coarse quantizer
+    "q127_ann_pq",
     // q79's FIRST build materializes the two-generation parquet layout the
     // merged scan reads (one-time, _SUCCESS-marked; repeat builds job-free)
     "q79_schema_evolution",

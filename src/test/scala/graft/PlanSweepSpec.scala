@@ -44,6 +44,9 @@ class PlanSweepSpec extends SparkSpec {
     // q78 — the recall report: q34's bounded-quadratic exact baseline +
     // q40/q43's broadcast machinery + 1-row count cross joins
     "q78_ann_recall",
+    // q127 — PQ/ADC: the bounded query side (LUT rows, queries ≪ corpus)
+    // broadcasts into the code-scan cross join, the bruteForceTopK contract
+    "q127_ann_pq",
     // q93 — the fuzzy-match quadratic runs over the DISTINCT-NAME
     // dictionary (64 names at every sf; vocabulary-bounded, not
     // corpus-sized), broadcast as an inequality nested loop
@@ -143,11 +146,12 @@ class PlanSweepSpec extends SparkSpec {
     "q76_bucketed_join" -> 0,
     // q77: one hash exchange per cogroup side + the final sort
     "q77_cogroup_funnel" -> 3,
-    // q78: a REPORT, not a pipeline — 4 method rows × (a handful of 1-row
+    // q78: a REPORT, not a pipeline — 5 method rows × (a handful of 1-row
     // count aggregates riding SinglePartition exchanges) + the bounded
-    // LSH/IVF candidate joins; every exchange carries either one row or a
+    // LSH/IVF candidate joins (+2 in r15 for the PQ row's shortlist agg and
+    // its 1-row corpus count); every exchange carries either one row or a
     // bounded candidate set, never the corpus
-    "q78_ann_recall" -> 23,
+    "q78_ann_recall" -> 25,
     // q79: per-lang agg (partial→final) + the presentation sort over the
     // merged two-generation scan
     "q79_schema_evolution" -> 2,
@@ -281,6 +285,10 @@ class PlanSweepSpec extends SparkSpec {
     // output re-keyed on the cut doc) + the doc-keyed join that carries the
     // merged interval lists back to the corpus
     "q126_span_scrub" -> 4,
+    // q127: the ADC top-shortlist bounded-heap agg (partial→final) + the
+    // re-rank's shortlist-keyed agg + presentation sort; the code scan and
+    // the refine join ride broadcasts, the corpus never shuffles
+    "q127_ann_pq" -> 3,
     // q117: the Expand-free percentile agg + the distinct agg (its Expand
     // doubles only the narrow projection) unioned + presentation sort —
     // deliberately TWO passes, see the builder comment
