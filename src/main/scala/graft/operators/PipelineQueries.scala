@@ -373,6 +373,18 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The composed production ANN (FAISS's IVFADC shape): q43's coarse
+    * cells prune READS to ~nProbe/nLists of the corpus, q127's PQ codes
+    * compress what the probed cells scan, and the exact re-rank bounds
+    * quantization loss to shortlist membership. Reuses BOTH cached
+    * indexes — the composition adds serving plan, not index state. */
+  val q128AnnIvfPq: QuerySpec = QuerySpec.rowsOnly("q128_ann_ivfpq") { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 5,
+        nLists = 16, nProbe = 4, m = 8, ksub = 64, refine = 50)
+      .orderBy("query_id", "rank")
+  }
+
   /** ANN approximation quality as a first-class declared output: one row per
     * approximate method with its recall against the exact baseline and the
     * fraction of the search space it actually scored — the two numbers that
@@ -1583,5 +1595,5 @@ object PipelineQueries {
     q73DedupApply, q75Decontaminate, q78AnnRecall, q80DedupIncremental,
     q84DocChunks, q88MinHashPairs, q94Collocations, q100InvertedIndex,
     q106VectorHygiene, q115KeywordExtract, q116SourceOverlap,
-    q125SpanPairs, q126SpanScrub, q127AnnPq)
+    q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq)
 }

@@ -397,25 +397,65 @@ object Similarity {
       .select(col("query_id"), posexplode(col("topk")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"), col("col.score").as("sim"))
-    if (refine <= k) adcTopK
-    else {
-      // exact re-rank: the shortlist (refine·|Q| rows, tiny) broadcasts
-      // into an id-keyed join against the corpus — the only stage that
-      // touches raw floats, and it reads them for shortlist members only
-      val shortlist = adcTopK.select(col("query_id"), col("neighbor_id"))
-      val qRaw = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        sqrt(VectorFns.normSq(col("embedding"))).as("q_norm"))
-      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-          sqrt(VectorFns.normSq(col("embedding"))).as("c_norm"))
-        .join(broadcast(shortlist), Seq("neighbor_id"))
-        .join(broadcast(qRaw), Seq("query_id"))
-        .withColumn("sim", pairSim)
-        .groupBy("query_id")
-        .agg(TopKByScore.topK(col("sim"), col("neighbor_id"), k).as("topk"))
-        .select(col("query_id"), posexplode(col("topk")))
-        .select(col("query_id"), col("col.id").as("neighbor_id"),
-          (col("pos") + 1).cast("long").as("rank"), col("col.score").as("sim"))
-    }
+    if (refine <= k) adcTopK else exactRerank(adcTopK, queries, corpus, k)
+  }
+
+  /** Exact re-rank of an approximate shortlist (the +R of ADC+R): the
+    * shortlist (refine·|Q| rows, tiny) broadcasts into an id-keyed join
+    * against the corpus — the only stage that touches raw floats, and it
+    * reads them for shortlist members only. */
+  private def exactRerank(shortlistTopK: DataFrame, queries: DataFrame,
+                          corpus: DataFrame, k: Int): DataFrame = {
+    val shortlist = shortlistTopK.select(col("query_id"), col("neighbor_id"))
+    val qRaw = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      sqrt(VectorFns.normSq(col("embedding"))).as("q_norm"))
+    corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        sqrt(VectorFns.normSq(col("embedding"))).as("c_norm"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qRaw), Seq("query_id"))
+      .withColumn("sim", pairSim)
+      .groupBy("query_id")
+      .agg(TopKByScore.topK(col("sim"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.score").as("sim"))
+  }
+
+  /** IVF+PQ+refine — the composed production ANN (the FAISS IVFADC shape):
+    * the coarse quantizer prunes READS to the probed cells (~nProbe/nLists
+    * of the corpus), PQ codes compress what those cells scan (6-bit codes
+    * vs float dims), and the exact re-rank bounds quantization loss to
+    * shortlist membership. The three indexes are exactly [[ivfTopK]]'s
+    * cells and [[pqTopK]]'s codebook — both cached per corpus snapshot —
+    * so the composition adds no new index state, just the serving plan:
+    * codes ride WITH the cell assignment in one corpus projection, the
+    * probed-cell join broadcasts the query side (corpus never shuffles),
+    * and ADC scores only within probed cells. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int = 64,
+                nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 64,
+                seed: Long = 42, refine: Int = 0): DataFrame = {
+    val subDim = dims / m
+    val cb = pqCodebook(corpus, dims, m, ksub, seed)
+    val (corpusCells, qCells) = ivfAssignments(queries, corpus, nLists, nProbe, seed)
+    val enc = corpusCells.select(col("neighbor_id"), col("cell"),
+        graft.functions.PqExprs.encode(col("c_emb"), cb, m, ksub, subDim).as("pq"))
+      .select(col("neighbor_id"), col("cell"),
+        col("pq.codes").as("codes"), col("pq.rnorm").as("rnorm"))
+    val q = qCells.select(col("query_id"), col("cell"), col("q_norm"),
+      graft.functions.PqExprs.lut(col("q_emb"), cb, m, ksub, subDim).as("lut"))
+    val normProd = col("q_norm") * col("rnorm")
+    val shortlistK = if (refine > k) refine else k
+    val adcTopK = enc.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        when(col("q_norm").isNull || normProd === 0.0, lit(null).cast("double"))
+          .otherwise(graft.functions.PqExprs.adcDot(col("codes"), col("lut"), ksub) / normProd))
+      .groupBy("query_id")
+      .agg(TopKByScore.topK(col("sim"), col("neighbor_id"), shortlistK).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.score").as("sim"))
+    if (refine <= k) adcTopK else exactRerank(adcTopK, queries, corpus, k)
   }
 
   /** Approximate top-k for one query vector (LSH path of the ANN surface). */

@@ -40,8 +40,9 @@ class ConstructionSweepSpec extends SparkSpec {
     // codebook fit to its build
     "q78_ann_recall",
     // q127 fits the PQ codebook (m per-subspace k-means) at build — the
-    // codebook IS the index, same contract as q43's coarse quantizer
-    "q127_ann_pq",
+    // codebook IS the index, same contract as q43's coarse quantizer;
+    // q128 composes that codebook with q43's coarse cells (both cached)
+    "q127_ann_pq", "q128_ann_ivfpq",
     // q79's FIRST build materializes the two-generation parquet layout the
     // merged scan reads (one-time, _SUCCESS-marked; repeat builds job-free)
     "q79_schema_evolution",

@@ -47,6 +47,9 @@ class PlanSweepSpec extends SparkSpec {
     // q127 — PQ/ADC: the bounded query side (LUT rows, queries ≪ corpus)
     // broadcasts into the code-scan cross join, the bruteForceTopK contract
     "q127_ann_pq",
+    // q128 — IVF+PQ: same broadcast-query machinery over the probed-cell
+    // join (q43's contract) plus the broadcast shortlist re-rank
+    "q128_ann_ivfpq",
     // q93 — the fuzzy-match quadratic runs over the DISTINCT-NAME
     // dictionary (64 names at every sf; vocabulary-bounded, not
     // corpus-sized), broadcast as an inequality nested loop
@@ -289,6 +292,10 @@ class PlanSweepSpec extends SparkSpec {
     // re-rank's shortlist-keyed agg + presentation sort; the code scan and
     // the refine join ride broadcasts, the corpus never shuffles
     "q127_ann_pq" -> 3,
+    // q128: q127's three + the probe-side cell-rank window over the tiny
+    // query × centroid table; the probed-cell join and the refine both
+    // ride broadcasts — the corpus still never shuffles
+    "q128_ann_ivfpq" -> 4,
     // q117: the Expand-free percentile agg + the distinct agg (its Expand
     // doubles only the narrow projection) unioned + presentation sort —
     // deliberately TWO passes, see the builder comment

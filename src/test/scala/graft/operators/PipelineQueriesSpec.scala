@@ -28,7 +28,8 @@ class PipelineQueriesSpec extends SparkSpec {
     val rows = PipelineQueries.q78AnnRecall.build(spark, sf).collect()
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Double]("recall"), r.getAs[Double]("candidate_fraction"))).toMap
-    assert(rows.keySet === Set("lsh_4x8", "lsh_16x6", "lsh_28x4", "ivf_top5"))
+    assert(rows.keySet ===
+      Set("lsh_4x8", "lsh_16x6", "lsh_28x4", "ivf_top5", "pq_8x64_r50"))
     rows.foreach { case (m, (rec, cand)) =>
       assert(rec >= 0.0 && rec <= 1.0, s"$m recall out of [0,1]: $rec")
       assert(cand >= 0.0 && cand <= 1.0, s"$m candidate_fraction out of [0,1]: $cand")

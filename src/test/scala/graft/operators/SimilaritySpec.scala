@@ -157,6 +157,29 @@ class SimilaritySpec extends SparkSpec {
     assert(approxSet == again, "seeded codebook → identical results")
   }
 
+  test("IVF+PQ+refine: recall tracks IVF's cell recall, deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(queries, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfpq = Similarity.ivfPqTopK(queries, emb, k = 5,
+        nLists = 16, nProbe = 4, m = 8, ksub = 64, refine = 50).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rIvf = exact.count(ivf.contains).toDouble / exact.size
+    val rIvfPq = exact.count(ivfpq.contains).toDouble / exact.size
+    info(f"IVF recall@5 = $rIvf%.2f, IVF+PQ+r50 recall@5 = $rIvfPq%.2f")
+    // the probed cells bound what IVF+PQ can find; the refine stage keeps
+    // PQ loss from compounding much on top of that bound
+    assert(rIvfPq >= rIvf - 0.15,
+      s"composition loses at most modest recall vs IVF alone: $rIvfPq vs $rIvf")
+    val again = Similarity.ivfPqTopK(queries, emb, k = 5,
+        nLists = 16, nProbe = 4, m = 8, ksub = 64, refine = 50).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivfpq == again, "seeded indexes → identical results")
+  }
+
   test("PQ encode: codes in range, degenerate vectors never rank") {
     import spark.implicits._
     val base = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
