@@ -1585,6 +1585,68 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source token-distribution divergence from the corpus-wide
+    * distribution — the composition-drift audit run before mixture fixing
+    * (a source whose unigram distribution walked away from the corpus is
+    * the first sign of a crawler change or contamination). Distance is
+    * total variation, ½ Σ_t |P_src(t) − P_corpus(t)|, chosen over KL
+    * because every step stays in EXACT integer arithmetic: the numerator
+    * is Σ|c_s·T_c − c_c·T_s| plus the absent-token mass T_s·(T_c − Σ_present
+    * c_c), all decimal sums of integer products (order-independent,
+    * hash-matchable; KL's log is libm-dependent). One division at the end.
+    *
+    * Shape at scale: the (source, token) counts aggregate once, regroup by
+    * token carrying the per-source list (fan-out bounded by |sources| —
+    * q116's discipline), and the per-source totals ride in as a broadcast
+    * 1-row-per-source table computed WITHOUT the token explode (sum of
+    * per-doc token counts — a plain column scan). The vocabulary shuffles
+    * once and never collects anywhere. */
+  val q129SourceDivergence: QuerySpec = QuerySpec.oracle(
+    "q129_source_divergence",
+    s"""WITH toks AS (SELECT source, $LowToksSql AS ts FROM documents),
+       |tot AS (SELECT source, CAST(sum(len(ts)) AS BIGINT) AS t_s FROM toks GROUP BY 1),
+       |g AS (SELECT CAST(sum(t_s) AS BIGINT) AS t_c FROM tot),
+       |st AS (SELECT source, unnest(ts) AS t FROM toks),
+       |sc AS (SELECT source, t, count(*) AS c_s FROM st GROUP BY 1, 2),
+       |ct AS (SELECT t, CAST(sum(c_s) AS BIGINT) AS c_c FROM sc GROUP BY 1),
+       |e AS (SELECT sc.source, sc.c_s, ct.c_c FROM sc JOIN ct USING (t)),
+       |agg AS (SELECT e.source,
+       |    sum(abs(CAST(e.c_s AS DECIMAL(38,0)) * g.t_c
+       |          - CAST(e.c_c AS DECIMAL(38,0)) * tot.t_s)) AS sum_abs,
+       |    CAST(sum(e.c_c) AS DECIMAL(38,0)) AS present_cc,
+       |    any_value(tot.t_s) AS t_s, any_value(g.t_c) AS t_c
+       |  FROM e JOIN tot ON tot.source = e.source CROSS JOIN g
+       |  GROUP BY e.source)
+       |SELECT source, t_s AS n_tokens,
+       |  0.5 * CAST(sum_abs + CAST(t_s AS DECIMAL(38,0)) * (t_c - present_cc) AS DOUBLE)
+       |      / CAST(CAST(t_s AS DECIMAL(38,0)) * t_c AS DOUBLE) AS tv_distance
+       |FROM agg ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val docs = Tables.documents(spark, dir)
+    // totals WITHOUT the token explode: one narrow column scan
+    val tot = docs.groupBy("source")
+      .agg(sum(size(lowToksCol)).cast("long").as("t_s"))
+    val g = tot.agg(sum(col("t_s")).cast("long").as("t_c"))
+    val sc = docs.select(col("source"), explode(lowToksCol).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c_s"))
+    val e = sc.groupBy("t")
+      .agg(sum(col("c_s")).cast("long").as("c_c"),
+        collect_list(struct(col("source"), col("c_s"))).as("ss"))
+      .select(col("c_c"), explode(col("ss")).as("x"))
+      .select(col("x.source").as("source"), col("x.c_s").as("c_s"), col("c_c"))
+    e.join(broadcast(tot), "source").crossJoin(broadcast(g))
+      .groupBy("source")
+      .agg(sum(abs(dec(col("c_s")) * col("t_c") - dec(col("c_c")) * col("t_s"))).as("sum_abs"),
+        dec(sum(col("c_c"))).as("present_cc"),
+        first(col("t_s")).as("t_s"), first(col("t_c")).as("t_c"))
+      .select(col("source"), col("t_s").as("n_tokens"),
+        (lit(0.5) * (col("sum_abs") + dec(col("t_s")) * (col("t_c") - col("present_cc")))
+          .cast("double")
+          / (dec(col("t_s")) * col("t_c")).cast("double")).as("tv_distance"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -1595,5 +1657,6 @@ object PipelineQueries {
     q73DedupApply, q75Decontaminate, q78AnnRecall, q80DedupIncremental,
     q84DocChunks, q88MinHashPairs, q94Collocations, q100InvertedIndex,
     q106VectorHygiene, q115KeywordExtract, q116SourceOverlap,
-    q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq)
+    q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq,
+    q129SourceDivergence)
 }

@@ -50,6 +50,9 @@ class PlanSweepSpec extends SparkSpec {
     // q128 — IVF+PQ: same broadcast-query machinery over the probed-cell
     // join (q43's contract) plus the broadcast shortlist re-rank
     "q128_ann_ivfpq",
+    // q129 — crossJoin(broadcast(g)) where g is the 1-row corpus token
+    // total: the q27/q45 lazy scalar-subquery idiom
+    "q129_source_divergence",
     // q93 — the fuzzy-match quadratic runs over the DISTINCT-NAME
     // dictionary (64 names at every sf; vocabulary-bounded, not
     // corpus-sized), broadcast as an inequality nested loop
@@ -296,6 +299,13 @@ class PlanSweepSpec extends SparkSpec {
     // query × centroid table; the probed-cell join and the refine both
     // ride broadcasts — the corpus still never shuffles
     "q128_ann_ivfpq" -> 4,
+    // q129: two deliberate corpus scans (the explode-free totals pass +
+    // the (source,token) counts — TV's nonlinear |·| needs the totals
+    // before the final aggregate), each partial→final; then the
+    // vocab-keyed regroup, the per-source aggregate (sources-bounded),
+    // and the presentation sort — every exchange past the counts carries
+    // vocab- or sources-bounded rows
+    "q129_source_divergence" -> 7,
     // q117: the Expand-free percentile agg + the distinct agg (its Expand
     // doubles only the narrow projection) unioned + presentation sort —
     // deliberately TWO passes, see the builder comment

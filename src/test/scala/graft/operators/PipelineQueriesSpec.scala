@@ -175,4 +175,32 @@ class PipelineQueriesSpec extends SparkSpec {
     val lifts = rows.map(_.getAs[Double]("lift"))
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b }, "ranked by lift desc")
   }
+
+  test("q129: TV distance bounds, identical distributions tie, skew ranks highest") {
+    // driver-table invariants: TV ∈ [0, 1), token totals positive
+    val rows = PipelineQueries.q129SourceDivergence.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getAs[Double]("tv_distance")
+      assert(tv >= 0.0 && tv < 1.0, s"TV out of range: $tv")
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+    // planted fixture: two sources with the IDENTICAL unigram distribution
+    // must tie exactly (the arithmetic is exact, so equality is ==), and a
+    // skewed source must rank strictly above them
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d a b c d", "uniform1"),
+      (2L, "a b c d", "uniform2"),
+      (3L, "a a a a a a b c", "skewed")
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q129").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val planted = PipelineQueries.q129SourceDivergence.build(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("tv_distance")).toMap
+    assert(planted("uniform1") == planted("uniform2"),
+      s"same distribution, different volume → identical TV: $planted")
+    assert(planted("skewed") > planted("uniform1"),
+      s"skewed source diverges more: $planted")
+  }
 }
