@@ -782,11 +782,79 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** Pairwise Pearson correlation between event-type DAILY value series —
+    * time-series similarity over a bounded dimension set (which metrics
+    * move together; the cheap cross-stream sanity check before anomaly
+    * attribution). q101's exact-sufficient-statistics recipe lifted from
+    * row pairs to SERIES pairs: the daily aggregation is the only
+    * corpus-sized shuffle; pair emission regroups the (type, day) table by
+    * day and expands the ≤|types| list per day (q116's discipline — one
+    * pass, fan-out bounded by |types|², never a self-join re-running the
+    * scan). Series values stay DECIMAL through the cross-products so every
+    * sum is order-independent; correlation over co-observed days.
+    *
+    * The decimal re-cast after the daily agg matters: Spark widens
+    * sum(decimal(18,2)) to (28,2) and the cross-product of two (28,2)s
+    * overflows precision 38 (silent rounding) — pinning back to (18,2)
+    * keeps products at (37,4), exact in both engines. */
+  val q130SeriesCorrelation: QuerySpec = QuerySpec.oracle(
+    "q130_series_correlation",
+    """WITH d AS (
+      |  SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.rev AS x, b.rev AS y
+      |  FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type),
+      |s AS (SELECT type_a, type_b, count(*) AS n,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+      |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+      |    CAST(sum(y * y) AS DOUBLE) AS syy
+      |  FROM p GROUP BY 1, 2)
+      |SELECT type_a, type_b, n,
+      |  CASE WHEN n < 2
+      |      OR sqrt(greatest(CAST(n AS DOUBLE) * sxx - sx * sx, 0)) = 0
+      |      OR sqrt(greatest(CAST(n AS DOUBLE) * syy - sy * sy, 0)) = 0 THEN NULL
+      |    ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |      / (sqrt(greatest(CAST(n AS DOUBLE) * sxx - sx * sx, 0))
+      |         * sqrt(greatest(CAST(n AS DOUBLE) * syy - sy * sy, 0))) END AS corr
+      |FROM s ORDER BY type_a, type_b""".stripMargin
+  ) { (spark, dir) =>
+    val d = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("rev"))
+    val pairsArr = flatten(transform(col("es"), (a, i) =>
+      transform(slice(col("es"), i + lit(2), size(col("es"))), b =>
+        struct(a.getField("event_type").as("type_a"),
+          b.getField("event_type").as("type_b"),
+          a.getField("rev").as("x"), b.getField("rev").as("y")))))
+    val s = d.groupBy("day")
+      .agg(sort_array(collect_list(struct(col("event_type"), col("rev")))).as("es"))
+      .select(explode(pairsArr).as("p"))
+      .select(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"),
+        col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val dx = sqrt(greatest(nD * col("sxx") - col("sx") * col("sx"), lit(0d)))
+    val dy = sqrt(greatest(nD * col("syy") - col("sy") * col("sy"), lit(0d)))
+    s.select(col("type_a"), col("type_b"), col("n"),
+        when(col("n") < 2 || dx === 0d || dy === 0d, lit(null).cast("double"))
+          .otherwise(num / (dx * dy)).as("corr"))
+      .orderBy("type_a", "type_b")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
     q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel,
     q92EventTransitions, q98EventPaths, q107SessionMetrics, q111Cooccurrence,
     q113GrowthCurve, q114RobustOutliers, q117SketchReport,
-    q122VolumeAnomaly, q81SaltedJoin)
+    q122VolumeAnomaly, q81SaltedJoin, q130SeriesCorrelation)
 }

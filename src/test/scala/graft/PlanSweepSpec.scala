@@ -306,6 +306,10 @@ class PlanSweepSpec extends SparkSpec {
     // and the presentation sort — every exchange past the counts carries
     // vocab- or sources-bounded rows
     "q129_source_divergence" -> 7,
+    // q130: the daily (type, day) agg — the one corpus-sized shuffle —
+    // then the day-keyed regroup (days-bounded), the pair agg
+    // (|types|²-bounded), and the presentation sort
+    "q130_series_correlation" -> 4,
     // q117: the Expand-free percentile agg + the distinct agg (its Expand
     // doubles only the narrow projection) unioned + presentation sort —
     // deliberately TWO passes, see the builder comment

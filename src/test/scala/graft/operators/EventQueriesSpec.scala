@@ -149,6 +149,33 @@ class EventQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q130: bounds on the driver table; planted linear series correlate EXACTLY 1") {
+    import spark.implicits._
+    val rows = EventQueries.q130SeriesCorrelation.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") >= 2)
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 && c <= 1.0, s"corr out of [-1,1]: $c")
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"), "ordered pairs only")
+    }
+    // planted: series B = 2·A day for day, integer-valued → the exact
+    // sufficient statistics give corr == 1.0 BIT-EXACTLY (num = 2A and
+    // dx·dy = √A·√(4A) = 2√A·√A with power-of-two scaling, so IEEE sqrt
+    // introduces no error the division doesn't cancel)
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val planted = (0 until 10).flatMap { d =>
+      val t = new java.sql.Timestamp(ts0.getTime + d * 86400000L)
+      Seq((t, "a", (d + 1) * 3.0), (t, "b", (d + 1) * 6.0))
+    }.toDF("ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q130").toString
+    planted.write.parquet(s"$dir/events.parquet")
+    val out = EventQueries.q130SeriesCorrelation.build(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("corr") == 1.0, s"exact: ${out.head}")
+    assert(out.head.getAs[Long]("n") == 10)
+  }
+
   test("q92: probabilities sum to 1 per source state; transition count = events − users") {
     val ev = graft.sources.Tables.events(spark, sf)
     val out = EventQueries.q92EventTransitions.build(spark, sf).collect()
