@@ -468,38 +468,46 @@ object PipelineQueries {
     // the brute-force truth subtree is the expensive half (|Q| × |corpus|
     // fused-cosine pairs) — count total and matched in ONE pass over it via
     // a broadcast left join against the k·|Q|-row IVF result
-    val ivfHits = truth.join(
-        broadcast(found.withColumn("__f", lit(1))),
-        Seq("query_id", "neighbor_id"), "left")
-      .agg(count(lit(1)).as("n_truth"), count(col("__f")).as("n_match"))
-    val ivfRow = ivfHits
-      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-      .crossJoin(broadcast(queries.agg(count(lit(1)).as("n_q"))))
-      .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_c"))))
-      .select(lit("ivf_top5").as("method"),
-        (col("n_match").cast("double") / col("n_truth")).as("recall"),
-        (col("n_cand").cast("double") / (col("n_q") * (col("n_c") - 1)))
-          .as("candidate_fraction"))
-
     // PQ/ADC+refine top-5 vs the same brute-force truth (q127's config).
     // PQ's candidate_fraction counts RAW-FLOAT reads — the analog of IVF's
-    // read fraction: the code scan touches every row but at 16-byte width;
+    // read fraction: the code scan touches every row but at code width;
     // full-width embeddings are read only for the refine-50 shortlist, so
     // the fraction is refine/(|C|−1) per query.
     val pqRefine = 50
     val pqFound = Similarity.pqTopK(queries, emb, k = 5,
         m = 8, ksub = 64, refine = pqRefine)
       .select("query_id", "neighbor_id")
-    val pqRow = truth.join(
-        broadcast(pqFound.withColumn("__f", lit(1))),
+    // BOTH methods' hit counts from ONE pass over the truth subtree — the
+    // brute-force baseline is the expensive half (|Q| × |corpus| fused-
+    // cosine pairs), and a per-method hits join would re-evaluate it per
+    // method (measured: the 2nd reference doubled q78's bench time). Two
+    // broadcast left joins against the tiny found sets, one aggregate.
+    val hits = truth
+      .join(broadcast(found.withColumn("__ivf", lit(1))),
         Seq("query_id", "neighbor_id"), "left")
-      .agg(count(lit(1)).as("n_truth"), count(col("__f")).as("n_match"))
+      .join(broadcast(pqFound.withColumn("__pq", lit(1))),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        count(col("__ivf")).as("n_ivf"), count(col("__pq")).as("n_pq"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(queries.agg(count(lit(1)).as("n_q"))))
       .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_c"))))
-      .select(lit("pq_8x64_r50").as("method"),
-        (col("n_match").cast("double") / col("n_truth")).as("recall"),
-        (lit(pqRefine).cast("double") / (col("n_c") - 1)).as("candidate_fraction"))
+    // both rows EXPLODE out of the one aggregate row — a per-method select
+    // + union would put two copies of the truth subtree in the plan, and
+    // custom-expression subtrees defeat exchange reuse (q116's lesson)
+    val bothRows = hits.select(explode(array(
+        struct(lit("ivf_top5").as("method"),
+          (col("n_ivf").cast("double") / col("n_truth")).as("recall"),
+          (col("n_cand").cast("double") / (col("n_q") * (col("n_c") - 1)))
+            .as("candidate_fraction")),
+        struct(lit("pq_8x64_r50").as("method"),
+          (col("n_pq").cast("double") / col("n_truth")).as("recall"),
+          (lit(pqRefine).cast("double") / (col("n_c") - 1))
+            .as("candidate_fraction")))).as("r"))
+      .select(col("r.method").as("method"), col("r.recall").as("recall"),
+        col("r.candidate_fraction").as("candidate_fraction"))
 
-    lshRows.unionByName(ivfRow).unionByName(pqRow).orderBy("method")
+    lshRows.unionByName(bothRows).orderBy("method")
   }
 
   /** Keyword-search document ranking: a BM25-shaped score with the log-idf

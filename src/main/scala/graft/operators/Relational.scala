@@ -609,6 +609,65 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** SCD2 history maintenance ([[Merge.scd2Apply]]): both engines
+    * synthesize the identical two-generation dimension history (every 7th
+    * customer carries a closed 2018 'LEGACY' generation) and the identical
+    * nightly delta (every 10th customer re-segmented effective 2024-06-01),
+    * then apply — current rows for delta keys close at effective − 1 day,
+    * the delta appends as the open generation, everything else passes
+    * through. (c_custkey, valid_from) is unique, so the order-by is total. */
+  val q131Scd2: QuerySpec = QuerySpec.oracle(
+    "q131_scd2_history",
+    """WITH hist AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |    DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |    true AS is_current
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'LEGACY',
+      |    DATE '2018-01-01', DATE '2019-12-31', false
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |delta AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+      |    'PATCHED' AS c_mktsegment, DATE '2024-06-01' AS eff
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |untouched AS (
+      |  SELECT h.* FROM hist h WHERE c_custkey NOT IN (SELECT c_custkey FROM delta)),
+      |prior_closed AS (
+      |  SELECT h.* FROM hist h
+      |  WHERE NOT is_current AND c_custkey IN (SELECT c_custkey FROM delta)),
+      |closed AS (
+      |  SELECT h.c_custkey, h.c_name, h.c_nationkey, h.c_acctbal, h.c_mktsegment,
+      |    h.valid_from, d.eff - 1 AS valid_to, false AS is_current
+      |  FROM hist h JOIN delta d USING (c_custkey) WHERE h.is_current),
+      |fresh AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |    eff AS valid_from, CAST(NULL AS DATE) AS valid_to, true AS is_current
+      |  FROM delta)
+      |SELECT * FROM untouched UNION ALL SELECT * FROM prior_closed
+      |UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM fresh
+      |ORDER BY c_custkey, valid_from""".stripMargin
+  ) { (spark, dir) =>
+    val cust = Tables.customer(spark, dir)
+    val hist = cust
+      .withColumn("valid_from", lit(java.sql.Date.valueOf("2020-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+      .unionByName(cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("LEGACY"))
+        .withColumn("valid_from", lit(java.sql.Date.valueOf("2018-01-01")))
+        .withColumn("valid_to", lit(java.sql.Date.valueOf("2019-12-31")))
+        .withColumn("is_current", lit(false)))
+    val delta = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100)
+      .withColumn("c_mktsegment", lit("PATCHED"))
+      .withColumn("eff", lit(java.sql.Date.valueOf("2024-06-01")))
+    Merge.scd2Apply(hist, delta, "c_custkey", "eff")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        "valid_from", "valid_to", "is_current")
+      .orderBy("c_custkey", "valid_from")
+  }
+
   /** Unpivot (wide→long melt): per-returnflag sums of four lineitem
     * measures unpivoted to (flag, measure, value) rows — the inverse of
     * q07's pivot, closing the reshape pair. Spark's native `unpivot`
@@ -1229,7 +1288,7 @@ object Relational {
     q09WindowRunning, q10SetOps, q11DatesMath, q12BalancedSample,
     q13AggCube, q14Distinct, q15Percentiles, q16Profile,
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
-    q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q91Unpivot,
+    q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q131Scd2, q91Unpivot,
     q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
     q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
     q108RevenueShare, q109DensifyGaps, q110LongestGap,

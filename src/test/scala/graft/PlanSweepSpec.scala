@@ -310,6 +310,9 @@ class PlanSweepSpec extends SparkSpec {
     // then the day-keyed regroup (days-bounded), the pair agg
     // (|types|²-bounded), and the presentation sort
     "q130_series_correlation" -> 4,
+    // q131: every join rides a broadcast of the delta's key projection
+    // (the Merge contract) — the only exchange is the presentation sort
+    "q131_scd2_history" -> 1,
     // q117: the Expand-free percentile agg + the distinct agg (its Expand
     // doubles only the narrow projection) unioned + presentation sort —
     // deliberately TWO passes, see the builder comment
