@@ -668,6 +668,41 @@ object Relational {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** Incremental materialized-view maintenance: the ORACLE recomputes the
+    * weekly (priority) revenue rollup from scratch over ALL orders; the
+    * Spark side REFRESHES it — yesterday's aggregate state (orders with
+    * o_orderkey % 4 ≠ 0) merged with the new batch's partial aggregate
+    * (% 4 = 0) by summing the mergeable states. A hash-match therefore
+    * PROVES the maintenance identity refresh(base, Δ) ≡ recompute(all)
+    * bit-exactly — which only holds because the states are decimal (an
+    * order-sensitive double sum would diverge between the two plans).
+    * This is the recompute-free rollup refresh a 100 TB nightly pipeline
+    * lives on: cost scales with |Δ| + |view|, never the fact history. */
+  val q132MvRefresh: QuerySpec = QuerySpec.oracle(
+    "q132_mv_refresh",
+    """SELECT CAST(date_trunc('week', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS week,
+      |  o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      |FROM orders GROUP BY 1, 2 ORDER BY week, o_orderpriority""".stripMargin
+  ) { (spark, dir) =>
+    val orders = Tables.orders(spark, dir)
+    def partialState(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(to_date(date_trunc("week", col("o_orderdate"))).as("week"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("rev"))
+    val baseView = partialState(orders.filter(col("o_orderkey") % 4 =!= 0))
+    val deltaState = partialState(orders.filter(col("o_orderkey") % 4 === 0))
+    baseView.unionByName(deltaState)
+      .groupBy("week", "o_orderpriority")
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("rev")).as("rev"))
+      .select(col("week"), col("o_orderpriority"), col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev").cast("double") / col("n_orders")).as("avg_price"))
+      .orderBy("week", "o_orderpriority")
+  }
+
   /** Unpivot (wide→long melt): per-returnflag sums of four lineitem
     * measures unpivoted to (flag, measure, value) rows — the inverse of
     * q07's pivot, closing the reshape pair. Spark's native `unpivot`
@@ -1288,7 +1323,8 @@ object Relational {
     q09WindowRunning, q10SetOps, q11DatesMath, q12BalancedSample,
     q13AggCube, q14Distinct, q15Percentiles, q16Profile,
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
-    q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q131Scd2, q91Unpivot,
+    q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q131Scd2, q132MvRefresh,
+    q91Unpivot,
     q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
     q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
     q108RevenueShare, q109DensifyGaps, q110LongestGap,

@@ -313,6 +313,11 @@ class PlanSweepSpec extends SparkSpec {
     // q131: every join rides a broadcast of the delta's key projection
     // (the Merge contract) — the only exchange is the presentation sort
     "q131_scd2_history" -> 1,
+    // q132: the base-state agg + the delta-state agg (each partial→final
+    // over ITS slice — in production the base is a stored view, not a
+    // recompute) + the merge agg over view-sized rows; presentation sort
+    // rides the merge's partitioning
+    "q132_mv_refresh" -> 3,
     // q117: the Expand-free percentile agg + the distinct agg (its Expand
     // doubles only the narrow projection) unioned + presentation sort —
     // deliberately TWO passes, see the builder comment
