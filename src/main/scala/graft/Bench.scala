@@ -22,18 +22,26 @@ object Bench {
   /** The driver-contract stdout line, built from per-query medians. Pure so
     * BenchLineSpec can pin the budget against the FULL current query set at
     * worst-case value widths — the guard that keeps query growth from
-    * silently re-truncating the line. Values at centisecond precision with
-    * trailing zeros stripped; host-load meta stays in target/bench.json. */
+    * silently re-truncating the line. Values start at centisecond precision
+    * (trailing zeros stripped) and the whole line DEGRADES to deci- then
+    * whole-second precision if the query count pushes it past the budget —
+    * 0.1 s resolution is still below host noise, and a parseable coarse
+    * line beats a truncated precise one (four rounds of parsed:null). The
+    * full-precision record stays in target/bench.json. */
   def stdoutLine(results: scala.collection.immutable.ListMap[String, Double],
                  sfDir: String): String = {
-    def fmt2(v: Double): String = {
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def fmtAt(scale: Int)(v: Double): String = {
+      val s = s"%.${scale}f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def render(scale: Int): String = {
+      val f = fmtAt(scale) _
+      val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${fmtAt(2)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    Seq(2, 1, 0).map(render).find(_.length <= LineBudget).getOrElse(render(0))
   }
 
   def main(args: Array[String]): Unit = {

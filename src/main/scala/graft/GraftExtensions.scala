@@ -1,8 +1,8 @@
 package graft
 
 import graft.functions.{CleanTokensExpr, CosineSimilarityExpr, IsStopwordExpr,
-  MinHashSigExpr, ShinglesExpr, SimHashExpr, StemExpression, StemTokensExpr,
-  TokenIdsExpr, TopTokenCountExpr}
+  MinHashSigExpr, PositionalGramsExpr, ShinglesExpr, SimHashExpr,
+  StemExpression, StemTokensExpr, TokenIdsExpr, TopTokenCountExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
       (children: Seq[Expression]) => ShinglesExpr(children(0), litInt(children(1), "graft_shingles(text, n)"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_positional_grams"),
+      new ExpressionInfo(classOf[PositionalGramsExpr].getName, "graft_positional_grams"),
+      (children: Seq[Expression]) => PositionalGramsExpr(children(0),
+        litInt(children(1), "graft_positional_grams(text, n)"))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),

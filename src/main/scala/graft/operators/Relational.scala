@@ -703,6 +703,55 @@ object Relational {
       .orderBy("week", "o_orderpriority")
   }
 
+  /** Right-to-be-forgotten cascade audit: a deletion request list (every
+    * 97th customer — the deterministic stand-in for a GDPR batch) cascades
+    * through the foreign-key chain customer → orders → lineitem, and the
+    * report says what a purge run WOULD delete per table before anything
+    * is rewritten — the dry-run every deletion pipeline runs first.
+    * Shape at scale: each cascade step is a semi-join against the previous
+    * step's KEY projection (request batches are small → broadcast; the
+    * fact tables never shuffle), counts are 1-row aggregates riding the
+    * crossJoin(broadcast(…)) scalar idiom, and the actual purge pairs
+    * these predicates with the partitioned-overwrite sink (q103) to
+    * rewrite only affected partitions. */
+  val q133ForgetCascade: QuerySpec = QuerySpec.oracle(
+    "q133_forget_cascade",
+    """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |del_o AS (SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM del)),
+      |r AS (
+      |  SELECT 'customer' AS tbl, (SELECT count(*) FROM customer) AS n_rows,
+      |    (SELECT count(*) FROM del) AS n_deleted
+      |  UNION ALL
+      |  SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem
+      |     WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+      |  UNION ALL
+      |  SELECT 'orders', (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM del_o))
+      |SELECT tbl, n_rows, n_deleted, n_rows - n_deleted AS n_kept
+      |FROM r ORDER BY tbl""".stripMargin
+  ) { (spark, dir) =>
+    val cust = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val del = cust.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("o_custkey"))
+    val delO = orders.join(broadcast(del), Seq("o_custkey"), "left_semi")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val delL = lineitem.join(broadcast(delO), Seq("l_orderkey"), "left_semi")
+    def audit(tbl: String, all: org.apache.spark.sql.DataFrame,
+              deleted: org.apache.spark.sql.DataFrame) =
+      all.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(deleted.agg(count(lit(1)).as("n_deleted"))))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("n_deleted"),
+          (col("n_rows") - col("n_deleted")).as("n_kept"))
+    audit("customer", cust, del)
+      .unionByName(audit("orders", orders, delO))
+      .unionByName(audit("lineitem", lineitem, delL))
+      .orderBy("tbl")
+  }
+
   /** Unpivot (wide→long melt): per-returnflag sums of four lineitem
     * measures unpivoted to (flag, measure, value) rows — the inverse of
     * q07's pivot, closing the reshape pair. Spark's native `unpivot`
@@ -1324,7 +1373,7 @@ object Relational {
     q13AggCube, q14Distinct, q15Percentiles, q16Profile,
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
     q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q131Scd2, q132MvRefresh,
-    q91Unpivot,
+    q133ForgetCascade, q91Unpivot,
     q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
     q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
     q108RevenueShare, q109DensifyGaps, q110LongestGap,

@@ -40,6 +40,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
           """SELECT graft_clean_tokens('the Spark engine runs fast') AS ct,
             |  graft_stem_tokens(array('connections', 'running')) AS st,
             |  graft_shingles('a b c d', 3) AS sh,
+            |  graft_positional_grams('a b a b', 2) AS pg,
             |  graft_simhash('spark engine', 16) AS sim,
             |  graft_token_ids(array('spark'), 1000) AS ids,
             |  graft_top_token_count(array('a', 'b', 'a')) AS ttc,
@@ -48,6 +49,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         assert(kernelRow.getAs[scala.collection.Seq[String]]("ct") == Seq("Spark", "engine", "runs", "fast"))
         assert(kernelRow.getAs[scala.collection.Seq[String]]("st") == Seq("connect", "run"))
         assert(kernelRow.getAs[scala.collection.Seq[String]]("sh") == Seq("a b c", "b c d"))
+        assert(kernelRow.getAs[scala.collection.Seq[String]]("pg") == Seq("a b", "b a", "a b"),
+          "ordered with repeats, unlike shingles' distinct")
         // same value the composable md5-based expressions produce
         val mirror = spark.sql(
           """SELECT graft_simhash('spark engine', 16) = graft_simhash('spark  ENGINE', 16) AS ci,
@@ -64,7 +67,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
             |  CAST(conv(substring(md5('0:a b c'), 1, 15), 16, 10) AS BIGINT),
             |  CAST(conv(substring(md5('0:b c d'), 1, 15), 16, 10) AS BIGINT)) AS v
             |""".stripMargin).collect().head.getAs[Long]("v")
-        assert(kernelRow.getSeq[Long](6).head == mh0, "minhash slot 0 matches md5 definition")
+        assert(kernelRow.getSeq[Long](kernelRow.fieldIndex("mh")).head == mh0,
+          "minhash slot 0 matches md5 definition")
 
         // FuseCosineRule: the composable HOF cosine optimizes into the
         // fused expression, with identical values

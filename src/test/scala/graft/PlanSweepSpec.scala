@@ -53,6 +53,9 @@ class PlanSweepSpec extends SparkSpec {
     // q129 — crossJoin(broadcast(g)) where g is the 1-row corpus token
     // total: the q27/q45 lazy scalar-subquery idiom
     "q129_source_divergence",
+    // q133 — three crossJoin(broadcast(·)) of 1-row count aggregates (the
+    // audit rows), the same scalar idiom
+    "q133_forget_cascade",
     // q93 — the fuzzy-match quadratic runs over the DISTINCT-NAME
     // dictionary (64 names at every sf; vocabulary-bounded, not
     // corpus-sized), broadcast as an inequality nested loop
@@ -318,6 +321,10 @@ class PlanSweepSpec extends SparkSpec {
     // recompute) + the merge agg over view-sized rows; presentation sort
     // rides the merge's partitioning
     "q132_mv_refresh" -> 3,
+    // q133: six 1-row count aggregates (partial→final each is one
+    // SinglePartition exchange) — every cascade semi-join broadcasts the
+    // previous step's key projection, so no fact table ever shuffles
+    "q133_forget_cascade" -> 6,
     // q117: the Expand-free percentile agg + the distinct agg (its Expand
     // doubles only the narrow projection) unioned + presentation sort —
     // deliberately TWO passes, see the builder comment
