@@ -171,6 +171,73 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** Streaming materialized-view maintenance — the batch refresh identity
+    * (q132: refresh(base, Δ) ≡ recompute(all), exact because the states
+    * are decimal) run CONTINUOUSLY: every micro-batch's partial aggregate
+    * merges into a parquet-backed daily (event_type) rollup.
+    *
+    * Exactly-once without a transactional sink: the view is written to a
+    * VERSIONED directory per micro-batch (`v=<batchId>`), computed as
+    * merge(latest committed version < batchId, this batch). foreachBatch
+    * replays the last batch after a crash-before-checkpoint-commit — and
+    * replaying batch N simply recomputes `v=N` from the same `v=M` (M < N)
+    * and the same replayed rows, overwriting `v=N` in place. A naive
+    * "merge into THE view" overwrite would double-count that replay; the
+    * version key is what makes the merge idempotent. Old versions are
+    * pruned to a small window (crash recovery only ever needs the latest
+    * committed one).
+    *
+    * Scale shape: the per-batch partial aggregate shuffles ONLY the batch;
+    * the merge reads the view (aggregate-sized, ≪ fact history) and
+    * rewrites it — cost per trigger is O(|Δ| + |view|), the q132 contract,
+    * forever. */
+  def maintainDailyView(events: DataFrame, viewDir: String, checkpointDir: String): Unit = {
+    runForeachBatch(events, checkpointDir) { (batch, id) =>
+      val spark = batch.sparkSession
+      val partial = batch
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      val merged = latestView(spark, viewDir, beforeVersion = Some(id)) match {
+        case Some(prior) =>
+          prior.unionByName(partial)
+            .groupBy("day", "event_type")
+            .agg(sum(col("n_events")).as("n_events"),
+              sum(col("sum_value")).cast("decimal(18,2)").as("sum_value"))
+        case None => partial
+      }
+      merged.write.mode("overwrite").parquet(s"$viewDir/v=$id")
+      // prune: recovery only ever reads the latest committed version
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      viewVersions(spark, viewDir).dropRight(3).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$viewDir/v=$v"), true)
+      }
+    }
+  }
+
+  /** Committed (\_SUCCESS-marked) view versions, ascending. */
+  private def viewVersions(spark: SparkSession, viewDir: String): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(viewDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  /** The maintained view as a DataFrame: the latest committed version
+    * (optionally restricted to versions below `beforeVersion` — the replay
+    * guard the maintainer itself uses). None before the first commit. */
+  def latestView(spark: SparkSession, viewDir: String,
+                 beforeVersion: Option[Long] = None): Option[DataFrame] = {
+    val vs = viewVersions(spark, viewDir)
+    val eligible = beforeVersion.fold(vs)(b => vs.filter(_ < b))
+    eligible.lastOption.map(v => spark.read.parquet(s"$viewDir/v=$v"))
+  }
+
   /** foreachBatch scoring hook (§3.2 streaming analog): apply any batch
     * DataFrame→DataFrame transform (e.g. SentimentPipeline.scoreBatch) per
     * micro-batch. */

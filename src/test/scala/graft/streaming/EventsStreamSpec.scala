@@ -46,6 +46,44 @@ class EventsStreamSpec extends SparkSpec {
     assert(rows(1).getAs[String]("event_type") == "view")
   }
 
+  test("streaming MV maintenance: view ≡ batch recompute across micro-batches and restart") {
+    val (src, view, ckpt) = tempDirs()
+    def run(): Unit = EventsStream.maintainDailyView(
+      EventsStream.readEventStream(spark, src), view, ckpt)
+    def recompute(): Map[(String, String), (Long, java.math.BigDecimal)] =
+      spark.read.schema(EventsStream.eventSchema).json(src)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+        .collect()
+        .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n_events"), r.getAs[java.math.BigDecimal]("sum_value")))).toMap
+    def viewState(): Map[(String, String), (Long, java.math.BigDecimal)] =
+      EventsStream.latestView(spark, view).get.collect()
+        .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n_events"), r.getAs[java.math.BigDecimal]("sum_value")))).toMap
+
+    writeBatch(src, "b0.json", Seq(
+      evt(1, "2024-01-01 10:00:00", 1, "click", 1.25),
+      evt(2, "2024-01-01 11:00:00", 2, "view", 2.50)))
+    writeBatch(src, "b1.json", Seq(
+      evt(3, "2024-01-01 12:00:00", 1, "click", 4.75),
+      evt(4, "2024-01-02 09:00:00", 3, "click", 8.00)))
+    run() // two micro-batches (maxFilesPerTrigger = 1) → two merge steps
+    assert(viewState() === recompute(),
+      "after two merges the view is bit-identical to the from-scratch rollup")
+
+    writeBatch(src, "b2.json", Seq(
+      evt(5, "2024-01-02 10:00:00", 1, "view", 16.5)))
+    run() // RESTART from the checkpoint: continues versioning, merges the delta
+    assert(viewState() === recompute(),
+      "restart continues the view incrementally — still ≡ recompute")
+
+    val before = viewState()
+    run() // no new data: no batch fires, the view must not move
+    assert(viewState() === before, "an empty trigger leaves the view untouched")
+  }
+
   test("streaming dedup drops re-delivered event_ids") {
     val (src, out, ckpt) = tempDirs()
     writeBatch(src, "b0.json", Seq(
