@@ -752,6 +752,59 @@ object Relational {
       .orderBy("tbl")
   }
 
+  /** Row-level CDC feed between two table generations — q97 tells you WHAT
+    * drifted (fingerprint diff); this emits the CHANGE ROWS a downstream
+    * consumer replays (the insert/update/delete feed a lakehouse table
+    * format derives from its transaction log, computed here from plain
+    * snapshots). Both engines synthesize the same two generations from
+    * `documents`: the old snapshot is doc_id < 450, the new one is
+    * doc_id ≥ 50 with every 5th doc re-sourced — so the feed contains all
+    * three op kinds. One full-outer join on the key; the update test
+    * compares a canonical md5 over the non-key columns (null-safe via a
+    * sentinel separator). Shape at scale: one key-keyed shuffle per side —
+    * the sort-merge diff shape; nothing collects. */
+  val q134CdcFeed: QuerySpec = QuerySpec.oracle(
+    "q134_cdc_feed",
+    """WITH old AS (SELECT doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id < 450),
+      |new AS (SELECT doc_id, text, lang,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'resourced' ELSE source END AS source,
+      |    n_chars
+      |  FROM documents WHERE doc_id >= 50),
+      |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |    o.doc_id IS NULL AS ins, n.doc_id IS NULL AS del,
+      |    md5(concat_ws(chr(31), o.text, o.lang, o.source, CAST(o.n_chars AS VARCHAR))) AS oh,
+      |    md5(concat_ws(chr(31), n.text, n.lang, n.source, CAST(n.n_chars AS VARCHAR))) AS nh
+      |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN ins THEN 'insert' WHEN del THEN 'delete' ELSE 'update' END AS op,
+      |  nh AS new_hash
+      |FROM j WHERE ins OR del OR oh <> nh
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val oldGen = docs.filter(col("doc_id") < 450)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val newGen = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), col("text"), col("lang"),
+        when(col("doc_id") % 5 === 0, lit("resourced")).otherwise(col("source")).as("source"),
+        col("n_chars"))
+    def rowHash(p: String) = md5(concat_ws("",
+      col(s"$p.text"), col(s"$p.lang"), col(s"$p.source"),
+      col(s"$p.n_chars").cast("string")))
+    oldGen.as("o").join(newGen.as("n"),
+        col("o.doc_id") === col("n.doc_id"), "full_outer")
+      .select(coalesce(col("o.doc_id"), col("n.doc_id")).as("doc_id"),
+        col("o.doc_id").isNull.as("ins"), col("n.doc_id").isNull.as("del"),
+        rowHash("o").as("oh"), rowHash("n").as("nh"))
+      .filter(col("ins") || col("del") || col("oh") =!= col("nh"))
+      .select(col("doc_id"),
+        when(col("ins"), lit("insert")).when(col("del"), lit("delete"))
+          .otherwise(lit("update")).as("op"),
+        col("nh").as("new_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Unpivot (wide→long melt): per-returnflag sums of four lineitem
     * measures unpivoted to (flag, measure, value) rows — the inverse of
     * q07's pivot, closing the reshape pair. Spark's native `unpivot`
@@ -1373,7 +1426,7 @@ object Relational {
     q13AggCube, q14Distinct, q15Percentiles, q16Profile,
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
     q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q131Scd2, q132MvRefresh,
-    q133ForgetCascade, q91Unpivot,
+    q133ForgetCascade, q134CdcFeed, q91Unpivot,
     q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
     q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
     q108RevenueShare, q109DensifyGaps, q110LongestGap,

@@ -325,6 +325,9 @@ class PlanSweepSpec extends SparkSpec {
     // SinglePartition exchange) — every cascade semi-join broadcasts the
     // previous step's key projection, so no fact table ever shuffles
     "q133_forget_cascade" -> 6,
+    // q134: one key shuffle per generation into the full-outer sort-merge
+    // diff + the presentation sort — the snapshot-diff minimum
+    "q134_cdc_feed" -> 3,
     // q117: the Expand-free percentile agg + the distinct agg (its Expand
     // doubles only the narrow projection) unioned + presentation sort —
     // deliberately TWO passes, see the builder comment
