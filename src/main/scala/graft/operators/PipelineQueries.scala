@@ -1655,6 +1655,80 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Matryoshka-truncation retrieval quality: top-5-by-cosine recall when
+    * the embedding is cut to its prefix dims (8/16/32 of 64) vs the
+    * full-width baseline — the measurement behind the "store a prefix,
+    * search cheaper" MRL deployment decision, and the exact-arithmetic
+    * counterpart of q78's seeded-index recall rows (every cosine here is
+    * the fused expression both engines compute bit-identically, so this
+    * report is fully oracle-checked, incl. the dims=64 ≡ 1.0 sanity row).
+    *
+    * One pass computes ALL four similarities per (query, corpus) pair and
+    * ranks them with per-query windows, so truth membership and each
+    * truncation's membership live on the SAME row — recall is then one
+    * conditional count over the truth rows, no per-config join, and the
+    * pair table is built once. |Q| is the q40/q78 1-in-25 slice (cap at
+    * scale per q78's argument); windows partition on query_id. */
+  val q135MatryoshkaRecall: QuerySpec = QuerySpec.oracle(
+    "q135_matryoshka_recall", {
+      def cosK(k: Int) =
+        if (k == 64) VectorFns.Sql.cosine("q.embedding", "c.embedding")
+        else VectorFns.Sql.cosine(s"q.embedding[1:$k]", s"c.embedding[1:$k]")
+      s"""WITH qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosK(64)} AS s64, ${cosK(32)} AS s32,
+         |    ${cosK(16)} AS s16, ${cosK(8)} AS s8
+         |  FROM qs q JOIN embeddings c ON c.vec_id <> q.vec_id),
+         |r AS (SELECT query_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY s64 DESC, neighbor_id) AS r64,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY s32 DESC, neighbor_id) AS r32,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY s16 DESC, neighbor_id) AS r16,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY s8 DESC, neighbor_id) AS r8
+         |  FROM s),
+         |cnt AS (SELECT count(*) AS n_truth,
+         |    count(*) FILTER (WHERE r8 <= 5) AS n8,
+         |    count(*) FILTER (WHERE r16 <= 5) AS n16,
+         |    count(*) FILTER (WHERE r32 <= 5) AS n32
+         |  FROM r WHERE r64 <= 5)
+         |SELECT dims, recall FROM (
+         |  SELECT CAST(8 AS BIGINT) AS dims, CAST(n8 AS DOUBLE) / n_truth AS recall FROM cnt
+         |  UNION ALL SELECT 16, CAST(n16 AS DOUBLE) / n_truth FROM cnt
+         |  UNION ALL SELECT 32, CAST(n32 AS DOUBLE) / n_truth FROM cnt
+         |  UNION ALL SELECT 64, CAST(n_truth AS DOUBLE) / n_truth FROM cnt)
+         |ORDER BY dims""".stripMargin
+    }
+  ) { (spark, dir) =>
+    import graft.functions.CosineSimilarityExpr.cosine
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    def cosK(k: Int) =
+      if (k == 64) cosine(col("qe"), col("ce"))
+      else cosine(slice(col("qe"), 1, k), slice(col("ce"), 1, k))
+    def rk(c: String) = row_number().over(
+      Window.partitionBy("query_id").orderBy(col(c).desc, col("neighbor_id")))
+    val cnt = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosK(64).as("s64"), cosK(32).as("s32"), cosK(16).as("s16"), cosK(8).as("s8"))
+      .select(col("query_id"),
+        rk("s64").as("r64"), rk("s32").as("r32"), rk("s16").as("r16"), rk("s8").as("r8"))
+      .filter(col("r64") <= 5)
+      .agg(count(lit(1)).as("n_truth"),
+        count(when(col("r8") <= 5, 1)).as("n8"),
+        count(when(col("r16") <= 5, 1)).as("n16"),
+        count(when(col("r32") <= 5, 1)).as("n32"))
+    cnt.select(explode(array(
+        struct(lit(8L).as("dims"), (col("n8").cast("double") / col("n_truth")).as("recall")),
+        struct(lit(16L).as("dims"), (col("n16").cast("double") / col("n_truth")).as("recall")),
+        struct(lit(32L).as("dims"), (col("n32").cast("double") / col("n_truth")).as("recall")),
+        struct(lit(64L).as("dims"), (col("n_truth").cast("double") / col("n_truth")).as("recall"))))
+        .as("r"))
+      .select(col("r.dims").as("dims"), col("r.recall").as("recall"))
+      .orderBy("dims")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -1666,5 +1740,5 @@ object PipelineQueries {
     q84DocChunks, q88MinHashPairs, q94Collocations, q100InvertedIndex,
     q106VectorHygiene, q115KeywordExtract, q116SourceOverlap,
     q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq,
-    q129SourceDivergence)
+    q129SourceDivergence, q135MatryoshkaRecall)
 }

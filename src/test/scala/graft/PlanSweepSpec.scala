@@ -56,6 +56,9 @@ class PlanSweepSpec extends SparkSpec {
     // q133 — three crossJoin(broadcast(·)) of 1-row count aggregates (the
     // audit rows), the same scalar idiom
     "q133_forget_cascade",
+    // q135 — the bounded query side broadcasts into the corpus cross join,
+    // q40's bruteForceTopK contract
+    "q135_matryoshka_recall",
     // q93 — the fuzzy-match quadratic runs over the DISTINCT-NAME
     // dictionary (64 names at every sf; vocabulary-bounded, not
     // corpus-sized), broadcast as an inequality nested loop
@@ -328,6 +331,10 @@ class PlanSweepSpec extends SparkSpec {
     // q134: one key shuffle per generation into the full-outer sort-merge
     // diff + the presentation sort — the snapshot-diff minimum
     "q134_cdc_feed" -> 3,
+    // q135: the query_id rank window (ALL four ranks share its partition)
+    // + the 1-row recall aggregate — the pair table is built and ranked in
+    // one pass, no per-config join
+    "q135_matryoshka_recall" -> 2,
     // q117: the Expand-free percentile agg + the distinct agg (its Expand
     // doubles only the narrow projection) unioned + presentation sort —
     // deliberately TWO passes, see the builder comment
