@@ -13,7 +13,8 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     operators.Relational.all ++ operators.TextQueries.all ++
       operators.PipelineQueries.all ++ ml.MlQueries.all ++
-      operators.EventQueries.all ++ multimodal.MultimodalQueries.all
+      operators.EventQueries.all ++ multimodal.MultimodalQueries.all ++
+      operators.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

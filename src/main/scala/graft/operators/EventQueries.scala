@@ -153,6 +153,79 @@ object EventQueries {
       .orderBy("event_id", "r_ts", "r_value")
   }
 
+  /** Linear multi-touch attribution: each purchase's value split equally
+    * across the click/view touches in the 30 minutes before it, rolled up
+    * per touch type — the marketing-analytics standard that q65's range
+    * join exists to serve (the candidate pair set IS a range join, reused
+    * verbatim). Credits are exact integers: cents × 10⁶ integrally divided
+    * by the touch count (one `div` per pair — no float credit sums to
+    * drift across engines; the truncation remainder stays with no one, by
+    * published contract). Purchases with NO preceding touch report as the
+    * '(none)' row — the unattributable revenue every attribution report
+    * must disclose or silently overstate channel ROI.
+    *
+    * Shape at scale: the range join shuffles on (user, time-band) (q65's
+    * contract), the per-purchase touch count rides a purchase-keyed
+    * window, and the rollup is |touch types| + 1 rows. The purchase
+    * relation is planned under both the pair branch and the '(none)'
+    * anti-join branch (runtime ReuseExchange dedupes — q111's argument). */
+  val q139Attribution: QuerySpec = QuerySpec.oracle(
+    "q139_attribution",
+    """WITH t AS (SELECT event_type AS touch_type, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type IN ('click', 'view')),
+      |p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |             CAST(round(value * 100) AS BIGINT) AS cents
+      |      FROM events WHERE event_type = 'purchase'),
+      |pairs AS (
+      |  SELECT t.touch_type, p.purchase_id, p.cents
+      |  FROM t JOIN p ON t.user_id = p.user_id
+      |    AND p.ts >= t.ts AND p.ts <= t.ts + INTERVAL 30 MINUTE),
+      |n AS (SELECT purchase_id, count(*) AS n_touches FROM pairs GROUP BY 1),
+      |credits AS (
+      |  SELECT pr.touch_type, pr.purchase_id,
+      |    (pr.cents * 1000000) // n.n_touches AS credit_micros
+      |  FROM pairs pr JOIN n USING (purchase_id)),
+      |attributed AS (
+      |  SELECT touch_type, count(*) AS n_events,
+      |    count(DISTINCT purchase_id) AS n_purchases,
+      |    CAST(sum(credit_micros) AS DECIMAL(38,0)) AS credit_micros
+      |  FROM credits GROUP BY 1),
+      |unattr AS (
+      |  SELECT '(none)' AS touch_type, count(*) AS n_events, count(*) AS n_purchases,
+      |    CAST(coalesce(sum(cents * 1000000), 0) AS DECIMAL(38,0)) AS credit_micros
+      |  FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM n))
+      |SELECT * FROM attributed UNION ALL SELECT * FROM unattr
+      |ORDER BY touch_type""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_type").as("touch_type"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+        round(col("value") * lit(100)).cast("long").as("cents"))
+    val pairs = RangeJoin.rangeJoin(touches, purchases, Seq("user_id"), "ts", "ts",
+        lowerSec = 0L, upperSec = 1800L, rightValCols = Seq("purchase_id", "cents"))
+      .select(col("touch_type"), col("r_purchase_id").as("purchase_id"),
+        col("r_cents").as("cents"))
+    val perPurchase = Window.partitionBy("purchase_id")
+    val credits = pairs
+      .withColumn("n_touches", count(lit(1)).over(perPurchase))
+      .withColumn("credit_micros", expr("(cents * 1000000) div n_touches"))
+    val attributed = credits.groupBy("touch_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        sum(col("credit_micros").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("credit_micros"))
+    val unattributed = purchases
+      .join(pairs.select("purchase_id").distinct(), Seq("purchase_id"), "left_anti")
+      .agg(count(lit(1)).as("n_events"), count(lit(1)).as("n_purchases"),
+        coalesce(sum((col("cents") * lit(1000000L)).cast("decimal(38,0)")), lit(0L))
+          .cast("decimal(38,0)").as("credit_micros"))
+      .select(lit("(none)").as("touch_type"), col("n_events"), col("n_purchases"),
+        col("credit_micros"))
+    attributed.unionByName(unattributed).orderBy("touch_type")
+  }
+
   /** Second-moment statistics per event type. Spark's native var_samp /
     * stddev streams double moments in partition order — NOT reproducible
     * across engines or even runs; here variance is derived from exact
@@ -856,5 +929,5 @@ object EventQueries {
     q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel,
     q92EventTransitions, q98EventPaths, q107SessionMetrics, q111Cooccurrence,
     q113GrowthCurve, q114RobustOutliers, q117SketchReport,
-    q122VolumeAnomaly, q81SaltedJoin, q130SeriesCorrelation)
+    q122VolumeAnomaly, q81SaltedJoin, q130SeriesCorrelation, q139Attribution)
 }

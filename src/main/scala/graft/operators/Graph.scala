@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics over relationship edges derived from the relational
+  * tables (SURVEY.md §2.8 extension band) — the band beyond
+  * [[Dedup.connectedComponents]]' reachability: iterative importance
+  * scoring (PageRank) and its composition with the fuzzy-match edge
+  * builders ([[Relational]] q93) into entity resolution.
+  *
+  * The reference (a single-node pandas script) has no graph surface at
+  * all; these exist because a training-data pipeline needs link-graph
+  * importance for source weighting and record-linkage resolution for
+  * per-entity dedup, and both must run as bounded-round shuffle-on-key
+  * jobs at corpus scale.
+  */
+object Graph {
+
+  /** Power-iteration PageRank in EXACT integer micro-units.
+    *
+    * Ranks are bigint micro-units (1.0 ≡ `unit`), the damping factor is a
+    * percentage, and each edge contribution is ONE integral division
+    * `(rank * dampingPct) div (100 * deg)` — so every iteration is
+    * deterministic integer arithmetic, bit-identical across engines and
+    * across partitionings (no float sum-order drift), which is what makes
+    * a distributed PageRank hash-verifiable against an independent SQL
+    * unrolling. The truncation the integral division introduces is part
+    * of the operator's published contract (ranks are lower bounds within
+    * |E| units of the rational fixpoint iterate).
+    *
+    * `edges` must carry (src_t, src, dst_t, dst) with BOTH orientations
+    * already present for an undirected graph. Every node is assumed to
+    * have outgoing edges (true by construction for undirected graphs —
+    * dangling-mass redistribution is deliberately out of contract).
+    *
+    * Scale shape: the edge list joined with its out-degrees is persisted
+    * ONCE, pre-partitioned on the (src_t, src) key every round joins on,
+    * so each of the `iterations` rounds shuffles only the node-sized rank
+    * relation plus the map-side-combined contribution aggregate — the
+    * |E|-sized relation never moves after the initial repartition.
+    *
+    * The rounds run EAGERLY at build (each round an eager
+    * `localCheckpoint` job, the prior round's blocks freed as soon as the
+    * next lands — the resource discipline of
+    * [[Dedup.connectedComponents]]): a lazy formulation would either
+    * re-evaluate the |E|-sized edge join once per round (each round's
+    * lineage re-enters the subtree) or leak the edge cache past the
+    * build, and a fixed-round iterative operator is an index-build-shaped
+    * step anyway (q43's eager-quantizer contract).
+    */
+  def pageRank(edges: DataFrame, iterations: Int, dampingPct: Int = 85,
+               unit: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
+    val teleport = unit * (100 - dampingPct) / 100
+    val deg = edges.groupBy("src_t", "src").agg(count(lit(1)).as("deg"))
+    val contribEdges = edges.join(deg, Seq("src_t", "src"))
+      .repartition(col("src_t"), col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def ckRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
+    var ranks = deg
+      .select(col("src_t"), col("src"), lit(unit).cast("long").as("rank_units"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val next = contribEdges
+        .join(ranks, Seq("src_t", "src"))
+        .withColumn("contrib",
+          expr(s"(rank_units * $dampingPct) div (100 * deg)"))
+        .groupBy(col("dst_t").as("t"), col("dst").as("id"))
+        .agg((lit(teleport) + sum(col("contrib"))).cast("long").as("rank_units"))
+        .select(col("t").as("src_t"), col("id").as("src"), col("rank_units"))
+        .localCheckpoint()
+      ckRdd(ranks).foreach(_.unpersist(blocking = false))
+      ranks = next
+    }
+    contribEdges.unpersist(blocking = false)
+    ranks.select(col("src_t").as("node_type"), col("src").as("node_id"),
+      col("rank_units"))
+  }
+
+  /** The q136 oracle is the SAME integer recurrence unrolled as a CTE
+    * chain — generated, not hand-copied, so the Spark loop and the SQL
+    * provably share one definition of an iteration. */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val base =
+      """SELECT DISTINCT 'c' AS src_t, o_custkey AS src, 's' AS dst_t, l_suppkey AS dst
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+    val head = Seq(
+      s"edges AS (\n  SELECT * FROM (\n    $base)\n  UNION ALL\n  SELECT dst_t, dst, src_t, src FROM (\n    $base))",
+      "deg AS (SELECT src_t, src, count(*) AS deg FROM edges GROUP BY 1, 2)",
+      "r0 AS (SELECT src_t AS t, src AS id, CAST(1000000 AS BIGINT) AS rank_units FROM deg)")
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst_t AS t, e.dst AS id,
+         |    CAST(150000 + sum((r.rank_units * 85) // (100 * d.deg)) AS BIGINT) AS rank_units
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON r.t = e.src_t AND r.id = e.src
+         |  JOIN deg d ON d.src_t = e.src_t AND d.src = e.src
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    (head ++ iters).mkString("WITH ", ",\n", "") +
+      s"""
+         |SELECT t AS node_type, id AS node_id, rank_units
+         |FROM r$iterations
+         |ORDER BY rank_units DESC, node_type, node_id LIMIT 50""".stripMargin
+  }
+
+  /** PageRank over the customer↔supplier trade graph: who are the most
+    * central counterparties? Edges are the DISTINCT (customer, supplier)
+    * pairs observed in lineitem⋈orders — the |E|-bounding dedup-to-
+    * dictionary step (q93's discipline) that keeps the graph a function
+    * of the relationship set, not the fact count — taken undirected via
+    * one explode (both orientations from a single evaluation of the
+    * join, the [[Dedup.connectedComponents]] trick). Five rounds at
+    * damping 0.85, exact micro-unit arithmetic (see [[pageRank]]), top-50
+    * by rank with a total (type, id) tie-break so the LIMIT is
+    * deterministic. */
+  val q136PageRank: QuerySpec = QuerySpec.oracle(
+    "q136_pagerank", pageRankOracleSql(5)
+  ) { (spark, dir) =>
+    val pairs = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val edges = pairs.select(explode(array(
+        struct(lit("c").as("src_t"), col("cust").as("src"),
+          lit("s").as("dst_t"), col("supp").as("dst")),
+        struct(lit("s").as("src_t"), col("supp").as("src"),
+          lit("c").as("dst_t"), col("cust").as("dst")))).as("e"))
+      .select(col("e.src_t").as("src_t"), col("e.src").as("src"),
+        col("e.dst_t").as("dst_t"), col("e.dst").as("dst"))
+    pageRank(edges, iterations = 5)
+      .orderBy(col("rank_units").desc, col("node_type"), col("node_id"))
+      .limit(50)
+  }
+
+  /** Record-linkage entity resolution: q93's dictionary-blocked fuzzy
+    * edges (part-name pairs within Levenshtein 2 — tighter than q93's
+    * report threshold, this is a MERGE decision) closed transitively by
+    * [[Dedup.connectedComponents]], canonical entity = alphabetically
+    * smallest member name. The quadratic and the closure both run over
+    * the vocab-bounded distinct-name dictionary (ids assigned by a
+    * window over that dictionary — bounded, never the corpus); the
+    * corpus contributes only the per-name count aggregate that rides
+    * along on the final equi-join. Verified against a DuckDB
+    * recursive-CTE closure over the identical edge set (levenshtein is
+    * exact in both engines, so the edge sets match bit-for-bit). */
+  val q140EntityGroups: QuerySpec = QuerySpec.oracle(
+    "q140_entity_groups",
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b
+      |  FROM names a JOIN names b ON a.p_name < b.p_name
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+      |edges AS (SELECT name_a AS src, name_b AS dst FROM pairs
+      |          UNION ALL SELECT name_b, name_a FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT p_name, p_name FROM names
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      |cc AS (SELECT node AS p_name, min(lbl) AS entity FROM reach GROUP BY node)
+      |SELECT c.p_name AS name, c.entity,
+      |  count(*) OVER (PARTITION BY c.entity) AS n_in_entity,
+      |  n.n_parts
+      |FROM cc c JOIN names n ON n.p_name = c.p_name
+      |ORDER BY name""".stripMargin
+  ) { (spark, dir) =>
+    val names = Tables.part(spark, dir)
+      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+    // dense ids over the DICTIONARY (vocab-bounded window — the same
+    // bounded-window argument as q95's buckets), ordered by name so
+    // min-id canonical ≡ alphabetically-min name (ASCII; Spark and
+    // DuckDB binary string order agree). Materialized ONCE (eager
+    // checkpoint — the build is already eager for the CC rounds): the
+    // dictionary is referenced from six plan branches below, and as a
+    // checkpointed RDD the corpus-scan aggregate behind it runs once
+    // instead of being re-planned under every branch.
+    val ids = names.withColumn("nid",
+      row_number().over(Window.orderBy("p_name")).cast("long"))
+      .localCheckpoint()
+    val a = ids.select(col("p_name").as("name_a"), col("nid").as("id_a"))
+    val b = ids.select(col("p_name").as("name_b"), col("nid").as("id_b"))
+    val pairEdges = a.join(broadcast(b), col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+      .filter(col("dist") >= 0)
+      .select("id_a", "id_b")
+    val groups = Dedup.dedupGroups(ids.select(col("nid")), "nid", pairEdges)
+    val resolved = groups
+      .join(ids.select(col("nid"), col("p_name").as("name")), "nid")
+      .join(ids.select(col("nid").as("canonical_id"), col("p_name").as("entity")),
+        "canonical_id")
+    val sizes = resolved.groupBy("entity").agg(count(lit(1)).as("n_in_entity"))
+    resolved.join(sizes, "entity")
+      .join(ids.select(col("p_name").as("name"), col("n_parts")), "name")
+      .select("name", "entity", "n_in_entity", "n_parts")
+      .orderBy("name")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q136PageRank, q140EntityGroups)
+}

@@ -703,6 +703,32 @@ object Relational {
       .orderBy("week", "o_orderpriority")
   }
 
+  /** k-anonymity audit ([[Quality.kAnonymityReport]]) over the customer
+    * table's demographic-shaped quasi-identifiers — q133's governance
+    * companion: before a release, every (segment, nation, balance-bucket)
+    * combination is counted and groups below k = 5 are flagged as
+    * re-identifiable. The balance QI is GENERALIZED to a 2000-wide bucket
+    * (one exactly-rounded IEEE floor division, q95's binning idiom) — the
+    * generalization IS the operator's input contract; the audit itself is
+    * one map-side-combined aggregate, report sized by QI combinations. */
+  val q137KAnonymity: QuerySpec = QuerySpec.oracle(
+    "q137_k_anonymity",
+    """SELECT c_mktsegment AS segment, c_nationkey AS nation,
+      |  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_bucket,
+      |  count(*) AS n_rows, count(*) >= 5 AS k_anon
+      |FROM customer GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+  ) { (spark, dir) =>
+    Quality.kAnonymityReport(
+        Tables.customer(spark, dir),
+        Seq(
+          "segment" -> col("c_mktsegment"),
+          "nation" -> col("c_nationkey"),
+          "bal_bucket" -> floor(col("c_acctbal") / lit(2000.0)).cast("long")),
+        k = 5L)
+      .orderBy("segment", "nation", "bal_bucket")
+  }
+
   /** Right-to-be-forgotten cascade audit: a deletion request list (every
     * 97th customer — the deterministic stand-in for a GDPR batch) cascades
     * through the foreign-key chain customer → orders → lineitem, and the
@@ -1426,7 +1452,7 @@ object Relational {
     q13AggCube, q14Distinct, q15Percentiles, q16Profile,
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
     q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q131Scd2, q132MvRefresh,
-    q133ForgetCascade, q134CdcFeed, q91Unpivot,
+    q133ForgetCascade, q134CdcFeed, q137KAnonymity, q91Unpivot,
     q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
     q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
     q108RevenueShare, q109DensifyGaps, q110LongestGap,

@@ -207,6 +207,36 @@ object TextQueries {
         expr("bit_xor(rolling_fp)").as("xor_fp"))
   }
 
+  /** Partition-manifest checksums — q25's content-addressing at the
+    * (lang, source) partition grain, which is what makes snapshot
+    * verification INCREMENTAL at 100 TB: two snapshots are compared
+    * manifest-to-manifest (97 rows here, partition-count rows in general),
+    * and only partitions whose checksum moved need a re-read — the
+    * Merkle-tree discipline with the partition layer as the leaves. The
+    * checksum is an ORDER-INDEPENDENT exact decimal sum of a per-row
+    * 60-bit md5 prefix (`conv(hex, 16, 10)` ↔ DuckDB's `('0x'||hex)::BIGINT`
+    * — row order, partitioning, and merge strategy can't move it), keyed
+    * on (id, text) so both id reassignment and content drift surface. One
+    * map-side-combined aggregate over one scan; nothing collects. */
+  val q138ManifestChecksums: QuerySpec = QuerySpec.oracle(
+    "q138_manifest_checksums",
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))::BIGINT)
+      |    AS DECIMAL(38,0)) AS checksum
+      |FROM documents GROUP BY 1, 2
+      |ORDER BY lang, source""".stripMargin
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))), 1, 15),
+          16, 10).cast("decimal(38,0)")).cast("decimal(38,0)").as("checksum"))
+      .orderBy("lang", "source")
+  }
+
   /** The reference's full `_clean_tweet` end state incl. Porter stemming
     * (T1→T5). Rows-only: DuckDB's snowball `stem(t,'porter')` would be the
     * natural oracle but it lives in the `fts` extension, which the offline
@@ -948,5 +978,5 @@ object TextQueries {
     q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution, q82OrcRoundtrip,
     q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip, q89ZOrderDictScan,
     q103PartitionOverwrite, q104Compaction, q105QualityGate, q112SentenceStats,
-    q120CompactionPartitioned, q124PipelineCorpus)
+    q120CompactionPartitioned, q124PipelineCorpus, q138ManifestChecksums)
 }

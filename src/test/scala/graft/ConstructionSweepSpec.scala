@@ -75,7 +75,13 @@ class ConstructionSweepSpec extends SparkSpec {
     // q120's FIRST build writes a fragmented lang-partitioned layout then
     // compacts each partition (one-time, _COMPACTED-marked; the second
     // compaction pass is skip-all and job-free; repeat builds job-free)
-    "q120_compaction_partitioned")
+    "q120_compaction_partitioned",
+    // q136 materializes its fixed PageRank rounds at build (eager
+    // checkpoint per round, prior round freed) — Graph.pageRank documents
+    // why a lazy formulation would recompute the edge join per round
+    "q136_pagerank",
+    // q140 iterates CC over the fuzzy-name entity graph at build, like q35
+    "q140_entity_groups")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

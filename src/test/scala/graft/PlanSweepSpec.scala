@@ -79,7 +79,10 @@ class PlanSweepSpec extends SparkSpec {
     // (≤ #periods rows, ~30 here; period-bounded, never corpus-sized),
     // broadcast as calendar-inequality nested loops — q109's scaffold
     // argument
-    "q122_volume_anomaly")
+    "q122_volume_anomaly",
+    // q140 — q93's dictionary-bounded fuzzy quadratic (64 distinct names),
+    // broadcast as an inequality nested loop over the vocab, never parts
+    "q140_entity_groups")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -364,7 +367,22 @@ class PlanSweepSpec extends SparkSpec {
     // series branch (pairs i/j, med, dev, mad, report — no static reuse
     // pre-AQE; runtime ReuseExchange dedupes, q111's argument) +
     // presentation sort
-    "q122_volume_anomaly" -> 11)
+    "q122_volume_anomaly" -> 11,
+    // q136: the rounds ran at build (checkpointed RDD arrives as a
+    // LogicalRDD); the declared plan is TakeOrdered over it — no exchange
+    "q136_pagerank" -> 0,
+    // q137: QI agg (partial→final) + presentation sort — one scan
+    "q137_k_anonymity" -> 2,
+    // q138: manifest agg (partial→final) + presentation sort — one scan
+    "q138_manifest_checksums" -> 2,
+    // q139: the range join's (user, band) exchanges + the purchase-keyed
+    // window + the touch-type rollup (distinct adds its Expand leg) + the
+    // '(none)' anti branch's purchase-side exchange + presentation sort
+    "q139_attribution" -> 6,
+    // q140: q35's static resolution shape over the dictionary graph — CC
+    // labels join + sizes agg + name/entity/count joins + the dictionary
+    // window's SinglePartition + final sort (every row vocab-bounded)
+    "q140_entity_groups" -> 9)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -188,4 +188,25 @@ class EventQueriesSpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("n_trans")).sum == rows.head.getAs[Long]("n_from"))
     }
   }
+
+  test("attribution conserves purchases and never over-credits") {
+    val rows = graft.SparkEntry.queries("q139_attribution")(spark, sf).collect()
+    val byType = rows.map(r => r.getAs[String]("touch_type") ->
+      (r.getAs[Long]("n_purchases"), r.getAs[java.math.BigDecimal]("credit_micros"))).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val total = purchases.count()
+    // every purchase is either attributed (to >= 1 touch types) or in '(none)'
+    val attributedTypes = byType.keys.filter(_ != "(none)")
+    assert(attributedTypes.nonEmpty && byType.contains("(none)"))
+    assert(byType("(none)")._1 <= total)
+    // truncated integer credits can never exceed the exact total value
+    val totalMicros = purchases
+      .agg(sum((round(col("value") * 100).cast("long") * lit(1000000L))
+        .cast("decimal(38,0)")))
+      .head.getDecimal(0)
+    val credited = rows.map(_.getAs[java.math.BigDecimal]("credit_micros"))
+      .reduce(_ add _)
+    assert(credited.compareTo(totalMicros) <= 0)
+  }
 }
