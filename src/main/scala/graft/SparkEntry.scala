@@ -14,7 +14,7 @@ object SparkEntry {
     operators.Relational.all ++ operators.TextQueries.all ++
       operators.PipelineQueries.all ++ ml.MlQueries.all ++
       operators.EventQueries.all ++ multimodal.MultimodalQueries.all ++
-      operators.Graph.all
+      operators.Graph.all ++ operators.Bpe.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

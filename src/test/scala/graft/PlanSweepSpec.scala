@@ -368,13 +368,23 @@ class PlanSweepSpec extends SparkSpec {
     // pre-AQE; runtime ReuseExchange dedupes, q111's argument) +
     // presentation sort
     "q122_volume_anomaly" -> 11,
-    // q136: the rounds ran at build (checkpointed RDD arrives as a
-    // LogicalRDD); the declared plan is TakeOrdered over it — no exchange
-    "q136_pagerank" -> 0,
+    // q136: the LAZY 5-round chain statically re-plans the edge subtree
+    // (scan joins + distinct + the keyed repartition) under every round —
+    // runtime ReuseExchange collapses all copies to one computation
+    // (Graph.pageRank documents the trade); per round the rank exchange +
+    // the contribution agg are the real recurring shuffles
+    "q136_pagerank" -> 40,
     // q137: QI agg (partial→final) + presentation sort — one scan
     "q137_k_anonymity" -> 2,
     // q138: manifest agg (partial→final) + presentation sort — one scan
     "q138_manifest_checksums" -> 2,
+    // q141: the merges learned at build land in a LocalRelation; the
+    // declared plan is its presentation sort only
+    "q141_bpe_merges" -> 1,
+    // q142: the per-(lang, word) dictionary agg (partial→final) + the
+    // per-lang rollup (re-keys the dictionary) + presentation sort — the
+    // merge APPLY is a pure expression chain, no exchange
+    "q142_bpe_fertility" -> 3,
     // q139: the range join's (user, band) exchanges + the purchase-keyed
     // window + the touch-type rollup (distinct adds its Expand leg) + the
     // '(none)' anti branch's purchase-side exchange + presentation sort
