@@ -1729,6 +1729,38 @@ object PipelineQueries {
       .orderBy("dims")
   }
 
+  /** PPS systematic sample ([[Sampling.ppsSystematic]]): 200 documents
+    * drawn with probability proportional to n_chars — token-weighted
+    * corpus thinning that preserves the token distribution where a
+    * uniform row sample would skew short. Integer arithmetic end to end
+    * (exclusive prefix sum + two integral divisions per row), so the
+    * selected id set — not just its size — is deterministic and DuckDB
+    * verifies it exactly; rows heavier than the step carry n_hits > 1
+    * so downstream weighting stays unbiased. */
+  val q143PpsSample: QuerySpec = QuerySpec.oracle(
+    "q143_pps_sample",
+    """WITH t AS (SELECT doc_id, lang, n_chars AS w FROM documents),
+      |c AS (SELECT doc_id, lang, w,
+      |  CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM t),
+      |s AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM t)
+      |SELECT doc_id, lang, w, cum_before,
+      |  ((cum_before + w) // greatest(total // 200, 1))
+      |    - (cum_before // greatest(total // 200, 1)) AS n_hits
+      |FROM c CROSS JOIN s
+      |WHERE ((cum_before + w) // greatest(total // 200, 1))
+      |    - (cum_before // greatest(total // 200, 1)) >= 1
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    Sampling.ppsSystematic(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars").as("w")),
+        "doc_id", "w", targetN = 200L)
+      .select("doc_id", "lang", "w", "cum_before", "n_hits")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -1740,5 +1772,5 @@ object PipelineQueries {
     q84DocChunks, q88MinHashPairs, q94Collocations, q100InvertedIndex,
     q106VectorHygiene, q115KeywordExtract, q116SourceOverlap,
     q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq,
-    q129SourceDivergence, q135MatryoshkaRecall)
+    q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample)
 }

@@ -118,4 +118,38 @@ object Sampling {
     val Array(train, valid) = df.randomSplit(Array(trainFraction, 1.0 - trainFraction), seed)
     (train, valid)
   }
+
+  /** Probability-proportional-to-size SYSTEMATIC sample: walk the corpus in
+    * `idCol` order, drop a pin every `step = max(total_weight div targetN, 1)`
+    * weight units, keep the rows a pin lands in. Every row's inclusion
+    * probability is proportional to its weight (the mixture-subsampling
+    * primitive: token-weighted corpus thinning keeps the TOKEN distribution,
+    * where uniform row sampling would skew it toward short documents), and
+    * rows heavier than `step` are kept with `n_hits > 1` so downstream
+    * weighting stays unbiased — a PPS sample that silently capped
+    * multiplicity would under-represent exactly the heavy rows it exists
+    * to keep.
+    *
+    * Everything is integer arithmetic over an exclusive prefix sum, so the
+    * selection is deterministic and cross-engine exact. The prefix sum runs
+    * STRIPED ([[StripedWindow]], q36's machinery): 16 range stripes over
+    * `idCol`, so no single task ever owns the corpus-wide ordered scan. The
+    * 1-row total rides the broadcast scalar idiom.
+    */
+  def ppsSystematic(df: DataFrame, idCol: String, weightCol: String,
+                    targetN: Long, stripes: Int = 16): DataFrame = {
+    require(targetN >= 1, "targetN must be positive")
+    val t = df.withColumn("__w", col(weightCol).cast("long"))
+    val striped = StripedWindow.withRangeStripe(t, idCol, stripes)
+    val c = StripedWindow.runningSum(striped, Nil, Seq(col(idCol)),
+        col("__w"), "cum_before", includeCurrent = false)
+      .drop(StripedWindow.StripeCol)
+    val total = t.agg(sum(col("__w")).as("__total"))
+    c.crossJoin(broadcast(total))
+      .withColumn("__step", greatest(expr(s"__total div $targetN"), lit(1L)))
+      .withColumn("n_hits",
+        expr("((cum_before + __w) div __step) - (cum_before div __step)"))
+      .filter(col("n_hits") >= 1)
+      .drop("__w", "__total", "__step")
+  }
 }

@@ -82,7 +82,10 @@ class PlanSweepSpec extends SparkSpec {
     "q122_volume_anomaly",
     // q140 — q93's dictionary-bounded fuzzy quadratic (64 distinct names),
     // broadcast as an inequality nested loop over the vocab, never parts
-    "q140_entity_groups")
+    "q140_entity_groups",
+    // q143 — two crossJoin(broadcast(·)) of 1-row aggregates (the stripe
+    // cut-points and the corpus weight total): the q27/q36 scalar idiom
+    "q143_pps_sample")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -378,6 +381,11 @@ class PlanSweepSpec extends SparkSpec {
     "q137_k_anonymity" -> 2,
     // q138: manifest agg (partial→final) + presentation sort — one scan
     "q138_manifest_checksums" -> 2,
+    // q143: the striped prefix sum's (stripe) window partition + the
+    // stripe-offsets aggregate subtree (planned under the offsets join's
+    // broadcast side too) + the 1-row weight total + presentation sort —
+    // q36's striped machinery plus the PPS scalar
+    "q143_pps_sample" -> 7,
     // q141: the merges learned at build land in a LocalRelation; the
     // declared plan is its presentation sort only
     "q141_bpe_merges" -> 1,

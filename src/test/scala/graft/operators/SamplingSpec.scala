@@ -103,4 +103,21 @@ class SamplingSpec extends SparkSpec {
     assert(train.count() + valid.count() == docs.count())
     assert(train.join(valid, "doc_id").count() == 0)
   }
+
+  test("ppsSystematic: pin count is exact and selection is layout-independent") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").as("w"))
+    val out = Sampling.ppsSystematic(docs, "doc_id", "w", targetN = 50L)
+    val total = docs.agg(sum(col("w"))).head.getLong(0)
+    val step = math.max(total / 50L, 1L)
+    // systematic pins land at step, 2*step, ..., so the hit MASS is exactly
+    // the number of multiples of step inside (0, total]
+    assert(out.agg(sum(col("n_hits"))).head.getLong(0) === total / step)
+    // determinism must come from values, not layout
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids7 = Sampling.ppsSystematic(docs.repartition(7), "doc_id", "w", 50L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids === ids7)
+  }
 }
