@@ -5,7 +5,7 @@ import graft.functions.Exprs._
 import graft.functions.TextFns
 import graft.functions.TextFns._
 import graft.sources.{Sinks, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text pipeline + text analysis (SURVEY.md §2.4-2.6 and the north-star
@@ -218,22 +218,127 @@ object TextQueries {
     * — row order, partitioning, and merge strategy can't move it), keyed
     * on (id, text) so both id reassignment and content drift surface. One
     * map-side-combined aggregate over one scan; nothing collects. */
-  val q138ManifestChecksums: QuerySpec = QuerySpec.oracle(
-    "q138_manifest_checksums",
-    """SELECT lang, source, count(*) AS n_docs,
-      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
-      |  CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))::BIGINT)
-      |    AS DECIMAL(38,0)) AS checksum
-      |FROM documents GROUP BY 1, 2
-      |ORDER BY lang, source""".stripMargin
-  ) { (spark, dir) =>
-    Tables.documents(spark, dir)
-      .groupBy("lang", "source")
+  /** Per-(lang, source) manifest of a documents-shaped table — the shared
+    * leaf computation of q138 (single-snapshot manifest) and q145
+    * (cross-snapshot diff). */
+  private def manifestOf(docs: DataFrame): DataFrame =
+    docs.groupBy("lang", "source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("n_chars"),
         sum(conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))), 1, 15),
           16, 10).cast("decimal(38,0)")).cast("decimal(38,0)").as("checksum"))
+
+  /** The q138/q145 checksum in DuckDB terms, over a relation named `t`. */
+  private def manifestSql(from: String): String =
+    s"""SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))::BIGINT)
+       |    AS DECIMAL(38,0)) AS checksum
+       |FROM $from GROUP BY 1, 2""".stripMargin
+
+  val q138ManifestChecksums: QuerySpec = QuerySpec.oracle(
+    "q138_manifest_checksums",
+    manifestSql("documents") + "\nORDER BY lang, source"
+  ) { (spark, dir) =>
+    manifestOf(Tables.documents(spark, dir)).orderBy("lang", "source")
+  }
+
+  /** One-time snapshot history for q144/q145 (sentinel = 3 committed
+    * versions): v0 = the source table; v1 = the 'fr' slice re-sourced to
+    * 'rev1' with n_chars + 500 (an UPDATE generation); v2 = v1 minus
+    * every 13th doc (a DELETE generation). All states derive from the
+    * source table, so rebuilding is idempotent and the DuckDB mirrors can
+    * recompute any version from first principles. */
+  private def ensureSnapshots(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"target/graft_snap_$tag/documents"
+    if (Sinks.committedVersions(path).size < 3) {
+      val v0 = Tables.documents(spark, dir)
+      val v1 = v0.select(col("doc_id"), col("text"), col("lang"),
+        when(col("lang") === "fr", lit("rev1")).otherwise(col("source")).as("source"),
+        when(col("lang") === "fr", col("n_chars") + 500).otherwise(col("n_chars")).as("n_chars"))
+      val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+      Seq(v0, v1, v2).foreach(Sinks.writeSnapshot(_, path))
+    }
+    path
+  }
+
+  /** Time travel over the snapshot log ([[Sinks.readSnapshotAsOf]]): read
+    * the table AS OF v1 while the log has moved on to v2 — the
+    * reproducibility primitive (pin the exact corpus state a model
+    * trained on) and the undo primitive (read past a bad commit). Version
+    * resolution is driver-side metadata; the scan reads ONE version
+    * directory. The in-build assert pins that the travelled read really
+    * differs from the latest (v2 deleted rows that v1 still has); the
+    * DuckDB mirror recomputes v1 from the source table, so the hash match
+    * proves the log returned exactly the committed v1 state. */
+  val q144TimeTravel: QuerySpec = QuerySpec.oracle(
+    "q144_time_travel",
+    """SELECT doc_id, text, lang,
+      |  CASE WHEN lang = 'fr' THEN 'rev1' ELSE source END AS source,
+      |  CASE WHEN lang = 'fr' THEN n_chars + 500 ELSE n_chars END AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val path = ensureSnapshots(spark, dir)
+    val asOfV1 = Sinks.readSnapshotAsOf(spark, path, Some(1))
+    val latest = Sinks.readSnapshotAsOf(spark, path)
+    require(latest.count() < asOfV1.count(),
+      "q144: time travel vacuous — latest snapshot should have deletions v1 lacks")
+    asOfV1.orderBy("doc_id")
+  }
+
+  /** Cross-snapshot manifest diff — q138's incremental-verification story
+    * completed: the v0 and latest (v2) manifests full-outer joined on the
+    * partition key, each partition classified added / removed / changed /
+    * unchanged. The 'fr' re-sourcing moves whole partitions ACROSS keys
+    * (removed + added pairs), the every-13th delete perturbs counts and
+    * checksums in place (changed), everything else must read unchanged —
+    * and only the non-unchanged partitions would need a re-read or
+    * re-replication at 100 TB. The joined relation is manifest-sized
+    * (partition count rows), never corpus-sized. */
+  val q145SnapshotDiff: QuerySpec = QuerySpec.oracle(
+    "q145_snapshot_diff",
+    s"""WITH v2 AS (
+       |  SELECT doc_id, text, lang,
+       |    CASE WHEN lang = 'fr' THEN 'rev1' ELSE source END AS source,
+       |    CASE WHEN lang = 'fr' THEN n_chars + 500 ELSE n_chars END AS n_chars
+       |  FROM documents WHERE doc_id % 13 <> 0),
+       |m0 AS (${manifestSql("documents")}),
+       |m2 AS (${manifestSql("v2")})
+       |SELECT coalesce(m0.lang, m2.lang) AS lang,
+       |  coalesce(m0.source, m2.source) AS source,
+       |  m0.n_docs AS n_docs_a, m2.n_docs AS n_docs_b,
+       |  m0.checksum AS checksum_a, m2.checksum AS checksum_b,
+       |  CASE WHEN m0.lang IS NULL THEN 'added'
+       |       WHEN m2.lang IS NULL THEN 'removed'
+       |       WHEN m0.n_docs <> m2.n_docs OR m0.n_chars <> m2.n_chars
+       |            OR m0.checksum <> m2.checksum THEN 'changed'
+       |       ELSE 'unchanged' END AS status
+       |FROM m0 FULL JOIN m2 ON m0.lang = m2.lang AND m0.source = m2.source
+       |ORDER BY lang, source""".stripMargin
+  ) { (spark, dir) =>
+    val path = ensureSnapshots(spark, dir)
+    val m0 = manifestOf(Sinks.readSnapshotAsOf(spark, path, Some(0)))
+      .select(col("lang").as("lang_a"), col("source").as("source_a"),
+        col("n_docs").as("n_docs_a"), col("n_chars").as("n_chars_a"),
+        col("checksum").as("checksum_a"))
+    val m2 = manifestOf(Sinks.readSnapshotAsOf(spark, path))
+      .select(col("lang").as("lang_b"), col("source").as("source_b"),
+        col("n_docs").as("n_docs_b"), col("n_chars").as("n_chars_b"),
+        col("checksum").as("checksum_b"))
+    m0.join(m2, col("lang_a") === col("lang_b") && col("source_a") === col("source_b"),
+        "full_outer")
+      .select(
+        coalesce(col("lang_a"), col("lang_b")).as("lang"),
+        coalesce(col("source_a"), col("source_b")).as("source"),
+        col("n_docs_a"), col("n_docs_b"), col("checksum_a"), col("checksum_b"),
+        when(col("lang_a").isNull, "added")
+          .when(col("lang_b").isNull, "removed")
+          .when(col("n_docs_a") =!= col("n_docs_b") ||
+            col("n_chars_a") =!= col("n_chars_b") ||
+            col("checksum_a") =!= col("checksum_b"), "changed")
+          .otherwise("unchanged").as("status"))
       .orderBy("lang", "source")
   }
 
@@ -978,5 +1083,6 @@ object TextQueries {
     q47RepetitionSignals, q48PiiScrub, q79SchemaEvolution, q82OrcRoundtrip,
     q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip, q89ZOrderDictScan,
     q103PartitionOverwrite, q104Compaction, q105QualityGate, q112SentenceStats,
-    q120CompactionPartitioned, q124PipelineCorpus, q138ManifestChecksums)
+    q120CompactionPartitioned, q124PipelineCorpus, q138ManifestChecksums,
+    q144TimeTravel, q145SnapshotDiff)
 }

@@ -338,4 +338,52 @@ object Sinks {
   def readJsonLines(spark: SparkSession, path: String,
                     schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Minimal snapshot log — the table-format commit protocol (Delta/Iceberg
+    * shape) reduced to what a filesystem gives you: each snapshot is a
+    * whole-table parquet write under `path/v=N`, made VISIBLE only by a
+    * `_COMMITTED` marker written after the data lands. Readers list
+    * committed versions only, so a crashed writer leaves an invisible
+    * half-version that the next attempt overwrites — readers can never
+    * observe a torn snapshot. (Real formats log deltas instead of
+    * rewriting the table; the COMMIT-MARKER visibility rule — and the
+    * time-travel read below — is the part this module models.)
+    */
+  def writeSnapshot(df: DataFrame, path: String): Int = {
+    val next = committedVersions(path).lastOption.map(_ + 1).getOrElse(0)
+    val vdir = new java.io.File(path, s"v=$next")
+    df.write.mode("overwrite").parquet(vdir.getPath)
+    require(new java.io.File(vdir, "_SUCCESS").exists, s"snapshot write failed: $vdir")
+    new java.io.FileOutputStream(new java.io.File(vdir, "_COMMITTED")).close()
+    next
+  }
+
+  /** Committed snapshot versions, ascending. Hidden siblings and
+    * uncommitted (in-flight/crashed) version dirs are invisible. */
+  def committedVersions(path: String): Seq[Int] = {
+    val root = new java.io.File(path)
+    Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && !isHiddenName(d.getName) &&
+        d.getName.startsWith("v=") && new java.io.File(d, "_COMMITTED").exists)
+      .map(_.getName.stripPrefix("v=").toInt)
+      .sorted
+  }
+
+  /** Time-travel scan: the newest committed snapshot ≤ `asOf` (or the
+    * latest when `asOf` is None). Version resolution is driver-side
+    * metadata only; the read is an ordinary pruned parquet scan of ONE
+    * version directory. */
+  def readSnapshotAsOf(spark: SparkSession, path: String,
+                       asOf: Option[Int] = None): DataFrame = {
+    val versions = committedVersions(path)
+    require(versions.nonEmpty, s"no committed snapshots under $path")
+    val v = asOf match {
+      case Some(n) =>
+        val at = versions.filter(_ <= n)
+        require(at.nonEmpty, s"no committed snapshot <= v$n under $path (have: $versions)")
+        at.last
+      case None => versions.last
+    }
+    spark.read.parquet(new java.io.File(path, s"v=$v").getPath)
+  }
 }

@@ -83,6 +83,11 @@ class ConstructionSweepSpec extends SparkSpec {
     "q136_pagerank",
     // q140 iterates CC over the fuzzy-name entity graph at build, like q35
     "q140_entity_groups",
+    // q144/q145's FIRST build writes the three-version snapshot log
+    // (one-time, commit-marker-guarded; repeat builds list committed
+    // versions driver-side and are job-free — except q144's travelled-vs-
+    // latest count assert, the documented in-build pin)
+    "q144_time_travel", "q145_snapshot_diff",
     // q141/q142 learn BPE merges at build: each round's argmax is a 1-row
     // collect that must become a literal in the next round's rewrite —
     // inherently iterative (Bpe.learnMerges documents the contract)

@@ -381,6 +381,12 @@ class PlanSweepSpec extends SparkSpec {
     "q137_k_anonymity" -> 2,
     // q138: manifest agg (partial→final) + presentation sort — one scan
     "q138_manifest_checksums" -> 2,
+    // q144: pure scan of one committed version directory + the
+    // presentation sort (version resolution is driver-side metadata)
+    "q144_time_travel" -> 1,
+    // q145: one manifest agg (partial→final) per snapshot side into the
+    // manifest-sized full-outer join + presentation sort
+    "q145_snapshot_diff" -> 3,
     // q143: the striped prefix sum's (stripe) window partition + the
     // stripe-offsets aggregate subtree (planned under the offsets join's
     // broadcast side too) + the 1-row weight total + presentation sort —

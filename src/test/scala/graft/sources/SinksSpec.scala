@@ -322,4 +322,38 @@ class SinksSpec extends SparkSpec {
       assert(dates.sameElements(dates.sorted), s"${f.getName} not sorted")
     }
   }
+
+  test("snapshot log: versions commit in order and time travel resolves <= asOf") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_snap").toString + "/t"
+    assert(Sinks.writeSnapshot(Seq((1, "a")).toDF("id", "v"), path) == 0)
+    assert(Sinks.writeSnapshot(Seq((1, "b")).toDF("id", "v"), path) == 1)
+    assert(Sinks.writeSnapshot(Seq((1, "c")).toDF("id", "v"), path) == 2)
+    assert(Sinks.committedVersions(path) == Seq(0, 1, 2))
+    assert(Sinks.readSnapshotAsOf(spark, path, Some(1))
+      .select("v").as[String].head() == "b")
+    // asOf between versions resolves DOWN; latest wins with no asOf
+    assert(Sinks.readSnapshotAsOf(spark, path, Some(5))
+      .select("v").as[String].head() == "c")
+    assert(Sinks.readSnapshotAsOf(spark, path)
+      .select("v").as[String].head() == "c")
+    intercept[IllegalArgumentException](
+      Sinks.readSnapshotAsOf(spark, path, Some(-1)))
+  }
+
+  test("snapshot log: an uncommitted (crashed) version is invisible and gets overwritten") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_snapc").toString + "/t"
+    Sinks.writeSnapshot(Seq((1, "a")).toDF("id", "v"), path)
+    // simulate a crash: v=1 data present, no _COMMITTED marker
+    val torn = new java.io.File(path, "v=1")
+    Seq((1, "TORN")).toDF("id", "v").write.parquet(torn.getPath)
+    assert(Sinks.committedVersions(path) == Seq(0))
+    assert(Sinks.readSnapshotAsOf(spark, path)
+      .select("v").as[String].head() == "a")
+    // the retry lands ON TOP of the torn dir and commits it
+    assert(Sinks.writeSnapshot(Seq((1, "b")).toDF("id", "v"), path) == 1)
+    assert(Sinks.readSnapshotAsOf(spark, path)
+      .select("v").as[String].head() == "b")
+  }
 }
