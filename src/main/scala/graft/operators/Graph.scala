@@ -64,8 +64,12 @@ object Graph {
     // caching is ContextCleaner-managed: the blocks free themselves when
     // the result DataFrame is dropped, so there is no unpersist lifecycle
     // to get wrong.
+    // no explicit repartition: the deg join is itself keyed on
+    // (src_t, src), so its output — and therefore the checkpointed RDD,
+    // which preserves outputPartitioning — already carries the hash
+    // partitioning every round's join needs; an extra repartition would
+    // shuffle the |E|-sized relation once more for nothing
     val contribEdges = edges.join(deg, Seq("src_t", "src"))
-      .repartition(col("src_t"), col("src"))
       .localCheckpoint(eager = false)
     var ranks = deg
       .select(col("src_t"), col("src"), lit(unit).cast("long").as("rank_units"))

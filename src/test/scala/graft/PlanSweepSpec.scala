@@ -376,7 +376,7 @@ class PlanSweepSpec extends SparkSpec {
     // runtime ReuseExchange collapses all copies to one computation
     // (Graph.pageRank documents the trade); per round the rank exchange +
     // the contribution agg are the real recurring shuffles
-    "q136_pagerank" -> 40,
+    "q136_pagerank" -> 12,
     // q137: QI agg (partial→final) + presentation sort — one scan
     "q137_k_anonymity" -> 2,
     // q138: manifest agg (partial→final) + presentation sort — one scan
