@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Maximal-marginal-relevance selection over a per-query candidate
+  * shortlist — the diversity re-rank a retrieval pipeline runs between
+  * ANN top-k and serving: greedily pick the candidate maximizing
+  * `λ·relevance − (1−λ)·max cosine to anything already picked`, so
+  * near-duplicate hits stop crowding out coverage (Carbonell & Goldstein
+  * 1998).
+  *
+  * Runs INSIDE the row as a codegen'd expression over the collected
+  * shortlist array (one static kernel call, no UDF fence): the shortlist
+  * is bounded (k′ ≪ corpus) by the top-k operator that feeds it, so the
+  * O(k·k′) greedy scan with its pairwise cosines is per-row arithmetic —
+  * the corpus-scale work stays in the top-k aggregate, and MMR adds ZERO
+  * shuffles. Selection is deterministic: argmax with ties broken by
+  * smallest id, max() over floats is input-order independent, so the
+  * result does not depend on collect_list ordering.
+  *
+  * Input: array<struct<id: long, score: double, vec: array<float>>>;
+  * output: array<struct<id: long, score: double, mmr: double>> in pick
+  * order. Zero/ragged vectors get cosine 0 against everything (they
+  * never look redundant, matching VectorFns' null-similarity stance).
+  */
+case class MmrExpression(child: Expression, k: Int, lambdaPct: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("mmr", DoubleType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    MmrExpression.select(input.asInstanceOf[ArrayData], k, lambdaPct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MmrExpression.select($c, $k, $lambdaPct)")
+
+  override protected def withNewChildInternal(newChild: Expression): MmrExpression =
+    copy(child = newChild)
+}
+
+object MmrExpression {
+
+  /** Greedy MMR over catalyst rows; static so codegen calls it directly. */
+  def select(candidates: ArrayData, k: Int, lambdaPct: Int): ArrayData = {
+    val n = candidates.numElements()
+    val ids = new Array[Long](n)
+    val scores = new Array[Double](n)
+    val vecs = new Array[Array[Float]](n)
+    var i = 0
+    while (i < n) {
+      val row = candidates.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      scores(i) = row.getDouble(1)
+      vecs(i) = row.getArray(2).toFloatArray()
+      i += 1
+    }
+    val lam = lambdaPct / 100.0
+    val picked = new Array[Boolean](n)
+    // running max-similarity-to-picked per candidate: updating it after
+    // each pick keeps the greedy loop O(k·n) instead of O(k²·n).
+    // Initialized to -∞, NOT 0: cosine to everything picked can be
+    // negative, and flooring the penalty at zero would stop rewarding
+    // anti-correlated (maximally diverse) candidates
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val out = new Array[Any](math.min(k, n))
+    var round = 0
+    while (round < out.length) {
+      var best = -1
+      var bestVal = Double.NegativeInfinity
+      i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val v = if (round == 0) scores(i) else lam * scores(i) - (1 - lam) * maxSim(i)
+          if (v > bestVal || (v == bestVal && (best < 0 || ids(i) < ids(best)))) {
+            bestVal = v; best = i
+          }
+        }
+        i += 1
+      }
+      picked(best) = true
+      out(round) = InternalRow(ids(best), scores(best), bestVal)
+      i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val s = cosine(vecs(i), vecs(best))
+          if (s > maxSim(i)) maxSim(i) = s
+        }
+        i += 1
+      }
+      round += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    // full norms, not just the overlapping prefix
+    i = n
+    while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+    i = n
+    while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Column entry point: `mmr(candidates, k = 5, lambdaPct = 70)`. */
+  def mmr(candidates: Column, k: Int, lambdaPct: Int): Column = {
+    require(k >= 1 && lambdaPct >= 0 && lambdaPct <= 100)
+    ColumnBridge.column(MmrExpression(ColumnBridge.expression(candidates), k, lambdaPct))
+  }
+}

@@ -1761,6 +1761,22 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** MMR-diversified retrieval ([[Similarity.mmrRerank]]): every 25th
+    * vector queries the corpus, exact top-20 shortlist, greedy λ=0.7
+    * re-rank to 5 — rows-only (float greedy; no SQL mirror), with
+    * SimilaritySpec holding a plain-Scala reference implementation to
+    * the same results and pinning the diversity claim on a planted
+    * near-duplicate cluster. */
+  val q147MmrRerank: QuerySpec = QuerySpec.rowsOnly(
+    "q147_mmr_rerank"
+  ) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.mmrRerank(
+        emb.filter(col("vec_id") % 25 === 0), emb,
+        shortlist = 20, k = 5, lambdaPct = 70)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -1772,5 +1788,5 @@ object PipelineQueries {
     q84DocChunks, q88MinHashPairs, q94Collocations, q100InvertedIndex,
     q106VectorHygiene, q115KeywordExtract, q116SourceOverlap,
     q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq,
-    q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample)
+    q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample, q147MmrRerank)
 }

@@ -49,6 +49,34 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"), col("col.score").as("sim"))
   }
 
+  /** MMR diversity re-rank ([[graft.functions.MmrExpression]]) on top of
+    * the exact top-`shortlist`: near-duplicate hits stop crowding the
+    * final k. The shortlist rides back through ONE broadcast gather join
+    * (the |Q|·shortlist result is broadcast into a corpus scan to fetch
+    * vectors — the corpus never shuffles), is collected per query (bounded
+    * arrays), and the greedy selection runs in-row as a codegen'd kernel:
+    * MMR adds zero shuffles beyond the top-k that feeds it. collect_list
+    * order does not matter — the kernel's argmax/tie-break is input-order
+    * independent. */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, shortlist: Int,
+                k: Int, lambdaPct: Int): DataFrame = {
+    import graft.functions.MmrExpression
+    val top = bruteForceTopK(queries, corpus, shortlist)
+    val withVec = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(top), "neighbor_id")
+    withVec.groupBy("query_id")
+      .agg(collect_list(struct(
+        col("neighbor_id").cast("long").as("id"),
+        col("sim").as("score"),
+        col("c_emb").as("vec"))).as("cands"))
+      .select(col("query_id"),
+        posexplode(MmrExpression.mmr(col("cands"), k, lambdaPct)))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("sim"),
+        col("col.mmr").as("mmr"))
+  }
+
   /** All pairs (i < j) above a cosine threshold — the embedding near-dup
     * primitive. Quadratic: use only on a blocked/bucketed subset; the scale
     * path is `lshNearDupPairs`. */

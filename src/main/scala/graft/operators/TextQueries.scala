@@ -342,6 +342,35 @@ object TextQueries {
       .orderBy("lang", "source")
   }
 
+  /** Compression-ratio quality report
+    * ([[graft.functions.CompressionSignalExpression]]): per (lang, source)
+    * partition, total raw vs deflated bytes, the aggregate ratio, and how
+    * many documents fall under the boilerplate fence (per-doc ratio
+    * < 0.35 — templated/repetitive text collapses under deflate while
+    * prose holds a stable fraction). One scan, one codegen'd kernel call
+    * per row, map-side-combined aggregate. Rows-only by declared
+    * contract: deflate output is deterministic per zlib build but not a
+    * cross-engine constant, and DuckDB exposes no deflate to mirror —
+    * CompressionSignalSpec pins the separation claims instead. */
+  val q146CompressionQuality: QuerySpec = QuerySpec.rowsOnly(
+    "q146_compression_quality"
+  ) { (spark, dir) =>
+    import graft.functions.CompressionSignalExpression.deflateLen
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        deflateLen(col("text")).cast("long").as("n_deflate"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(col("n_deflate")).as("n_deflate"),
+        count(when(col("n_deflate").cast("double") <
+          col("n_bytes").cast("double") * 0.35, 1)).as("n_boilerplate"))
+      .withColumn("ratio",
+        col("n_deflate").cast("double") / col("n_bytes").cast("double"))
+      .orderBy("lang", "source")
+  }
+
   /** The reference's full `_clean_tweet` end state incl. Porter stemming
     * (T1→T5). Rows-only: DuckDB's snowball `stem(t,'porter')` would be the
     * natural oracle but it lives in the `fts` extension, which the offline
@@ -1084,5 +1113,5 @@ object TextQueries {
     q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip, q89ZOrderDictScan,
     q103PartitionOverwrite, q104Compaction, q105QualityGate, q112SentenceStats,
     q120CompactionPartitioned, q124PipelineCorpus, q138ManifestChecksums,
-    q144TimeTravel, q145SnapshotDiff)
+    q144TimeTravel, q145SnapshotDiff, q146CompressionQuality)
 }

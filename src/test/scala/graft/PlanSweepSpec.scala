@@ -85,7 +85,10 @@ class PlanSweepSpec extends SparkSpec {
     "q140_entity_groups",
     // q143 — two crossJoin(broadcast(·)) of 1-row aggregates (the stripe
     // cut-points and the corpus weight total): the q27/q36 scalar idiom
-    "q143_pps_sample")
+    "q143_pps_sample",
+    // q147 — the bounded query side broadcasts into the corpus cross join
+    // (q40's bruteForceTopK contract feeding the MMR re-rank)
+    "q147_mmr_rerank")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -381,6 +384,12 @@ class PlanSweepSpec extends SparkSpec {
     "q137_k_anonymity" -> 2,
     // q138: manifest agg (partial→final) + presentation sort — one scan
     "q138_manifest_checksums" -> 2,
+    // q146: compression agg (partial→final) + presentation sort — one scan
+    "q146_compression_quality" -> 2,
+    // q147: the top-k agg (partial→final, q40's shape) + the per-query
+    // collect agg reusing the gather join's broadcast — the MMR kernel
+    // itself adds no exchange; presentation sort
+    "q147_mmr_rerank" -> 3,
     // q144: pure scan of one committed version directory + the
     // presentation sort (version resolution is driver-side metadata)
     "q144_time_travel" -> 1,

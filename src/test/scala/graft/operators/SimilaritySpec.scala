@@ -218,4 +218,60 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Int]("pred_label") == 7)
     assert(out.head.getAs[Long]("n_votes") == 5L)
   }
+
+  test("MMR: planted near-duplicate cluster loses its second seat to the diverse candidate") {
+    import graft.functions.MmrExpression
+    import spark.implicits._
+    // a1/a2 nearly identical (score 0.95/0.94), b orthogonal at 0.80:
+    // pure relevance keeps {a1, a2}; MMR at lambda = 0.7 swaps in b
+    val cands = Seq(Seq(
+      (1L, 0.95, Seq(1.0f, 0.0f)),
+      (2L, 0.94, Seq(0.999f, 0.01f)),
+      (3L, 0.80, Seq(0.0f, 1.0f))))
+      .toDF("cands")
+      .select(MmrExpression.mmr(
+        col("cands").cast("array<struct<id:bigint,score:double,vec:array<float>>>"),
+        k = 2, lambdaPct = 70).as("picked"))
+    val picked = cands.selectExpr("transform(picked, p -> p.id) AS ids")
+      .as[Seq[Long]].head()
+    assert(picked === Seq(1L, 3L))
+  }
+
+  test("q147 MMR matches a plain-Scala greedy reference on the real corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0
+      for (i <- 0 until n) dot += a(i).toDouble * b(i).toDouble
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+    }
+    val got = graft.SparkEntry.queries("q147_mmr_rerank")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq }
+    got.foreach { case (q, pickedIds) =>
+      // reference: exact top-20 shortlist by (sim desc, id asc), then greedy MMR
+      val short = emb.keys.filter(_ != q).toSeq
+        .map(id => (id, cos(emb(q), emb(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(20)
+      var picked = Vector.empty[(Long, Double)]
+      var remaining = short
+      while (picked.length < 5 && remaining.nonEmpty) {
+        val scored = remaining.map { case (id, s) =>
+          val pen = if (picked.isEmpty) 0.0
+            else picked.map(p => cos(emb(id), emb(p._1))).max
+          val v = if (picked.isEmpty) s else 0.7 * s - 0.3 * pen
+          (id, s, v)
+        }
+        val best = scored.minBy { case (id, _, v) => (-v, id) }
+        picked :+= ((best._1, best._2))
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      assert(pickedIds === picked.map(_._1).toSeq, s"query $q diverged")
+    }
+    assert(got.nonEmpty)
+  }
 }
