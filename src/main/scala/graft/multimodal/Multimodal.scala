@@ -90,6 +90,58 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image hash (dHash): 64-bit gradient fingerprint over a
+    * deterministic 9×8 luma grid — near-duplicate IMAGE detection with
+    * the same hamming machinery the text corpus uses. Grid cells are
+    * NEAREST-SAMPLED (not interpolated): `Graphics2D` scaling quality
+    * varies by JVM/platform flags, while integer nearest sampling is
+    * bit-reproducible anywhere. Bit (y·8+x) = luma(x+1, y) > luma(x, y):
+    * gradients survive uniform brightness/contrast shifts, which is the
+    * robustness a perceptual hash exists for. Unparseable payloads fall
+    * back to [[FakeCodec.frameFingerprint]] so the seam stays total (the
+    * synthetic table's hash-bytes rows still get deterministic hashes).
+    */
+  object ImageHash {
+    def dHash(bytes: Array[Byte]): Long = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) FakeCodec.frameFingerprint(bytes, 0)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        def luma(gx: Int, gy: Int): Int = {
+          val px = math.min(w - 1, gx * w / 9)
+          val py = math.min(h - 1, gy * h / 8)
+          val rgb = img.getRGB(px, py)
+          (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+            114 * (rgb & 0xFF)) / 1000
+        }
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (luma(x + 1, y) > luma(x, y)) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        hash
+      }
+    }
+  }
+
+  final case class ImageHashRow(media_id: Long, dhash: Long)
+
+  /** dHash per image row — iterator-to-iterator, one decode per row. */
+  def imageHashes(media: Dataset[MediaRecord]): Dataset[ImageHashRow] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").mapPartitions { it =>
+      it.map(m => ImageHashRow(m.media_id, ImageHash.dHash(m.bytes)))
+    }
+  }
+
   /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU ship
     * with the JDK — no external codec): 16-bit PCM frames are read, each
     * sample's normalized amplitude |s|/32768 is bucket-averaged into `dims`

@@ -40,5 +40,26 @@ object MultimodalQueries {
       .orderBy("parsed")
   }
 
-  val all: Seq[QuerySpec] = Seq(q70DecodeFeatures, q71FrameSample, q72VideoMeta)
+  /** Image near-dup detection: dHash per image
+    * ([[Multimodal.ImageHash]] — real-pixel path pinned in MultimodalSpec
+    * with planted BMPs; the synthetic payloads here ride the documented
+    * fallback fingerprint) + the SAME pigeonhole hamming join the text
+    * corpus uses ([[graft.operators.Dedup.hammingPairs]], modality-blind).
+    * Exact duplicates are planted by cloning every 50th image payload
+    * under a shifted id, so the pair set is deterministic and non-empty:
+    * every planted clone must surface at hamming 0. */
+  val q148ImageDedup: QuerySpec = QuerySpec.rowsOnly("q148_image_dedup") { (spark, dir) =>
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, 2000)
+    val clones = media.filter(col("kind") === "image" && col("media_id") % 50 === 0)
+      .map(m => m.copy(media_id = m.media_id + 1000000))
+    val hashes = Multimodal.imageHashes(media.union(clones)).toDF()
+    graft.operators.Dedup.hammingPairs(hashes, "media_id", "dhash",
+        bits = 64, maxHamming = 6)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q70DecodeFeatures, q71FrameSample, q72VideoMeta,
+    q148ImageDedup)
 }

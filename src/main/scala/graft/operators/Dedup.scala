@@ -463,16 +463,29 @@ object Dedup {
     * join on (block_idx, block_bits) and only candidates pay the popcount
     * verification. Shuffle-on-key, never all-pairs. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+                   bits: Int = 16, maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      docs.select(col(idCol).as("doc"), simHash(col(textCol), bits).as("simhash")),
+      idCol = "doc", sigCol = "simhash", bits = bits, maxHamming = maxHamming)
+
+  /** The pigeonhole block join itself, over any PRECOMPUTED bit signature
+    * (text simhash, image dHash, audio fingerprint — the machinery is
+    * modality-blind): split into maxHamming+1 blocks, candidates must
+    * agree on ≥1 whole block, popcount verifies. Shuffle-on-key. */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                   bits: Int, maxHamming: Int): DataFrame = {
     val nBlocks = maxHamming + 1
     val blockSize = math.max(1, bits / nBlocks)
-    val hashed = docs.select(col(idCol).as("doc"), simHash(col(textCol), bits).as("simhash"))
+    val hashed = sigs.select(col(idCol).as("doc"), col(sigCol).as("simhash"))
     val blocks = hashed.select(col("doc"), col("simhash"), explode(array(
       (0 until nBlocks).map { b =>
         val lo = b * blockSize
         val width = if (b == nBlocks - 1) bits - lo else blockSize
+        // Java shifts are mod 64: a 64-bit-wide block (maxHamming = 0 over
+        // a full long) needs the explicit all-ones mask
+        val mask = if (width >= 64) -1L else (1L << width) - 1
         struct(lit(b).as("blk"),
-          shiftright(col("simhash"), lo).bitwiseAND((1L << width) - 1).as("bits"))
+          shiftright(col("simhash"), lo).bitwiseAND(mask).as("bits"))
       }: _*)).as("bk"))
       .select(col("doc"), col("simhash"), col("bk.blk").as("blk"), col("bk.bits").as("bits"))
     val a = blocks.select(col("blk"), col("bits"), col("doc").as("id_a"), col("simhash").as("sh_a"))

@@ -384,6 +384,10 @@ class PlanSweepSpec extends SparkSpec {
     "q137_k_anonymity" -> 2,
     // q138: manifest agg (partial→final) + presentation sort — one scan
     "q138_manifest_checksums" -> 2,
+    // q148: the block-key self-join's exchange + the pair-dedup agg (the
+    // presentation sort rides it) — q33's pigeonhole shape over image
+    // hashes
+    "q148_image_dedup" -> 2,
     // q146: compression agg (partial→final) + presentation sort — one scan
     "q146_compression_quality" -> 2,
     // q147: the top-k agg (partial→final, q40's shape) + the per-query

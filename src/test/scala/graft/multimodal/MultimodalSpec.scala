@@ -130,4 +130,32 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.filter(r => r.getAs[Int]("width") <= 100 && r.getAs[Int]("height") <= 100)
       .forall(r => r.getAs[Int]("out_width") == r.getAs[Int]("width")))
   }
+
+  test("dHash: stable under uniform brightness shift, far for a different image, clones at hamming 0") {
+    import java.awt.image.BufferedImage
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def gray(v: Int) = { val c = math.max(0, math.min(255, v)); (c << 16) | (c << 8) | c }
+    // diagonal luminance gradient; +40 uniform brightness; vertical stripes
+    val base = png((x, y) => gray(2 * (x + y)))
+    val brighter = png((x, y) => gray(2 * (x + y) + 40))
+    val stripes = png((x, _) => gray(if ((x / 8) % 2 == 0) 230 else 20))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hBase = Multimodal.ImageHash.dHash(base)
+    val hBright = Multimodal.ImageHash.dHash(brighter)
+    val hStripes = Multimodal.ImageHash.dHash(stripes)
+    assert(ham(hBase, hBright) <= 4, s"brightness shift moved ${ham(hBase, hBright)} bits")
+    assert(ham(hBase, hStripes) >= 16, s"different image too close: ${ham(hBase, hStripes)}")
+    // q148: every planted clone surfaces at hamming 0
+    val pairs = graft.SparkEntry.queries("q148_image_dedup")(spark, sf).collect()
+    val clonePairs = pairs.filter(r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 1000000)
+    assert(clonePairs.length == 14, s"expected 14 planted clones, got ${clonePairs.length}")
+    assert(clonePairs.forall(_.getAs[Long]("hamming") == 0L))
+  }
 }
