@@ -1777,6 +1777,89 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** log2-discount weights for NDCG@5, their cumulative sums (the ideal
+    * DCG for n relevant), and 1/rank for MRR — computed ONCE in Scala and
+    * embedded as literals in BOTH the Spark plan and the DuckDB oracle
+    * (Double.toString round-trips exactly), so every float in q149 is
+    * either a shared literal or a fixed-order expression over them:
+    * that is what makes ranking-quality metrics hash-verifiable. */
+  private val NdcgW: Seq[Double] = (1 to 5).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private val NdcgCum: Seq[Double] = NdcgW.scanLeft(0.0)(_ + _).tail
+  private val InvRank: Seq[Double] = (1 to 5).map(i => 1.0 / i)
+
+  /** Retrieval-quality evaluation (per-query MRR / NDCG@5 / P@5): every
+    * 25th vector queries the held-out corpus, top-5 exact cosine
+    * neighbors, a neighbor is relevant iff it shares the query's label —
+    * the eval harness every retrieval/embedding pipeline runs before
+    * swapping an index or an embedding model. Metrics are emitted PER
+    * QUERY (the corpus-mean is one trivial aggregation away) so every
+    * float operation has a fixed evaluation order — see [[NdcgW]] — and
+    * the DuckDB oracle matches bit-for-bit, ranks, discounts and all.
+    * Shape: q40's broadcast-query top-k (the corpus never shuffles) + a
+    * rank pivot that is one map-side-combined aggregate. */
+  val q149RetrievalEval: QuerySpec = QuerySpec.oracle(
+    "q149_retrieval_eval", {
+      val rels = (1 to 5).map(i => s"max(CASE WHEN rk = $i THEN rel END) AS rel$i").mkString(",\n      |        ")
+      val nRel = (1 to 5).map(i => s"rel$i").mkString(" + ")
+      val dcg = (1 to 5).map(i => s"rel$i * ${NdcgW(i - 1)}").mkString(" + ")
+      val mrr = (1 to 5).map(i => s"WHEN rel$i = 1 THEN ${InvRank(i - 1)}").mkString(" ")
+      val idcg = (1 to 5).map(i => s"WHEN $i THEN ${NdcgCum(i - 1)}").mkString(" ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+         |           FROM embeddings WHERE vec_id % 25 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS clabel
+         |      FROM embeddings WHERE vec_id % 25 <> 0),
+         |s AS (SELECT query_id, qlabel, neighbor_id,
+         |        CASE WHEN clabel = qlabel THEN 1 ELSE 0 END AS rel,
+         |        ${VectorFns.Sql.cosine("qe", "ce")} AS sim
+         |      FROM q, c),
+         |r AS (SELECT query_id, qlabel, rel,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+         |      FROM s),
+         |p AS (SELECT query_id, qlabel,
+         |        $rels
+         |      FROM r WHERE rk <= 5 GROUP BY 1, 2)
+         |SELECT query_id, qlabel AS label,
+         |  CAST($nRel AS BIGINT) AS n_rel,
+         |  CAST($nRel AS DOUBLE) / 5 AS p_at_5,
+         |  CASE $mrr ELSE 0.0 END AS mrr,
+         |  CASE WHEN $nRel = 0 THEN 0.0
+         |       ELSE ($dcg) / (CASE ($nRel) $idcg END) END AS ndcg
+         |FROM p ORDER BY query_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+    val top = Similarity.bruteForceTopK(queries, corpus, 5)
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("label").as("qlabel"))),
+        "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("label").as("clabel")),
+        "neighbor_id")
+      .withColumn("rel", when(col("clabel") === col("qlabel"), 1).otherwise(0))
+    val pivoted = top.groupBy("query_id", "qlabel")
+      .agg(
+        max(when(col("rank") === 1, col("rel"))).as("rel1"),
+        (2 to 5).map(i => max(when(col("rank") === i, col("rel"))).as(s"rel$i")): _*)
+    val nRel = (1 to 5).map(i => col(s"rel$i")).reduce(_ + _)
+    val dcg = (1 to 5).map(i => col(s"rel$i") * lit(NdcgW(i - 1))).reduce(_ + _)
+    val mrrOrdered = when(col("rel1") === 1, InvRank(0))
+      .when(col("rel2") === 1, InvRank(1))
+      .when(col("rel3") === 1, InvRank(2))
+      .when(col("rel4") === 1, InvRank(3))
+      .when(col("rel5") === 1, InvRank(4))
+      .otherwise(0.0)
+    val idcgCase = (1 to 5).foldLeft(null: Column) { (acc, i) =>
+      if (acc == null) when(nRel === i, NdcgCum(i - 1))
+      else acc.when(nRel === i, NdcgCum(i - 1))
+    }
+    pivoted.select(col("query_id"), col("qlabel").as("label"),
+        nRel.cast("long").as("n_rel"),
+        (nRel.cast("double") / lit(5)).as("p_at_5"),
+        mrrOrdered.as("mrr"),
+        when(nRel === 0, 0.0).otherwise(dcg / idcgCase).as("ndcg"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -1788,5 +1871,6 @@ object PipelineQueries {
     q84DocChunks, q88MinHashPairs, q94Collocations, q100InvertedIndex,
     q106VectorHygiene, q115KeywordExtract, q116SourceOverlap,
     q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq,
-    q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample, q147MmrRerank)
+    q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample, q147MmrRerank,
+    q149RetrievalEval)
 }

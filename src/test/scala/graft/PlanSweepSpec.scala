@@ -88,7 +88,10 @@ class PlanSweepSpec extends SparkSpec {
     "q143_pps_sample",
     // q147 — the bounded query side broadcasts into the corpus cross join
     // (q40's bruteForceTopK contract feeding the MMR re-rank)
-    "q147_mmr_rerank")
+    "q147_mmr_rerank",
+    // q149 — same bruteForceTopK broadcast-query contract feeding the
+    // ranking-metrics pivot
+    "q149_retrieval_eval")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -384,6 +387,9 @@ class PlanSweepSpec extends SparkSpec {
     "q137_k_anonymity" -> 2,
     // q138: manifest agg (partial→final) + presentation sort — one scan
     "q138_manifest_checksums" -> 2,
+    // q149: the top-k agg (partial→final, q40's shape) — the rank pivot
+    // reuses its query_id partitioning; presentation sort rides it
+    "q149_retrieval_eval" -> 2,
     // q148: the block-key self-join's exchange + the pair-dedup agg (the
     // presentation sort rides it) — q33's pigeonhole shape over image
     // hashes

@@ -274,4 +274,24 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  test("q149 retrieval metrics: bounds, coherence, and a planted perfect query") {
+    val rows = graft.SparkEntry.queries("q149_retrieval_eval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p5, mrr, ndcg) = (r.getAs[Long]("n_rel"), r.getAs[Double]("p_at_5"),
+        r.getAs[Double]("mrr"), r.getAs[Double]("ndcg"))
+      assert(n >= 0 && n <= 5)
+      assert(p5 === n / 5.0)
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-12)
+      // a query with zero relevant has every metric at zero; with any
+      // relevant, MRR and NDCG are strictly positive
+      if (n == 0) assert(mrr == 0.0 && ndcg == 0.0)
+      else assert(mrr > 0.0 && ndcg > 0.0)
+      // top-heavy coherence: if the first hit is relevant, NDCG is at
+      // least DCG of one top hit over the ideal of n hits
+      if (mrr == 1.0 && n == 5) assert(math.abs(ndcg - 1.0) < 1e-12)
+    }
+  }
 }
