@@ -132,6 +132,37 @@ object Multimodal {
     }
   }
 
+  /** Audio fingerprint: 64-bit loudness-GRADIENT hash over the decoded
+    * envelope — the audio twin of [[ImageHash.dHash]], feeding the same
+    * modality-blind hamming join. Bit i = env(i+1) > env(i) (gradient,
+    * not mean-threshold), so uniform VOLUME scaling preserves every bit:
+    * a re-encoded-louder copy of the same clip hashes identically —
+    * exactly the robustness an audio near-dup pass needs. Unparseable
+    * payloads ride [[AudioCodec]]'s documented FakeCodec fallback, so the
+    * hash stays total and deterministic. */
+  object AudioHash {
+    def fingerprint(bytes: Array[Byte]): Long = {
+      val env = AudioCodec.decode(bytes, 65)
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (env(i + 1) > env(i)) h |= 1L << i
+        i += 1
+      }
+      h
+    }
+  }
+
+  final case class AudioHashRow(media_id: Long, afp: Long)
+
+  /** Fingerprint per audio row — iterator-to-iterator, one decode each. */
+  def audioHashes(media: Dataset[MediaRecord]): Dataset[AudioHashRow] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "audio").mapPartitions { it =>
+      it.map(m => AudioHashRow(m.media_id, AudioHash.fingerprint(m.bytes)))
+    }
+  }
+
   final case class ImageHashRow(media_id: Long, dhash: Long)
 
   /** dHash per image row — iterator-to-iterator, one decode per row. */

@@ -60,6 +60,22 @@ object MultimodalQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Audio near-dup detection — q148's shape for the audio modality:
+    * loudness-gradient fingerprints ([[Multimodal.AudioHash]], volume-
+    * invariant by construction; real-WAV path pinned in MultimodalSpec)
+    * into the same pigeonhole hamming join. Clones planted as in q148. */
+  val q150AudioDedup: QuerySpec = QuerySpec.rowsOnly("q150_audio_dedup") { (spark, dir) =>
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, 2000)
+    val clones = media.filter(col("kind") === "audio" && col("media_id") % 50 === 0)
+      .map(m => m.copy(media_id = m.media_id + 1000000))
+    val hashes = Multimodal.audioHashes(media.union(clones)).toDF()
+    graft.operators.Dedup.hammingPairs(hashes, "media_id", "afp",
+        bits = 64, maxHamming = 6)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QuerySpec] = Seq(q70DecodeFeatures, q71FrameSample, q72VideoMeta,
-    q148ImageDedup)
+    q148ImageDedup, q150AudioDedup)
 }

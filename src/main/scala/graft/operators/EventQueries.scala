@@ -153,6 +153,50 @@ object EventQueries {
       .orderBy("event_id", "r_ts", "r_value")
   }
 
+  /** Feature-store point-in-time training-set assembly: a label spine
+    * (purchases) enriched with the most recent PRIOR observation from two
+    * independent feature streams (last click value, last error value) —
+    * the PIT-correct join that keeps future information out of training
+    * features, assembled by chaining [[AsOfJoin.asOf]] once per feature
+    * table (outputs renamed between hops so the next hop's `asof_*`
+    * names stay free). Each hop is one union + one keyed window — the
+    * spine never re-sorts per feature table beyond its own key window,
+    * and adding a feature table adds one hop, not a rescan of the spine
+    * history. Verified against DuckDB's native chained ASOF LEFT JOINs. */
+  val q151PitFeatures: QuerySpec = QuerySpec.oracle(
+    "q151_pit_features",
+    """WITH spine AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value AS target
+      |               FROM events WHERE event_type = 'purchase'),
+      |clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |           FROM events WHERE event_type = 'click'),
+      |errors AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |           FROM events WHERE event_type = 'error')
+      |SELECT s.event_id, s.user_id, s.ts, s.target,
+      |  c.ts AS click_ts, c.value AS click_value,
+      |  e.ts AS error_ts, e.value AS error_value
+      |FROM spine s
+      |ASOF LEFT JOIN clicks c ON s.user_id = c.user_id AND s.ts >= c.ts
+      |ASOF LEFT JOIN errors e ON s.user_id = e.user_id AND s.ts >= e.ts
+      |ORDER BY s.event_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    def stream(kind: String) = ev.filter(col("event_type") === kind)
+      .select("user_id", "ts", "value")
+    val spine = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("target"))
+    val withClicks = AsOfJoin.asOf(spine, stream("click"),
+        Seq("user_id"), "ts", "ts", Seq("value"))
+      .withColumnRenamed("asof_ts", "click_ts")
+      .withColumnRenamed("asof_value", "click_value")
+    AsOfJoin.asOf(withClicks, stream("error"),
+        Seq("user_id"), "ts", "ts", Seq("value"))
+      .withColumnRenamed("asof_ts", "error_ts")
+      .withColumnRenamed("asof_value", "error_value")
+      .select("event_id", "user_id", "ts", "target",
+        "click_ts", "click_value", "error_ts", "error_value")
+      .orderBy("event_id")
+  }
+
   /** Linear multi-touch attribution: each purchase's value split equally
     * across the click/view touches in the 30 minutes before it, rolled up
     * per touch type — the marketing-analytics standard that q65's range
@@ -929,5 +973,6 @@ object EventQueries {
     q69WindowDistinct, q54GroupOutliers, q74SaltedAgg, q77CogroupFunnel,
     q92EventTransitions, q98EventPaths, q107SessionMetrics, q111Cooccurrence,
     q113GrowthCurve, q114RobustOutliers, q117SketchReport,
-    q122VolumeAnomaly, q81SaltedJoin, q130SeriesCorrelation, q139Attribution)
+    q122VolumeAnomaly, q81SaltedJoin, q130SeriesCorrelation, q139Attribution,
+    q151PitFeatures)
 }

@@ -390,10 +390,12 @@ class PlanSweepSpec extends SparkSpec {
     // q149: the top-k agg (partial→final, q40's shape) — the rank pivot
     // reuses its query_id partitioning; presentation sort rides it
     "q149_retrieval_eval" -> 2,
-    // q148: the block-key self-join's exchange + the pair-dedup agg (the
-    // presentation sort rides it) — q33's pigeonhole shape over image
-    // hashes
-    "q148_image_dedup" -> 2,
+    // q148/q150: the block-key self-join's exchange + the pair-dedup agg
+    // (the presentation sort rides it) — q33's pigeonhole shape over
+    // image / audio hashes
+    "q148_image_dedup" -> 2, "q150_audio_dedup" -> 2,
+    // q151: two asof hops = two keyed union-windows + presentation sort
+    "q151_pit_features" -> 3,
     // q146: compression agg (partial→final) + presentation sort — one scan
     "q146_compression_quality" -> 2,
     // q147: the top-k agg (partial→final, q40's shape) + the per-query

@@ -158,4 +158,40 @@ class MultimodalSpec extends SparkSpec {
     assert(clonePairs.length == 14, s"expected 14 planted clones, got ${clonePairs.length}")
     assert(clonePairs.forall(_.getAs[Long]("hamming") == 0L))
   }
+
+  test("audio fingerprint: volume-invariant on real WAVs, clones at hamming 0") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(amps: Seq[Double]): Array[Byte] = {
+      // one block per amplitude, 500 samples each, 16-bit mono PCM
+      val pcm = new Array[Byte](amps.length * 500 * 2)
+      amps.zipWithIndex.foreach { case (a, b) =>
+        val v = math.min(32767, (a * 32767).toInt)
+        for (i <- 0 until 500) {
+          val o = (b * 500 + i) * 2
+          pcm(o) = (v & 0xFF).toByte; pcm(o + 1) = ((v >> 8) & 0xFF).toByte
+        }
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, (amps.length * 500).toLong),
+        AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val rnd = new scala.util.Random(11)
+    val shape = Seq.fill(65)(rnd.nextDouble() * 0.9)
+    val loud = wav(shape)
+    val quiet = wav(shape.map(_ * 0.5))
+    val other = wav(Seq.fill(65)(rnd.nextDouble() * 0.9))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (hL, hQ, hO) = (Multimodal.AudioHash.fingerprint(loud),
+      Multimodal.AudioHash.fingerprint(quiet), Multimodal.AudioHash.fingerprint(other))
+    assert(hL == hQ, "uniform volume scaling must preserve every gradient bit")
+    assert(ham(hL, hO) >= 16, s"different clip too close: ${ham(hL, hO)}")
+    val pairs = graft.SparkEntry.queries("q150_audio_dedup")(spark, sf).collect()
+    val clonePairs = pairs.filter(r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 1000000)
+    assert(clonePairs.length == 13, s"expected 13 planted clones, got ${clonePairs.length}")
+    assert(clonePairs.forall(_.getAs[Long]("hamming") == 0L))
+  }
 }
