@@ -153,6 +153,49 @@ object EventQueries {
       .orderBy("event_id", "r_ts", "r_value")
   }
 
+  /** Ordered event-sequence pattern matching (the MATCH_RECOGNIZE /
+    * CEP shape): users whose stream contains click → error → purchase in
+    * strict time order with the whole chain inside 7 days, under
+    * GREEDY-FIRST semantics — the earliest click, then the earliest error
+    * after it, then the earliest purchase after that (the deterministic
+    * skip-to-first-match policy; CEP engines offer others, this is the
+    * one that needs no backtracking). Computed in ONE pass: three CHAINED
+    * window minimums over the same user partition — each step's
+    * conditional min refers to the previous step's — so the plan has one
+    * exchange on user_id and zero self-joins; a per-step join formulation
+    * would rescan the stream three times. */
+  val q152EventPattern: QuerySpec = QuerySpec.oracle(
+    "q152_event_pattern",
+    """WITH t AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |c AS (SELECT *, min(CASE WHEN event_type = 'click' THEN ts END)
+      |        OVER (PARTITION BY user_id) AS c_ts FROM t),
+      |e AS (SELECT *, min(CASE WHEN event_type = 'error' AND ts > c_ts THEN ts END)
+      |        OVER (PARTITION BY user_id) AS e_ts FROM c),
+      |p AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > e_ts THEN ts END)
+      |        OVER (PARTITION BY user_id) AS p_ts FROM e)
+      |SELECT DISTINCT user_id, c_ts, e_ts, p_ts,
+      |  CAST(date_diff('second', c_ts, p_ts) AS BIGINT) AS span_seconds
+      |FROM p
+      |WHERE p_ts IS NOT NULL AND p_ts <= c_ts + INTERVAL 7 DAY
+      |ORDER BY user_id""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("user_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("e_ts",
+        min(when(col("event_type") === "error" && col("ts") > col("c_ts"), col("ts"))).over(w))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("e_ts"), col("ts"))).over(w))
+      .filter(col("p_ts").isNotNull &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 7 DAY"))
+      .select(col("user_id"), col("c_ts"), col("e_ts"), col("p_ts"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("span_seconds"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
   /** Feature-store point-in-time training-set assembly: a label spine
     * (purchases) enriched with the most recent PRIOR observation from two
     * independent feature streams (last click value, last error value) —
@@ -974,5 +1017,5 @@ object EventQueries {
     q92EventTransitions, q98EventPaths, q107SessionMetrics, q111Cooccurrence,
     q113GrowthCurve, q114RobustOutliers, q117SketchReport,
     q122VolumeAnomaly, q81SaltedJoin, q130SeriesCorrelation, q139Attribution,
-    q151PitFeatures)
+    q151PitFeatures, q152EventPattern)
 }

@@ -396,6 +396,9 @@ class PlanSweepSpec extends SparkSpec {
     "q148_image_dedup" -> 2, "q150_audio_dedup" -> 2,
     // q151: two asof hops = two keyed union-windows + presentation sort
     "q151_pit_features" -> 3,
+    // q152: ONE user_id exchange shared by the three chained pattern
+    // windows + the distinct agg (reuses the partitioning) + sort
+    "q152_event_pattern" -> 3,
     // q146: compression agg (partial→final) + presentation sort — one scan
     "q146_compression_quality" -> 2,
     // q147: the top-k agg (partial→final, q40's shape) + the per-query
