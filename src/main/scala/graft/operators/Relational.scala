@@ -903,6 +903,35 @@ object Relational {
       .orderBy("dist", "name_a", "name_b")
   }
 
+  /** Jaro-Winkler fuzzy pairs ([[graft.functions.JaroWinklerExpression]])
+    * over the part-name dictionary — q93's blocking discipline with the
+    * record-linkage scorer Spark lacks natively. The FLOAT similarity is
+    * part of the hash-verified result: the kernel's arithmetic (match
+    * window, integer-halved transpositions, >0.7-gated Winkler boost) is
+    * pinned to DuckDB's `jaro_winkler_similarity` bit-for-bit, so a
+    * future kernel regression in any edge case fails the oracle, not
+    * just a spec fixture. Same vocab-bounded broadcast quadratic as
+    * q93/q140 — the corpus never enters the pair loop. */
+  val q153JaroWinkler: QuerySpec = QuerySpec.oracle(
+    "q153_jaro_winkler",
+    """WITH names AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+      |FROM names a JOIN names b ON a.p_name < b.p_name
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.75
+      |ORDER BY name_a, name_b""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.JaroWinklerExpression.jaroWinkler
+    val names = Tables.part(spark, dir).select("p_name").distinct()
+    val a = names.select(col("p_name").as("name_a"))
+    val b = names.select(col("p_name").as("name_b"))
+    a.join(broadcast(b), col("name_a") < col("name_b"))
+      .withColumn("jw", jaroWinkler(col("name_a"), col("name_b")))
+      .filter(col("jw") >= 0.75)
+      .select("name_a", "name_b", "jw")
+      .orderBy("name_a", "name_b")
+  }
+
   /** Fixed-width histogram + cumulative distribution of order totals —
     * the data-profiling primitive behind outlier thresholds and mixture
     * budgeting. Binning is pure per-row arithmetic (floor of one exactly-
@@ -1453,7 +1482,7 @@ object Relational {
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
     q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q131Scd2, q132MvRefresh,
     q133ForgetCascade, q134CdcFeed, q137KAnonymity, q91Unpivot,
-    q93FuzzyNamePairs, q95PriceHistogram, q96GroupingSets,
+    q93FuzzyNamePairs, q153JaroWinkler, q95PriceHistogram, q96GroupingSets,
     q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
     q108RevenueShare, q109DensifyGaps, q110LongestGap,
     q118FanoutProfile, q119EquidepthHistogram, q121RankDistribution)

@@ -91,7 +91,10 @@ class PlanSweepSpec extends SparkSpec {
     "q147_mmr_rerank",
     // q149 — same bruteForceTopK broadcast-query contract feeding the
     // ranking-metrics pivot
-    "q149_retrieval_eval")
+    "q149_retrieval_eval",
+    // q153 — q93's dictionary-bounded broadcast quadratic with the JW
+    // scorer (64 distinct names, never parts)
+    "q153_jaro_winkler")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -399,6 +402,9 @@ class PlanSweepSpec extends SparkSpec {
     // q152: ONE user_id exchange shared by the three chained pattern
     // windows + the distinct agg (reuses the partitioning) + sort
     "q152_event_pattern" -> 3,
+    // q153: the distinct-name agg planned under both sides of the
+    // dictionary nested loop + presentation sort (q93's shape)
+    "q153_jaro_winkler" -> 3,
     // q146: compression agg (partial→final) + presentation sort — one scan
     "q146_compression_quality" -> 2,
     // q147: the top-k agg (partial→final, q40's shape) + the per-query
