@@ -153,6 +153,44 @@ object EventQueries {
       .orderBy("event_id", "r_ts", "r_value")
   }
 
+  /** Exact 10%-trimmed mean per event type — the robust aggregate that
+    * tolerates tail corruption without q114's model assumptions (MAD
+    * fences assume a symmetric spread; a trimmed mean just drops the
+    * tails). EXACT: ranks are integers over the deterministic
+    * (value, event_id) total order, the trim bounds are integral
+    * divisions, and the kept mass sums in decimal — one float division
+    * per group at the end. The per-type ranking runs STRIPED
+    * ([[StripedWindow]], the q36 machinery): 16 value-range stripes per
+    * type, so a 5-type corpus still ranks with 5 × 16 parallelism
+    * instead of one task per type. */
+  val q154TrimmedMean: QuerySpec = QuerySpec.oracle(
+    "q154_trimmed_mean",
+    """WITH t AS (SELECT event_type, event_id, value FROM events),
+      |r AS (SELECT event_type, event_id, value,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n FROM t),
+      |k AS (SELECT * FROM r WHERE rn > n // 10 AND rn <= n - n // 10)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+      |  count(*) AS n_kept,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS trimmed_mean
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    val t = Tables.events(spark, dir).select("event_type", "event_id", "value")
+    val ranked = StripedWindow.runningSum(
+        StripedWindow.withRangeStripe(t, "value", 16),
+        Seq("event_type"), Seq(col("value"), col("event_id")),
+        lit(1L), "rn", includeCurrent = true)
+      .drop(StripedWindow.StripeCol)
+    val counts = t.groupBy("event_type").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), "event_type")
+      .filter(col("rn") > expr("n div 10") && col("rn") <= col("n") - expr("n div 10"))
+      .groupBy("event_type")
+      .agg(max(col("n")).cast("long").as("n_total"),
+        count(lit(1)).as("n_kept"),
+        (dsum(col("value")).cast("double") / count(lit(1))).as("trimmed_mean"))
+      .orderBy("event_type")
+  }
+
   /** Ordered event-sequence pattern matching (the MATCH_RECOGNIZE /
     * CEP shape): users whose stream contains click → error → purchase in
     * strict time order with the whole chain inside 7 days, under
@@ -1017,5 +1055,5 @@ object EventQueries {
     q92EventTransitions, q98EventPaths, q107SessionMetrics, q111Cooccurrence,
     q113GrowthCurve, q114RobustOutliers, q117SketchReport,
     q122VolumeAnomaly, q81SaltedJoin, q130SeriesCorrelation, q139Attribution,
-    q151PitFeatures, q152EventPattern)
+    q151PitFeatures, q152EventPattern, q154TrimmedMean)
 }

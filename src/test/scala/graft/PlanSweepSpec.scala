@@ -94,7 +94,10 @@ class PlanSweepSpec extends SparkSpec {
     "q149_retrieval_eval",
     // q153 — q93's dictionary-bounded broadcast quadratic with the JW
     // scorer (64 distinct names, never parts)
-    "q153_jaro_winkler")
+    "q153_jaro_winkler",
+    // q154 — crossJoin(broadcast(cuts)): the 1-row stripe cut-point
+    // aggregate, q36's StripedWindow idiom
+    "q154_trimmed_mean")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -405,6 +408,10 @@ class PlanSweepSpec extends SparkSpec {
     // q153: the distinct-name agg planned under both sides of the
     // dictionary nested loop + presentation sort (q93's shape)
     "q153_jaro_winkler" -> 3,
+    // q154: striped ranking = (type, stripe) window exchange + the tiny
+    // stripe-offsets subtree + the 5-row counts broadcast + final agg +
+    // presentation sort (q36's striped budget shape)
+    "q154_trimmed_mean" -> 8,
     // q146: compression agg (partial→final) + presentation sort — one scan
     "q146_compression_quality" -> 2,
     // q147: the top-k agg (partial→final, q40's shape) + the per-query
