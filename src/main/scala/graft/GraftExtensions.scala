@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.FuseCosineRule)
+    ext.injectOptimizerRule(_ => graft.plans.BoundLevenshteinRule)
     ext.injectFunction((
       FunctionIdentifier("graft_stem"),
       new ExpressionInfo(classOf[StemExpression].getName, "graft_stem"),
