@@ -153,6 +153,64 @@ object EventQueries {
       .orderBy("event_id", "r_ts", "r_value")
   }
 
+  /** Theil-Sen robust trend: per event type, the MEDIAN of all pairwise
+    * daily-revenue slopes — the slope estimator that shrugs off the
+    * outlier days an OLS fit chases (breakdown point 29%), the right
+    * trend to alarm on before q122's volume fences. Day aggregation is
+    * the only corpus-scale step; the pairwise slope set is
+    * PERIOD-bounded (C(days, 2) per type — q122's calendar argument) and
+    * joins on the type key with the day inequality as a post-join filter,
+    * never a nested loop. Slopes divide exact decimal differences, and
+    * the median is selected by integer rank over the striped ranking
+    * (q154's machinery) — the even-count average is one fixed-order
+    * float add + divide, so the estimate hash-matches cross-engine. */
+  val q155TrendRobust: QuerySpec = QuerySpec.oracle(
+    "q155_trend_robust",
+    """WITH d AS (
+      |  SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type,
+      |    CAST(b.v - a.v AS DOUBLE) / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+      |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day),
+      |r AS (
+      |  SELECT event_type, slope,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM p)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_slopes,
+      |  CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN slope ELSE 0 END)
+      |     + sum(CASE WHEN n % 2 = 0 AND rn = n // 2 + 1 THEN slope ELSE 0 END) AS DOUBLE)
+      |    / CAST(CASE WHEN max(n) % 2 = 0 THEN 2 ELSE 1 END AS DOUBLE) AS theil_sen_slope
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    val d = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("v"))
+    val a = d.select(col("event_type"), col("day").as("day_a"), col("v").as("v_a"))
+    val b = d.select(col("event_type"), col("day").as("day_b"), col("v").as("v_b"))
+    val p = a.join(b, Seq("event_type")).filter(col("day_a") < col("day_b"))
+      .select(col("event_type"),
+        ((col("v_b") - col("v_a")).cast("double") /
+          datediff(col("day_b"), col("day_a")).cast("double")).as("slope"))
+    val ranked = StripedWindow.runningSum(
+        StripedWindow.withRangeStripe(p, "slope", 16),
+        Seq("event_type"), Seq(col("slope")), lit(1L), "rn", includeCurrent = true)
+      .drop(StripedWindow.StripeCol)
+    val counts = p.groupBy("event_type").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n")).cast("long").as("n_slopes"),
+        ((sum(when(col("rn") === expr("(n + 1) div 2"), col("slope"))
+          .otherwise(lit(0.0))) +
+          sum(when(col("n") % 2 === 0 && col("rn") === expr("n div 2 + 1"), col("slope"))
+            .otherwise(lit(0.0)))).cast("double") /
+          when(max(col("n")) % 2 === 0, lit(2.0)).otherwise(lit(1.0)))
+          .as("theil_sen_slope"))
+      .orderBy("event_type")
+  }
+
   /** Exact 10%-trimmed mean per event type — the robust aggregate that
     * tolerates tail corruption without q114's model assumptions (MAD
     * fences assume a symmetric spread; a trimmed mean just drops the
@@ -1055,5 +1113,5 @@ object EventQueries {
     q92EventTransitions, q98EventPaths, q107SessionMetrics, q111Cooccurrence,
     q113GrowthCurve, q114RobustOutliers, q117SketchReport,
     q122VolumeAnomaly, q81SaltedJoin, q130SeriesCorrelation, q139Attribution,
-    q151PitFeatures, q152EventPattern, q154TrimmedMean)
+    q151PitFeatures, q152EventPattern, q154TrimmedMean, q155TrendRobust)
 }

@@ -95,9 +95,9 @@ class PlanSweepSpec extends SparkSpec {
     // q153 — q93's dictionary-bounded broadcast quadratic with the JW
     // scorer (64 distinct names, never parts)
     "q153_jaro_winkler",
-    // q154 — crossJoin(broadcast(cuts)): the 1-row stripe cut-point
+    // q154/q155 — crossJoin(broadcast(cuts)): the 1-row stripe cut-point
     // aggregate, q36's StripedWindow idiom
-    "q154_trimmed_mean")
+    "q154_trimmed_mean", "q155_trend_robust")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -408,6 +408,11 @@ class PlanSweepSpec extends SparkSpec {
     // q153: the distinct-name agg planned under both sides of the
     // dictionary nested loop + presentation sort (q93's shape)
     "q153_jaro_winkler" -> 3,
+    // q155: the day agg (the one corpus shuffle) is STATICALLY re-planned
+    // under the pair sides, the counts branch, and the stripe-cuts scalar
+    // (runtime ReuseExchange dedupes — q111's argument); every exchange
+    // past it carries the period-bounded slope set
+    "q155_trend_robust" -> 18,
     // q154: striped ranking = (type, stripe) window exchange + the tiny
     // stripe-offsets subtree + the 5-row counts broadcast + final agg +
     // presentation sort (q36's striped budget shape)

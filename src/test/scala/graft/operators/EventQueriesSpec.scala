@@ -209,4 +209,29 @@ class EventQueriesSpec extends SparkSpec {
       .reduce(_ add _)
     assert(credited.compareTo(totalMicros) <= 0)
   }
+
+  test("q155 Theil-Sen matches an independent Scala reference") {
+    val days = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getDecimal(2)))
+    val want = days.groupBy(_._1).map { case (t, rows) =>
+      val slopes = (for {
+        Seq((_, da, va), (_, db, vb)) <- rows.sortBy(_._2).toSeq.combinations(2)
+      } yield vb.subtract(va).doubleValue() / (db - da).toDouble).toSeq.sorted
+      val n = slopes.length
+      val med = if (n % 2 == 1) slopes(n / 2)
+        else (slopes(n / 2 - 1) + slopes(n / 2)) / 2.0
+      t -> (n.toLong, med)
+    }
+    val got = graft.SparkEntry.queries("q155_trend_robust")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_slopes"), r.getAs[Double]("theil_sen_slope")))
+      .toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (t, (n, m)) =>
+      assert(n === want(t)._1)
+      assert(math.abs(m - want(t)._2) < 1e-12, s"$t: $m vs ${want(t)._2}")
+    }
+  }
 }

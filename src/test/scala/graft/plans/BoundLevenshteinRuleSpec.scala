@@ -63,7 +63,11 @@ class BoundLevenshteinRuleSpec extends AnyFunSuite {
         // a non-literal bound must NOT rewrite
         val (p6, _) = run("levenshtein(a, b) <= length(b)")
         assert(!p6.contains("Some("), p6)
-      } finally spark.stop()
+      } finally {
+        // do NOT spark.stop(): the builder reused the JVM-wide shared
+        // SparkContext, and stopping it would poison every later suite
+        // (GraftExtensionsSpec's contract); just restore bookkeeping
+      }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
