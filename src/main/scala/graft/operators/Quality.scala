@@ -46,6 +46,24 @@ object Quality {
     df.agg(count(when(col(keyCol).isNull, lit(1))).as("n_violations"))
       .select(lit(rule).as("rule"), col("n_violations"))
 
+  /** IN-FLIGHT rule telemetry via CollectMetrics (`Dataset.observe`): the
+    * same conditional-count rules as [[predicateReport]], but piggybacked
+    * on a query the pipeline is ALREADY running — the counts ride the
+    * existing scan as accumulator-style metrics, so the gate costs ZERO
+    * extra passes (predicateReport is the standalone audit; this is the
+    * production write-path form: every ingest batch reports its violation
+    * counts for free, and the caller alarms after the action completes).
+    * Works identically under Structured Streaming (per-batch metrics via
+    * the listener). Read the counts from the returned Observation AFTER
+    * an action has run the DataFrame. */
+  def observedRules(df: DataFrame, rules: Seq[(String, Column)]):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    require(rules.nonEmpty, "observedRules needs at least one rule")
+    val obs = org.apache.spark.sql.Observation()
+    val cols = rules.map { case (n, p) => sum(when(p, 1L).otherwise(0L)).as(n) }
+    (df.observe(obs, cols.head, cols.tail: _*), obs)
+  }
+
   /** k-anonymity audit over a quasi-identifier tuple — the re-identification
     * gate a training-data release runs before shipping rows that carry
     * demographic-shaped columns: every QI combination observed, its row

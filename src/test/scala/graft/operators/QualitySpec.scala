@@ -120,4 +120,34 @@ class QualitySpec extends SparkSpec {
       Seq("seg" -> col("c_mktsegment"), "nat" -> col("c_nationkey")), k = 5L)
     assert(rep.agg(sum(col("n_rows"))).head.getLong(0) === cust.count())
   }
+
+  test("observedRules: violation counts ride the existing action, matching predicateReport") {
+    val docs = Tables.documents(spark, sf)
+    val rules = Seq(
+      "empty_text" -> (length(col("text")) === 0),
+      "short_text" -> (col("n_chars") < 50))
+    // count jobs: the observed write must not add a second pass
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    val (observed, obs) = Quality.observedRules(docs, rules)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      observed.write.format("noop").mode("overwrite").save()
+      // listener events are async but FIFO: a sentinel job AFTER the write
+      // bounds the wait (ConstructionSweepSpec's method)
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (jobs < 2 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs === 2, s"observation must piggyback on the one write job (+ sentinel), saw $jobs")
+    val want = Quality.predicateReport(docs, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = obs.get
+    assert(got("empty_text") === want("empty_text"))
+    assert(got("short_text") === want("short_text"))
+    assert(want("short_text").asInstanceOf[Long] > 0L, "fixture should have short docs")
+  }
 }
