@@ -1105,6 +1105,74 @@ object TextQueries {
       .orderBy("lang", "source")
   }
 
+  /** The CAPSTONE composition — the full corpus-construction pipeline a
+    * training run consumes, end to end in ONE declared query: quality
+    * gate (q39's rules) → exact min-id dedup among survivors (q30) →
+    * exact-text decontamination against the held-out eval slice (source
+    * 'src0' plays the benchmark; the production bloom direction is
+    * q51/q75) → per-lang 512-token sequence packing over the surviving
+    * stream (q36's STRIPED prefix sum) → the final SHARD MANIFEST: one
+    * row per (lang, pack) with its document count, token mass, and
+    * doc-id span — exactly the table a trainer's data loader mounts.
+    * Every stage is the already-verified operator; the hash-matched
+    * composition proves the stages agree END TO END (filters feeding the
+    * dedup, dedup feeding the decon, decon feeding the pack), not just
+    * in isolation. Corpus-scale shuffles: the stats scan, the dedup text
+    * key, the decon text anti-join, and the striped pack — each linear. */
+  val q157CorpusShards: QuerySpec = QuerySpec.oracle(
+    "q157_corpus_shards",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source, text,
+       |    $RawStatsSql
+       |  FROM documents WHERE source <> 'src0'),
+       |r AS (
+       |  SELECT *, (n_tokens >= 5 AND n_chars <= 20000
+       |    AND n_punct / greatest(n_chars, 1) <= 0.3
+       |    AND n_stop / greatest(n_tokens, 1) >= 0.01) AS keep
+       |  FROM t),
+       |k AS (SELECT min(doc_id) AS doc_id FROM r WHERE keep GROUP BY text),
+       |ev AS (SELECT DISTINCT text FROM documents WHERE source = 'src0'),
+       |s AS (
+       |  SELECT r.doc_id, r.lang, r.n_tokens FROM r
+       |  JOIN k USING (doc_id)
+       |  WHERE r.text NOT IN (SELECT text FROM ev)),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM s)
+       |SELECT lang, CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2
+       |ORDER BY lang, pack_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val stats = docs.filter(col("source") =!= "src0")
+      .select(Seq(col("doc_id"), col("lang"), col("source"), col("text")) ++ rawStatsCols: _*)
+    val r = stats.withColumn("keep",
+      (col("n_tokens") >= 5) && (col("n_chars") <= 20000) &&
+        (col("n_punct") / greatest(col("n_chars"), lit(1)) <= 0.3) &&
+        (col("n_stop") / greatest(col("n_tokens"), lit(1)) >= 0.01))
+    val winners = r.filter(col("keep"))
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val evalTexts = docs.filter(col("source") === "src0").select("text").distinct()
+    val survivors = r.join(winners, Seq("doc_id"))
+      .join(evalTexts, Seq("text"), "left_anti")
+      .select("doc_id", "lang", "n_tokens")
+    val packed = StripedWindow.runningSum(
+        StripedWindow.withRangeStripe(survivors, "doc_id", 16),
+        Seq("lang"), Seq(col("doc_id")), col("n_tokens"), "cum_before",
+        includeCurrent = false)
+      .withColumn("pack_id", floor(col("cum_before") / 512.0).cast("long"))
+    packed.groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "pack_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q20CleanText, q21TextStats, q22LangId, q23TokenEncode,
     q24DocFingerprint, q25DatasetFingerprint, q26StemmedTokens, q27TokenRarity,
@@ -1113,5 +1181,5 @@ object TextQueries {
     q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip, q89ZOrderDictScan,
     q103PartitionOverwrite, q104Compaction, q105QualityGate, q112SentenceStats,
     q120CompactionPartitioned, q124PipelineCorpus, q138ManifestChecksums,
-    q144TimeTravel, q145SnapshotDiff, q146CompressionQuality)
+    q144TimeTravel, q145SnapshotDiff, q146CompressionQuality, q157CorpusShards)
 }

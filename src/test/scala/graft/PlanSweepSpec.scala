@@ -97,7 +97,10 @@ class PlanSweepSpec extends SparkSpec {
     "q153_jaro_winkler",
     // q154/q155 — crossJoin(broadcast(cuts)): the 1-row stripe cut-point
     // aggregate, q36's StripedWindow idiom
-    "q154_trimmed_mean", "q155_trend_robust")
+    "q154_trimmed_mean", "q155_trend_robust",
+    // q157 — crossJoin(broadcast(cuts)): the pack stage's 1-row stripe
+    // cut-point aggregate, the same q36 StripedWindow idiom
+    "q157_corpus_shards")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -408,6 +411,11 @@ class PlanSweepSpec extends SparkSpec {
     // q153: the distinct-name agg planned under both sides of the
     // dictionary nested loop + presentation sort (q93's shape)
     "q153_jaro_winkler" -> 3,
+    // q157: the capstone composition — stats scan agg + dedup text key +
+    // decon anti-join + striped pack (q36's +2-4 window subtrees) + the
+    // survivor subtree statically re-planned under the stripe-cuts branch
+    // (runtime ReuseExchange dedupes); each stage linear, see the builder
+    "q157_corpus_shards" -> 15,
     // q155: the day agg (the one corpus shuffle) is STATICALLY re-planned
     // under the pair sides, the counts branch, and the stripe-cuts scalar
     // (runtime ReuseExchange dedupes — q111's argument); every exchange
