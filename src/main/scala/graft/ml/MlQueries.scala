@@ -27,5 +27,29 @@ object MlQueries {
     runs.orderBy("model_name", "metric")
   }
 
-  val all: Seq[QuerySpec] = Seq(q50TrainEval)
+  /** Deterministic k-fold assignment + stratification audit: fold =
+    * content-hash of the id mod 5 (`conv(md5…)` ↔ `('0x'||…)::BIGINT`,
+    * the cross-engine hash the samplers and manifests already use), so
+    * folds are REPRODUCIBLE across runs, partitionings, and engines —
+    * the property a CV split must have before per-fold metrics mean
+    * anything — and the per-(fold, label) counts are the stratification
+    * balance check run before accepting the split. One scan, one
+    * map-side-combined aggregate; this is the oracle-checkable half of
+    * the CV loop (the MLlib fits stay rows-only per SURVEY §5). */
+  val q156CvFolds: QuerySpec = QuerySpec.oracle(
+    "q156_cv_folds",
+    """SELECT ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold,
+      |  label, count(*) AS n
+      |FROM embeddings GROUP BY 1, 2
+      |ORDER BY fold, label""".stripMargin
+  ) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .withColumn("fold",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 5)
+      .groupBy("fold", "label").agg(count(lit(1)).as("n"))
+      .orderBy("fold", "label")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q50TrainEval, q156CvFolds)
 }

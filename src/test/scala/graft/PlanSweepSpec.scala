@@ -411,6 +411,8 @@ class PlanSweepSpec extends SparkSpec {
     // q153: the distinct-name agg planned under both sides of the
     // dictionary nested loop + presentation sort (q93's shape)
     "q153_jaro_winkler" -> 3,
+    // q156: fold agg (partial→final) + presentation sort — one scan
+    "q156_cv_folds" -> 2,
     // q157: the capstone composition — stats scan agg + dedup text key +
     // decon anti-join + striped pack (q36's +2-4 window subtrees) + the
     // survivor subtree statically re-planned under the stripe-cuts branch
