@@ -34,14 +34,25 @@ object Bench {
       val s = s"%.${scale}f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    def render(scale: Int): String = {
+    def render(scale: Int, stripQ: Boolean): String = {
       val f = fmtAt(scale) _
-      val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
+      def key(k: String) = {
+        val short = k.takeWhile(_ != '_')
+        if (stripQ) short.stripPrefix("q") else short
+      }
+      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
       s"""{"metric":"total","value":${fmtAt(2)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    Seq(2, 1, 0).map(render).find(_.length <= LineBudget).getOrElse(render(0))
+    // final rung: at 157+ queries of pathological width (every value
+    // >= 100 s) even whole seconds overflow — dropping the constant 'q'
+    // prefix from the per-query keys buys ~1 char/query and keeps the
+    // line PARSEABLE (numeric keys, same totals); it can only trigger in
+    // a regime no healthy round has ever been near
+    Seq((2, false), (1, false), (0, false), (0, true))
+      .map { case (sc, sq) => render(sc, sq) }
+      .find(_.length <= LineBudget).getOrElse(render(0, stripQ = true))
   }
 
   def main(args: Array[String]): Unit = {

@@ -122,7 +122,13 @@ class QualitySpec extends SparkSpec {
   }
 
   test("observedRules: violation counts ride the existing action, matching predicateReport") {
-    val docs = Tables.documents(spark, sf)
+    // ISOLATED session (same context): Dataset.observe initializes the
+    // session's lazy ObservationManager, which is not serializable — on
+    // the shared session that would poison every LATER suite whose task
+    // closures capture the session (measured: 5 SentimentPipeline
+    // failures). newSession() keeps the manager off the shared session.
+    val session = spark.newSession()
+    val docs = Tables.documents(session, sf)
     val rules = Seq(
       "empty_text" -> (length(col("text")) === 0),
       "short_text" -> (col("n_chars") < 50))
@@ -133,15 +139,15 @@ class QualitySpec extends SparkSpec {
         jobs += 1
     }
     val (observed, obs) = Quality.observedRules(docs, rules)
-    spark.sparkContext.addSparkListener(listener)
+    session.sparkContext.addSparkListener(listener)
     try {
       observed.write.format("noop").mode("overwrite").save()
       // listener events are async but FIFO: a sentinel job AFTER the write
       // bounds the wait (ConstructionSweepSpec's method)
-      spark.sparkContext.parallelize(Seq(1)).count()
+      session.sparkContext.parallelize(Seq(1)).count()
       val deadline = System.currentTimeMillis() + 30000
       while (jobs < 2 && System.currentTimeMillis() < deadline) Thread.sleep(20)
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally session.sparkContext.removeSparkListener(listener)
     assert(jobs === 2, s"observation must piggyback on the one write job (+ sentinel), saw $jobs")
     val want = Quality.predicateReport(docs, rules).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
