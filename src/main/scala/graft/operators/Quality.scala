@@ -53,15 +53,28 @@ object Quality {
     * extra passes (predicateReport is the standalone audit; this is the
     * production write-path form: every ingest batch reports its violation
     * counts for free, and the caller alarms after the action completes).
-    * Works identically under Structured Streaming (per-batch metrics via
-    * the listener). Read the counts from the returned Observation AFTER
-    * an action has run the DataFrame. */
+    * Read the counts from the returned Observation AFTER an action has
+    * run the DataFrame. BATCH ONLY — Observation objects reject streaming
+    * Datasets; streams use [[observedRulesNamed]]. */
   def observedRules(df: DataFrame, rules: Seq[(String, Column)]):
       (DataFrame, org.apache.spark.sql.Observation) = {
     require(rules.nonEmpty, "observedRules needs at least one rule")
     val obs = org.apache.spark.sql.Observation()
     val cols = rules.map { case (n, p) => sum(when(p, 1L).otherwise(0L)).as(n) }
     (df.observe(obs, cols.head, cols.tail: _*), obs)
+  }
+
+  /** The STREAMING form of [[observedRules]]: the string-named
+    * `observe` variant, whose per-micro-batch counts surface in every
+    * `StreamingQueryProgress.observedMetrics(name)` — the zero-extra-pass
+    * per-batch quality feed an ingest stream alarms on (and the same call
+    * works on batch frames, where the metrics ride the QueryExecution
+    * listener instead). */
+  def observedRulesNamed(df: DataFrame, name: String,
+                         rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "observedRulesNamed needs at least one rule")
+    val cols = rules.map { case (n, p) => sum(when(p, 1L).otherwise(0L)).as(n) }
+    df.observe(name, cols.head, cols.tail: _*)
   }
 
   /** k-anonymity audit over a quasi-identifier tuple — the re-identification

@@ -297,4 +297,29 @@ class EventsStreamSpec extends SparkSpec {
     assert(rows.length == 2)
     assert(rows.map(_.getAs[Double]("doubled")).toSeq == Seq(20.0, 40.0))
   }
+
+  test("observedRulesNamed: per-micro-batch violation counts ride the stream's progress") {
+    val (src, out, ckpt) = tempDirs()
+    writeBatch(src, "b0.json", Seq(
+      evt(1, "2024-01-01 10:00:00", 1, "click", 10),
+      evt(2, "2024-01-01 10:01:00", 2, "click", -3),
+      evt(3, "2024-01-01 10:02:00", 1, "view", -1)))
+    val stream = EventsStream.readEventStream(spark, src)
+    val observed = graft.operators.Quality.observedRulesNamed(stream, "gate",
+      Seq("neg_value" -> (col("value") < 0),
+        "is_view" -> (col("event_type") === "view")))
+    val q = observed.writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val gate = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("gate")))
+    assert(gate.nonEmpty, "no observed metrics surfaced in the stream progress")
+    assert(gate.map(_.getAs[Long]("neg_value")).sum === 2L)
+    assert(gate.map(_.getAs[Long]("is_view")).sum === 1L)
+    // the stream's rows themselves were untouched by the observation
+    assert(spark.read.parquet(out).count() === 3L)
+  }
 }
