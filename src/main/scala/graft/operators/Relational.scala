@@ -932,6 +932,51 @@ object Relational {
       .orderBy("name_a", "name_b")
   }
 
+  /** Sorted-neighborhood fuzzy blocking — the THIRD blocking discipline
+    * beside LSH banding (q32/q88) and pigeonhole hamming (q33/q148):
+    * sort the dictionary once, compare each entry only to its next `w`
+    * neighbors in sort order, verify with the banded Levenshtein. Sorted
+    * order puts shared-prefix variants adjacent, so candidate volume is
+    * |dict|·w instead of |dict|² — the classic record-linkage sweep
+    * (Hernández & Stolfo 1995), and the blocking of choice when edits
+    * cluster at the SUFFIX (prefix-preserving typos), where minhash
+    * shingles get diluted. The window rides the vocab-bounded dictionary
+    * (q95's bounded-window argument; at corpus scale the sort stripes
+    * like q36's). The miss it accepts by design: a FIRST-letter edit
+    * sorts far away — exactly why q93's exhaustive quadratic stays the
+    * reference within dictionary budgets. */
+  val q158SortedNeighborhood: QuerySpec = QuerySpec.oracle(
+    "q158_sorted_neighborhood",
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |s AS (SELECT p_name,
+      |  lead(p_name, 1) OVER (ORDER BY p_name) AS n1,
+      |  lead(p_name, 2) OVER (ORDER BY p_name) AS n2,
+      |  lead(p_name, 3) OVER (ORDER BY p_name) AS n3
+      |  FROM names),
+      |cand AS (
+      |  SELECT p_name AS name_a, n1 AS name_b FROM s WHERE n1 IS NOT NULL
+      |  UNION ALL SELECT p_name, n2 FROM s WHERE n2 IS NOT NULL
+      |  UNION ALL SELECT p_name, n3 FROM s WHERE n3 IS NOT NULL)
+      |SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+      |FROM cand
+      |WHERE levenshtein(name_a, name_b) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.orderBy("p_name")
+    val s = Tables.part(spark, dir).select("p_name").distinct()
+      .withColumn("n1", lead(col("p_name"), 1).over(w))
+      .withColumn("n2", lead(col("p_name"), 2).over(w))
+      .withColumn("n3", lead(col("p_name"), 3).over(w))
+    val cand = s.select(col("p_name").as("name_a"), col("n1").as("name_b"))
+      .unionByName(s.select(col("p_name").as("name_a"), col("n2").as("name_b")))
+      .unionByName(s.select(col("p_name").as("name_a"), col("n3").as("name_b")))
+      .filter(col("name_b").isNotNull)
+    cand.withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
   /** Fixed-width histogram + cumulative distribution of order totals —
     * the data-profiling primitive behind outlier thresholds and mixture
     * budgeting. Binning is pure per-row arithmetic (floor of one exactly-
@@ -1482,7 +1527,7 @@ object Relational {
     q17CorrelatedAgg, q18ArgMinMax, q19StringFns, q46RegionalRevenue,
     q76BucketedJoin, q83ZOrderScan, q90MergeUpsert, q131Scd2, q132MvRefresh,
     q133ForgetCascade, q134CdcFeed, q137KAnonymity, q91Unpivot,
-    q93FuzzyNamePairs, q153JaroWinkler, q95PriceHistogram, q96GroupingSets,
+    q93FuzzyNamePairs, q153JaroWinkler, q158SortedNeighborhood, q95PriceHistogram, q96GroupingSets,
     q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
     q108RevenueShare, q109DensifyGaps, q110LongestGap,
     q118FanoutProfile, q119EquidepthHistogram, q121RankDistribution)

@@ -411,6 +411,10 @@ class PlanSweepSpec extends SparkSpec {
     // q153: the distinct-name agg planned under both sides of the
     // dictionary nested loop + presentation sort (q93's shape)
     "q153_jaro_winkler" -> 3,
+    // q158: the distinct-name agg + the vocab-bounded dictionary
+    // window's SinglePartition (q95's bounded-window argument) + the
+    // 3-way union (no exchange) + presentation sort
+    "q158_sorted_neighborhood" -> 9,
     // q156: fold agg (partial→final) + presentation sort — one scan
     "q156_cv_folds" -> 2,
     // q157: the capstone composition — stats scan agg + dedup text key +
