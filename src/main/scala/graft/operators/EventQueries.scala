@@ -153,6 +153,68 @@ object EventQueries {
       .orderBy("event_id", "r_ts", "r_value")
   }
 
+  /** OLS trend per event type over the daily series — q155's classical
+    * counterpart (report both: where they disagree, outlier days are
+    * moving the OLS line). q101's exact-sufficient-statistics recipe
+    * lifted to regression: Σx, Σx², Σy, Σxy, Σy² accumulate EXACTLY
+    * (bigint / decimal; x is the day offset from the global first day, a
+    * small integer, so no decimal saturates), and slope / intercept / R²
+    * are a handful of FIXED-ORDER double operations over those exact
+    * components at the very end — the one-scan-plus-tiny-aggregate shape,
+    * hash-identical across engines. The 1-row first-day aggregate rides
+    * the broadcast scalar idiom. */
+  val q159OlsTrend: QuerySpec = QuerySpec.oracle(
+    "q159_ols_trend",
+    """WITH d AS (
+      |  SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT min(day) AS d0 FROM d),
+      |x AS (SELECT event_type, CAST(date_diff('day', d0, day) AS BIGINT) AS x, y
+      |      FROM d CROSS JOIN m),
+      |s AS (SELECT event_type, count(*) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |        CAST(sum(y) AS DECIMAL(38,2)) AS sy,
+      |        CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DECIMAL(38,2)) AS sxy,
+      |        CAST(sum(y * y) AS DECIMAL(38,4)) AS syy
+      |      FROM x GROUP BY 1),
+      |f AS (SELECT event_type, n, sx, sy,
+      |        CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+      |        CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+      |        CAST(n * syy - sy * sy AS DOUBLE) AS deny
+      |      FROM s)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  num / denx AS slope,
+      |  (CAST(sy AS DOUBLE) - (num / denx) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+      |  (num * num) / (denx * deny) AS r2
+      |FROM f ORDER BY event_type""".stripMargin
+  ) { (spark, dir) =>
+    val d = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("y"))
+    val m = d.agg(min(col("day")).as("d0"))
+    val x = d.crossJoin(broadcast(m))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("x"), col("y"))
+    val s = x.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("long").as("sx"),
+      sum(col("x") * col("x")).cast("long").as("sxx"),
+      sum(col("y")).cast("decimal(38,2)").as("sy"),
+      sum(col("x").cast("decimal(18,0)") * col("y")).cast("decimal(38,2)").as("sxy"),
+      sum(col("y") * col("y")).cast("decimal(38,4)").as("syy"))
+    val f = s.select(col("event_type"), col("n"), col("sx"), col("sy"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double").as("num"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double").as("denx"),
+      (col("n") * col("syy") - col("sy") * col("sy")).cast("double").as("deny"))
+    f.select(col("event_type"), col("n").cast("long").as("n_days"),
+        (col("num") / col("denx")).as("slope"),
+        ((col("sy").cast("double") - (col("num") / col("denx")) * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"),
+        ((col("num") * col("num")) / (col("denx") * col("deny"))).as("r2"))
+      .orderBy("event_type")
+  }
+
   /** Theil-Sen robust trend: per event type, the MEDIAN of all pairwise
     * daily-revenue slopes — the slope estimator that shrugs off the
     * outlier days an OLS fit chases (breakdown point 29%), the right
@@ -1113,5 +1175,6 @@ object EventQueries {
     q92EventTransitions, q98EventPaths, q107SessionMetrics, q111Cooccurrence,
     q113GrowthCurve, q114RobustOutliers, q117SketchReport,
     q122VolumeAnomaly, q81SaltedJoin, q130SeriesCorrelation, q139Attribution,
-    q151PitFeatures, q152EventPattern, q154TrimmedMean, q155TrendRobust)
+    q151PitFeatures, q152EventPattern, q154TrimmedMean, q155TrendRobust,
+    q159OlsTrend)
 }

@@ -98,6 +98,9 @@ class PlanSweepSpec extends SparkSpec {
     // q154/q155 — crossJoin(broadcast(cuts)): the 1-row stripe cut-point
     // aggregate, q36's StripedWindow idiom
     "q154_trimmed_mean", "q155_trend_robust",
+    // q159 — crossJoin(broadcast(m)): the 1-row first-day aggregate,
+    // the q27 scalar idiom
+    "q159_ols_trend",
     // q157 — crossJoin(broadcast(cuts)): the pack stage's 1-row stripe
     // cut-point aggregate, the same q36 StripedWindow idiom
     "q157_corpus_shards")
@@ -422,6 +425,10 @@ class PlanSweepSpec extends SparkSpec {
     // survivor subtree statically re-planned under the stripe-cuts branch
     // (runtime ReuseExchange dedupes); each stage linear, see the builder
     "q157_corpus_shards" -> 15,
+    // q159: the day agg (one corpus shuffle, re-planned under the 1-row
+    // first-day branch; runtime ReuseExchange dedupes) + the per-type
+    // sufficient-stats agg + presentation sort
+    "q159_ols_trend" -> 6,
     // q155: the day agg (the one corpus shuffle) is STATICALLY re-planned
     // under the pair sides, the counts branch, and the stripe-cuts scalar
     // (runtime ReuseExchange dedupes — q111's argument); every exchange

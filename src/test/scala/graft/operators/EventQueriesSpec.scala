@@ -234,4 +234,33 @@ class EventQueriesSpec extends SparkSpec {
       assert(math.abs(m - want(t)._2) < 1e-12, s"$t: $m vs ${want(t)._2}")
     }
   }
+
+  test("q159 OLS matches an independent Scala least-squares reference; R2 bounded") {
+    val days = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getDecimal(2).doubleValue()))
+    val d0 = days.map(_._2).min
+    val want = days.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.map(r => (r._2 - d0).toDouble)
+      val ys = rows.map(_._3)
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      t -> (slope, intercept)
+    }
+    val got = graft.SparkEntry.queries("q159_ols_trend")(spark, sf).collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      assert(math.abs(r.getAs[Double]("slope") - want(t)._1) < 1e-6, t)
+      assert(math.abs(r.getAs[Double]("intercept") - want(t)._2) < 1e-6, t)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, s"$t r2=$r2")
+    }
+    assert(got.nonEmpty)
+  }
 }
