@@ -433,11 +433,11 @@ object EventQueries {
       |attributed AS (
       |  SELECT touch_type, count(*) AS n_events,
       |    count(DISTINCT purchase_id) AS n_purchases,
-      |    CAST(sum(credit_micros) AS DECIMAL(38,0)) AS credit_micros
+      |    CAST(sum(credit_micros) AS BIGINT) AS credit_micros
       |  FROM credits GROUP BY 1),
       |unattr AS (
       |  SELECT '(none)' AS touch_type, count(*) AS n_events, count(*) AS n_purchases,
-      |    CAST(coalesce(sum(cents * 1000000), 0) AS DECIMAL(38,0)) AS credit_micros
+      |    CAST(coalesce(sum(cents * 1000000), 0) AS BIGINT) AS credit_micros
       |  FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM n))
       |SELECT * FROM attributed UNION ALL SELECT * FROM unattr
       |ORDER BY touch_type""".stripMargin
@@ -459,13 +459,13 @@ object EventQueries {
     val attributed = credits.groupBy("touch_type")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("purchase_id")).as("n_purchases"),
-        sum(col("credit_micros").cast("decimal(38,0)")).cast("decimal(38,0)")
+        sum(col("credit_micros").cast("decimal(38,0)")).cast("long")
           .as("credit_micros"))
     val unattributed = purchases
       .join(pairs.select("purchase_id").distinct(), Seq("purchase_id"), "left_anti")
       .agg(count(lit(1)).as("n_events"), count(lit(1)).as("n_purchases"),
         coalesce(sum((col("cents") * lit(1000000L)).cast("decimal(38,0)")), lit(0L))
-          .cast("decimal(38,0)").as("credit_micros"))
+          .cast("long").as("credit_micros"))
       .select(lit("(none)").as("touch_type"), col("n_events"), col("n_purchases"),
         col("credit_micros"))
     attributed.unionByName(unattributed).orderBy("touch_type")

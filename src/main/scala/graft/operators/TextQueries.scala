@@ -215,7 +215,8 @@ object TextQueries {
     * Merkle-tree discipline with the partition layer as the leaves. The
     * checksum is an ORDER-INDEPENDENT exact decimal sum of a per-row
     * 60-bit md5 prefix (`conv(hex, 16, 10)` ↔ DuckDB's `('0x'||hex)::BIGINT`
-    * — row order, partitioning, and merge strategy can't move it), keyed
+    * — row order, partitioning, and merge strategy can't move it),
+    * emitted as its 48-bit residue in BIGINT (see [[ChecksumModulus]]), keyed
     * on (id, text) so both id reassignment and content drift surface. One
     * map-side-combined aggregate over one scan; nothing collects. */
   /** Per-(lang, source) manifest of a documents-shaped table — the shared
@@ -226,15 +227,24 @@ object TextQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("n_chars"),
-        sum(conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))), 1, 15),
-          16, 10).cast("decimal(38,0)")).cast("decimal(38,0)").as("checksum"))
+        pmod(
+          sum(conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))), 1, 15),
+            16, 10).cast("decimal(38,0)")),
+          lit(ChecksumModulus).cast("decimal(38,0)")).cast("long").as("checksum"))
+
+  /** 2^48 — the exact decimal(38,0) checksum sum stays INTERNAL (no
+    * overflow at any row count); only its residue mod 2^48 is emitted, as
+    * BIGINT in both engines, so the output schema carries no int128-backed
+    * decimal the harness could render differently. 48 collision bits per
+    * (lang, source) leaf keep the Merkle-leaf comparison sound. */
+  private val ChecksumModulus = 281474976710656L
 
   /** The q138/q145 checksum in DuckDB terms, over a relation named `t`. */
   private def manifestSql(from: String): String =
     s"""SELECT lang, source, count(*) AS n_docs,
        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
        |  CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))::BIGINT)
-       |    AS DECIMAL(38,0)) AS checksum
+       |    % $ChecksumModulus AS BIGINT) AS checksum
        |FROM $from GROUP BY 1, 2""".stripMargin
 
   val q138ManifestChecksums: QuerySpec = QuerySpec.oracle(

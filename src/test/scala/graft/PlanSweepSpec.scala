@@ -474,9 +474,19 @@ class PlanSweepSpec extends SparkSpec {
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
     val problems = SparkEntry.queries.flatMap { case (name, fn) =>
-      if (eagerHeavy(name)) None
+      if (eagerHeavy(name)) Seq.empty[String]
       else {
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val df = fn(spark, sf)
+        // Output schemas must stay int64-safe: int128-backed wide decimals
+        // (precision > 18) hash differently between Spark's parquet dump and
+        // the DuckDB oracle in the driver's harness (r15: q138/q139/q145).
+        // Wide-decimal math is fine INTERNALLY — it just can't be emitted.
+        val wideDecimal = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+            f.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType].precision > 18 =>
+            s"$name: output column ${f.name} is ${f.dataType.simpleString} (precision > 18)"
+        }
+        val plan = df.queryExecution.executedPlan.toString
         val nested =
           if (!boundedNested(name) &&
             (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")))
@@ -489,7 +499,7 @@ class PlanSweepSpec extends SparkSpec {
           case None => Some(s"$name: missing from shuffleBudget (add it: $shuffles)")
           case _ => None
         }
-        nested ++ over
+        wideDecimal.toSeq ++ nested.toSeq ++ over.toSeq
       }
     }
     assert(problems.isEmpty, problems.mkString("; "))
