@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds
-  * (median of 3 timed passes per query; raw passes in target/bench.json).
+  * (canary-normalized median of 3 timed passes per query — see
+  * [[canaryNormalizedMedians]]; raw passes in target/bench.json).
   *
   * A warmup pass at sf0.001 first-touches codegen/JIT for every query's
   * expression tree so the timed pass measures steady-state operator cost,
@@ -29,11 +30,18 @@ object Bench {
     * line beats a truncated precise one (four rounds of parsed:null). The
     * full-precision record stays in target/bench.json. */
   def stdoutLine(results: scala.collection.immutable.ListMap[String, Double],
-                 sfDir: String): String = {
+                 sfDir: String, cpar: Double = -1.0): String = {
     def fmtAt(scale: Int)(v: Double): String = {
       val s = s"%.${scale}f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
+    // ~14 chars of the budget reserved for ONE contamination indicator the
+    // driver captures: the WORST parallel-canary wall time observed across
+    // the run (clean anchor ~0.70 s on this host, BASELINE.md). r15 proved
+    // the need: two of three passes were host-contaminated and the stdout
+    // channel carried no signal once the query count pushed all meta fields
+    // to target/bench.json.
+    val cparField = if (cpar >= 0) s""","cpar":${fmtAt(2)(cpar)}""" else ""
     def render(scale: Int, stripQ: Boolean): String = {
       val f = fmtAt(scale) _
       def key(k: String) = {
@@ -43,7 +51,7 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmtAt(2)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmtAt(2)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$cparField}"""
     }
     // final rung: at 157+ queries of pathological width (every value
     // >= 100 s) even whole seconds overflow — dropping the constant 'q'
@@ -53,6 +61,40 @@ object Bench {
     Seq((2, false), (1, false), (0, false), (0, true))
       .map { case (sc, sq) => render(sc, sq) }
       .find(_.length <= LineBudget).getOrElse(render(0, stripQ = true))
+  }
+
+  /** Canary-normalized per-query medians. r15 showed median-of-3 alone
+    * failing its design goal: with TWO host-contaminated passes the median
+    * necessarily selects a polluted sample (q47 read 8.84 s from passes
+    * [0.77, 16.04, 8.84] — the clean figure was 0.77). Each pass is
+    * bracketed by fixed-work parallel-canary measurements; a pass's
+    * throughput ratio is the mean of its two brackets over the run's best
+    * bracket, and its samples are divided by that ratio before the median —
+    * so a pass that ran on a machine granting half the throughput has its
+    * inflation removed rather than voted over. All-passes-contaminated
+    * remains unfixable (ratios all ~1 relative to each other) — that floor
+    * is inherent to in-guest measurement. Failure sentinel -1 propagates
+    * un-normalized. Pure, so BenchLineSpec can pin the polluted-pass case.
+    *
+    * @param canaries pass brackets: canaries(i) precedes pass i,
+    *                 canaries(i+1) follows it — length passes.size + 1.
+    */
+  def canaryNormalizedMedians(
+      keys: Seq[String],
+      passes: Seq[Map[String, Double]],
+      canaries: Seq[Double]): scala.collection.immutable.ListMap[String, Double] = {
+    require(canaries.size == passes.size + 1, "need one canary bracket per pass boundary")
+    val best = canaries.min
+    val ratios = passes.indices.map { i =>
+      val bracket = (canaries(i) + canaries(i + 1)) / 2.0
+      // a sub-1 ratio would INFLATE samples from the cleanest pass; and a
+      // cap keeps one absurd canary reading from scaling a pass toward 0
+      math.min(math.max(bracket / best, 1.0), 8.0)
+    }
+    scala.collection.immutable.ListMap(keys.map { k =>
+      val samples = passes.indices.map(i => if (passes(i)(k) < 0) -1.0 else passes(i)(k) / ratios(i))
+      k -> (if (samples.exists(_ < 0)) -1.0 else samples.sorted.apply(samples.size / 2))
+    }: _*)
   }
 
   def main(args: Array[String]): Unit = {
@@ -167,10 +209,20 @@ object Bench {
     val canaryBefore = cpuCanarySec()
     val canaryParBefore = cpuCanaryParSec()
     val ticks0 = cpuTicks()
-    val passes = Seq(timedPass(), timedPass(), timedPass())
+    // Bracket every timed pass with a parallel-canary measurement (~0.7 s
+    // each on a clean host) so contamination that begins MID-RUN is
+    // attributable to the pass it struck — r15's failure mode.
+    val passesAndCanaries = {
+      val ps = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+      val cs = scala.collection.mutable.ArrayBuffer(canaryParBefore)
+      (1 to 3).foreach { _ => ps += timedPass(); cs += cpuCanaryParSec() }
+      (ps.toSeq, cs.toSeq)
+    }
+    val passes = passesAndCanaries._1
+    val passCanaries = passesAndCanaries._2
     val loadAfter = load1()
     val canaryAfter = cpuCanarySec()
-    val canaryParAfter = cpuCanaryParSec()
+    val canaryParAfter = passCanaries.last
     val stealPct = (for (a <- ticks0; b <- cpuTicks()) yield {
       val d = a.indices.map(i => b(i) - a(i))
       val tot = d.sum.toDouble
@@ -178,11 +230,8 @@ object Bench {
     }).getOrElse(-1.0)
     // ListMap keeps SparkEntry's insertion order so bench lines diff cleanly
     // across rounds
-    val results = scala.collection.immutable.ListMap(
-      SparkEntry.queries.keys.map { k =>
-        val samples = passes.map(_(k))
-        k -> (if (samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1))
-      }.toSeq: _*)
+    val results =
+      canaryNormalizedMedians(SparkEntry.queries.keys.toSeq, passes, passCanaries)
     // The build log is tail-captured to its last 2000 chars downstream, and
     // anything after the JSON line (sbt's success banner, ~70 chars) eats
     // into that window too — BENCH_r14's tail proves it: the captured tail
@@ -204,8 +253,9 @@ object Bench {
     val meta = s""""sf":"$sfDir",""" +
       s""""load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)},""" +
       s""""steal_pct":${fmt(stealPct)},"canary_sec_before":${fmt(canaryBefore)},"canary_sec_after":${fmt(canaryAfter)},""" +
-      s""""canary_par_before":${fmt(canaryParBefore)},"canary_par_after":${fmt(canaryParAfter)}"""
-    println(stdoutLine(results, sfDir))
+      s""""canary_par_before":${fmt(canaryParBefore)},"canary_par_after":${fmt(canaryParAfter)},""" +
+      s""""pass_canaries":${passCanaries.map(fmt).mkString("[", ",", "]")}"""
+    println(stdoutLine(results, sfDir, cpar = passCanaries.max))
     // The file carries the full-fidelity record: 3-decimal medians plus the
     // raw per-pass samples ("passes") so a contaminated round can be
     // attributed query-by-query instead of argued from totals. The stdout
@@ -214,7 +264,7 @@ object Bench {
     val passesJson = passes.map(p =>
       results.keys.map(k => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(p(k)))
         .mkString("{", ",", "}")).mkString("[", ",", "]")
-    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3",""" +
+    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3_canary_norm",""" +
       s""""queries":${qsJson(fmt)},"passes":$passesJson,$meta}"""
     try {
       val dir = java.nio.file.Paths.get("target")

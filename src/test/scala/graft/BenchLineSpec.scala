@@ -15,7 +15,7 @@ class BenchLineSpec extends AnyFunSuite {
   private def worstCase(v: Double): String =
     Bench.stdoutLine(
       ListMap(SparkEntry.queries.keys.map(_ -> v).toSeq: _*),
-      "/root/testdata/sf0.1")
+      "/root/testdata/sf0.1", cpar = 999.99)
 
   test("stdout line fits the log-tail window at worst-case value widths") {
     // 999.99 is wider than any plausible per-query median (the slowest
@@ -38,6 +38,32 @@ class BenchLineSpec extends AnyFunSuite {
     val prefixes = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
     assert(prefixes.distinct.size == prefixes.size,
       s"duplicate qNN prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(", ")}")
+  }
+
+  test("stdout line carries the cpar contamination indicator") {
+    val line = worstCase(1.0)
+    assert(line.contains("\"cpar\":999.99"),
+      "the parallel-canary field must survive into the driver-captured line")
+  }
+
+  test("canary normalization rejects a polluted pass the median would inherit") {
+    // r15's actual q47 shape: clean 0.77 s, catastrophically polluted pass
+    // (16.04), half-polluted pass (8.84). Plain median-of-3 reports 8.84.
+    // The canaries record the host state: clean brackets 0.7, the polluted
+    // passes bracketed at 10x / 5x throughput loss.
+    val passes = Seq(Map("q47" -> 0.77), Map("q47" -> 16.04), Map("q47" -> 8.84))
+    val canaries = Seq(0.7, 0.7, 14.0, 7.0) // brackets: pass2 mean 7.35, pass3 mean 10.5->capped
+    val m = Bench.canaryNormalizedMedians(Seq("q47"), passes, canaries)
+    assert(m("q47") < 2.1,
+      s"normalized median ${m("q47")} should land near the clean 0.77 s, not the polluted 8.84")
+    // a clean run is a no-op: ratios 1, plain median preserved
+    val clean = Bench.canaryNormalizedMedians(Seq("q1"),
+      Seq(Map("q1" -> 1.0), Map("q1" -> 1.2), Map("q1" -> 1.1)), Seq(0.7, 0.7, 0.7, 0.7))
+    assert(math.abs(clean("q1") - 1.1) < 1e-9)
+    // failure sentinel survives un-normalized
+    val failed = Bench.canaryNormalizedMedians(Seq("q1"),
+      Seq(Map("q1" -> 1.0), Map("q1" -> -1.0), Map("q1" -> 1.1)), Seq(0.7, 0.7, 0.7, 0.7))
+    assert(failed("q1") == -1.0)
   }
 
   test("values render compactly and parse back to the same number") {
