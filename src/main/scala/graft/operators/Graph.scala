@@ -30,12 +30,17 @@ object Graph {
     * a distributed PageRank hash-verifiable against an independent SQL
     * unrolling. The truncation the integral division introduces is part
     * of the operator's published contract (ranks are lower bounds within
-    * |E| units of the rational fixpoint iterate).
+    * |E| + |V| units per iteration of the rational fixpoint iterate).
     *
-    * `edges` must carry (src_t, src, dst_t, dst) with BOTH orientations
-    * already present for an undirected graph. Every node is assumed to
-    * have outgoing edges (true by construction for undirected graphs —
-    * dangling-mass redistribution is deliberately out of contract).
+    * `edges` must carry (src_t, src, dst_t, dst); for an undirected graph
+    * provide BOTH orientations. DIRECTED graphs with sinks are in
+    * contract: each iteration collects the damped mass sitting on
+    * dangling nodes (no out-edges) and redistributes it equally —
+    * `(danglingMass · dampingPct) div (100 · |V|)` to every node, the
+    * standard correction without which sink mass simply vanishes and
+    * rank totals decay toward the teleport floor. The node set is
+    * src ∪ dst; nodes receiving no contributions still hold
+    * teleport + dangling share.
     *
     * Scale shape: the edge list joined with its out-degrees is
     * pre-partitioned on the (src_t, src) key every round joins on and cut
@@ -43,17 +48,30 @@ object Graph {
     * materialization of the |E|-sized relation (computed at first action,
     * not at construction) and per round only the node-sized rank relation
     * shuffles, plus the map-side-combined contribution aggregate. The
-    * rounds chain lazily on top — the whole iteration is one job, the
-    * plan stays LINEAR in depth (each round references the previous
-    * exactly once), and no per-round checkpointing is needed — unlike
-    * [[Dedup.connectedComponents]], whose data-dependent convergence test
-    * forces eager rounds.
+    * dangling term references each round's rank relation TWICE (the
+    * anti-join aggregate + the contribution join), so each round is also
+    * cut behind a localCheckpoint — without it the two references double
+    * the logical plan per round and the chain goes exponential in the
+    * iteration count (measured: 218 statically-planned exchanges at 5
+    * rounds vs ~10 with the cut). The checkpointed rank RDD is node-sized
+    * and computed once; the dangling share itself rides as a broadcast
+    * scalar. Under AQE the per-round toRdd executes at build (same
+    * index-build trade the edge checkpoint documents).
     */
   def pageRank(edges: DataFrame, iterations: Int, dampingPct: Int = 85,
                unit: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
     val teleport = unit * (100 - dampingPct) / 100
+    // deg checkpointed on its own: the per-round dangling anti-join needs
+    // the node-sized degree relation without dragging the |E|-sized
+    // contribEdges subtree behind it
     val deg = edges.groupBy("src_t", "src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    val nodes = edges.select(col("src_t").as("t"), col("src").as("id"))
+      .union(edges.select(col("dst_t").as("t"), col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
     // ONE localCheckpoint on the edge relation: every round's plan then
     // references a single cached RDD (vs. re-planning the |E|-sized
     // subtree per round and hoping ReuseExchange collapses the copies —
@@ -71,16 +89,28 @@ object Graph {
     // shuffle the |E|-sized relation once more for nothing
     val contribEdges = edges.join(deg, Seq("src_t", "src"))
       .localCheckpoint(eager = false)
-    var ranks = deg
-      .select(col("src_t"), col("src"), lit(unit).cast("long").as("rank_units"))
+    var ranks = nodes
+      .select(col("t").as("src_t"), col("id").as("src"),
+        lit(unit).cast("long").as("rank_units"))
     for (_ <- 1 to iterations) {
-      ranks = contribEdges
+      // damped mass on dangling nodes, split equally — ONE row, broadcast
+      val share = ranks.join(deg, Seq("src_t", "src"), "left_anti")
+        .agg(coalesce(sum(col("rank_units")), lit(0L)).cast("long").as("dm"))
+        .crossJoin(nTotal)
+        .select(expr(s"(dm * $dampingPct) div (100 * n_nodes)").as("dangling_share"))
+      val contribs = contribEdges
         .join(ranks, Seq("src_t", "src"))
         .withColumn("contrib",
           expr(s"(rank_units * $dampingPct) div (100 * deg)"))
         .groupBy(col("dst_t").as("t"), col("dst").as("id"))
-        .agg((lit(teleport) + sum(col("contrib"))).cast("long").as("rank_units"))
-        .select(col("t").as("src_t"), col("id").as("src"), col("rank_units"))
+        .agg(sum(col("contrib")).cast("long").as("contrib_sum"))
+      ranks = nodes
+        .join(contribs, Seq("t", "id"), "left")
+        .crossJoin(broadcast(share))
+        .select(col("t").as("src_t"), col("id").as("src"),
+          (lit(teleport) + col("dangling_share") + coalesce(col("contrib_sum"), lit(0L)))
+            .cast("long").as("rank_units"))
+        .localCheckpoint(eager = false)
     }
     ranks.select(col("src_t").as("node_type"), col("src").as("node_id"),
       col("rank_units"))
@@ -94,17 +124,39 @@ object Graph {
       """SELECT DISTINCT 'c' AS src_t, o_custkey AS src, 's' AS dst_t, l_suppkey AS dst
         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
     val head = Seq(
-      s"edges AS (\n  SELECT * FROM (\n    $base)\n  UNION ALL\n  SELECT dst_t, dst, src_t, src FROM (\n    $base))",
-      "deg AS (SELECT src_t, src, count(*) AS deg FROM edges GROUP BY 1, 2)",
-      "r0 AS (SELECT src_t AS t, src AS id, CAST(1000000 AS BIGINT) AS rank_units FROM deg)")
-    val iters = (1 to iterations).map { i =>
-      s"""r$i AS (
-         |  SELECT e.dst_t AS t, e.dst AS id,
-         |    CAST(150000 + sum((r.rank_units * 85) // (100 * d.deg)) AS BIGINT) AS rank_units
-         |  FROM edges e
-         |  JOIN r${i - 1} r ON r.t = e.src_t AND r.id = e.src
-         |  JOIN deg d ON d.src_t = e.src_t AND d.src = e.src
-         |  GROUP BY 1, 2)""".stripMargin
+      s"edges AS MATERIALIZED (\n  SELECT * FROM (\n    $base)\n  UNION ALL\n  SELECT dst_t, dst, src_t, src FROM (\n    $base))",
+      "deg AS MATERIALIZED (SELECT src_t, src, count(*) AS deg FROM edges GROUP BY 1, 2)",
+      """nodes AS MATERIALIZED (
+        |  SELECT DISTINCT src_t AS t, src AS id FROM edges
+        |  UNION SELECT DISTINCT dst_t, dst FROM edges)""".stripMargin,
+      "nn AS (SELECT count(*) AS n FROM nodes)",
+      "r0 AS (SELECT t, id, CAST(1000000 AS BIGINT) AS rank_units FROM nodes)")
+    // each iteration carries the dangling-mass term the Scala loop carries:
+    // damped mass on out-degree-0 nodes split equally over |V|. r_{i-1} is
+    // referenced twice per round (dangling sum + contribution sum), so the
+    // rank CTEs are MATERIALIZED — without it DuckDB inlines the chain and
+    // evaluation goes exponential in the iteration count.
+    val iters = (1 to iterations).flatMap { i =>
+      Seq(
+        s"""d$i AS (
+           |  SELECT CAST(coalesce(sum(r.rank_units), 0) AS BIGINT) AS dm
+           |  FROM r${i - 1} r
+           |  LEFT JOIN deg g ON g.src_t = r.t AND g.src = r.id
+           |  WHERE g.src IS NULL)""".stripMargin,
+        s"s$i AS (SELECT CAST((d.dm * 85) // (100 * nn.n) AS BIGINT) AS share FROM d$i d, nn)",
+        s"""c$i AS (
+           |  SELECT e.dst_t AS t, e.dst AS id,
+           |    CAST(sum((r.rank_units * 85) // (100 * d.deg)) AS BIGINT) AS contrib_sum
+           |  FROM edges e
+           |  JOIN r${i - 1} r ON r.t = e.src_t AND r.id = e.src
+           |  JOIN deg d ON d.src_t = e.src_t AND d.src = e.src
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""r$i AS MATERIALIZED (
+           |  SELECT n.t, n.id,
+           |    CAST(150000 + s.share + coalesce(c.contrib_sum, 0) AS BIGINT) AS rank_units
+           |  FROM nodes n
+           |  CROSS JOIN s$i s
+           |  LEFT JOIN c$i c ON c.t = n.t AND c.id = n.id)""".stripMargin)
     }
     (head ++ iters).mkString("WITH ", ",\n", "") +
       s"""

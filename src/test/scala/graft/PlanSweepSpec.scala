@@ -53,6 +53,10 @@ class PlanSweepSpec extends SparkSpec {
     // q129 — crossJoin(broadcast(g)) where g is the 1-row corpus token
     // total: the q27/q45 lazy scalar-subquery idiom
     "q129_source_divergence",
+    // q136 — per-round crossJoin(broadcast(share)) where share is the 1-row
+    // dangling-mass scalar (dm × damping div |V|): the same 1-row idiom,
+    // once per PageRank iteration
+    "q136_pagerank",
     // q133 — three crossJoin(broadcast(·)) of 1-row count aggregates (the
     // audit rows), the same scalar idiom
     "q133_forget_cascade",
@@ -389,11 +393,10 @@ class PlanSweepSpec extends SparkSpec {
     // pre-AQE; runtime ReuseExchange dedupes, q111's argument) +
     // presentation sort
     "q122_volume_anomaly" -> 11,
-    // q136: the LAZY 5-round chain statically re-plans the edge subtree
-    // (scan joins + distinct + the keyed repartition) under every round —
-    // runtime ReuseExchange collapses all copies to one computation
-    // (Graph.pageRank documents the trade); per round the rank exchange +
-    // the contribution agg are the real recurring shuffles
+    // q136: every round is cut behind a localCheckpoint (two references to
+    // the rank relation per round — dangling + contributions — would
+    // otherwise double the plan per round), so the declared plan is the
+    // LAST round over RDD leaves: final-round joins/agg + presentation sort
     "q136_pagerank" -> 12,
     // q137: QI agg (partial→final) + presentation sort — one scan
     "q137_k_anonymity" -> 2,

@@ -6,15 +6,20 @@ import org.apache.spark.sql.functions._
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Plain-Scala reference: the same integer micro-unit recurrence, naively. */
+  /** Plain-Scala reference: the same integer micro-unit recurrence, naively —
+    * including the dangling-mass term over the full src ∪ dst node set. */
   private def refPageRank(edges: Seq[((String, Long), (String, Long))],
                           iterations: Int): Map[(String, Long), Long] = {
-    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val deg = out.view.mapValues(_.size.toLong).toMap
-    var ranks: Map[(String, Long), Long] = deg.map { case (n, _) => n -> 1000000L }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size.toLong
+    var ranks: Map[(String, Long), Long] = nodes.map(_ -> 1000000L).toMap
     for (_ <- 1 to iterations) {
+      val dm = nodes.filterNot(deg.contains).map(ranks).sum
+      val share = (dm * 85) / (100 * n)
       val contribs = edges.map { case (s, d) => d -> (ranks(s) * 85) / (100 * deg(s)) }
-      ranks = contribs.groupBy(_._1).map { case (n, cs) => n -> (150000L + cs.map(_._2).sum) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      ranks = nodes.map(v => v -> (150000L + share + contribs.getOrElse(v, 0L))).toMap
     }
     ranks
   }
@@ -48,6 +53,27 @@ class GraphSpec extends SparkSpec {
     // total never exceeds |V| · unit, and each rank keeps the teleport floor
     assert(got.values.sum <= und.flatMap(e => Seq(e._1, e._2)).distinct.size * 1000000L)
     assert(got.values.forall(_ >= 150000L))
+  }
+
+  test("directed graph with sinks conserves mass via dangling redistribution") {
+    // chain a -> b -> c plus d -> c: c is a SINK holding growing mass, d has
+    // no in-edges. Without the dangling term c's mass vanishes each round
+    // and the total decays toward |V|·teleport.
+    val edges = Seq(
+      (("n", 1L), ("n", 2L)), (("n", 2L), ("n", 3L)), (("n", 4L), ("n", 3L)))
+    val it = 5
+    val got = Graph.pageRank(toEdgeDf(edges), iterations = it)
+      .as[(String, Long, Long)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    assert(got.size === 4, "dst-only and src-only nodes all present")
+    assert(got === refPageRank(edges, it), "exact match incl. the dangling term")
+    // mass conservation up to integral-division truncation: each iteration
+    // loses < 1 unit per edge contribution + 1 on the share division, so
+    // the band is tight — the LEAK the term repairs would be ~10^5 units/round
+    val total = got.values.sum
+    val n = 4L
+    assert(total <= n * 1000000L)
+    assert(total >= n * 1000000L - it * (edges.size + 1).toLong * n,
+      s"total $total decayed — dangling mass is leaking, not redistributing")
   }
 
   test("entity resolution merges transitive fuzzy chains to one canonical name") {
