@@ -1,7 +1,7 @@
 package graft.ml
 
 import graft.functions.TextFns
-import org.apache.spark.ml.feature.{HashingTF, IDF, IDFModel}
+import org.apache.spark.ml.feature.{HashingTF, IDF, IDFModel, Word2Vec, Word2VecModel}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -10,13 +10,25 @@ import org.apache.spark.sql.functions._
   * The reference embeds with a DistilBERT CLS vector (src/main.py:82-86);
   * torch has no JVM/Spark-native equivalent, so the capability — "text to a
   * fixed-length numeric vector usable as classifier features" — is served by
-  * hashing-TF + IDF over the cleaned, stemmed tokens (SURVEY §7 phase 3).
-  * Width defaults to 768 to match the reference's embedding shape.
+  * two on-JVM featurizers behind one interface:
   *
-  * Scale: HashingTF is stateless/one-pass; IDF is one aggregate over the
-  * corpus. Both stream — no vocabulary broadcast beyond `numFeatures`.
+  *  - [[TfIdfFeaturizer]] (default): hashing-TF + IDF over the cleaned,
+  *    stemmed tokens. Width defaults to 768 to match the reference's
+  *    embedding shape. Stateless map + one corpus aggregate.
+  *  - [[Word2VecFeaturizer]]: MLlib Word2Vec — a LEARNED dense embedding
+  *    (averaged word vectors), the closer analogue to the reference's
+  *    neural embedding. Training shuffles the vocabulary once per
+  *    iteration; transform is a broadcast-dictionary lookup + average.
+  *
+  * Both persist under a one-subdir-per-kind layout so
+  * [[TextFeaturizer.load]] can rebuild either from disk alone.
   */
-final case class TextFeaturizer(idf: IDFModel, numFeatures: Int) {
+sealed trait TextFeaturizer {
+  def transform(df: DataFrame, textCol: String): DataFrame
+  def save(path: String): Unit
+}
+
+final case class TfIdfFeaturizer(idf: IDFModel, numFeatures: Int) extends TextFeaturizer {
   def transform(df: DataFrame, textCol: String): DataFrame =
     idf.transform(Features.rawTf(df, textCol, numFeatures))
       .drop("graft_tokens", "graft_tf")
@@ -35,9 +47,27 @@ final case class TextFeaturizer(idf: IDFModel, numFeatures: Int) {
   }
 }
 
+/** Learned dense embedding (averaged skip-gram word vectors) over the same
+  * cleaned, stemmed token stream — value-compatible with TfIdf downstream
+  * (same `features` VectorUDT column). */
+final case class Word2VecFeaturizer(model: Word2VecModel) extends TextFeaturizer {
+  def transform(df: DataFrame, textCol: String): DataFrame =
+    model.transform(
+      df.withColumn("graft_tokens", TextFns.cleanStemmedTokens(col(textCol))))
+      .drop("graft_tokens")
+
+  def save(path: String): Unit =
+    model.write.overwrite().save(s"$path/w2v")
+}
+
 object TextFeaturizer {
+  /** Rebuild whichever featurizer was saved: the kind is the on-disk layout
+    * itself (w2v/ vs tf/ + idf/), so pre-existing TfIdf saves stay loadable. */
   def load(path: String): TextFeaturizer =
-    TextFeaturizer(IDFModel.load(s"$path/idf"), HashingTF.load(s"$path/tf").getNumFeatures)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "w2v")))
+      Word2VecFeaturizer(Word2VecModel.load(s"$path/w2v"))
+    else
+      TfIdfFeaturizer(IDFModel.load(s"$path/idf"), HashingTF.load(s"$path/tf").getNumFeatures)
 }
 
 object Features {
@@ -58,6 +88,21 @@ object Features {
     val idf = new IDF()
       .setInputCol("graft_tf").setOutputCol(outputCol)
       .fit(rawTf(train, textCol, numFeatures))
-    TextFeaturizer(idf, numFeatures)
+    TfIdfFeaturizer(idf, numFeatures)
+  }
+
+  /** Fit the learned-embedding alternative (seeded, single-threaded
+    * per-partition updates — deterministic for a fixed partitioning).
+    * minCount=1 keeps small corpora featurizable; production corpora should
+    * raise it. */
+  def fitWord2Vec(train: DataFrame, textCol: String, vectorSize: Int = 64,
+                  seed: Long = 15, minCount: Int = 1,
+                  outputCol: String = "features"): TextFeaturizer = {
+    val tokens = train.withColumn("graft_tokens", TextFns.cleanStemmedTokens(col(textCol)))
+    val model = new Word2Vec()
+      .setInputCol("graft_tokens").setOutputCol(outputCol)
+      .setVectorSize(vectorSize).setSeed(seed).setMinCount(minCount)
+      .fit(tokens)
+    Word2VecFeaturizer(model)
   }
 }

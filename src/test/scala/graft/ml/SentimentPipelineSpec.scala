@@ -145,6 +145,31 @@ class SentimentPipelineSpec extends SparkSpec {
     assert(after.map(r => r.getAs[String]("tweet")).distinct.length == 3)
   }
 
+  test("word2vec featurizer: learned embedding trains, persists, reloads with exact parity") {
+    import spark.implicits._
+    val csv = makeCsv(300)
+    val (sampled, _) = SentimentPipeline.readAndFetchData(spark, csv, total = 200)
+    val w2v = Features.fitWord2Vec(sampled, "tweet", vectorSize = 16)
+    val out = w2v.transform(sampled, "tweet")
+    assert(out.schema("features").dataType.typeName == "vector")
+    val vecs = out.select("features").limit(5).collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+    assert(vecs.forall(_.size == 16))
+    assert(vecs.exists(_.toArray.exists(_ != 0.0)), "learned vectors are non-trivial")
+    // disk round-trip through the SAME loader the registry uses; the kind is
+    // recovered from the layout, and the transform is float-exact
+    val dir = Files.createTempDirectory("graft_w2v").toString
+    w2v.save(dir)
+    val loaded = TextFeaturizer.load(dir)
+    assert(loaded.isInstanceOf[Word2VecFeaturizer])
+    val texts = Seq("I love this awesome day", "I hate this terrible thing").toDF("tweet")
+    val direct = w2v.transform(texts, "tweet").select("features").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0).toArray.toSeq)
+    val replayed = loaded.transform(texts, "tweet").select("features").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0).toArray.toSeq)
+    assert(replayed.toSeq == direct.toSeq, "loaded embedding scores identically")
+  }
+
   test("inference entry point: fan-out scoring adds one column per model") {
     import spark.implicits._
     val csv = makeCsv(300)
