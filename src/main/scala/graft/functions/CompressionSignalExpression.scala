@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deflate-compressed byte length of a string — the compression-ratio
@@ -24,7 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * deflate surface to mirror it anyway); CompressionSignalSpec pins the
   * separation claims instead.
   */
-case class CompressionSignalExpression(child: Expression) extends UnaryExpression {
+case class CompressionSignalExpression(child: Expression)
+    extends UnaryExpression {
+
+  // analysis-time signature: misuse fails in the analyzer, not in the kernel
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_deflate_len requires a STRING child, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable

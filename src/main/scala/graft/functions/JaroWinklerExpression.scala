@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Jaro-Winkler string similarity as a codegen'd Catalyst expression —
@@ -20,6 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class JaroWinklerExpression(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // analysis-time signature: wrong-typed children fail in the analyzer, not
+  // as a ClassCastException inside the codegen'd kernel
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_jaro_winkler requires two STRING children, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable

@@ -39,6 +39,23 @@ case class MmrExpression(child: Expression, k: Int, lambdaPct: Int)
 
   override def nullable: Boolean = child.nullable
 
+  /** Analysis-time shape check (field NAMES are free; positions and types
+    * are not): misuse fails in the analyzer, not as a ClassCastException
+    * inside the codegen'd kernel. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(Array(f0, f1, f2)), _)
+        if f0.dataType == LongType && f1.dataType == DoubleType &&
+          (f2.dataType match {
+            case ArrayType(FloatType, _) => true
+            case _ => false
+          }) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mmr expects array<struct<id: bigint, score: double, vec: array<float>>>, got ${other.simpleString}")
+    }
+
   override protected def nullSafeEval(input: Any): Any =
     MmrExpression.select(input.asInstanceOf[ArrayData], k, lambdaPct)
 
@@ -88,6 +105,14 @@ object MmrExpression {
           }
         }
         i += 1
+      }
+      // every remaining objective NaN (a NaN score upstream poisons the
+      // comparison chain): degrade to the shorter pick list instead of
+      // indexing with -1 inside the codegen'd kernel
+      if (best < 0) {
+        val truncated = new Array[Any](round)
+        System.arraycopy(out, 0, truncated, 0, round)
+        return new GenericArrayData(truncated)
       }
       picked(best) = true
       out(round) = InternalRow(ids(best), scores(best), bestVal)

@@ -237,6 +237,31 @@ class SimilaritySpec extends SparkSpec {
     assert(picked === Seq(1L, 3L))
   }
 
+  test("MMR: all-NaN objectives degrade to a shorter pick list; wrong type fails at analysis") {
+    import graft.functions.MmrExpression
+    import spark.implicits._
+    // round 1 uses raw scores, so one finite candidate is picked; round 2's
+    // objectives are all NaN -> the kernel must truncate, not throw
+    val cands = Seq(Seq(
+      (1L, 0.9, Seq(1.0f, 0.0f)),
+      (2L, Double.NaN, Seq(0.0f, 1.0f)),
+      (3L, Double.NaN, Seq(0.5f, 0.5f))))
+      .toDF("cands")
+      .select(MmrExpression.mmr(
+        col("cands").cast("array<struct<id:bigint,score:double,vec:array<float>>>"),
+        k = 3, lambdaPct = 70).as("picked"))
+    val picked = cands.selectExpr("transform(picked, p -> p.id) AS ids")
+      .as[Seq[Long]].head()
+    assert(picked === Seq(1L), s"NaN tail truncates the pick list, got $picked")
+    // analysis-time signature: vec as array<double> must fail BEFORE execution
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq((1L, 0.9, Seq(1.0, 0.0)))).toDF("cands")
+        .select(MmrExpression.mmr(col("cands"), k = 1, lambdaPct = 70))
+        .queryExecution.analyzed
+    }
+    assert(err.getMessage.toLowerCase.contains("mmr expects"))
+  }
+
   test("q147 MMR matches a plain-Scala greedy reference on the real corpus") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "embedding").collect()
