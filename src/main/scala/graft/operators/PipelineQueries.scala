@@ -1514,10 +1514,14 @@ object PipelineQueries {
   /** DuckDB mirror of [[Dedup.spanPairs]]'s span CTE chain (k=3,
     * maxOcc=200, minSpan=15): positional trigrams → stop-gram cutoff →
     * cross-doc position-aligned matches → gaps-and-islands on the
-    * diagonal. Shared by q125 (report) and q126 (scrub). */
-  private def SpanCteSql(k: Int, maxOcc: Int, minSpan: Int): String = {
+    * diagonal. Shared by q125 (report), q126 (scrub) and — via the
+    * parameterized source relation — the q157 capstone's sub-document
+    * dedup stage. Returns the CTE list WITHOUT a leading WITH so callers
+    * can splice it into an existing chain. */
+  private[operators] def spanCtes(k: Int, maxOcc: Int, minSpan: Int,
+                                  from: String = "documents"): String = {
     val gramCols = (0 until k).map(j => s"ts[i+$j]").mkString(", ")
-    s"""WITH toks AS (SELECT doc_id, $LowToksSql AS ts FROM documents),
+    s"""toks AS MATERIALIZED (SELECT doc_id, $LowToksSql AS ts FROM $from),
        |g AS (SELECT doc_id AS doc, unnest(generate_series(1, len(ts)-${k - 1})) AS pos,
        |  unnest(list_transform(generate_series(1, len(ts)-${k - 1}),
        |    i -> concat_ws(' ', $gramCols))) AS gram FROM toks),
@@ -1539,9 +1543,9 @@ object PipelineQueries {
   // IDENTICAL 24 spans ≥ 15 — measured both ways); real corpora have the
   // same property at lower k. minSpan 15 ≥ 2k−1 so a reported span always
   // contains at least two overlapping grams of genuine run.
-  private val SpanK = 5
-  private val SpanMaxOcc = 200
-  private val SpanMin = 15
+  private[operators] val SpanK = 5
+  private[operators] val SpanMaxOcc = 200
+  private[operators] val SpanMin = 15
 
   /** Exact duplicated-substring spans (Lee et al. 2021) — see
     * [[Dedup.spanPairs]]. The corpus plants real shared prefixes (93-token
@@ -1550,7 +1554,7 @@ object PipelineQueries {
     * order-by is total and the LIMIT deterministic. */
   val q125SpanPairs: QuerySpec = QuerySpec.oracle(
     "q125_span_pairs",
-    SpanCteSql(SpanK, SpanMaxOcc, SpanMin) +
+    "WITH " + spanCtes(SpanK, SpanMaxOcc, SpanMin) +
       "\nSELECT id_a, id_b, start_a, start_b, span_toks FROM spans " +
       "ORDER BY span_toks DESC, id_a, id_b, start_a, start_b LIMIT 100"
   ) { (spark, dir) =>
@@ -1567,7 +1571,7 @@ object PipelineQueries {
     * identical concat both sides). See [[Dedup.spanScrub]]. */
   val q126SpanScrub: QuerySpec = QuerySpec.oracle(
     "q126_span_scrub",
-    SpanCteSql(SpanK, SpanMaxOcc, SpanMin) +
+    "WITH " + spanCtes(SpanK, SpanMaxOcc, SpanMin) +
       s""",
          |iv AS (SELECT id_b AS doc, start_b AS s, start_b + span_toks - 1 AS e FROM spans),
          |mx AS (SELECT doc, s, e, max(e) OVER (PARTITION BY doc ORDER BY s, e
@@ -1655,6 +1659,18 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Weights that FRONT-LOAD the fixture embeddings for q135: the synthetic
+    * vectors are isotropic (information rotationally uniform — prefix
+    * truncation of the RAW dims measured recall 0.07 at 8 of 64, a fixture
+    * artifact, not an MRL property), so the report derives a
+    * matryoshka-structured variant deterministically: dim i scaled by
+    * 0.85^i, the exponential energy decay an MRL-trained embedding
+    * exhibits. Computed ONCE here and embedded as the SAME literal array
+    * in both engines (q149's shared-literal discipline), with each product
+    * rounded to float32 in both — bit-identical derivation, so the report
+    * stays fully oracle-checked. */
+  private val MrlWeights: Seq[Double] = (1 to 64).map(i => math.pow(0.85, i))
+
   /** Matryoshka-truncation retrieval quality: top-5-by-cosine recall when
     * the embedding is cut to its prefix dims (8/16/32 of 64) vs the
     * full-width baseline — the measurement behind the "store a prefix,
@@ -1662,6 +1678,9 @@ object PipelineQueries {
     * counterpart of q78's seeded-index recall rows (every cosine here is
     * the fused expression both engines compute bit-identically, so this
     * report is fully oracle-checked, incl. the dims=64 ≡ 1.0 sanity row).
+    * Runs over the [[MrlWeights]]-derived front-loaded embedding so the
+    * recall gradient demonstrates the capability on a fixture whose raw
+    * dims carry no front-loaded structure.
     *
     * One pass computes ALL four similarities per (query, corpus) pair and
     * ranks them with per-query windows, so truth membership and each
@@ -1674,11 +1693,16 @@ object PipelineQueries {
       def cosK(k: Int) =
         if (k == 64) VectorFns.Sql.cosine("q.embedding", "c.embedding")
         else VectorFns.Sql.cosine(s"q.embedding[1:$k]", s"c.embedding[1:$k]")
-      s"""WITH qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+      val wSql = MrlWeights.mkString("[", ", ", "]")
+      s"""WITH em AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(generate_series(1, 64),
+         |    i -> CAST(embedding[i] * ($wSql)[i] AS REAL)) AS embedding
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id, embedding FROM em WHERE vec_id % 25 = 0),
          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    ${cosK(64)} AS s64, ${cosK(32)} AS s32,
          |    ${cosK(16)} AS s16, ${cosK(8)} AS s8
-         |  FROM qs q JOIN embeddings c ON c.vec_id <> q.vec_id),
+         |  FROM qs q JOIN em c ON c.vec_id <> q.vec_id),
          |r AS (SELECT query_id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY s64 DESC, neighbor_id) AS r64,
          |    row_number() OVER (PARTITION BY query_id ORDER BY s32 DESC, neighbor_id) AS r32,
@@ -1699,7 +1723,12 @@ object PipelineQueries {
     }
   ) { (spark, dir) =>
     import graft.functions.CosineSimilarityExpr.cosine
+    // the same front-loading derivation as the oracle's em CTE: one shared
+    // weight literal, per-element float32 rounding in both engines
     val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        zip_with(col("embedding"), typedlit(MrlWeights), (a, b) => a * b)
+          .cast("array<float>").as("embedding"))
     val qs = emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     def cosK(k: Int) =
@@ -1775,6 +1804,22 @@ object PipelineQueries {
         emb.filter(col("vec_id") % 25 === 0), emb,
         shortlist = 20, k = 5, lambdaPct = 70)
       .orderBy("query_id", "rank")
+  }
+
+  /** The MMR relevance-vs-diversity λ sweep ([[Similarity.mmrLambdaSweep]])
+    * — q147's quality claim made driver-visible every round, the q78
+    * declared-report discipline: six grid points from pure-diversity
+    * (λ=0) to pure-relevance (λ=100), each reporting mean pick relevance
+    * and mean pairwise redundancy over the same query set. Rows-only
+    * (float greedy, no SQL mirror); SimilaritySpec pins the monotone
+    * tradeoff — relevance non-decreasing in λ, λ=100 redundancy ≥ λ=0's. */
+  val q160MmrLambdaSweep: QuerySpec = QuerySpec.rowsOnly(
+    "q160_mmr_lambda_sweep"
+  ) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.mmrLambdaSweep(
+      emb.filter(col("vec_id") % 25 === 0), emb,
+      shortlist = 20, k = 5, lambdaGrid = Seq(0, 25, 50, 70, 85, 100))
   }
 
   /** log2-discount weights for NDCG@5, their cumulative sums (the ideal
@@ -1872,5 +1917,5 @@ object PipelineQueries {
     q106VectorHygiene, q115KeywordExtract, q116SourceOverlap,
     q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq,
     q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample, q147MmrRerank,
-    q149RetrievalEval)
+    q149RetrievalEval, q160MmrLambdaSweep)
 }

@@ -77,6 +77,61 @@ object Similarity {
         col("col.mmr").as("mmr"))
   }
 
+  /** The relevance-vs-diversity tradeoff report behind [[mmrRerank]]'s
+    * quality claim — q78's declared-report discipline applied to MMR
+    * serving: run the SAME greedy re-rank at every λ on a deterministic
+    * grid and report, per λ, the mean relevance of the picks (cosine to
+    * the query) and their mean pairwise redundancy (cosine among picks).
+    * λ=100 is pure relevance (top-k verbatim), λ=0 pure diversity; the
+    * monotone trade between the endpoints is the evidence that the greedy
+    * kernel actually trades the two objectives rather than shuffling
+    * ranks.
+    *
+    * Shape: the corpus-scale work (top-k shortlist, one broadcast join)
+    * runs ONCE; every λ is one extra in-row [[graft.functions.MmrExpression]]
+    * evaluation over the same collected candidate array, and both metrics
+    * are in-row HOF arithmetic over that array — the λ grid multiplies
+    * per-row compute, not shuffles. Output is |grid| rows. */
+  def mmrLambdaSweep(queries: DataFrame, corpus: DataFrame, shortlist: Int,
+                     k: Int, lambdaGrid: Seq[Int]): DataFrame = {
+    import graft.functions.MmrExpression
+    require(lambdaGrid.nonEmpty)
+    val top = bruteForceTopK(queries, corpus, shortlist)
+    val withVec = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(top), "neighbor_id")
+    val cands = withVec.groupBy("query_id")
+      .agg(collect_list(struct(
+        col("neighbor_id").cast("long").as("id"),
+        col("sim").as("score"),
+        col("c_emb").as("vec"))).as("cands"))
+    val perLambda = cands.select(col("query_id"),
+      explode(array(lambdaGrid.map(l => struct(
+        lit(l).as("lambda_pct"),
+        MmrExpression.mmr(col("cands"), k, l).as("picked"))): _*)).as("lp"),
+      col("cands"))
+    // picked vecs looked up from the candidate array in-row (k·k' scans)
+    val pickedVecs = transform(col("lp.picked"), p =>
+      element_at(filter(col("cands"), c => c.getField("id") === p.getField("id")), 1)
+        .getField("vec"))
+    val pairSims = flatten(transform(pickedVecs, (v, i) =>
+      transform(slice(pickedVecs, i + lit(2), size(pickedVecs)),
+        w => CosineSimilarityExpr.cosine(v, w))))
+    val perQuery = perLambda.select(
+      col("lp.lambda_pct").as("lambda_pct"),
+      col("query_id"),
+      (aggregate(col("lp.picked"), lit(0.0), (acc, p) => acc + p.getField("score"))
+        / size(col("lp.picked"))).as("rel"),
+      when(size(pairSims) > 0,
+        aggregate(pairSims, lit(0.0), (acc, s) => acc + s) / size(pairSims))
+        .otherwise(lit(0.0)).as("red"))
+    perQuery.groupBy("lambda_pct")
+      .agg(count(lit(1)).as("n_queries"),
+        avg(col("rel")).as("mean_relevance"),
+        avg(col("red")).as("mean_redundancy"))
+      .orderBy("lambda_pct")
+  }
+
   /** All pairs (i < j) above a cosine threshold — the embedding near-dup
     * primitive. Quadratic: use only on a blocked/bucketed subset; the scale
     * path is `lshNearDupPairs`. */

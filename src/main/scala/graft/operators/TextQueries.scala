@@ -1120,15 +1120,22 @@ object TextQueries {
     * gate (q39's rules) → exact min-id dedup among survivors (q30) →
     * exact-text decontamination against the held-out eval slice (source
     * 'src0' plays the benchmark; the production bloom direction is
-    * q51/q75) → per-lang 512-token sequence packing over the surviving
-    * stream (q36's STRIPED prefix sum) → the final SHARD MANIFEST: one
-    * row per (lang, pack) with its document count, token mass, and
-    * doc-id span — exactly the table a trainer's data loader mounts.
-    * Every stage is the already-verified operator; the hash-matched
+    * q51/q75) → SUB-DOCUMENT span dedup over the survivors (q125/q126's
+    * Lee-et-al machinery: duplicated ≥15-token runs cut from the
+    * higher-id copy, so the pack weight is the post-scrub token count) →
+    * per-lang 512-token sequence packing over the scrubbed stream (q36's
+    * STRIPED prefix sum) → the final SHARD MANIFEST: one row per
+    * (lang, pack) with its document count, kept-token mass, and doc-id
+    * span — exactly the table a trainer's data loader mounts. Every
+    * stage is the already-verified operator; the hash-matched
     * composition proves the stages agree END TO END (filters feeding the
-    * dedup, dedup feeding the decon, decon feeding the pack), not just
-    * in isolation. Corpus-scale shuffles: the stats scan, the dedup text
-    * key, the decon text anti-join, and the striped pack — each linear. */
+    * dedup, dedup feeding the decon, decon feeding the span scrub, scrub
+    * feeding the pack), not just in isolation. Corpus-scale shuffles:
+    * the stats scan, the dedup text key, the decon text anti-join, the
+    * span gram groupBy (BottomKRows-bounded state), and the striped pack
+    * — each linear. The scrub's clean_text reconstruction is PRUNED
+    * (only n_toks/n_removed are consumed), so the stage costs its
+    * interval arithmetic, not a corpus rewrite. */
   val q157CorpusShards: QuerySpec = QuerySpec.oracle(
     "q157_corpus_shards",
     s"""WITH t AS (
@@ -1142,17 +1149,31 @@ object TextQueries {
        |  FROM t),
        |k AS (SELECT min(doc_id) AS doc_id FROM r WHERE keep GROUP BY text),
        |ev AS (SELECT DISTINCT text FROM documents WHERE source = 'src0'),
-       |s AS (
-       |  SELECT r.doc_id, r.lang, r.n_tokens FROM r
+       |s AS MATERIALIZED (
+       |  SELECT r.doc_id, r.lang, r.text FROM r
        |  JOIN k USING (doc_id)
        |  WHERE r.text NOT IN (SELECT text FROM ev)),
+       |${PipelineQueries.spanCtes(PipelineQueries.SpanK, PipelineQueries.SpanMaxOcc,
+            PipelineQueries.SpanMin, from = "s")},
+       |iv AS (SELECT id_b AS doc, start_b AS st, start_b + span_toks - 1 AS e FROM spans),
+       |mx AS (SELECT doc, st, e, max(e) OVER (PARTITION BY doc ORDER BY st, e
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM iv),
+       |isl2 AS (SELECT doc, st, e, sum(CASE WHEN pe IS NULL OR st > pe + 1 THEN 1 ELSE 0 END)
+       |  OVER (PARTITION BY doc ORDER BY st, e ROWS UNBOUNDED PRECEDING) AS grp FROM mx),
+       |mrg AS (SELECT doc, min(st) AS st, max(e) AS e FROM isl2 GROUP BY doc, grp),
+       |scr AS (SELECT doc, CAST(sum(e - st + 1) AS BIGINT) AS n_removed FROM mrg GROUP BY doc),
+       |sv AS (
+       |  SELECT s.doc_id, s.lang,
+       |    CAST(len(tk.ts) - coalesce(scr.n_removed, 0) AS BIGINT) AS kept_toks
+       |  FROM s JOIN toks tk ON tk.doc_id = s.doc_id
+       |  LEFT JOIN scr ON scr.doc = s.doc_id),
        |c AS (
-       |  SELECT doc_id, lang, n_tokens,
-       |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |  SELECT doc_id, lang, kept_toks,
+       |    coalesce(sum(kept_toks) OVER (PARTITION BY lang ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-       |  FROM s)
+       |  FROM sv)
        |SELECT lang, CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
-       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  count(*) AS n_docs, CAST(sum(kept_toks) AS BIGINT) AS n_tokens,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2
        |ORDER BY lang, pack_id""".stripMargin
@@ -1170,15 +1191,22 @@ object TextQueries {
     val evalTexts = docs.filter(col("source") === "src0").select("text").distinct()
     val survivors = r.join(winners, Seq("doc_id"))
       .join(evalTexts, Seq("text"), "left_anti")
-      .select("doc_id", "lang", "n_tokens")
+      .select("doc_id", "lang", "text")
+    // sub-document dedup over the survivor set: only (n_toks, n_removed)
+    // are consumed, so the scrub's clean_text column prunes away
+    val scrubbed = Dedup.spanScrub(survivors, "doc_id", "text",
+        k = PipelineQueries.SpanK, minSpan = PipelineQueries.SpanMin,
+        maxOcc = PipelineQueries.SpanMaxOcc)
+      .select(col("doc_id"), (col("n_toks") - col("n_removed")).as("kept_toks"))
+    val sv = survivors.select("doc_id", "lang").join(scrubbed, Seq("doc_id"))
     val packed = StripedWindow.runningSum(
-        StripedWindow.withRangeStripe(survivors, "doc_id", 16),
-        Seq("lang"), Seq(col("doc_id")), col("n_tokens"), "cum_before",
+        StripedWindow.withRangeStripe(sv, "doc_id", 16),
+        Seq("lang"), Seq(col("doc_id")), col("kept_toks"), "cum_before",
         includeCurrent = false)
       .withColumn("pack_id", floor(col("cum_before") / 512.0).cast("long"))
     packed.groupBy("lang", "pack_id")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(col("kept_toks")).cast("long").as("n_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy("lang", "pack_id")
   }

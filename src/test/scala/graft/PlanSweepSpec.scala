@@ -53,6 +53,9 @@ class PlanSweepSpec extends SparkSpec {
     // q129 — crossJoin(broadcast(g)) where g is the 1-row corpus token
     // total: the q27/q45 lazy scalar-subquery idiom
     "q129_source_divergence",
+    // q160 — the MMR λ sweep rides q40's bruteForceTopK broadcast-query
+    // machinery (queries ≪ corpus), the same bounded cross join as q147
+    "q160_mmr_lambda_sweep",
     // q136 — per-round crossJoin(broadcast(share)) where share is the 1-row
     // dangling-mass scalar (dm × damping div |V|): the same 1-row idiom,
     // once per PageRank iteration
@@ -424,10 +427,16 @@ class PlanSweepSpec extends SparkSpec {
     // q156: fold agg (partial→final) + presentation sort — one scan
     "q156_cv_folds" -> 2,
     // q157: the capstone composition — stats scan agg + dedup text key +
-    // decon anti-join + striped pack (q36's +2-4 window subtrees) + the
-    // survivor subtree statically re-planned under the stripe-cuts branch
-    // (runtime ReuseExchange dedupes); each stage linear, see the builder
-    "q157_corpus_shards" -> 15,
+    // decon anti-join + the SPAN-SCRUB stage (gram groupBy, islands window,
+    // interval-merge windows, per-doc interval agg) + striped pack (q36's
+    // +2-4 window subtrees). The survivor subtree is statically re-planned
+    // under the span branch, the token branch, and the stripe-cuts branch
+    // — identical exchanges, runtime ReuseExchange collapses them to one
+    // computation (q122's argument); each stage linear, see the builder
+    "q157_corpus_shards" -> 41,
+    // q160: the shortlist top-k agg (partial→final) + the per-query
+    // candidate collect + the |grid|-rows λ aggregate + presentation sort
+    "q160_mmr_lambda_sweep" -> 4,
     // q159: the day agg (one corpus shuffle, re-planned under the 1-row
     // first-day branch; runtime ReuseExchange dedupes) + the per-type
     // sufficient-stats agg + presentation sort

@@ -192,7 +192,7 @@ class EventQueriesSpec extends SparkSpec {
   test("attribution conserves purchases and never over-credits") {
     val rows = graft.SparkEntry.queries("q139_attribution")(spark, sf).collect()
     val byType = rows.map(r => r.getAs[String]("touch_type") ->
-      (r.getAs[Long]("n_purchases"), r.getAs[java.math.BigDecimal]("credit_micros"))).toMap
+      (r.getAs[Long]("n_purchases"), r.getAs[Long]("credit_micros"))).toMap
     val ev = graft.sources.Tables.events(spark, sf)
     val purchases = ev.filter(col("event_type") === "purchase")
     val total = purchases.count()
@@ -205,8 +205,8 @@ class EventQueriesSpec extends SparkSpec {
       .agg(sum((round(col("value") * 100).cast("long") * lit(1000000L))
         .cast("decimal(38,0)")))
       .head.getDecimal(0)
-    val credited = rows.map(_.getAs[java.math.BigDecimal]("credit_micros"))
-      .reduce(_ add _)
+    val credited = rows.map(_.getAs[Long]("credit_micros"))
+      .map(java.math.BigDecimal.valueOf).reduce(_ add _)
     assert(credited.compareTo(totalMicros) <= 0)
   }
 

@@ -262,6 +262,27 @@ class SimilaritySpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("mmr expects"))
   }
 
+  test("q160 lambda sweep: relevance rises with lambda, redundancy trades against it") {
+    val rows = graft.SparkEntry.queries("q160_mmr_lambda_sweep")(spark, sf).collect()
+    assert(rows.length == 6, "one row per grid point")
+    val byL = rows.map(r => r.getAs[Int]("lambda_pct") ->
+      (r.getAs[Double]("mean_relevance"), r.getAs[Double]("mean_redundancy"))).toMap
+    val grid = Seq(0, 25, 50, 70, 85, 100)
+    // greedy MMR is not theoretically monotone point-to-point, but the
+    // relevance objective must be non-decreasing in lambda up to a small
+    // numerical tolerance on this fixed corpus
+    grid.sliding(2).foreach { case Seq(a, b) =>
+      assert(byL(b)._1 >= byL(a)._1 - 1e-9,
+        s"mean relevance dropped from lambda $a (${byL(a)._1}) to $b (${byL(b)._1})")
+    }
+    // the endpoints must show the actual trade: pure relevance picks the
+    // most redundant set, pure diversity the least redundant
+    assert(byL(100)._1 > byL(0)._1, "lambda=100 must be strictly more relevant than lambda=0")
+    assert(byL(100)._2 >= byL(0)._2, "lambda=100 must be at least as redundant as lambda=0")
+    info(f"rel 0->100: ${byL(0)._1}%.4f -> ${byL(100)._1}%.4f, " +
+      f"red 0->100: ${byL(0)._2}%.4f -> ${byL(100)._2}%.4f")
+  }
+
   test("q147 MMR matches a plain-Scala greedy reference on the real corpus") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "embedding").collect()
