@@ -49,26 +49,33 @@ object Graph {
     * not at construction) and per round only the node-sized rank relation
     * shuffles, plus the map-side-combined contribution aggregate. The
     * dangling term references each round's rank relation TWICE (the
-    * anti-join aggregate + the contribution join), so each round is also
-    * cut behind a localCheckpoint — without it the two references double
-    * the logical plan per round and the chain goes exponential in the
-    * iteration count (measured: 218 statically-planned exchanges at 5
-    * rounds vs ~10 with the cut). The checkpointed rank RDD is node-sized
-    * and computed once; the dangling share itself rides as a broadcast
-    * scalar. Under AQE the per-round toRdd executes at build (same
-    * index-build trade the edge checkpoint documents).
+    * anti-join aggregate + the contribution join), so on graphs that
+    * actually have dangling nodes each round is cut behind a
+    * localCheckpoint — without it the two references double the logical
+    * plan per round and the chain goes exponential in the iteration count
+    * (measured: 218 statically-planned exchanges at 5 rounds vs ~10 with
+    * the cut); the share rides as a broadcast scalar. Graphs with NO
+    * dangling nodes (every undirected graph) are detected by one
+    * build-time node-sized action and take the lean single-reference
+    * lazy chain — no per-round checkpoints, one job end to end.
     */
   def pageRank(edges: DataFrame, iterations: Int, dampingPct: Int = 85,
                unit: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
     val teleport = unit * (100 - dampingPct) / 100
+    // the caller's edge subtree (scans, joins, the dedup-to-dictionary
+    // distinct) is cut behind ITS OWN checkpoint first: deg, nodes and
+    // contribEdges below each materialize against the cached |E| rows —
+    // without this cut each derived checkpoint re-executes the base
+    // subtree (measured: 3 full base executions per build, q136 3.8→6 s)
+    val edgesCk = edges.localCheckpoint(eager = false)
     // deg checkpointed on its own: the per-round dangling anti-join needs
     // the node-sized degree relation without dragging the |E|-sized
     // contribEdges subtree behind it
-    val deg = edges.groupBy("src_t", "src").agg(count(lit(1)).as("deg"))
+    val deg = edgesCk.groupBy("src_t", "src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = false)
-    val nodes = edges.select(col("src_t").as("t"), col("src").as("id"))
-      .union(edges.select(col("dst_t").as("t"), col("dst").as("id")))
+    val nodes = edgesCk.select(col("src_t").as("t"), col("src").as("id"))
+      .union(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")))
       .distinct()
       .localCheckpoint(eager = false)
     val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -87,30 +94,162 @@ object Graph {
     // which preserves outputPartitioning — already carries the hash
     // partitioning every round's join needs; an extra repartition would
     // shuffle the |E|-sized relation once more for nothing
-    val contribEdges = edges.join(deg, Seq("src_t", "src"))
+    val contribEdges = edgesCk.join(deg, Seq("src_t", "src"))
       .localCheckpoint(eager = false)
+    // ONE build-time action (node-sized anti-join over two checkpointed
+    // relations) picks the execution path: a graph with no dangling nodes
+    // — every undirected graph, most link graphs — has share ≡ 0 and its
+    // rank relation is referenced ONCE per round, so the rounds chain as
+    // the lean lazy linear plan with no per-round checkpoints (measured:
+    // the general path's per-round materialization cost q136 9.0 s vs
+    // 3.8 s; both paths compute identical values, so the branch is pure
+    // execution-path choice and the shared oracle covers both).
+    val hasDangling = !nodes
+      .select(col("t").as("src_t"), col("id").as("src"))
+      .join(deg, Seq("src_t", "src"), "left_anti")
+      .isEmpty
+    // second refinement, same one-action price: when every node also
+    // RECEIVES contributions (all nodes have in-edges — guaranteed for
+    // undirected graphs), the keep-alive left join against the node
+    // relation is redundant too and each round is exactly the lean
+    // group-and-add of the no-dangling contract
+    val allReceive = !hasDangling && nodes
+      .join(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")).distinct(),
+        Seq("t", "id"), "left_anti")
+      .isEmpty
     var ranks = nodes
       .select(col("t").as("src_t"), col("id").as("src"),
         lit(unit).cast("long").as("rank_units"))
     for (_ <- 1 to iterations) {
-      // damped mass on dangling nodes, split equally — ONE row, broadcast
-      val share = ranks.join(deg, Seq("src_t", "src"), "left_anti")
-        .agg(coalesce(sum(col("rank_units")), lit(0L)).cast("long").as("dm"))
-        .crossJoin(nTotal)
-        .select(expr(s"(dm * $dampingPct) div (100 * n_nodes)").as("dangling_share"))
       val contribs = contribEdges
         .join(ranks, Seq("src_t", "src"))
         .withColumn("contrib",
           expr(s"(rank_units * $dampingPct) div (100 * deg)"))
         .groupBy(col("dst_t").as("t"), col("dst").as("id"))
         .agg(sum(col("contrib")).cast("long").as("contrib_sum"))
-      ranks = nodes
-        .join(contribs, Seq("t", "id"), "left")
-        .crossJoin(broadcast(share))
-        .select(col("t").as("src_t"), col("id").as("src"),
-          (lit(teleport) + col("dangling_share") + coalesce(col("contrib_sum"), lit(0L)))
-            .cast("long").as("rank_units"))
-        .localCheckpoint(eager = false)
+      if (allReceive) {
+        ranks = contribs
+          .select(col("t").as("src_t"), col("id").as("src"),
+            (lit(teleport) + col("contrib_sum")).cast("long").as("rank_units"))
+      } else if (!hasDangling) {
+        ranks = nodes
+          .join(contribs, Seq("t", "id"), "left")
+          .select(col("t").as("src_t"), col("id").as("src"),
+            (lit(teleport) + coalesce(col("contrib_sum"), lit(0L)))
+              .cast("long").as("rank_units"))
+      } else {
+        // damped mass on dangling nodes, split equally — ONE row,
+        // broadcast. This second reference to the rank relation forces
+        // the per-round localCheckpoint cut (without it the plan doubles
+        // per round and goes exponential in the iteration count —
+        // measured 218 statically-planned exchanges at 5 rounds).
+        val share = ranks.join(deg, Seq("src_t", "src"), "left_anti")
+          .agg(coalesce(sum(col("rank_units")), lit(0L)).cast("long").as("dm"))
+          .crossJoin(nTotal)
+          .select(expr(s"(dm * $dampingPct) div (100 * n_nodes)").as("dangling_share"))
+        ranks = nodes
+          .join(contribs, Seq("t", "id"), "left")
+          .crossJoin(broadcast(share))
+          .select(col("t").as("src_t"), col("id").as("src"),
+            (lit(teleport) + col("dangling_share") + coalesce(col("contrib_sum"), lit(0L)))
+              .cast("long").as("rank_units"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    ranks.select(col("src_t").as("node_type"), col("src").as("node_id"),
+      col("rank_units"))
+  }
+
+  /** Personalized PageRank — [[pageRank]]'s recurrence with the teleport
+    * (and the dangling mass) directed at a SEED set instead of uniformly:
+    * r(v) = [v∈S]·((100−d)·unit·|V| + d·D) div (100·|S|) + Σ contribs —
+    * the "proximity to S" ranking behind related-entity retrieval and
+    * topic-conditioned source weighting. Same exact integer micro-unit
+    * discipline (one integral division per edge, one per seed), same
+    * per-round localCheckpoint cut, same |E|-once/|V|-per-round shuffle
+    * shape; the seed membership flag rides the node relation as a
+    * broadcast-joined column, the |V|/|S| divisors as one-time scalar
+    * reads baked into the plan as literals, and (general path only) the
+    * per-round dangling mass as a broadcast 1-row aggregate.
+    *
+    * `seeds` carries (src_t, src); seeds outside the graph's node set are
+    * ignored (they could receive no mass and would distort the |S|
+    * divisor). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                           dampingPct: Int = 85, unit: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
+    // same base-subtree cut as [[pageRank]]: everything derives from ONE
+    // cached materialization of the caller's edge relation
+    val edgesCk = edges.localCheckpoint(eager = false)
+    val deg = edgesCk.groupBy("src_t", "src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    val nodes = edgesCk.select(col("src_t").as("t"), col("src").as("id"))
+      .union(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val seedNodes = nodes
+      .join(seeds.select(col("src_t").as("t"), col("src").as("id")).distinct(),
+        Seq("t", "id"), "left_semi")
+      .localCheckpoint(eager = false)
+    val contribEdges = edgesCk.join(deg, Seq("src_t", "src"))
+      .localCheckpoint(eager = false)
+    // the two divisors are 1-row scalar reads over relations the build
+    // materializes anyway — collected ONCE so the seed terms become plan
+    // LITERALS (Scala Long floor division ≡ both engines' integral
+    // division on non-negatives) instead of per-round scalar cross joins
+    val nNodes = nodes.count()
+    val nSeeds = seedNodes.count()
+    require(nSeeds > 0, "personalizedPageRank: no seed intersects the graph's node set")
+    val seedFlag = broadcast(seedNodes.withColumn("is_seed", lit(1L)))
+    // r0: all mass on the seeds — |V|·unit split equally (integral)
+    var ranks = nodes
+      .join(seedFlag, Seq("t", "id"), "left")
+      .select(col("t").as("src_t"), col("id").as("src"),
+        when(col("is_seed").isNotNull, lit(nNodes * unit / nSeeds))
+          .otherwise(lit(0L)).cast("long").as("rank_units"))
+    // same fast paths as [[pageRank]]: no dangling ⇒ dm ≡ 0 and the seed
+    // term is a literal; all nodes receiving ⇒ no keep-alive node join
+    val hasDangling = !nodes
+      .select(col("t").as("src_t"), col("id").as("src"))
+      .join(deg, Seq("src_t", "src"), "left_anti")
+      .isEmpty
+    val allReceive = !hasDangling && nodes
+      .join(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")).distinct(),
+        Seq("t", "id"), "left_anti")
+      .isEmpty
+    val cleanSeedTerm = ((100 - dampingPct) * nNodes * unit) / (100 * nSeeds)
+    for (_ <- 1 to iterations) {
+      val contribs = contribEdges
+        .join(ranks, Seq("src_t", "src"))
+        .withColumn("contrib",
+          expr(s"(rank_units * $dampingPct) div (100 * deg)"))
+        .groupBy(col("dst_t").as("t"), col("dst").as("id"))
+        .agg(sum(col("contrib")).cast("long").as("contrib_sum"))
+      if (!hasDangling) {
+        val base =
+          if (allReceive) contribs
+          else nodes.join(contribs, Seq("t", "id"), "left")
+            .select(col("t"), col("id"),
+              coalesce(col("contrib_sum"), lit(0L)).as("contrib_sum"))
+        ranks = base
+          .join(seedFlag, Seq("t", "id"), "left")
+          .select(col("t").as("src_t"), col("id").as("src"),
+            (when(col("is_seed").isNotNull, lit(cleanSeedTerm)).otherwise(lit(0L))
+              + col("contrib_sum")).cast("long").as("rank_units"))
+      } else {
+        val dm = ranks.join(deg, Seq("src_t", "src"), "left_anti")
+          .agg(coalesce(sum(col("rank_units")), lit(0L)).cast("long").as("dm"))
+        ranks = nodes
+          .join(contribs, Seq("t", "id"), "left")
+          .join(seedFlag, Seq("t", "id"), "left")
+          .crossJoin(broadcast(dm))
+          .select(col("t").as("src_t"), col("id").as("src"),
+            (when(col("is_seed").isNotNull,
+              expr(s"((100 - $dampingPct) * ${nNodes}L * $unit + $dampingPct * dm) div (100 * ${nSeeds}L)"))
+              .otherwise(lit(0L))
+              + coalesce(col("contrib_sum"), lit(0L))).cast("long").as("rank_units"))
+          .localCheckpoint(eager = false)
+      }
     }
     ranks.select(col("src_t").as("node_type"), col("src").as("node_id"),
       col("rank_units"))
@@ -195,6 +334,92 @@ object Graph {
       .limit(50)
   }
 
+  /** The q162 oracle: [[personalizedPageRank]]'s recurrence unrolled the
+    * same generated way as q136's, seeds spliced in as an INTERSECT with
+    * the node set. */
+  private def pprOracleSql(iterations: Int, unit: Long = 1000000L): String = {
+    val base =
+      """SELECT DISTINCT 'c' AS src_t, o_custkey AS src, 's' AS dst_t, l_suppkey AS dst
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+    val head = Seq(
+      s"edges AS MATERIALIZED (\n  SELECT * FROM (\n    $base)\n  UNION ALL\n  SELECT dst_t, dst, src_t, src FROM (\n    $base))",
+      "deg AS MATERIALIZED (SELECT src_t, src, count(*) AS deg FROM edges GROUP BY 1, 2)",
+      """nodes AS MATERIALIZED (
+        |  SELECT DISTINCT src_t AS t, src AS id FROM edges
+        |  UNION SELECT DISTINCT dst_t, dst FROM edges)""".stripMargin,
+      "nn AS (SELECT count(*) AS n FROM nodes)",
+      """seeds AS MATERIALIZED (
+        |  SELECT 'c' AS t, c_custkey AS id FROM customer WHERE c_nationkey = 1
+        |  INTERSECT SELECT t, id FROM nodes)""".stripMargin,
+      "ns AS (SELECT count(*) AS n FROM seeds)",
+      s"""r0 AS MATERIALIZED (
+         |  SELECT n.t, n.id,
+         |    CAST(CASE WHEN s.id IS NOT NULL THEN (nn.n * $unit) // ns.n ELSE 0 END AS BIGINT) AS rank_units
+         |  FROM nodes n CROSS JOIN nn CROSS JOIN ns
+         |  LEFT JOIN seeds s ON s.t = n.t AND s.id = n.id)""".stripMargin)
+    val iters = (1 to iterations).flatMap { i =>
+      Seq(
+        s"""d$i AS (
+           |  SELECT CAST(coalesce(sum(r.rank_units), 0) AS BIGINT) AS dm
+           |  FROM r${i - 1} r
+           |  LEFT JOIN deg g ON g.src_t = r.t AND g.src = r.id
+           |  WHERE g.src IS NULL)""".stripMargin,
+        s"""c$i AS (
+           |  SELECT e.dst_t AS t, e.dst AS id,
+           |    CAST(sum((r.rank_units * 85) // (100 * d.deg)) AS BIGINT) AS contrib_sum
+           |  FROM edges e
+           |  JOIN r${i - 1} r ON r.t = e.src_t AND r.id = e.src
+           |  JOIN deg d ON d.src_t = e.src_t AND d.src = e.src
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""r$i AS MATERIALIZED (
+           |  SELECT n.t, n.id,
+           |    CAST(CASE WHEN s.id IS NOT NULL
+           |           THEN (15 * nn.n * $unit + 85 * d.dm) // (100 * ns.n) ELSE 0 END
+           |         + coalesce(c.contrib_sum, 0) AS BIGINT) AS rank_units
+           |  FROM nodes n
+           |  CROSS JOIN nn CROSS JOIN ns CROSS JOIN d$i d
+           |  LEFT JOIN c$i c ON c.t = n.t AND c.id = n.id
+           |  LEFT JOIN seeds s ON s.t = n.t AND s.id = n.id)""".stripMargin)
+    }
+    (head ++ iters).mkString("WITH ", ",\n", "") +
+      s"""
+         |SELECT t AS node_type, id AS node_id, rank_units
+         |FROM r$iterations
+         |WHERE rank_units > 0
+         |ORDER BY rank_units DESC, node_type, node_id LIMIT 50""".stripMargin
+  }
+
+  /** Personalized PageRank over the q136 trade graph, seeded at nation-1
+    * customers: "which counterparties sit closest to nation 1's trade?"
+    * — the related-entity ranking a topic- or region-conditioned source
+    * weighting consumes. Three rounds (proximity orderings stabilize much
+    * faster than global importance), damped 0.85, exact integer
+    * micro-units; zero-mass nodes (unreachable in 3 hops) drop before the
+    * top-50 so the LIMIT stays meaningful. */
+  val q162PersonalizedPageRank: QuerySpec = QuerySpec.oracle(
+    "q162_personalized_pagerank", pprOracleSql(3)
+  ) { (spark, dir) =>
+    val pairs = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val edges = pairs.select(explode(array(
+        struct(lit("c").as("src_t"), col("cust").as("src"),
+          lit("s").as("dst_t"), col("supp").as("dst")),
+        struct(lit("s").as("src_t"), col("supp").as("src"),
+          lit("c").as("dst_t"), col("cust").as("dst")))).as("e"))
+      .select(col("e.src_t").as("src_t"), col("e.src").as("src"),
+        col("e.dst_t").as("dst_t"), col("e.dst").as("dst"))
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 1)
+      .select(lit("c").as("src_t"), col("c_custkey").as("src"))
+    personalizedPageRank(edges, seeds, iterations = 3)
+      .filter(col("rank_units") > 0)
+      .orderBy(col("rank_units").desc, col("node_type"), col("node_id"))
+      .limit(50)
+  }
+
   /** Record-linkage entity resolution: q93's dictionary-blocked fuzzy
     * edges (part-name pairs within Levenshtein 2 — tighter than q93's
     * report threshold, this is a MERGE decision) closed transitively by
@@ -258,5 +483,5 @@ object Graph {
       .orderBy("name")
   }
 
-  val all: Seq[QuerySpec] = Seq(q136PageRank, q140EntityGroups)
+  val all: Seq[QuerySpec] = Seq(q136PageRank, q140EntityGroups, q162PersonalizedPageRank)
 }

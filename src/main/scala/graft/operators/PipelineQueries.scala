@@ -1758,6 +1758,81 @@ object PipelineQueries {
       .orderBy("dims")
   }
 
+  /** KMV (k-minimum-values) distinct sketch — the MERGEABLE cardinality
+    * estimator, hash-EXACT cross-engine where approx_count_distinct (q14,
+    * HLL++) can only be band-checked: hash every distinct token to a
+    * uniform 60-bit integer (the md5-prefix trick, q138's discipline),
+    * keep each source's k=64 smallest hash values, and estimate
+    * |distinct| = (k−1)·2⁶⁰ div h₍ₖ₎ (Bar-Yossef et al. 2002) — all
+    * integer arithmetic, so the ESTIMATE ITSELF (not just its error band)
+    * is oracle-verified. The sketched universe is the distinct token
+    * TRIGRAMS per source (~1.3k/source, 16k corpus-wide at sf0.01 — the
+    * unigram vocabulary is 31 words, which would never leave the exact
+    * branch). The '(all)' row demonstrates the property that
+    * makes sketches the 100 TB answer: the global sketch is the k-min of
+    * the UNION of per-source sketches — per-partition state is k values,
+    * merge is a bounded-heap fold, one corpus shuffle on the distinct
+    * (source, hash) key. Exact counts ride along for the error column the
+    * report exists to show. Spark state is [[graft.functions.BottomKRows]]
+    * (bounded heap, map-side combined) — never a per-source sort. */
+  val q161KmvSketch: QuerySpec = QuerySpec.oracle(
+    "q161_kmv_sketch",
+    s"""WITH toks AS (SELECT source, $LowToksSql AS ts FROM documents),
+       |g AS (SELECT source, unnest($ShinglesSql) AS t FROM toks),
+       |d AS (SELECT DISTINCT source, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+       |      FROM g),
+       |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |      FROM d),
+       |s AS (SELECT source AS scope, count(*) AS n_exact,
+       |        max(h) FILTER (WHERE rn <= 64) AS kth
+       |      FROM r GROUP BY source),
+       |da AS (SELECT DISTINCT h FROM d),
+       |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM da),
+       |sa AS (SELECT '(all)' AS scope, count(*) AS n_exact,
+       |        max(h) FILTER (WHERE rn <= 64) AS kth
+       |      FROM ra),
+       |u AS (SELECT * FROM s UNION ALL SELECT * FROM sa)
+       |SELECT scope, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CASE WHEN n_exact <= 64 THEN CAST(n_exact AS BIGINT)
+       |       ELSE CAST(63::HUGEINT * 1152921504606846976 // kth AS BIGINT) END AS est_distinct,
+       |  CAST(kth AS BIGINT) AS kth_hash
+       |FROM u ORDER BY scope""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.BottomKRows
+    val k = 64
+    val m = 1152921504606846976L // 2^60, the hash space of a 15-hex md5 prefix
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("t"))
+      .select(col("source"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    // per-source sketch: bounded-heap bottom-64 by the zero-padded hex key
+    // (binary order == numeric order for non-negative h) + the exact count
+    val perSource = d.groupBy("source")
+      .agg(count(lit(1)).as("n_exact"),
+        BottomKRows.bottomK(lpad(hex(col("h")), 16, "0"), struct(col("h")), k).as("mins"))
+    // the '(all)' sketch MERGES the per-source sketches (k-min of the
+    // union); its exact count needs one more distinct (h is source-free)
+    val allExact = d.select("h").distinct().agg(count(lit(1)).as("n_exact"))
+    val merged = perSource
+      .select(explode(col("mins")).as("mi"))
+      .select(col("mi.h").as("h")).distinct()
+      .agg(BottomKRows.bottomK(lpad(hex(col("h")), 16, "0"), struct(col("h")), k).as("mins"))
+      .crossJoin(broadcast(allExact))
+      .select(lit("(all)").as("scope"), col("n_exact"), col("mins"))
+    val est = (kth: Column, n: Column) =>
+      when(n <= k, n).otherwise(
+        expr(s"CAST(63 AS DECIMAL(38,0)) * $m div kth").cast("long"))
+    perSource.select(col("source").as("scope"), col("n_exact"), col("mins"))
+      .unionByName(merged)
+      .withColumn("kth", element_at(col("mins"), least(lit(k), size(col("mins"))))
+        .getField("h"))
+      .select(col("scope"), col("n_exact"),
+        est(col("kth"), col("n_exact")).as("est_distinct"),
+        col("kth").as("kth_hash"))
+      .orderBy("scope")
+  }
+
   /** PPS systematic sample ([[Sampling.ppsSystematic]]): 200 documents
     * drawn with probability proportional to n_chars — token-weighted
     * corpus thinning that preserves the token distribution where a
@@ -1917,5 +1992,5 @@ object PipelineQueries {
     q106VectorHygiene, q115KeywordExtract, q116SourceOverlap,
     q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq,
     q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample, q147MmrRerank,
-    q149RetrievalEval, q160MmrLambdaSweep)
+    q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch)
 }

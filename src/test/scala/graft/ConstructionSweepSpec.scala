@@ -83,6 +83,10 @@ class ConstructionSweepSpec extends SparkSpec {
     "q136_pagerank",
     // q140 iterates CC over the fuzzy-name entity graph at build, like q35
     "q140_entity_groups",
+    // q162: personalized PageRank — q136's localCheckpoint discipline, one
+    // cut per round (the dangling + contribution double-reference), so the
+    // rounds execute at build under AQE
+    "q162_personalized_pagerank",
     // q144/q145's FIRST build writes the three-version snapshot log
     // (one-time, commit-marker-guarded; repeat builds list committed
     // versions driver-side and are job-free — except q144's travelled-vs-

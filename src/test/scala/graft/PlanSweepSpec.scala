@@ -56,6 +56,12 @@ class PlanSweepSpec extends SparkSpec {
     // q160 — the MMR λ sweep rides q40's bruteForceTopK broadcast-query
     // machinery (queries ≪ corpus), the same bounded cross join as q147
     "q160_mmr_lambda_sweep",
+    // q161 — crossJoin(broadcast(allExact)): the 1-row global exact-count
+    // aggregate beside the merged sketch, the q27 scalar idiom
+    "q161_kmv_sketch",
+    // q162 — per-round crossJoin(broadcast(dm × scalars)): q136's 1-row
+    // dangling/seed-count scalar idiom
+    "q162_personalized_pagerank",
     // q136 — per-round crossJoin(broadcast(share)) where share is the 1-row
     // dangling-mass scalar (dm × damping div |V|): the same 1-row idiom,
     // once per PageRank iteration
@@ -437,6 +443,15 @@ class PlanSweepSpec extends SparkSpec {
     // q160: the shortlist top-k agg (partial→final) + the per-query
     // candidate collect + the |grid|-rows λ aggregate + presentation sort
     "q160_mmr_lambda_sweep" -> 4,
+    // q161: the distinct (source, hash) key + per-source bottom-k sketch
+    // agg + the global distinct/exact branches (re-planned under the merge
+    // and the 1-row exact count; runtime ReuseExchange dedupes) + the
+    // single-row merged-sketch agg + presentation sort
+    "q161_kmv_sketch" -> 14,
+    // q162: q136's shape — the declared plan is the LAST checkpointed
+    // round over RDD leaves (final-round joins/agg) + the zero-mass
+    // filter + presentation sort
+    "q162_personalized_pagerank" -> 12,
     // q159: the day agg (one corpus shuffle, re-planned under the 1-row
     // first-day branch; runtime ReuseExchange dedupes) + the per-type
     // sufficient-stats agg + presentation sort

@@ -176,6 +176,27 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b }, "ranked by lift desc")
   }
 
+  test("q161: KMV estimates land inside the k=64 error envelope; merge is consistent") {
+    val rows = graft.SparkEntry.queries("q161_kmv_sketch")(spark, sf).collect()
+    val bySrc = rows.map(r => r.getAs[String]("scope") ->
+      (r.getAs[Long]("n_exact"), r.getAs[Long]("est_distinct"))).toMap
+    assert(bySrc.contains("(all)"), "the merged corpus row is present")
+    bySrc.foreach { case (scope, (exact, est)) =>
+      if (exact <= 64) assert(est == exact, s"$scope: small sets are exact")
+      else {
+        // KMV stddev is ~1/sqrt(k-2) = 12.7% at k=64; 5 sigma = ~64%
+        val relErr = math.abs(est - exact).toDouble / exact
+        assert(relErr < 0.64, s"$scope: est $est vs exact $exact (relErr $relErr)")
+      }
+    }
+    // the merged estimate must agree with sketching the union directly:
+    // global k smallest hashes are each their source's k smallest
+    val (allExact, allEst) = bySrc("(all)")
+    assert(allExact >= bySrc.filter(_._1 != "(all)").values.map(_._1).max,
+      "global distinct count dominates every per-source count")
+    assert(allEst > 64, "the corpus vocabulary exceeds the sketch size")
+  }
+
   test("q129: TV distance bounds, identical distributions tie, skew ranks highest") {
     // driver-table invariants: TV ∈ [0, 1), token totals positive
     val rows = PipelineQueries.q129SourceDivergence.build(spark, sf).collect()
