@@ -1758,6 +1758,64 @@ object PipelineQueries {
       .orderBy("dims")
   }
 
+  /** N-GRAM decontamination at the published standard (GPT-3 appendix C /
+    * The Pile: 13-gram overlap) — the sub-document sibling of the
+    * exact-text decon band (q38/q51/q75): a training document is
+    * contaminated if ANY of its 13 consecutive tokens appear verbatim in
+    * the held-out eval slice, catching the quotes/paraphrase-with-copied-
+    * span leakage exact-text matching misses entirely. Output is the
+    * per-document audit (every train doc: gram positions, distinct
+    * contaminated grams, verdict) ordered by doc_id.
+    *
+    * Shape at scale: the eval gram dictionary is DISTINCT and BROADCAST
+    * (eval ≪ train — the production direction, same argument as the
+    * q51/q75 bloom), so the corpus pays one scan + an in-map semi-join;
+    * the only corpus-keyed shuffle is the per-doc hit aggregate on
+    * doc_id. Gram equality is exact string equality — hash-exact in
+    * DuckDB, no float anywhere. */
+  val q163NgramDecontaminate: QuerySpec = {
+    val k = 13
+    val gramCols = (0 until k).map(j => s"ts[i+$j]").mkString(", ")
+    QuerySpec.oracle(
+      "q163_ngram_decontaminate",
+      s"""WITH toks AS (SELECT doc_id, source, $LowToksSql AS ts FROM documents),
+         |ev AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(ts)-${k - 1}),
+         |         i -> concat_ws(' ', $gramCols))) AS g
+         |       FROM toks WHERE source = 'src0' AND len(ts) >= $k),
+         |tr AS (SELECT doc_id, greatest(len(ts) - ${k - 1}, 0) AS n_grams, ts
+         |       FROM toks WHERE source <> 'src0'),
+         |tg AS (SELECT doc_id,
+         |         unnest(list_distinct(list_transform(generate_series(1, len(ts)-${k - 1}),
+         |           i -> concat_ws(' ', $gramCols)))) AS g
+         |       FROM tr WHERE len(ts) >= $k),
+         |hit AS (SELECT doc_id, count(*) AS n_hit
+         |        FROM tg WHERE g IN (SELECT g FROM ev) GROUP BY doc_id)
+         |SELECT tr.doc_id, CAST(tr.n_grams AS BIGINT) AS n_grams,
+         |  CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_contaminated,
+         |  coalesce(hit.n_hit, 0) > 0 AS contaminated
+         |FROM tr LEFT JOIN hit USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val ev = docs.filter(col("source") === "src0")
+        .select(explode(Dedup.shingles(col("text"), k)).as("g"))
+        .distinct()
+      val tr = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"),
+          greatest(size(lowToksCol) - (k - 1), lit(0)).cast("long").as("n_grams"),
+          Dedup.shingles(col("text"), k).as("gs"))
+      val hits = tr.select(col("doc_id"), explode(col("gs")).as("g"))
+        .join(broadcast(ev), Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      tr.select("doc_id", "n_grams")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_contaminated"),
+          (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** KMV (k-minimum-values) distinct sketch — the MERGEABLE cardinality
     * estimator, hash-EXACT cross-engine where approx_count_distinct (q14,
     * HLL++) can only be band-checked: hash every distinct token to a
@@ -1992,5 +2050,5 @@ object PipelineQueries {
     q106VectorHygiene, q115KeywordExtract, q116SourceOverlap,
     q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq,
     q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample, q147MmrRerank,
-    q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch)
+    q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch, q163NgramDecontaminate)
 }

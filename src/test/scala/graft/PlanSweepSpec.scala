@@ -452,6 +452,10 @@ class PlanSweepSpec extends SparkSpec {
     // round over RDD leaves (final-round joins/agg) + the zero-mass
     // filter + presentation sort
     "q162_personalized_pagerank" -> 12,
+    // q163: the broadcast eval-gram dictionary (its distinct is the one
+    // eval-sized exchange) + the per-doc hit agg on doc_id + the per-doc
+    // left join back + presentation sort
+    "q163_ngram_decontaminate" -> 6,
     // q159: the day agg (one corpus shuffle, re-planned under the 1-row
     // first-day branch; runtime ReuseExchange dedupes) + the per-type
     // sufficient-stats agg + presentation sort

@@ -197,6 +197,32 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(allEst > 64, "the corpus vocabulary exceeds the sketch size")
   }
 
+  test("q163: 13-gram decon flags the planted cross-source span, bounds hold") {
+    val rows = graft.SparkEntry.queries("q163_ngram_decontaminate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hit) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_contaminated"))
+      assert(hit >= 0 && hit <= n, s"doc ${r.getAs[Long]("doc_id")}: $hit hits of $n grams")
+      assert(r.getAs[Boolean]("contaminated") == (hit > 0))
+    }
+    // the corpus plants long shared spans across sources (q125's fixture
+    // property), so the eval slice contaminates at least one training doc
+    assert(rows.exists(_.getAs[Boolean]("contaminated")),
+      "no contamination found — the 13-gram join is not seeing the planted spans")
+    // and exact-text decon would NOT have caught these (they are
+    // sub-document overlaps, not identical docs): the contaminated docs'
+    // texts are not verbatim in src0
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val evTexts = docs.filter(org.apache.spark.sql.functions.col("source") === "src0")
+      .select("text").collect().map(_.getString(0)).toSet
+    val contaminatedIds = rows.filter(_.getAs[Boolean]("contaminated")).map(_.getAs[Long]("doc_id"))
+    val contaminatedTexts = docs
+      .filter(org.apache.spark.sql.functions.col("doc_id").isin(contaminatedIds: _*))
+      .select("text").collect().map(_.getString(0))
+    assert(contaminatedTexts.exists(t => !evTexts.contains(t)),
+      "q163 should catch sub-document leakage exact-text decon misses")
+  }
+
   test("q129: TV distance bounds, identical distributions tie, skew ranks highest") {
     // driver-table invariants: TV ∈ [0, 1), token totals positive
     val rows = PipelineQueries.q129SourceDivergence.build(spark, sf).collect()
