@@ -113,13 +113,12 @@ object Dedup {
     }: _*)
   }
 
-  /** Candidate near-dup pairs via LSH banding over MinHash signatures:
-    * signature split into `numBands` bands, docs sharing any band key are
-    * candidates (joined on the band key — bucket join, no product), then
-    * exact Jaccard verifies. */
-  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, numHashes: Int = 16, numBands: Int = 4,
-                   minJaccard: Double = 0.5): DataFrame = {
+  /** The banding half of [[minHashPairs]] on its own: the DISTINCT
+    * (id_a, id_b) candidate pairs surfaced by band-key collisions, BEFORE
+    * exact verification — the relation a recall/precision audit (q164)
+    * compares against ground truth. */
+  def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, numHashes: Int = 16, numBands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / numBands
     // drop docs with no shingles BEFORE banding: they would all share the
     // identical all-MaxValue signature and collapse into one quadratic
@@ -133,11 +132,21 @@ object Dedup {
           md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("key"))
       }: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
+  }
+
+  /** Candidate near-dup pairs via LSH banding over MinHash signatures:
+    * signature split into `numBands` bands, docs sharing any band key are
+    * candidates (joined on the band key — bucket join, no product), then
+    * exact Jaccard verifies. */
+  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, numHashes: Int = 16, numBands: Int = 4,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val candidates = minHashCandidatePairs(docs, idCol, textCol, n, numHashes, numBands)
     // verify ONLY the candidate pairs: join their shingle sets back in and
     // intersect per pair — cost scales with |candidates|, never |docs|²
     val shingleSets = docs.select(col(idCol).as("doc"), shingles(col(textCol), n).as("shs"))

@@ -1240,6 +1240,82 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** LSH-dedup quality audit — q78's declared-recall discipline applied to
+    * the MinHash band (and, unlike the float ANN report, fully
+    * ORACLE-checked: both sides are deterministic integer/string
+    * machinery): ground truth is the exact all-pairs shingle Jaccard on
+    * the q31 slice, candidates are q88's banded collisions, and the
+    * report counts, per Jaccard threshold, how many true pairs the
+    * banding surfaced — the measured S-curve (recall ~0 in the chance-
+    * collision regime, 1.0 above the design threshold) that justifies
+    * running banded LSH instead of the
+    * quadratic at 100 TB, where only the banding is feasible and this
+    * report is the evidence it loses almost nothing above the design
+    * threshold. n_candidates rides along so precision-at-verify is
+    * derivable from the same rows. */
+  val q164LshDedupRecall: QuerySpec = QuerySpec.oracle(
+    "q164_lsh_dedup_recall", {
+      val hashExprs = (0 until NumHashes).map { i =>
+        s"coalesce(list_min(list_transform(shs, s -> ${Dedup.seededHashSql("s", i)})), 9223372036854775807)"
+      }
+      val rpb = NumHashes / NumBands
+      val bandSelects = (0 until NumBands).map { b =>
+        val (lo, hi) = (b * rpb + 1, b * rpb + rpb)
+        s"SELECT doc_id AS doc, $b AS band, md5(array_to_string(sig[$lo:$hi], ',')) AS bkey FROM sigs"
+      }
+      s"""WITH toks AS (
+         |  SELECT doc_id, $LowToksSql AS ts FROM documents WHERE doc_id < 200),
+         |shl AS (SELECT doc_id, $ShinglesSql AS shs FROM toks),
+         |sh0 AS (SELECT doc_id AS doc, unnest(shs) AS sh FROM shl),
+         |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000),
+         |sh AS (SELECT doc, sh0.sh FROM sh0 JOIN rare USING (sh)),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |exact AS (
+         |  SELECT a.doc AS id_a, b.doc AS id_b,
+         |    count(*) / (sa.n_sh + sb.n_sh - count(*)) AS jaccard
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+         |  JOIN sizes sa ON sa.doc = a.doc
+         |  JOIN sizes sb ON sb.doc = b.doc
+         |  GROUP BY 1, 2, sa.n_sh, sb.n_sh),
+         |ne AS (SELECT doc_id, shs FROM shl WHERE len(shs) > 0),
+         |sigs AS (SELECT doc_id, ${hashExprs.mkString("[", ",\n  ", "]")} AS sig FROM ne),
+         |bands AS (${bandSelects.mkString("\n  UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc),
+         |nc AS (SELECT count(*) AS n_candidates FROM cand),
+         |j AS (SELECT e.jaccard, c.id_a IS NOT NULL AS caught
+         |      FROM exact e LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b),
+         |grid AS (SELECT unnest([0.02, 0.05, 0.1, 0.3, 0.5, 0.9]) AS threshold)
+         |SELECT g.threshold,
+         |  count(*) FILTER (WHERE j.jaccard >= g.threshold) AS n_true,
+         |  count(*) FILTER (WHERE j.jaccard >= g.threshold AND j.caught) AS n_caught,
+         |  any_value(nc.n_candidates) AS n_candidates
+         |FROM grid g CROSS JOIN nc LEFT JOIN j ON true
+         |GROUP BY g.threshold
+         |ORDER BY g.threshold""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val slice = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    val exact = Dedup.ngramJaccardPairs(slice, "doc_id", "text",
+        n = 3, minJaccard = 0.0, maxDocFreq = 1000)
+      .select("id_a", "id_b", "jaccard")
+    val cand = Dedup.minHashCandidatePairs(slice, "doc_id", "text",
+        n = 3, numHashes = NumHashes, numBands = NumBands)
+      .withColumn("is_cand", lit(1))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val joined = exact.join(cand, Seq("id_a", "id_b"), "left")
+    joined
+      .select(explode(typedlit(Seq(0.02, 0.05, 0.1, 0.3, 0.5, 0.9))).as("threshold"),
+        col("jaccard"), col("is_cand"))
+      .groupBy("threshold")
+      .agg(count(when(col("jaccard") >= col("threshold"), 1)).as("n_true"),
+        count(when(col("jaccard") >= col("threshold") && col("is_cand").isNotNull, 1))
+          .as("n_caught"))
+      .crossJoin(broadcast(nc))
+      .orderBy("threshold")
+  }
+
   /** Collocation mining (the phrase-detection pass that runs before
     * tokenizer training — "hot dog" should become one token if its parts
     * co-occur far above chance): bigram lift = P(a,b) / (P(a·)·P(·b)),
@@ -2050,5 +2126,6 @@ object PipelineQueries {
     q106VectorHygiene, q115KeywordExtract, q116SourceOverlap,
     q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq,
     q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample, q147MmrRerank,
-    q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch, q163NgramDecontaminate)
+    q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch, q163NgramDecontaminate,
+    q164LshDedupRecall)
 }

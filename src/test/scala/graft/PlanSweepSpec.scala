@@ -59,6 +59,9 @@ class PlanSweepSpec extends SparkSpec {
     // q161 — crossJoin(broadcast(allExact)): the 1-row global exact-count
     // aggregate beside the merged sketch, the q27 scalar idiom
     "q161_kmv_sketch",
+    // q164 — crossJoin(broadcast(nc)): the 1-row candidate-count aggregate
+    // beside the per-threshold recall rows, the same scalar idiom
+    "q164_lsh_dedup_recall",
     // q162 — per-round crossJoin(broadcast(dm × scalars)): q136's 1-row
     // dangling/seed-count scalar idiom
     "q162_personalized_pagerank",
@@ -456,6 +459,10 @@ class PlanSweepSpec extends SparkSpec {
     // eval-sized exchange) + the per-doc hit agg on doc_id + the per-doc
     // left join back + presentation sort
     "q163_ngram_decontaminate" -> 6,
+    // q164: the exact side (rare-shingle agg + pair agg + sizes joins, the
+    // q31 shape) + the banding side (band-key self-join + distinct) + the
+    // threshold rollup + the 1-row candidate count + presentation sort
+    "q164_lsh_dedup_recall" -> 16,
     // q159: the day agg (one corpus shuffle, re-planned under the 1-row
     // first-day branch; runtime ReuseExchange dedupes) + the per-type
     // sufficient-stats agg + presentation sort

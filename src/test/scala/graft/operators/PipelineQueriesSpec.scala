@@ -223,6 +223,28 @@ class PipelineQueriesSpec extends SparkSpec {
       "q163 should catch sub-document leakage exact-text decon misses")
   }
 
+  test("q164: banding recall is ~0 in the chance regime and 1.0 above the design threshold") {
+    val rows = graft.SparkEntry.queries("q164_lsh_dedup_recall")(spark, sf).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_caught"), r.getAs[Long]("n_candidates")))
+      .toMap
+    assert(rows.size == 6)
+    rows.foreach { case (t, (nTrue, nCaught, _)) =>
+      assert(nCaught <= nTrue, s"threshold $t: caught $nCaught of $nTrue")
+    }
+    // chance-collision regime: banding must NOT surface the junk pairs
+    val (junkTrue, junkCaught, _) = rows(0.02)
+    assert(junkTrue > 10, "the slice has a junk-pair population to measure against")
+    assert(junkCaught.toDouble / junkTrue < 0.5,
+      s"banding should reject the chance regime: $junkCaught/$junkTrue")
+    // design regime: every true near-dup pair is surfaced
+    val (dupTrue, dupCaught, nCand) = rows(0.5)
+    assert(dupTrue > 0 && dupCaught == dupTrue,
+      s"recall must be 1.0 above the design threshold: $dupCaught/$dupTrue")
+    // and the candidate set is tight (precision evidence)
+    assert(nCand <= dupTrue * 2, s"candidate set $nCand should stay near the true set $dupTrue")
+  }
+
   test("q129: TV distance bounds, identical distributions tie, skew ranks highest") {
     // driver-table invariants: TV ∈ [0, 1), token totals positive
     val rows = PipelineQueries.q129SourceDivergence.build(spark, sf).collect()
