@@ -1316,6 +1316,78 @@ object PipelineQueries {
       .orderBy("threshold")
   }
 
+  /** Dedup-savings report — the cluster-size histogram every dedup run
+    * publishes before anyone approves dropping data: per NEAR-dup cluster
+    * size (q35's CC resolution over the Jaccard ≥ [[DedupMinJaccard]]
+    * pair graph — this fixture has no byte-identical dups, so exact-text
+    * clusters would be a degenerate all-size-1 histogram), how many
+    * clusters, documents and tokens they hold, and how much is REDUNDANT
+    * (everything but the canonical member). The histogram's tail is also
+    * the data-quality smoke alarm: a fat cluster at size N ≫ 2 is
+    * boilerplate or a crawler loop, not organic duplication. Shape: the
+    * bounded q31-slice pair graph + CC + one token scan, re-keyed by the
+    * BOUNDED cluster-size dictionary. */
+  val q165DedupSavings: QuerySpec = QuerySpec.oracle(
+    "q165_dedup_savings",
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, $LowToksSql AS ts FROM documents WHERE doc_id < 200),
+       |shl AS (SELECT doc_id, $ShinglesSql AS shs FROM toks),
+       |sh0 AS (SELECT doc_id AS doc, unnest(shs) AS sh FROM shl),
+       |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000),
+       |sh AS (SELECT doc, sh0.sh FROM sh0 JOIN rare USING (sh)),
+       |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+       |jp AS (
+       |  SELECT a.doc AS id_a, b.doc AS id_b,
+       |    count(*) / (sa.n_sh + sb.n_sh - count(*)) AS j
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+       |  JOIN sizes sa ON sa.doc = a.doc
+       |  JOIN sizes sb ON sb.doc = b.doc
+       |  GROUP BY 1, 2, sa.n_sh, sb.n_sh),
+       |pairs AS (SELECT id_a, id_b FROM jp WHERE j >= $DedupMinJaccard),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM toks
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |cc AS (SELECT node AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY node),
+       |dt AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS toks FROM toks),
+       |cl AS (
+       |  SELECT cc.canonical_id, count(*) AS sz,
+       |    CAST(sum(dt.toks) AS BIGINT) AS toks,
+       |    CAST(sum(CASE WHEN cc.doc_id = cc.canonical_id THEN dt.toks ELSE 0 END) AS BIGINT) AS kept
+       |  FROM cc JOIN dt USING (doc_id) GROUP BY 1)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  count(*) AS n_clusters,
+       |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  CAST((sz - 1) * count(*) AS BIGINT) AS n_redundant_docs,
+       |  CAST(sum(toks - kept) AS BIGINT) AS n_redundant_tokens
+       |FROM cl GROUP BY sz ORDER BY cluster_size""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = DedupMinJaccard, maxDocFreq = 1000)
+      .select("id_a", "id_b")
+    val groups = Dedup.dedupGroups(docs.select("doc_id"), "doc_id", pairs)
+    val dt = docs.select(col("doc_id"), size(lowToksCol).cast("long").as("toks"))
+    val cl = groups.join(dt, "doc_id")
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("sz"),
+        sum(col("toks")).cast("long").as("toks"),
+        sum(when(col("doc_id") === col("canonical_id"), col("toks")).otherwise(0L))
+          .cast("long").as("kept"))
+    cl.groupBy("sz")
+      .agg(count(lit(1)).as("n_clusters"),
+        (col("sz") * count(lit(1))).cast("long").as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"),
+        ((col("sz") - 1) * count(lit(1))).cast("long").as("n_redundant_docs"),
+        sum(col("toks") - col("kept")).cast("long").as("n_redundant_tokens"))
+      .select(col("sz").cast("long").as("cluster_size"), col("n_clusters"),
+        col("n_docs"), col("n_tokens"), col("n_redundant_docs"), col("n_redundant_tokens"))
+      .orderBy("cluster_size")
+  }
+
   /** Collocation mining (the phrase-detection pass that runs before
     * tokenizer training — "hot dog" should become one token if its parts
     * co-occur far above chance): bigram lift = P(a,b) / (P(a·)·P(·b)),
@@ -2127,5 +2199,5 @@ object PipelineQueries {
     q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq,
     q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample, q147MmrRerank,
     q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch, q163NgramDecontaminate,
-    q164LshDedupRecall)
+    q164LshDedupRecall, q165DedupSavings)
 }

@@ -463,6 +463,10 @@ class PlanSweepSpec extends SparkSpec {
     // q31 shape) + the banding side (band-key self-join + distinct) + the
     // threshold rollup + the 1-row candidate count + presentation sort
     "q164_lsh_dedup_recall" -> 16,
+    // q165: q35's CC resolution (labels land in a checkpointed relation;
+    // the declared plan is the per-cluster agg + the size re-key +
+    // presentation sort over it, plus the pair-graph subtree)
+    "q165_dedup_savings" -> 12,
     // q159: the day agg (one corpus shuffle, re-planned under the 1-row
     // first-day branch; runtime ReuseExchange dedupes) + the per-type
     // sufficient-stats agg + presentation sort
