@@ -81,6 +81,25 @@ object RffSvc {
     }
   }
 
+  /** Thin MLlib-Transformer adapter so the registry's typed loader
+    * ([[Trainer.loadModel]]) can hand back the kernel model through the
+    * same `Transformer` interface as the four linear-tier models. */
+  final class RffSvcTransformer(val model: RffSvcModel,
+                                override val uid: String = "graft_rff_svc")
+      extends org.apache.spark.ml.Transformer {
+    override def transform(ds: org.apache.spark.sql.Dataset[_]): DataFrame =
+      model.transform(ds.toDF())
+    override def transformSchema(schema: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType = {
+      val withRff = schema.add(org.apache.spark.sql.types.StructField(
+        "rff_features", org.apache.spark.ml.linalg.SQLDataTypes.VectorType, nullable = false))
+      org.apache.spark.sql.types.StructType(
+        model.svc.transformSchema(withRff).filterNot(_.name == "rff_features"))
+    }
+    override def copy(extra: org.apache.spark.ml.param.ParamMap): RffSvcTransformer =
+      new RffSvcTransformer(model, uid)
+  }
+
   def load(path: String): RffSvcModel = {
     val spark = SparkSession.active
     val r = spark.read.parquet(s"$path/rff").collect().head

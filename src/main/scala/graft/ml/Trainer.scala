@@ -102,6 +102,9 @@ object Trainer {
     case "logistic_regression" => LogisticRegressionModel.load(path)
     case "linear_svc"          => LinearSVCModel.load(path)
     case "gaussian_nb"         => NaiveBayesModel.load(path)
+    // the kernel tier (M3's RBF capability, SURVEY §2.10): RFF map
+    // regenerated from its four scalars + the persisted LinearSVC
+    case "rff_svc"             => new RffSvc.RffSvcTransformer(RffSvc.load(path))
     case other => throw new IllegalArgumentException(s"unknown registry model: $other")
   }
 

@@ -96,27 +96,29 @@ object Graph {
     // shuffle the |E|-sized relation once more for nothing
     val contribEdges = edgesCk.join(deg, Seq("src_t", "src"))
       .localCheckpoint(eager = false)
-    // ONE build-time action (node-sized anti-join over two checkpointed
-    // relations) picks the execution path: a graph with no dangling nodes
-    // — every undirected graph, most link graphs — has share ≡ 0 and its
-    // rank relation is referenced ONCE per round, so the rounds chain as
-    // the lean lazy linear plan with no per-round checkpoints (measured:
-    // the general path's per-round materialization cost q136 9.0 s vs
-    // 3.8 s; both paths compute identical values, so the branch is pure
-    // execution-path choice and the shared oracle covers both).
-    val hasDangling = !nodes
-      .select(col("t").as("src_t"), col("id").as("src"))
-      .join(deg, Seq("src_t", "src"), "left_anti")
-      .isEmpty
-    // second refinement, same one-action price: when every node also
+    // ONE build-time action (node-sized joins over checkpointed relations)
+    // picks the execution path. No dangling nodes — every undirected
+    // graph, most link graphs — means share ≡ 0 and the rank relation is
+    // referenced ONCE per round, so the rounds chain as the lean lazy
+    // linear plan with no per-round checkpoints (measured: the general
+    // path's per-round materialization cost q136 9.0 s vs 3.8 s; both
+    // paths compute identical values, so the branch is pure execution-path
+    // choice and the shared oracle covers both). When every node also
     // RECEIVES contributions (all nodes have in-edges — guaranteed for
     // undirected graphs), the keep-alive left join against the node
     // relation is redundant too and each round is exactly the lean
-    // group-and-add of the no-dangling contract
-    val allReceive = !hasDangling && nodes
-      .join(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")).distinct(),
-        Seq("t", "id"), "left_anti")
-      .isEmpty
+    // group-and-add of the no-dangling contract.
+    val structureRow = nodes
+      .join(deg.select(col("src_t").as("t"), col("src").as("id"), lit(1).as("has_out")),
+        Seq("t", "id"), "left")
+      .join(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")).distinct()
+          .withColumn("has_in", lit(1)),
+        Seq("t", "id"), "left")
+      .agg(count(when(col("has_out").isNull, 1)).as("n_dangling"),
+        count(when(col("has_in").isNull, 1)).as("n_no_in"))
+      .collect().head
+    val hasDangling = structureRow.getLong(0) > 0
+    val allReceive = !hasDangling && structureRow.getLong(1) == 0
     var ranks = nodes
       .select(col("t").as("src_t"), col("id").as("src"),
         lit(unit).cast("long").as("rank_units"))
@@ -190,15 +192,29 @@ object Graph {
     val seedNodes = nodes
       .join(seeds.select(col("src_t").as("t"), col("src").as("id")).distinct(),
         Seq("t", "id"), "left_semi")
-      .localCheckpoint(eager = false)
     val contribEdges = edgesCk.join(deg, Seq("src_t", "src"))
       .localCheckpoint(eager = false)
-    // the two divisors are 1-row scalar reads over relations the build
-    // materializes anyway — collected ONCE so the seed terms become plan
-    // LITERALS (Scala Long floor division ≡ both engines' integral
-    // division on non-negatives) instead of per-round scalar cross joins
-    val nNodes = nodes.count()
-    val nSeeds = seedNodes.count()
+    // ONE build-time action carries everything the path choice and the
+    // literal seed terms need: |V|, |S ∩ V|, the dangling count and the
+    // no-in-edge count (Scala Long floor division ≡ both engines'
+    // integral division on non-negatives, so the collected divisors bake
+    // into the plan as literals instead of per-round scalar cross joins)
+    val structureRow = nodes
+      .join(deg.select(col("src_t").as("t"), col("src").as("id"), lit(1).as("has_out")),
+        Seq("t", "id"), "left")
+      .join(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")).distinct()
+          .withColumn("has_in", lit(1)),
+        Seq("t", "id"), "left")
+      .join(seedNodes.withColumn("seed_flag", lit(1)), Seq("t", "id"), "left")
+      .agg(count(lit(1)).as("n_nodes"),
+        count(when(col("has_out").isNull, 1)).as("n_dangling"),
+        count(when(col("has_in").isNull, 1)).as("n_no_in"),
+        count(when(col("seed_flag").isNotNull, 1)).as("n_seeds"))
+      .collect().head
+    val nNodes = structureRow.getLong(0)
+    val hasDangling = structureRow.getLong(1) > 0
+    val allReceive = !hasDangling && structureRow.getLong(2) == 0
+    val nSeeds = structureRow.getLong(3)
     require(nSeeds > 0, "personalizedPageRank: no seed intersects the graph's node set")
     val seedFlag = broadcast(seedNodes.withColumn("is_seed", lit(1L)))
     // r0: all mass on the seeds — |V|·unit split equally (integral)
@@ -207,16 +223,6 @@ object Graph {
       .select(col("t").as("src_t"), col("id").as("src"),
         when(col("is_seed").isNotNull, lit(nNodes * unit / nSeeds))
           .otherwise(lit(0L)).cast("long").as("rank_units"))
-    // same fast paths as [[pageRank]]: no dangling ⇒ dm ≡ 0 and the seed
-    // term is a literal; all nodes receiving ⇒ no keep-alive node join
-    val hasDangling = !nodes
-      .select(col("t").as("src_t"), col("id").as("src"))
-      .join(deg, Seq("src_t", "src"), "left_anti")
-      .isEmpty
-    val allReceive = !hasDangling && nodes
-      .join(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")).distinct(),
-        Seq("t", "id"), "left_anti")
-      .isEmpty
     val cleanSeedTerm = ((100 - dampingPct) * nNodes * unit) / (100 * nSeeds)
     for (_ <- 1 to iterations) {
       val contribs = contribEdges

@@ -60,5 +60,11 @@ class RffSvcSpec extends SparkSpec {
     val direct = model.transform(valid).select("prediction").collect().map(_.getDouble(0)).toSeq
     val replayed = loaded.transform(valid).select("prediction").collect().map(_.getDouble(0)).toSeq
     assert(replayed == direct, "W/b regeneration from (seed, gamma, D, d) is bit-exact")
+    // and through the registry's typed-loader interface (Trainer dispatch)
+    val asTransformer = Trainer.loadModel("rff_svc", dir)
+    val viaRegistry = asTransformer.transform(valid)
+      .select("prediction").collect().map(_.getDouble(0)).toSeq
+    assert(viaRegistry == direct, "registry dispatch returns the same kernel model")
+    assert(asTransformer.transformSchema(valid.schema).fieldNames.contains("prediction"))
   }
 }
