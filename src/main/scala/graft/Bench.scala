@@ -68,13 +68,18 @@ object Bench {
     * necessarily selects a polluted sample (q47 read 8.84 s from passes
     * [0.77, 16.04, 8.84] — the clean figure was 0.77). Each pass is
     * bracketed by fixed-work parallel-canary measurements; a pass's
-    * throughput ratio is the mean of its two brackets over the run's best
+    * throughput ratio is the MIN of its two brackets over the run's best
     * bracket, and its samples are divided by that ratio before the median —
     * so a pass that ran on a machine granting half the throughput has its
-    * inflation removed rather than voted over. All-passes-contaminated
-    * remains unfixable (ratios all ~1 relative to each other) — that floor
-    * is inherent to in-guest measurement. Failure sentinel -1 propagates
-    * un-normalized. Pure, so BenchLineSpec can pin the polluted-pass case.
+    * inflation removed rather than voted over. Min, not mean: a transient
+    * spike that hits only one ~0.7 s canary window (not the pass itself)
+    * then cannot DEFLATE a clean measurement — contamination must span
+    * both brackets to trigger correction, and a mid-run onset still
+    * corrects every later pass while the median discards the single
+    * uncorrected boundary pass. All-passes-contaminated remains unfixable
+    * (ratios all ~1 relative to each other) — that floor is inherent to
+    * in-guest measurement. Failure sentinel -1 propagates un-normalized.
+    * Pure, so BenchLineSpec can pin the polluted-pass case.
     *
     * @param canaries pass brackets: canaries(i) precedes pass i,
     *                 canaries(i+1) follows it — length passes.size + 1.
@@ -86,7 +91,7 @@ object Bench {
     require(canaries.size == passes.size + 1, "need one canary bracket per pass boundary")
     val best = canaries.min
     val ratios = passes.indices.map { i =>
-      val bracket = (canaries(i) + canaries(i + 1)) / 2.0
+      val bracket = math.min(canaries(i), canaries(i + 1))
       // a sub-1 ratio would INFLATE samples from the cleanest pass; and a
       // cap keeps one absurd canary reading from scaling a pass toward 0
       math.min(math.max(bracket / best, 1.0), 8.0)

@@ -30,7 +30,10 @@ case class CompressionSignalExpression(child: Expression)
 
   // analysis-time signature: misuse fails in the analyzer, not in the kernel
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    // NullType accepted: a null literal evaluates to null via nullSafeEval
+    if (child.dataType == StringType ||
+        child.dataType == org.apache.spark.sql.types.NullType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_deflate_len requires a STRING child, got ${child.dataType.catalogString}")
 

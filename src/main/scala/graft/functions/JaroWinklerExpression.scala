@@ -24,12 +24,17 @@ case class JaroWinklerExpression(left: Expression, right: Expression)
 
   // analysis-time signature: wrong-typed children fail in the analyzer, not
   // as a ClassCastException inside the codegen'd kernel
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // NullType accepted: a null literal child evaluates to null via the
+    // nullSafeEval contract, exactly as before the analysis-time check
+    def ok(t: org.apache.spark.sql.types.DataType) =
+      t == StringType || t == org.apache.spark.sql.types.NullType
+    if (ok(left.dataType) && ok(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_jaro_winkler requires two STRING children, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable

@@ -44,6 +44,9 @@ case class MmrExpression(child: Expression, k: Int, lambdaPct: Int)
     * inside the codegen'd kernel. */
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
+      // a null literal evaluates to null via the nullSafeEval contract
+      case NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case ArrayType(StructType(Array(f0, f1, f2)), _)
         if f0.dataType == LongType && f1.dataType == DoubleType &&
           (f2.dataType match {

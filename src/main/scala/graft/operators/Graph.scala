@@ -45,9 +45,12 @@ object Graph {
     * Scale shape: the edge list joined with its out-degrees is
     * pre-partitioned on the (src_t, src) key every round joins on and cut
     * behind ONE lazy localCheckpoint, so all rounds share a single
-    * materialization of the |E|-sized relation (computed at first action,
-    * not at construction) and per round only the node-sized rank relation
-    * shuffles, plus the map-side-combined contribution aggregate. The
+    * materialization of the |E|-sized relation. The BUILD IS EAGER: the
+    * one-action structure probe below (and, under AQE, checkpoint
+    * creation itself) executes the edge subtree at construction — an
+    * index-build-shaped step, policed by ConstructionSweepSpec's eager
+    * allowlist. Per round only the node-sized rank relation shuffles,
+    * plus the map-side-combined contribution aggregate. The
     * dangling term references each round's rank relation TWICE (the
     * anti-join aggregate + the contribution join), so on graphs that
     * actually have dangling nodes each round is cut behind a

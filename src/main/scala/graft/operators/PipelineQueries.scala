@@ -1305,9 +1305,13 @@ object PipelineQueries {
       .withColumn("is_cand", lit(1))
     val nc = cand.agg(count(lit(1)).as("n_candidates"))
     val joined = exact.join(cand, Seq("id_a", "id_b"), "left")
-    joined
-      .select(explode(typedlit(Seq(0.02, 0.05, 0.1, 0.3, 0.5, 0.9))).as("threshold"),
-        col("jaccard"), col("is_cand"))
+    // grid-side outer join (mirroring the oracle's grid CROSS JOIN ... LEFT
+    // JOIN): every threshold row survives with zero counts even when the
+    // exact pair set is EMPTY — an exploded per-pair grid would return 0
+    // rows there while the oracle returns |grid|
+    val grid = exact.sparkSession.range(1)
+      .select(explode(typedlit(Seq(0.02, 0.05, 0.1, 0.3, 0.5, 0.9))).as("threshold"))
+    grid.join(joined, lit(true), "left")
       .groupBy("threshold")
       .agg(count(when(col("jaccard") >= col("threshold"), 1)).as("n_true"),
         count(when(col("jaccard") >= col("threshold") && col("is_cand").isNotNull, 1))
@@ -2026,15 +2030,17 @@ object PipelineQueries {
       .agg(BottomKRows.bottomK(lpad(hex(col("h")), 16, "0"), struct(col("h")), k).as("mins"))
       .crossJoin(broadcast(allExact))
       .select(lit("(all)").as("scope"), col("n_exact"), col("mins"))
-    val est = (kth: Column, n: Column) =>
+    // (k-1)*2^60 exceeds int64, so the product runs in decimal INTERNALLY
+    // and only the (corpus-sized, small) quotient is emitted as BIGINT
+    val est = (n: Column) =>
       when(n <= k, n).otherwise(
-        expr(s"CAST(63 AS DECIMAL(38,0)) * $m div kth").cast("long"))
+        expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * $m div kth").cast("long"))
     perSource.select(col("source").as("scope"), col("n_exact"), col("mins"))
       .unionByName(merged)
       .withColumn("kth", element_at(col("mins"), least(lit(k), size(col("mins"))))
         .getField("h"))
       .select(col("scope"), col("n_exact"),
-        est(col("kth"), col("n_exact")).as("est_distinct"),
+        est(col("n_exact")).as("est_distinct"),
         col("kth").as("kth_hash"))
       .orderBy("scope")
   }

@@ -48,14 +48,22 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("canary normalization rejects a polluted pass the median would inherit") {
     // r15's actual q47 shape: clean 0.77 s, catastrophically polluted pass
-    // (16.04), half-polluted pass (8.84). Plain median-of-3 reports 8.84.
-    // The canaries record the host state: clean brackets 0.7, the polluted
-    // passes bracketed at 10x / 5x throughput loss.
+    // (16.04, contamination onset mid-pass so only its TRAILING bracket
+    // reads hot), half-polluted pass (8.84, both brackets hot). Plain
+    // median-of-3 reports 8.84; with min-bracket ratios pass 3 corrects
+    // (ratio 10) and the median lands between the clean figure and the
+    // corrected one.
     val passes = Seq(Map("q47" -> 0.77), Map("q47" -> 16.04), Map("q47" -> 8.84))
-    val canaries = Seq(0.7, 0.7, 14.0, 7.0) // brackets: pass2 mean 7.35, pass3 mean 10.5->capped
+    val canaries = Seq(0.7, 0.7, 14.0, 7.0) // pass2 min(0.7,14)=0.7, pass3 min(14,7)=7 -> ratio 10
     val m = Bench.canaryNormalizedMedians(Seq("q47"), passes, canaries)
     assert(m("q47") < 2.1,
       s"normalized median ${m("q47")} should land near the clean 0.77 s, not the polluted 8.84")
+    // a spike that hits ONLY a canary window must not deflate a clean pass:
+    // pass 2 is genuinely 5.0 s but its leading bracket read 5.6 s
+    val guarded = Bench.canaryNormalizedMedians(Seq("q1"),
+      Seq(Map("q1" -> 5.0), Map("q1" -> 5.0), Map("q1" -> 5.0)), Seq(0.7, 5.6, 0.7, 0.7))
+    assert(math.abs(guarded("q1") - 5.0) < 1e-9,
+      s"bracket-only spike deflated a clean pass: ${guarded("q1")}")
     // a clean run is a no-op: ratios 1, plain median preserved
     val clean = Bench.canaryNormalizedMedians(Seq("q1"),
       Seq(Map("q1" -> 1.0), Map("q1" -> 1.2), Map("q1" -> 1.1)), Seq(0.7, 0.7, 0.7, 0.7))
