@@ -41,6 +41,9 @@ final case class TfIdfFeaturizer(idf: IDFModel, numFeatures: Int) extends TextFe
     * classifiers were unusable after restart because the feature transform
     * was lost. */
   def save(path: String): Unit = {
+    // a prior Word2Vec save at this path would otherwise win the kind probe
+    // forever (overwrite never clears the OTHER kind's layout)
+    Features.deleteLayout(path, "w2v")
     new HashingTF().setInputCol("graft_tokens").setOutputCol("graft_tf")
       .setNumFeatures(numFeatures).write.overwrite().save(s"$path/tf")
     idf.write.overwrite().save(s"$path/idf")
@@ -56,21 +59,48 @@ final case class Word2VecFeaturizer(model: Word2VecModel) extends TextFeaturizer
       df.withColumn("graft_tokens", TextFns.cleanStemmedTokens(col(textCol))))
       .drop("graft_tokens")
 
-  def save(path: String): Unit =
+  def save(path: String): Unit = {
+    Features.deleteLayout(path, "tf")
+    Features.deleteLayout(path, "idf")
     model.write.overwrite().save(s"$path/w2v")
+  }
 }
 
 object TextFeaturizer {
   /** Rebuild whichever featurizer was saved: the kind is the on-disk layout
-    * itself (w2v/ vs tf/ + idf/), so pre-existing TfIdf saves stay loadable. */
+    * itself (w2v/ vs tf/ + idf/), so pre-existing TfIdf saves stay loadable.
+    * Probed through the Hadoop FileSystem API so the path's OWN scheme
+    * (hdfs://, s3a://, file:) answers — a java.nio probe only ever saw the
+    * local disk and mis-loaded every remote save. Saves delete the sibling
+    * kind's layout, so a kind flip at the same path can't resurrect a stale
+    * model. */
   def load(path: String): TextFeaturizer =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "w2v")))
+    if (Features.layoutExists(path, "w2v"))
       Word2VecFeaturizer(Word2VecModel.load(s"$path/w2v"))
     else
       TfIdfFeaturizer(IDFModel.load(s"$path/idf"), HashingTF.load(s"$path/tf").getNumFeatures)
 }
 
 object Features {
+
+  /** Both helpers resolve the filesystem FROM the path (not the JVM-local
+    * default), so layout probes and sibling deletes work on whatever store
+    * the model dir actually lives in. */
+  private def hadoopPath(path: String, sub: String) = {
+    val p = new org.apache.hadoop.fs.Path(path, sub)
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    (p.getFileSystem(conf), p)
+  }
+
+  private[ml] def layoutExists(path: String, sub: String): Boolean = {
+    val (fs, p) = hadoopPath(path, sub)
+    fs.exists(p)
+  }
+
+  private[ml] def deleteLayout(path: String, sub: String): Unit = {
+    val (fs, p) = hadoopPath(path, sub)
+    fs.delete(p, true)
+  }
 
   private[ml] def rawTf(df: DataFrame, textCol: String, numFeatures: Int): DataFrame = {
     val tokens = df.withColumn("graft_tokens", TextFns.cleanStemmedTokens(col(textCol)))

@@ -83,10 +83,18 @@ object RffSvc {
 
   /** Thin MLlib-Transformer adapter so the registry's typed loader
     * ([[Trainer.loadModel]]) can hand back the kernel model through the
-    * same `Transformer` interface as the four linear-tier models. */
+    * same `Transformer` interface as the four linear-tier models.
+    * MLWritable so [[Trainer.trainAndEvaluate]]'s uniform persistence loop
+    * can save it like the linear models (`write.save(path)` lays down the
+    * same rff/ + svc/ directory [[load]] expects). */
   final class RffSvcTransformer(val model: RffSvcModel,
                                 override val uid: String = "graft_rff_svc")
-      extends org.apache.spark.ml.Transformer {
+      extends org.apache.spark.ml.Model[RffSvcTransformer]
+      with org.apache.spark.ml.util.MLWritable {
+    override def write: org.apache.spark.ml.util.MLWriter =
+      new org.apache.spark.ml.util.MLWriter {
+        override protected def saveImpl(path: String): Unit = model.save(path)
+      }
     override def transform(ds: org.apache.spark.sql.Dataset[_]): DataFrame =
       model.transform(ds.toDF())
     override def transformSchema(schema: org.apache.spark.sql.types.StructType)
@@ -110,17 +118,61 @@ object RffSvc {
   }
 
   /** Fit: map the training features through z(x), fit LinearSVC on the
-    * mapped column. γ defaults to sklearn's 'scale' heuristic ballpark for
-    * unit-ish features; D=256 components is the published sweet spot for
-    * mid-dimensional inputs (error decays as O(1/√D)). */
-  def fit(train: DataFrame, inputCol: String = "features", gamma: Double = 1.0,
+    * mapped column. D=256 components is the published sweet spot for
+    * mid-dimensional inputs (error decays as O(1/√D)).
+    *
+    * One stats aggregate over the features replaces the old single-row dim
+    * probe: it fails fast on an empty set, asserts the uniform-width
+    * assumption `transformArray`'s zip_with would otherwise null-pad into
+    * opaque downstream NPEs, and derives the default
+    * γ = 1/(d·Var(X)) — sklearn's `gamma='scale'`, the default the
+    * reference's `SVC()` actually trains with (src/main.py:101-104); an
+    * explicit `gamma` wins. The derived γ is rounded to 8 significant
+    * digits so distributed-summation order jitter cannot leak into the
+    * persisted scalar. */
+  def fit(train: DataFrame, inputCol: String = "features", gamma: Option[Double] = None,
           numComponents: Int = 256, seed: Long = 15, maxIter: Int = 15): RffSvcModel = {
-    val inputDim = train.select(size(vector_to_array(col(inputCol)))).limit(1).collect()
-      .head.getInt(0)
-    val rff = RffMap(inputDim, numComponents, gamma, seed)
+    val arr = vector_to_array(col(inputCol))
+    val stats = train.select(
+      count(lit(1)).as("n"), min(size(arr)).as("dmin"), max(size(arr)).as("dmax"),
+      sum(aggregate(arr, lit(0.0), (a, v) => a + v)).as("s1"),
+      sum(aggregate(arr, lit(0.0), (a, v) => a + v * v)).as("s2")).collect().head
+    require(stats.getLong(0) > 0, s"RffSvc.fit: empty training set (no rows in '$inputCol')")
+    require(stats.getInt(1) == stats.getInt(2),
+      s"RffSvc.fit: feature widths vary (${stats.getInt(1)}..${stats.getInt(2)}) — " +
+        "the RFF projection assumes one uniform input width")
+    val inputDim = stats.getInt(2)
+    val g = gamma.getOrElse {
+      val cnt = stats.getLong(0).toDouble * inputDim
+      val mean = stats.getDouble(3) / cnt
+      val variance = stats.getDouble(4) / cnt - mean * mean
+      val raw = if (variance > 1e-12) 1.0 / (inputDim * variance) else 1.0 / inputDim
+      BigDecimal(raw).round(new java.math.MathContext(8)).toDouble
+    }
+    val rff = RffMap(inputDim, numComponents, g, seed)
     val svc = new LinearSVC().setMaxIter(maxIter)
       .setFeaturesCol("rff_features")
       .fit(rff.transform(train, inputCol))
     RffSvcModel(rff, svc)
+  }
+
+  /** Estimator adapter: puts the kernel tier in [[Trainer.models]]'s uniform
+    * fit → save → score loop beside the four linear estimators — the
+    * reference trains all five classifiers in one loop and scores with every
+    * one of them (src/main.py:91-114,150-158). */
+  final class RffSvcEstimator(gamma: Option[Double] = None, numComponents: Int = 256,
+                              seed: Long = 15, maxIter: Int = 15,
+                              override val uid: String = "graft_rff_svc_est")
+      extends org.apache.spark.ml.Estimator[RffSvcTransformer] {
+    override def fit(ds: org.apache.spark.sql.Dataset[_]): RffSvcTransformer =
+      new RffSvcTransformer(RffSvc.fit(ds.toDF(), gamma = gamma,
+        numComponents = numComponents, seed = seed, maxIter = maxIter))
+    override def transformSchema(schema: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType =
+      schema
+        .add("rawPrediction", org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+        .add("prediction", org.apache.spark.sql.types.DoubleType)
+    override def copy(extra: org.apache.spark.ml.param.ParamMap): RffSvcEstimator =
+      new RffSvcEstimator(gamma, numComponents, seed, maxIter, uid)
   }
 }

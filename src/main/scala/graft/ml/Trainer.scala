@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Trainer {
 
-  /** The reference's model set (src/main.py:91-114), KNN excepted. */
+  /** The reference's model set (src/main.py:91-114), KNN excepted — all
+    * FIVE classifiers including the kernel tier: `rff_svc` is the RBF
+    * `SVC()` analogue (Random Fourier Features + LinearSVC, [[RffSvc]]), so
+    * the runs table and the M7 fan-out carry the nonlinear model too. */
   def models(seed: Long = 0): Seq[(String, Estimator)] = Seq(
     "random_forest" -> new RandomForestClassifier().setMaxDepth(2).setSeed(seed),
     "logistic_regression" -> new LogisticRegression().setMaxIter(25),
     "linear_svc" -> new LinearSVC().setMaxIter(15),
-    "gaussian_nb" -> new NaiveBayes().setModelType("gaussian"))
+    "gaussian_nb" -> new NaiveBayes().setModelType("gaussian"),
+    "rff_svc" -> new RffSvc.RffSvcEstimator())
 
   type Estimator = org.apache.spark.ml.Estimator[_ <: Transformer]
 

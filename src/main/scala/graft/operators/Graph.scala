@@ -77,11 +77,19 @@ object Graph {
     // contribEdges subtree behind it
     val deg = edgesCk.groupBy("src_t", "src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = false)
-    val nodes = edgesCk.select(col("src_t").as("t"), col("src").as("id"))
-      .union(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")))
-      .distinct()
+    // Node set WITH the structure flags in ONE relation: deg already IS
+    // the distinct src set (has_out), the distinct dst set carries
+    // has_in, and their full outer join is exactly src ∪ dst — replacing
+    // the old union-distinct node build PLUS a separate probe that
+    // re-walked |E| for a second dst-distinct. The one build-time action
+    // below is then a plain aggregate of this node-sized cached relation
+    // (one fewer |E|-walking job per graph build).
+    val nodesFlagged = deg
+      .select(col("src_t").as("t"), col("src").as("id"), lit(1).as("has_out"))
+      .join(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")).distinct()
+          .withColumn("has_in", lit(1)),
+        Seq("t", "id"), "full_outer")
       .localCheckpoint(eager = false)
-    val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
     // ONE localCheckpoint on the edge relation: every round's plan then
     // references a single cached RDD (vs. re-planning the |E|-sized
     // subtree per round and hoping ReuseExchange collapses the copies —
@@ -99,7 +107,7 @@ object Graph {
     // shuffle the |E|-sized relation once more for nothing
     val contribEdges = edgesCk.join(deg, Seq("src_t", "src"))
       .localCheckpoint(eager = false)
-    // ONE build-time action (node-sized joins over checkpointed relations)
+    // ONE build-time action (an aggregate of the cached node relation)
     // picks the execution path. No dangling nodes — every undirected
     // graph, most link graphs — means share ≡ 0 and the rank relation is
     // referenced ONCE per round, so the rounds chain as the lean lazy
@@ -110,18 +118,17 @@ object Graph {
     // RECEIVES contributions (all nodes have in-edges — guaranteed for
     // undirected graphs), the keep-alive left join against the node
     // relation is redundant too and each round is exactly the lean
-    // group-and-add of the no-dangling contract.
-    val structureRow = nodes
-      .join(deg.select(col("src_t").as("t"), col("src").as("id"), lit(1).as("has_out")),
-        Seq("t", "id"), "left")
-      .join(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")).distinct()
-          .withColumn("has_in", lit(1)),
-        Seq("t", "id"), "left")
-      .agg(count(when(col("has_out").isNull, 1)).as("n_dangling"),
+    // group-and-add of the no-dangling contract. |V| comes back from the
+    // same action and bakes into the dangling share as a literal.
+    val structureRow = nodesFlagged
+      .agg(count(lit(1)).as("n_nodes"),
+        count(when(col("has_out").isNull, 1)).as("n_dangling"),
         count(when(col("has_in").isNull, 1)).as("n_no_in"))
       .collect().head
-    val hasDangling = structureRow.getLong(0) > 0
-    val allReceive = !hasDangling && structureRow.getLong(1) == 0
+    val nNodes = structureRow.getLong(0)
+    val hasDangling = structureRow.getLong(1) > 0
+    val allReceive = !hasDangling && structureRow.getLong(2) == 0
+    val nodes = nodesFlagged.select("t", "id")
     var ranks = nodes
       .select(col("t").as("src_t"), col("id").as("src"),
         lit(unit).cast("long").as("rank_units"))
@@ -150,8 +157,7 @@ object Graph {
         // measured 218 statically-planned exchanges at 5 rounds).
         val share = ranks.join(deg, Seq("src_t", "src"), "left_anti")
           .agg(coalesce(sum(col("rank_units")), lit(0L)).cast("long").as("dm"))
-          .crossJoin(nTotal)
-          .select(expr(s"(dm * $dampingPct) div (100 * n_nodes)").as("dangling_share"))
+          .select(expr(s"(dm * $dampingPct) div (100 * ${nNodes}L)").as("dangling_share"))
         ranks = nodes
           .join(contribs, Seq("t", "id"), "left")
           .crossJoin(broadcast(share))
@@ -188,27 +194,24 @@ object Graph {
     val edgesCk = edges.localCheckpoint(eager = false)
     val deg = edgesCk.groupBy("src_t", "src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = false)
-    val nodes = edgesCk.select(col("src_t").as("t"), col("src").as("id"))
-      .union(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")))
-      .distinct()
-      .localCheckpoint(eager = false)
-    val seedNodes = nodes
-      .join(seeds.select(col("src_t").as("t"), col("src").as("id")).distinct(),
-        Seq("t", "id"), "left_semi")
-    val contribEdges = edgesCk.join(deg, Seq("src_t", "src"))
-      .localCheckpoint(eager = false)
-    // ONE build-time action carries everything the path choice and the
-    // literal seed terms need: |V|, |S ∩ V|, the dangling count and the
-    // no-in-edge count (Scala Long floor division ≡ both engines'
-    // integral division on non-negatives, so the collected divisors bake
-    // into the plan as literals instead of per-round scalar cross joins)
-    val structureRow = nodes
-      .join(deg.select(col("src_t").as("t"), col("src").as("id"), lit(1).as("has_out")),
-        Seq("t", "id"), "left")
+    // same folded node build as [[pageRank]] — node set, structure flags
+    // and seed membership in ONE cached node-sized relation, so the single
+    // build-time action below aggregates it instead of re-walking |E|;
+    // the collected divisors bake into the plan as literals (Scala Long
+    // floor division ≡ both engines' integral division on non-negatives)
+    // instead of per-round scalar cross joins
+    val nodesFlagged = deg
+      .select(col("src_t").as("t"), col("src").as("id"), lit(1).as("has_out"))
       .join(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")).distinct()
           .withColumn("has_in", lit(1)),
+        Seq("t", "id"), "full_outer")
+      .join(broadcast(seeds.select(col("src_t").as("t"), col("src").as("id")).distinct()
+          .withColumn("seed_flag", lit(1))),
         Seq("t", "id"), "left")
-      .join(seedNodes.withColumn("seed_flag", lit(1)), Seq("t", "id"), "left")
+      .localCheckpoint(eager = false)
+    val contribEdges = edgesCk.join(deg, Seq("src_t", "src"))
+      .localCheckpoint(eager = false)
+    val structureRow = nodesFlagged
       .agg(count(lit(1)).as("n_nodes"),
         count(when(col("has_out").isNull, 1)).as("n_dangling"),
         count(when(col("has_in").isNull, 1)).as("n_no_in"),
@@ -219,7 +222,9 @@ object Graph {
     val allReceive = !hasDangling && structureRow.getLong(2) == 0
     val nSeeds = structureRow.getLong(3)
     require(nSeeds > 0, "personalizedPageRank: no seed intersects the graph's node set")
-    val seedFlag = broadcast(seedNodes.withColumn("is_seed", lit(1L)))
+    val nodes = nodesFlagged.select("t", "id")
+    val seedFlag = broadcast(nodesFlagged.filter(col("seed_flag").isNotNull)
+      .select(col("t"), col("id"), lit(1L).as("is_seed")))
     // r0: all mass on the seeds — |V|·unit split equally (integral)
     var ranks = nodes
       .join(seedFlag, Seq("t", "id"), "left")
@@ -429,6 +434,96 @@ object Graph {
       .limit(50)
   }
 
+  /** Per-node triangle count + local clustering coefficient — the standard
+    * graph statistic after PageRank and connected components (cohesion:
+    * how clique-like is each node's neighborhood). `edges` must carry ONE
+    * row per undirected edge as (s_a, s_b) with s_a < s_b; the triangle
+    * enumeration is the ordered 3-way self-join (a<b<c via the edge
+    * orientation itself), so every triangle is produced exactly once and
+    * the join never explores either symmetric copy. Wedge cost is
+    * Σ deg², which is why callers must hand in a DEGREE-BOUNDED edge set
+    * (see the q167 hub cap) — the discipline that keeps the self-join
+    * feasible when the dictionary grows 100×. All counts integer;
+    * lcc = 2·Δ(v) / (deg·(deg−1)) is the only float, derived identically
+    * on both engines. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    // the edge dictionary is referenced four times (deg twice via the
+    // union, the 3-way join thrice) — cut it once; it is bounded by the
+    // supplier dictionary, not the fact tables
+    val e = edges.select(col("s_a"), col("s_b")).localCheckpoint(eager = false)
+    val deg = e.select(col("s_a").as("s")).union(e.select(col("s_b").as("s")))
+      .groupBy("s").agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e2.s_a") === col("e1.s_b"))
+      .join(e.as("e3"), col("e3.s_a") === col("e1.s_a") && col("e3.s_b") === col("e2.s_b"))
+      .select(col("e1.s_a").as("a"), col("e1.s_b").as("b"), col("e2.s_b").as("c"))
+    val tn = tri.select(explode(array(col("a"), col("b"), col("c"))).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("n_triangles"))
+    deg.join(tn, Seq("s"), "left")
+      .select(col("s").as("node_id"), col("degree").cast("long").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).cast("long").as("n_triangles"),
+        when(col("degree") >= 2,
+          (coalesce(col("n_triangles"), lit(0L)) * 2).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+
+  /** Triangle census of the supplier co-supply graph: suppliers are
+    * adjacent when they REPEATEDLY serve the same customer (≥2 orders on
+    * the (customer, supplier) pair — one-off trades would make the
+    * projection near-complete and meaningless), the bipartite trade graph
+    * projected onto its supplier side. Two scale guards make the
+    * projection 100 TB-safe: the repeat-trade filter bounds edge mass to
+    * persistent relationships, and customers fanning out to >1000
+    * suppliers are dropped before pairing (the q31 stop-shingle/hub cap —
+    * a single hub customer would otherwise contribute C(k,2) pairs). The
+    * node set is the supplier DICTIONARY (SF×10k), so the per-node output
+    * and the wedge join are dictionary-bounded. Exact integer counts;
+    * DuckDB re-derives the identical graph and census. */
+  val q167TriangleCount: QuerySpec = QuerySpec.oracle(
+    "q167_triangle_count",
+    """WITH p AS (
+      |  SELECT o_custkey AS cust, l_suppkey AS supp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |ok AS (SELECT cust FROM p GROUP BY cust HAVING count(*) <= 1000),
+      |pc AS (SELECT p.cust, p.supp FROM p JOIN ok USING (cust)),
+      |e AS (SELECT DISTINCT a.supp AS s_a, b.supp AS s_b
+      |      FROM pc a JOIN pc b ON a.cust = b.cust AND a.supp < b.supp),
+      |deg AS (SELECT s, count(*) AS degree FROM (
+      |    SELECT s_a AS s FROM e UNION ALL SELECT s_b AS s FROM e) GROUP BY s),
+      |tri AS (SELECT e1.s_a AS a, e1.s_b AS b, e2.s_b AS c
+      |        FROM e e1 JOIN e e2 ON e2.s_a = e1.s_b
+      |        JOIN e e3 ON e3.s_a = e1.s_a AND e3.s_b = e2.s_b),
+      |tn AS (SELECT s, count(*) AS n_triangles FROM (
+      |    SELECT a AS s FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri) GROUP BY s)
+      |SELECT d.s AS node_id, CAST(d.degree AS BIGINT) AS degree,
+      |  CAST(coalesce(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+      |  CASE WHEN d.degree >= 2
+      |    THEN CAST(2 * coalesce(tn.n_triangles, 0) AS DOUBLE)
+      |         / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+      |    ELSE 0.0 END AS clustering_coeff
+      |FROM deg d LEFT JOIN tn ON tn.s = d.s
+      |ORDER BY node_id""".stripMargin
+  ) { (spark, dir) =>
+    val p = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("cust", "supp")
+    val ok = p.groupBy("cust").agg(count(lit(1)).as("k"))
+      .filter(col("k") <= 1000)
+      .select("cust")
+    val pc = p.join(ok, "cust")
+    val edges = pc.as("a").join(pc.as("b"),
+        col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
+      .select(col("a.supp").as("s_a"), col("b.supp").as("s_b"))
+      .distinct()
+    triangleStats(edges).orderBy("node_id")
+  }
+
   /** Record-linkage entity resolution: q93's dictionary-blocked fuzzy
     * edges (part-name pairs within Levenshtein 2 — tighter than q93's
     * report threshold, this is a MERGE decision) closed transitively by
@@ -492,5 +587,6 @@ object Graph {
       .orderBy("name")
   }
 
-  val all: Seq[QuerySpec] = Seq(q136PageRank, q140EntityGroups, q162PersonalizedPageRank)
+  val all: Seq[QuerySpec] = Seq(
+    q136PageRank, q140EntityGroups, q162PersonalizedPageRank, q167TriangleCount)
 }

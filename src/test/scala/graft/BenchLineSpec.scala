@@ -74,6 +74,33 @@ class BenchLineSpec extends AnyFunSuite {
     assert(failed("q1") == -1.0)
   }
 
+  test("clean-bracket >3x spread takes the min (r16 q140 blind spot + layout-pass cost)") {
+    // r16's actual q140 shape: contamination fell entirely BETWEEN canary
+    // windows, so every bracket read clean ~0.7 s while two passes carried
+    // polluted samples — the median can only pick a polluted one
+    val q140 = Bench.canaryNormalizedMedians(Seq("q140"),
+      Seq(Map("q140" -> 15.6), Map("q140" -> 1.25), Map("q140" -> 4.93)),
+      Seq(0.78, 0.69, 0.99, 0.79))
+    assert(math.abs(q140("q140") - 1.25) < 1e-9,
+      s"clean-bracket 12x spread must report the min, got ${q140("q140")}")
+    // same signature from the other cause: the first timed pass at a fresh
+    // warehouse pays q76's one-time bucketed-layout write
+    val q76 = Bench.canaryNormalizedMedians(Seq("q76"),
+      Seq(Map("q76" -> 2.62), Map("q76" -> 0.31), Map("q76" -> 0.19)),
+      Seq(0.7, 0.7, 0.7, 0.7))
+    assert(math.abs(q76("q76") - 0.19) < 1e-9)
+    // sub-3x spread stays a median: ordinary noise must not switch estimator
+    val noisy = Bench.canaryNormalizedMedians(Seq("q1"),
+      Seq(Map("q1" -> 1.0), Map("q1" -> 2.0), Map("q1" -> 1.5)), Seq(0.7, 0.7, 0.7, 0.7))
+    assert(math.abs(noisy("q1") - 1.5) < 1e-9)
+    // dirty brackets keep the median too: after a real correction the min
+    // could be the over-corrected sample
+    val dirty = Bench.canaryNormalizedMedians(Seq("q1"),
+      Seq(Map("q1" -> 1.0), Map("q1" -> 40.0), Map("q1" -> 1.0)), Seq(0.7, 7.0, 7.0, 0.7))
+    assert(math.abs(dirty("q1") - 1.0) < 1e-9,
+      s"pass-2 ratio 10 corrects 40.0 -> 4.0; median of [1,4,1] is 1, got ${dirty("q1")}")
+  }
+
   test("values render compactly and parse back to the same number") {
     val line = Bench.stdoutLine(
       ListMap("q01_x" -> 0.5, "q02_y" -> 1.0, "q03_z" -> -1.0, "q04_w" -> 12.34),

@@ -89,6 +89,10 @@ class ConstructionSweepSpec extends SparkSpec {
     // cut per round (the dangling + contribution double-reference), so the
     // rounds execute at build under AQE
     "q162_personalized_pagerank",
+    // q167: the co-supply edge dictionary sits behind a (nominally lazy)
+    // localCheckpoint — q136's index-build-shaped trade, one cut for the
+    // four references the census makes
+    "q167_triangle_count",
     // q144/q145's FIRST build writes the three-version snapshot log
     // (one-time, commit-marker-guarded; repeat builds list committed
     // versions driver-side and are job-free — except q144's travelled-vs-

@@ -405,6 +405,11 @@ class PlanSweepSpec extends SparkSpec {
     // pre-AQE; runtime ReuseExchange dedupes, q111's argument) +
     // presentation sort
     "q122_volume_anomaly" -> 11,
+    // q167: the declared census runs over the checkpointed edge-dictionary
+    // RDD — degree agg (partial→final) + triangle-corner explode agg +
+    // the deg⋈tri join + presentation sort; the 3-way wedge join itself
+    // broadcasts the dictionary-sized edge sides
+    "q167_triangle_count" -> 7,
     // q136: every round is cut behind a localCheckpoint (two references to
     // the rank relation per round — dangling + contributions — would
     // otherwise double the plan per round), so the declared plan is the

@@ -37,7 +37,7 @@ class RffSvcSpec extends SparkSpec {
     val linear = new LinearSVC().setMaxIter(15).fit(train)
     val linAcc = accuracy(linear.transform(valid))
 
-    val rff = RffSvc.fit(train, gamma = 1.0, numComponents = 64, seed = 15)
+    val rff = RffSvc.fit(train, gamma = Some(1.0), numComponents = 64, seed = 15)
     val rffAcc = accuracy(rff.transform(valid))
 
     // the linear ceiling on XOR is ~0.75-0.8 (a line can cut off ONE corner
@@ -52,7 +52,7 @@ class RffSvcSpec extends SparkSpec {
     import spark.implicits._
     val train = xorData(300, seed = 3).toDF("label", "features")
     val valid = xorData(100, seed = 4).toDF("label", "features")
-    val model = RffSvc.fit(train, gamma = 1.0, numComponents = 64, seed = 15)
+    val model = RffSvc.fit(train, gamma = Some(1.0), numComponents = 64, seed = 15)
     val dir = Files.createTempDirectory("graft_rff").toString
     model.save(dir)
     val loaded = RffSvc.load(dir)

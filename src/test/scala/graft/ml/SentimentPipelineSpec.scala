@@ -40,7 +40,8 @@ class SentimentPipelineSpec extends SparkSpec {
     assert(trained.version.nonEmpty)
     val runs = trained.runs.collect()
     val models = runs.map(_.getAs[String]("model_name")).distinct.sorted
-    assert(models.toSeq == Seq("gaussian_nb", "linear_svc", "logistic_regression", "random_forest"))
+    assert(models.toSeq == Seq(
+      "gaussian_nb", "linear_svc", "logistic_regression", "random_forest", "rff_svc"))
     // 8 metrics per model (tn/fp/fn/tp/precision/recall/accuracy/data_size)
     assert(runs.length == models.length * 8)
     // the word signal is learnable: logistic regression beats 0.8 accuracy
@@ -179,7 +180,7 @@ class SentimentPipelineSpec extends SparkSpec {
     val scored = SentimentPipeline.scoreBatch(batch, "text", trained)
     val predCols = scored.columns.filter(_.startsWith("pred_")).sorted
     assert(predCols.toSeq == Seq("pred_gaussian_nb", "pred_linear_svc",
-      "pred_logistic_regression", "pred_random_forest"))
+      "pred_logistic_regression", "pred_random_forest", "pred_rff_svc"))
     val rows = scored.collect()
     assert(rows.length == 2)
     // lr learned the signal: positive text → 1.0, negative → 0.0

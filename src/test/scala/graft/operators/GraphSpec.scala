@@ -131,4 +131,32 @@ class GraphSpec extends SparkSpec {
       .select(countDistinct(col("p_name"))).as[Long].head()
     assert(rows.length.toLong === nNames)
   }
+
+  test("triangleStats matches a plain-Scala census on known and random graphs") {
+    // K4 minus edge (3,4): triangles (1,2,3) and (1,2,4)
+    val k4m = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("s_a", "s_b")
+    val got = Graph.triangleStats(k4m).as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((3L, 2L, 4.0 / 6.0))) // deg 3, 2 triangles, lcc 2·2/(3·2)
+    assert(got(2L) === ((3L, 2L, 4.0 / 6.0)))
+    assert(got(3L) === ((2L, 1L, 1.0)))
+    assert(got(4L) === ((2L, 1L, 1.0)))
+    // seeded random graph vs a plain-Scala neighborhood census
+    val rnd = new scala.util.Random(11)
+    val edges = (for (_ <- 1 to 120)
+      yield (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .filter(p => p._1 != p._2).distinct
+    val es = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val refCensus = nodes.map { v =>
+      val nbrs = nodes.filter(u => u != v && es((math.min(u, v), math.max(u, v))))
+      v -> (nbrs.size.toLong,
+        nbrs.combinations(2).count(p => es((p(0), p(1)))).toLong)
+    }.toMap
+    val got2 = Graph.triangleStats(edges.toDF("s_a", "s_b"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got2 === refCensus)
+  }
 }
