@@ -1007,49 +1007,102 @@ object EventQueries {
   }
 
   /** Sketch-accuracy report (q78's discipline applied to the aggregation
-    * sketches): per event type, HLL++ approximate distinct users and
-    * Greenwald-Khanna approximate p50/p95 against their exact twins, each
-    * with its relative error — so sketch quality is driver-visible every
-    * round instead of resting on a one-time spec. Rows-only by necessity:
-    * the approximations are Spark-internal algorithms with no DuckDB
-    * mirror (and GK's merge is partition-order-sensitive within its
-    * accuracy envelope, so approx values may not hash-match even
-    * run-to-run); the EXACT side of every row is q14/q15-verified
-    * machinery, and EventQueriesSpec bounds the errors. One pass per
-    * metric family over the |event_type|-keyed groups. */
-  val q117SketchReport: QuerySpec = QuerySpec.rowsOnly(
-    "q117_sketch_report"
+    * sketches): per event type, approximate distinct users and approximate
+    * p50/p95 against their exact twins, each with its relative error — so
+    * sketch quality is driver-visible every round.
+    *
+    * Rewritten r17 on CROSS-ENGINE-EXACT sketches so the whole report is
+    * oracle-checked (it was rows-only): HLL++ → the q161 KMV bottom-k
+    * sketch (integer estimate (k−1)·2⁶⁰ div h₍ₖ₎ over 60-bit md5-prefix
+    * hashes, k = 64 — mergeable, bounded-heap state, and the ESTIMATE
+    * itself mirrors in DuckDB), and Greenwald-Khanna → the exact
+    * percentile of a DETERMINISTIC hash sample (the 1024 rows per group
+    * with the smallest md5(event_id) — an order-free uniform sample both
+    * engines select identically; exact-over-sample is itself a standard
+    * mergeable quantile estimator). The exact sides are q14/q15-verified
+    * machinery; the percentile pair rides q15's percentile ↔ quantile_cont
+    * equivalence. Spark-side sketch state is [[graft.functions.BottomKRows]]
+    * (bounded heap, map-side combined) for BOTH families — never a
+    * per-group sort; the distinct pass shuffles only the narrow distinct
+    * (event_type, user-hash) projection. */
+  val q117SketchReport: QuerySpec = QuerySpec.oracle(
+    "q117_sketch_report",
+    """WITH ev AS (SELECT event_type, event_id, user_id, value FROM events),
+      |du AS (SELECT DISTINCT event_type,
+      |         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |       FROM ev),
+      |dr AS (SELECT event_type, h,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM du),
+      |dk AS (SELECT event_type, count(*) AS n_exact,
+      |         max(h) FILTER (WHERE rn <= 64) AS kth FROM dr GROUP BY 1),
+      |drow AS (SELECT 'distinct_users' AS metric, event_type,
+      |    CAST(n_exact AS DOUBLE) AS exact,
+      |    CAST(CASE WHEN n_exact <= 64 THEN n_exact
+      |         ELSE CAST(63::HUGEINT * 1152921504606846976 // kth AS BIGINT) END AS DOUBLE) AS approx
+      |  FROM dk),
+      |sr AS (SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn FROM ev),
+      |samp AS (SELECT event_type, value FROM sr WHERE rn <= 1024),
+      |pex AS (SELECT event_type, quantile_cont(value, 0.5) AS p50,
+      |          quantile_cont(value, 0.95) AS p95 FROM ev GROUP BY 1),
+      |pap AS (SELECT event_type, quantile_cont(value, 0.5) AS p50,
+      |          quantile_cont(value, 0.95) AS p95 FROM samp GROUP BY 1),
+      |prow AS (
+      |  SELECT 'p50_value' AS metric, e.event_type, e.p50 AS exact, a.p50 AS approx
+      |  FROM pex e JOIN pap a USING (event_type)
+      |  UNION ALL
+      |  SELECT 'p95_value', e.event_type, e.p95, a.p95
+      |  FROM pex e JOIN pap a USING (event_type)),
+      |u AS (SELECT * FROM drow UNION ALL SELECT * FROM prow)
+      |SELECT metric, event_type, exact, approx,
+      |  abs(approx - exact) / greatest(abs(exact), 1e-12) AS rel_err
+      |FROM u ORDER BY metric, event_type""".stripMargin
   ) { (spark, dir) =>
-    // Two aggregation passes, deliberately NOT one: countDistinct plans a
-    // row-doubling Expand (distinct + non-distinct branches), and fusing
-    // it with the percentile pair would feed the exact-percentile buffers
-    // the doubled stream (measured 3.0 s vs 1.7 s at sf0.1). Kept apart,
-    // the percentile pass is Expand-free with both quantiles per sketch
-    // in one array-form buffer, and the distinct pass expands only the
-    // narrow (event_type, user_id) projection.
+    import graft.functions.BottomKRows
+    val k = 64
+    val sampleSize = 1024
     val ev = Tables.events(spark, dir)
-    def report(metric: Column, exact: Column, approx: Column, rest: Column*) = {
-      val base = Seq(metric.as("metric"), col("event_type"),
-        exact.as("exact"), approx.as("approx"),
-        (abs(approx - exact) / greatest(abs(exact), lit(1e-12))).as("rel_err"))
-      base ++ rest
-    }
-    val pcts = ev.groupBy("event_type").agg(
-        expr("percentile(value, array(0.5, 0.95))").as("exact_p"),
-        expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("approx_p"))
+    // KMV distinct: q161's sketch per event type over 60-bit user hashes;
+    // binary order of the zero-padded hex key == numeric order of h
+    val du = ev.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val dk = du.groupBy("event_type")
+      .agg(count(lit(1)).as("n_exact"),
+        BottomKRows.bottomK(lpad(hex(col("h")), 16, "0"), struct(col("h")), k).as("mins"))
+      .withColumn("kth",
+        element_at(col("mins"), least(lit(k), size(col("mins")))).getField("h"))
+    val drow = dk.select(lit("distinct_users").as("metric"), col("event_type"),
+      col("n_exact").cast("double").as("exact"),
+      when(col("n_exact") <= k, col("n_exact"))
+        .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976 div kth")
+          .cast("long"))
+        .cast("double").as("approx"))
+    // deterministic hash sample: bounded-heap bottom-1024 by md5(event_id)
+    // (unique ids → no rank ties), exact percentile over the sample
+    val samp = ev.groupBy("event_type")
+      .agg(BottomKRows.bottomK(md5(col("event_id").cast("string")),
+        struct(col("value")), sampleSize).as("mins"))
+      .select(col("event_type"), explode(col("mins")).as("m"))
+      .select(col("event_type"), col("m.value").as("value"))
+    val pap = samp.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5, 0.95))").as("ap"))
+    val pex = ev.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5, 0.95))").as("ep"))
+    val prow = pex.join(pap, "event_type")
       .select(col("event_type"), explode(array(
         struct(lit("p50_value").as("metric"),
-          col("exact_p").getItem(0).as("exact"),
-          col("approx_p").getItem(0).cast("double").as("approx")),
+          col("ep").getItem(0).as("exact"), col("ap").getItem(0).as("approx")),
         struct(lit("p95_value").as("metric"),
-          col("exact_p").getItem(1).as("exact"),
-          col("approx_p").getItem(1).cast("double").as("approx")))).as("m"))
-      .select(report(col("m.metric"), col("m.exact"), col("m.approx")): _*)
-    val distincts = ev.groupBy("event_type").agg(
-        countDistinct(col("user_id")).cast("double").as("exact"),
-        approx_count_distinct(col("user_id"), 0.02).cast("double").as("approx"))
-      .select(report(lit("distinct_users"), col("exact"), col("approx")): _*)
-    pcts.unionByName(distincts).orderBy("metric", "event_type")
+          col("ep").getItem(1).as("exact"), col("ap").getItem(1).as("approx")))).as("m"))
+      .select(col("m.metric").as("metric"), col("event_type"),
+        col("m.exact").as("exact"), col("m.approx").as("approx"))
+    drow.unionByName(prow)
+      .withColumn("rel_err",
+        abs(col("approx") - col("exact")) / greatest(abs(col("exact")), lit(1e-12)))
+      .orderBy("metric", "event_type")
   }
 
   /** Volume-anomaly gate ([[Quality.volumeAnomalyReport]]) as a declared

@@ -377,8 +377,11 @@ class PlanSweepSpec extends SparkSpec {
     "q135_matryoshka_recall" -> 2,
     // q117: the Expand-free percentile agg + the distinct agg (its Expand
     // doubles only the narrow projection) unioned + presentation sort —
-    // deliberately TWO passes, see the builder comment
-    "q117_sketch_report" -> 4,
+    // q117 (r17 oracle rewrite): KMV pass = narrow distinct projection +
+    // bottom-k agg (partial→final); sample pass = bottom-1024 agg + the
+    // exact/sample percentile join; + presentation sort — every exchange
+    // past the distinct carries |event_type|-sized or sample-bounded rows
+    "q117_sketch_report" -> 5,
     // q118: per-key fan-out agg over the orderkey join (partial→final) +
     // the ≤8-row histogram's share window + presentation sort
     "q118_fanout_profile" -> 3,

@@ -136,17 +136,24 @@ class EventQueriesSpec extends SparkSpec {
   }
 
   test("q117: every sketch lands inside its accuracy envelope against the exact twin") {
-    val rows = EventQueries.q117SketchReport.build(spark, sf).collect()
+    // sf0.01, not the sf0.001 fixture: the spec-scale groups sit entirely
+    // below both sketch cutoffs (15 distinct users ≤ k=64, ~200 rows ≤
+    // 1024-sample), where estimate ≡ exact and the envelope assert would
+    // be vacuous; at sf0.01 both approximation branches are live
+    val rows = EventQueries.q117SketchReport.build(spark, "/root/testdata/sf0.01").collect()
     assert(rows.length == 15, "3 metrics x 5 event types")
     rows.foreach { r =>
       val (m, e) = (r.getAs[String]("metric"), r.getAs[Double]("rel_err"))
-      // GK guarantees RANK accuracy, not value accuracy: on a ~200-row
-      // spec-scale group the neighboring rank's VALUE can sit a few
-      // percent away, so the value-space bound is looser than 1/accuracy
-      val bound = if (m == "distinct_users") 0.05 else 0.10
+      // KMV with k=64 carries ~1/√62 ≈ 13% typical error; the 1024-row
+      // hash-sample percentile lands within a few percent on ~2000-row
+      // groups — bounds sized to the estimators, not tuned to the fixture
+      val bound = if (m == "distinct_users") 0.25 else 0.15
       assert(e >= 0 && e < bound,
         s"$m/${r.getAs[String]("event_type")}: rel_err $e outside $bound")
+      assert(r.getAs[Double]("exact") > 0 && r.getAs[Double]("approx") > 0)
     }
+    // the approximation branches actually fired: at least one nonzero error
+    assert(rows.exists(_.getAs[Double]("rel_err") > 0), "sketch branches not exercised")
   }
 
   test("q130: bounds on the driver table; planted linear series correlate EXACTLY 1") {
