@@ -1392,6 +1392,140 @@ object PipelineQueries {
       .orderBy("cluster_size")
   }
 
+  /** Integer hyperplanes for [[q166AnnRecallExact]], a pure function of the
+    * seed — generated once and embedded as LITERALS in both the Spark plan
+    * and the DuckDB mirror, the q136 generated-oracle discipline applied
+    * to LSH planes (sign-LSH semantics stop being "not SQL-expressible"
+    * the moment the planes are literals and the arithmetic is integer). */
+  private def intPlanes(numBands: Int, bitsPerBand: Int, dims: Int,
+                        seed: Long): Array[Array[Array[Long]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numBands, bitsPerBand, dims)((rnd.nextInt(2001) - 1000).toLong)
+  }
+
+  /** ANN recall, fully ORACLE-CHECKED (VERDICT r16 item 3 — the q164 way,
+    * for the VECTOR band): q78's float recall report stays rows-only
+    * because float cosine doesn't mirror, so this query re-grounds the
+    * claim in INTEGER arithmetic end to end. Ground truth is the exact
+    * top-5 by integer dot product of the q44 int8-quantized embeddings
+    * (floor quantization is engine-exact; int dot is order-free);
+    * candidates are banded sign-LSH collisions where the hyperplanes are
+    * seeded INTEGER literals shared by both engines, so every bucket key,
+    * candidate pair, and catch count is bit-identical. Two configurations
+    * trace the recall/cost frontier per query (n_caught of the exact
+    * top-5 found in the candidate set, plus the candidate count the
+    * banding paid). The corpus never pairs with itself — candidates come
+    * from bucket joins, the exact side from the bounded broadcast-query
+    * scan (q40's shape, |Q| = the 1-in-25 slice). */
+  val q166AnnRecallExact: QuerySpec = {
+    val dims = 64
+    val configs = Seq(("lsh_4x4", 4, 4, 42L), ("lsh_8x8", 8, 8, 43L))
+      .map { case (name, b, r, seed) => (name, intPlanes(b, r, dims, seed)) }
+    def sqlIntDot(vecExpr: String, lits: Array[Long]): String =
+      s"list_reduce(list_prepend(0, list_transform(list_zip($vecExpr, " +
+        s"[${lits.mkString(",")}]), p -> p[1]*p[2])), (acc, v) -> acc + v)"
+    val bandCtes = configs.map { case (name, planes) =>
+      val selects = planes.zipWithIndex.map { case (band, b) =>
+        val key = band.zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN ${sqlIntDot("qv", p)} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $b AS band, $key AS key FROM q"
+      }
+      s"b_$name AS (${selects.mkString("\n  UNION ALL ")})"
+    }
+    val perConfig = configs.map { case (name, _) =>
+      s"""c_$name AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM b_$name qb JOIN b_$name cb
+         |    ON qb.band = cb.band AND qb.key = cb.key AND cb.vec_id <> qb.vec_id
+         |  WHERE qb.vec_id % 25 = 0),
+         |n_$name AS (SELECT query_id, count(*) AS n_candidates FROM c_$name GROUP BY 1),
+         |r_$name AS (
+         |  SELECT '$name' AS config, t.query_id, count(*) AS n_exact,
+         |    count(c.query_id) AS n_caught
+         |  FROM top5 t LEFT JOIN c_$name c
+         |    ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id),
+         |o_$name AS (SELECT r.config, r.query_id, r.n_exact, r.n_caught,
+         |    coalesce(n.n_candidates, 0) AS n_candidates
+         |  FROM r_$name r LEFT JOIN n_$name n USING (query_id))""".stripMargin
+    }
+    val sql =
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |s AS (SELECT vec_id, embedding, ${VectorFns.Sql.maxAbs("embedding")} AS scale FROM v),
+         |q AS (SELECT vec_id, ${VectorFns.Sql.quantizeInt8("embedding", "scale")} AS qv FROM s),
+         |sim AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(0, list_transform(list_zip(qs.qv, c.qv),
+         |      p -> p[1]*p[2])), (acc, v) -> acc + v) AS sim
+         |  FROM q qs JOIN q c ON c.vec_id <> qs.vec_id
+         |  WHERE qs.vec_id % 25 = 0),
+         |top5 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rn FROM sim)
+         |  WHERE rn <= 5),
+         |${bandCtes.mkString(",\n")},
+         |${perConfig.mkString(",\n")}
+         |SELECT config, query_id, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_caught AS BIGINT) AS n_caught,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_caught AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+         |FROM (${configs.map(c => s"SELECT * FROM o_${c._1}").mkString(" UNION ALL ")})
+         |ORDER BY config, query_id""".stripMargin
+    QuerySpec.oracle("q166_ann_recall_exact", sql) { (spark, dir) =>
+      def intDot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      val quant = Tables.embeddings(spark, dir)
+        .withColumn("scale", VectorFns.maxAbs(col("embedding")))
+        .select(col("vec_id"),
+          VectorFns.quantizeInt8(col("embedding"), col("scale")).as("qv"))
+      // exact top-5 by integer dot: bounded broadcast-query scan
+      val qs = quant.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("qv_q"))
+      val sim = quant.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          intDot(col("qv_q"), col("qv")).as("sim"))
+      val top5 = sim
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rn") <= 5).select("query_id", "neighbor_id")
+      // banded candidates per config: the plane literals ride the plan the
+      // way RffSvc's W does — one nested-array literal, zero fitted state
+      def reportFor(name: String, planes: Array[Array[Array[Long]]])
+          : org.apache.spark.sql.DataFrame = {
+        val keys = planes.zipWithIndex.map { case (band, b) =>
+          struct(lit(b).as("band"),
+            band.zipWithIndex.map { case (p, j) =>
+              when(intDot(col("qv"), typedlit(p.toSeq)) >= 0, lit(1L << j))
+                .otherwise(lit(0L))
+            }.reduce(_ + _).as("key"))
+        }
+        val bands = quant
+          .select(col("vec_id"), explode(array(keys.toIndexedSeq: _*)).as("bk"))
+          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val cand = bands.filter(col("vec_id") % 25 === 0)
+          .select(col("band"), col("key"), col("vec_id").as("query_id"))
+          .join(bands.select(col("band"), col("key"), col("vec_id").as("neighbor_id")),
+            Seq("band", "key"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select("query_id", "neighbor_id").distinct()
+        val nc = cand.groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+        top5.join(cand.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_caught"))
+          .join(nc, Seq("query_id"), "left")
+          .select(lit(name).as("config"), col("query_id"),
+            col("n_exact"), col("n_caught"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      }
+      configs.map { case (name, planes) => reportFor(name, planes) }
+        .reduce(_.unionByName(_))
+        .withColumn("recall",
+          col("n_caught").cast("double") / col("n_exact").cast("double"))
+        .orderBy("config", "query_id")
+    }
+  }
+
   /** Collocation mining (the phrase-detection pass that runs before
     * tokenizer training — "hot dog" should become one token if its parts
     * co-occur far above chance): bigram lift = P(a,b) / (P(a·)·P(·b)),
@@ -2205,5 +2339,5 @@ object PipelineQueries {
     q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq,
     q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample, q147MmrRerank,
     q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch, q163NgramDecontaminate,
-    q164LshDedupRecall, q165DedupSavings)
+    q164LshDedupRecall, q165DedupSavings, q166AnnRecallExact)
 }

@@ -62,6 +62,9 @@ class PlanSweepSpec extends SparkSpec {
     // q164 — crossJoin(broadcast(nc)): the 1-row candidate-count aggregate
     // beside the per-threshold recall rows, the same scalar idiom
     "q164_lsh_dedup_recall",
+    // q166 — the exact-top5 ground truth is q40's bounded broadcast-query
+    // scan (the 1-in-25 query slice broadcasts into the corpus scan)
+    "q166_ann_recall_exact",
     // q162 — per-round crossJoin(broadcast(dm × scalars)): q136's 1-row
     // dangling/seed-count scalar idiom
     "q162_personalized_pagerank",
@@ -408,6 +411,11 @@ class PlanSweepSpec extends SparkSpec {
     // pre-AQE; runtime ReuseExchange dedupes, q111's argument) +
     // presentation sort
     "q122_volume_anomaly" -> 11,
+    // q166: two banded-candidate branches (band-key join + distinct + the
+    // per-query candidate count, each partial→final) sharing the top5
+    // window subtree + final union's presentation sort; every exchange
+    // carries band keys, candidate pairs, or |Q|-sized report rows
+    "q166_ann_recall_exact" -> 13,
     // q167: the declared census runs over the checkpointed edge-dictionary
     // RDD — degree agg (partial→final) + triangle-corner explode agg +
     // the deg⋈tri join + presentation sort; the 3-way wedge join itself

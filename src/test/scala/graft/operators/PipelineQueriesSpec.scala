@@ -245,6 +245,27 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(nCand <= dupTrue * 2, s"candidate set $nCand should stay near the true set $dupTrue")
   }
 
+  test("q166: integer ANN recall — per-query invariants and the recall/cost frontier") {
+    val rows = graft.SparkEntry.queries("q166_ann_recall_exact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ne, nc, cand) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_caught"),
+        r.getAs[Long]("n_candidates"))
+      assert(ne > 0 && ne <= 5 && nc >= 0 && nc <= ne,
+        s"caught $nc of $ne exact neighbors")
+      assert(r.getAs[Double]("recall") == nc.toDouble / ne.toDouble)
+      assert(cand >= nc, "every caught neighbor is by definition a candidate")
+    }
+    // the frontier: the wider 4x4 banding pays more candidates and catches
+    // at least as much as 8x8 in aggregate (monotone collision probability)
+    def tot(cfg: String, f: org.apache.spark.sql.Row => Long) =
+      rows.filter(_.getAs[String]("config") == cfg).map(f).sum
+    assert(tot("lsh_4x4", _.getAs[Long]("n_candidates"))
+      > tot("lsh_8x8", _.getAs[Long]("n_candidates")))
+    assert(tot("lsh_4x4", _.getAs[Long]("n_caught"))
+      >= tot("lsh_8x8", _.getAs[Long]("n_caught")))
+  }
+
   test("q129: TV distance bounds, identical distributions tie, skew ranks highest") {
     // driver-table invariants: TV ∈ [0, 1), token totals positive
     val rows = PipelineQueries.q129SourceDivergence.build(spark, sf).collect()
