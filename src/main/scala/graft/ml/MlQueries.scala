@@ -51,5 +51,43 @@ object MlQueries {
       .orderBy("fold", "label")
   }
 
-  val all: Seq[QuerySpec] = Seq(q50TrainEval, q156CvFolds)
+  /** Learned-embedding surface made driver-visible (VERDICT r16 item 7 —
+    * the Word2Vec featurizer was spec-only): fit MLlib Word2Vec on the
+    * documents corpus, persist it, and score with the RELOADED model (the
+    * registry path a restarted inference process takes, including the
+    * Hadoop-FS layout probe), then report per-source embedding geometry —
+    * doc counts, zero-vector count (docs whose every token fell below
+    * minCount), mean vector norm, and the source-centroid norm (→0 when
+    * directions are random, →mean norm when a source's docs align — the
+    * cheap corpus-level signal that the embedding learned SOMETHING).
+    * Rows-only per SURVEY §5 (MLlib fits are excluded from the SQL
+    * oracle); exact reload-transform parity is pinned in
+    * SentimentPipelineSpec. First build per (dir) fits and saves; repeat
+    * builds load — the one-time index-build economics of q43's quantizer.
+    * The centroid is a posexplode dimension-sum — vector state never
+    * leaves the executors except as the |source|×dims aggregate. */
+  val q168W2vReport: QuerySpec = QuerySpec.rowsOnly("q168_w2v_report") { (spark, dir) =>
+    import org.apache.spark.ml.functions.vector_to_array
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"target/graft_w2v_$tag"
+    val docs = Tables.documents(spark, dir)
+    if (!Features.layoutExists(path, "w2v"))
+      Features.fitWord2Vec(docs, "text", vectorSize = 32, minCount = 2).save(path)
+    val feats = TextFeaturizer.load(path).transform(docs, "text")
+      .select(col("source"), vector_to_array(col("features")).as("a"))
+    val norms = feats
+      .withColumn("norm",
+        sqrt(aggregate(transform(col("a"), x => x * x), lit(0.0), (acc, v) => acc + v)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("norm") === 0.0, 1)).as("n_zero_vecs"),
+        avg(col("norm")).as("mean_norm"))
+    val centroids = feats
+      .select(col("source"), posexplode(col("a")).as(Seq("dim", "v")))
+      .groupBy("source", "dim").agg(avg(col("v")).as("cv"))
+      .groupBy("source").agg(sqrt(sum(col("cv") * col("cv"))).as("centroid_norm"))
+    norms.join(centroids, "source").orderBy("source")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q50TrainEval, q156CvFolds, q168W2vReport)
 }

@@ -89,6 +89,10 @@ class ConstructionSweepSpec extends SparkSpec {
     // cut per round (the dangling + contribution double-reference), so the
     // rounds execute at build under AQE
     "q162_personalized_pagerank",
+    // q168's FIRST build fits + saves the Word2Vec featurizer (the one-time
+    // index-build economics of q43's quantizer; repeat builds load from the
+    // saved layout — still a driver-side read of the persisted model)
+    "q168_w2v_report",
     // q167: the co-supply edge dictionary sits behind a (nominally lazy)
     // localCheckpoint — q136's index-build-shaped trade, one cut for the
     // four references the census makes

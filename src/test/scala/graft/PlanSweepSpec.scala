@@ -411,6 +411,10 @@ class PlanSweepSpec extends SparkSpec {
     // pre-AQE; runtime ReuseExchange dedupes, q111's argument) +
     // presentation sort
     "q122_volume_anomaly" -> 11,
+    // q168: per-source norm agg + the |source|×dims centroid agg (each
+    // partial→final) + their bounded join + presentation sort; the fit
+    // itself runs at build (eager set)
+    "q168_w2v_report" -> 4,
     // q166: two banded-candidate branches (band-key join + distinct + the
     // per-query candidate count, each partial→final) sharing the top5
     // window subtree + final union's presentation sort; every exchange
