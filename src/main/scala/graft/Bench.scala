@@ -41,26 +41,32 @@ object Bench {
     // the need: two of three passes were host-contaminated and the stdout
     // channel carried no signal once the query count pushed all meta fields
     // to target/bench.json.
-    val cparField = if (cpar >= 0) s""","cpar":${fmtAt(2)(cpar)}""" else ""
-    def render(scale: Int, stripQ: Boolean): String = {
+    def render(scale: Int, stripQ: Boolean, withCpar: Boolean): String = {
       val f = fmtAt(scale) _
       def key(k: String) = {
         val short = k.takeWhile(_ != '_')
         if (stripQ) short.stripPrefix("q") else short
       }
+      val cparField = if (withCpar && cpar >= 0) s""","cpar":${fmtAt(2)(cpar)}""" else ""
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
       s"""{"metric":"total","value":${fmtAt(2)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$cparField}"""
     }
-    // final rung: at 157+ queries of pathological width (every value
-    // >= 100 s) even whole seconds overflow — dropping the constant 'q'
-    // prefix from the per-query keys buys ~1 char/query and keeps the
-    // line PARSEABLE (numeric keys, same totals); it can only trigger in
-    // a regime no healthy round has ever been near
-    Seq((2, false), (1, false), (0, false), (0, true))
-      .map { case (sc, sq) => render(sc, sq) }
-      .find(_.length <= LineBudget).getOrElse(render(0, stripQ = true))
+    // degradation rungs: at 157+ queries of pathological width (every
+    // value >= 100 s) even whole seconds overflow — dropping the constant
+    // 'q' prefix from the per-query keys buys ~1 char/query and keeps the
+    // line PARSEABLE (numeric keys, same totals); past 168 queries even
+    // that overflows, so the LAST rung sheds the optional cpar field too
+    // (in a regime where every median needs 4 digits, the whole line
+    // already screams contamination — and cpar persists in
+    // target/bench.json regardless). Only the pathological regime no
+    // healthy round has been near can reach the last two rungs.
+    Seq((2, false, true), (1, false, true), (0, false, true),
+        (0, true, true), (0, true, false))
+      .map { case (sc, sq, wc) => render(sc, sq, wc) }
+      .find(_.length <= LineBudget)
+      .getOrElse(render(0, stripQ = true, withCpar = false))
   }
 
   /** Canary-normalized per-query medians. r15 showed median-of-3 alone
