@@ -32,29 +32,16 @@ object RffSvc {
     * projection exactly. */
   final case class RffMap(inputDim: Int, numComponents: Int, gamma: Double, seed: Long) {
 
-    /** W (numComponents × inputDim, entries N(0, 2γ)) then b (U[0, 2π]) from
-      * one seeded stream, so the pair is a pure function of the config. */
-    private def draw(): (Array[Array[Double]], Array[Double]) = {
-      val rnd = new java.util.Random(seed)
-      val sd = math.sqrt(2.0 * gamma)
-      val w = Array.fill(numComponents, inputDim)(rnd.nextGaussian() * sd)
-      val b = Array.fill(numComponents)(rnd.nextDouble() * 2.0 * math.Pi)
-      (w, b)
-    }
-
     /** z(x) over an `array<double>` column: for each (wᵢ, bᵢ),
-      * sqrt(2/D)·cos(wᵢ·x + bᵢ). The W rows ride as one nested-array
-      * literal; the per-row work is D dot products inside Catalyst's HOF
-      * evaluators. */
-    def transformArray(x: Column): Column = {
-      val (w, b) = draw()
-      val scale = math.sqrt(2.0 / numComponents)
-      val wb = typedlit(w.zip(b).map { case (row, bi) => (row.toSeq, bi) }.toSeq)
-      org.apache.spark.sql.functions.transform(wb, pair =>
-        lit(scale) * cos(
-          aggregate(zip_with(pair.getField("_1"), x, (a, c) => a * c),
-            lit(0.0), (acc, v) => acc + v) + pair.getField("_2")))
-    }
+      * sqrt(2/D)·cos(wᵢ·x + bᵢ) — as the codegen'd
+      * [[graft.functions.RffTransformExpr]] kernel (D·d fused
+      * multiply-adds per row in two primitive loops). The r16 composable
+      * HOF form paid D·d interpreted lambda dispatches per row, which
+      * took q50's roster fit from 4 s to 64 s at sf0.1 the moment the
+      * kernel tier joined Trainer.models(); the kernel emits bit-identical
+      * values (same accumulation order). */
+    def transformArray(x: Column): Column =
+      graft.functions.RffTransformExpr.rff(x, inputDim, numComponents, gamma, seed)
 
     /** features (VectorUDT) → rff_features (VectorUDT), ready for any MLlib
       * linear estimator. */

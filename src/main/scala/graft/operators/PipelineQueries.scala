@@ -1473,8 +1473,11 @@ object PipelineQueries {
          |FROM (${configs.map(c => s"SELECT * FROM o_${c._1}").mkString(" UNION ALL ")})
          |ORDER BY config, query_id""".stripMargin
     QuerySpec.oracle("q166_ann_recall_exact", sql) { (spark, dir) =>
-      def intDot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      // codegen'd kernel, not aggregate(zip_with(...)): the sim scan and
+      // the plane signs together are ~20M element-ops per pass at sf0.1,
+      // interpreted-lambda cost territory (integer adds are order-free, so
+      // the kernel is bit-equal to the HOF form and the DuckDB fold)
+      def intDot(a: Column, b: Column): Column = graft.functions.LongDotExpr.dot(a, b)
       val quant = Tables.embeddings(spark, dir)
         .withColumn("scale", VectorFns.maxAbs(col("embedding")))
         .select(col("vec_id"),
@@ -1491,7 +1494,7 @@ object PipelineQueries {
         .filter(col("rn") <= 5).select("query_id", "neighbor_id")
       // banded candidates per config: the plane literals ride the plan the
       // way RffSvc's W does — one nested-array literal, zero fitted state
-      def reportFor(name: String, planes: Array[Array[Array[Long]]])
+      def candFor(name: String, planes: Array[Array[Array[Long]]])
           : org.apache.spark.sql.DataFrame = {
         val keys = planes.zipWithIndex.map { case (band, b) =>
           struct(lit(b).as("band"),
@@ -1503,23 +1506,30 @@ object PipelineQueries {
         val bands = quant
           .select(col("vec_id"), explode(array(keys.toIndexedSeq: _*)).as("bk"))
           .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val cand = bands.filter(col("vec_id") % 25 === 0)
+        bands.filter(col("vec_id") % 25 === 0)
           .select(col("band"), col("key"), col("vec_id").as("query_id"))
           .join(bands.select(col("band"), col("key"), col("vec_id").as("neighbor_id")),
             Seq("band", "key"))
           .filter(col("neighbor_id") =!= col("query_id"))
-          .select("query_id", "neighbor_id").distinct()
-        val nc = cand.groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
-        top5.join(cand.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
-          .groupBy("query_id")
-          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_caught"))
-          .join(nc, Seq("query_id"), "left")
-          .select(lit(name).as("config"), col("query_id"),
-            col("n_exact"), col("n_caught"),
-            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+          .select(lit(name).as("config"), col("query_id"), col("neighbor_id"))
+          .distinct()
       }
-      configs.map { case (name, planes) => reportFor(name, planes) }
+      val candAll = configs.map { case (name, planes) => candFor(name, planes) }
         .reduce(_.unionByName(_))
+      val nc = candAll.groupBy("config", "query_id").agg(count(lit(1)).as("n_candidates"))
+      // ONE evaluation of the expensive exact-top5 subtree, fanned across
+      // the config dimension by a broadcast 2-row cross join (the lazy
+      // alternative duplicated the |Q|·|C| scan + window per config)
+      val cfgDim = spark.range(1)
+        .select(explode(typedlit(configs.map(_._1))).as("config"))
+      top5.crossJoin(broadcast(cfgDim))
+        .join(candAll.withColumn("hit", lit(1)),
+          Seq("config", "query_id", "neighbor_id"), "left")
+        .groupBy("config", "query_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_caught"))
+        .join(nc, Seq("config", "query_id"), "left")
+        .select(col("config"), col("query_id"), col("n_exact"), col("n_caught"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
         .withColumn("recall",
           col("n_caught").cast("double") / col("n_exact").cast("double"))
         .orderBy("config", "query_id")
