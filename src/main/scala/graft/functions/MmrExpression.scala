@@ -156,3 +156,117 @@ object MmrExpression {
     ColumnBridge.column(MmrExpression(ColumnBridge.expression(candidates), k, lambdaPct))
   }
 }
+
+/** [[MmrExpression]]'s exact-INTEGER twin (the q169 oracle-checked
+  * variant): relevance and the redundancy penalty are integer dot products
+  * over quantized vectors, the objective is
+  * `λpct·rel − (100−λpct)·maxDotToPicked` in exact long arithmetic, and
+  * pick 1 goes by raw relevance like the float kernel's round 0 — so the
+  * whole greedy is bit-identical to an unrolled SQL mirror, which is what
+  * lets a DIVERSITY RE-RANK hash-verify cross-engine. Same in-row shape
+  * (one kernel call over the collected shortlist, zero extra shuffles),
+  * same id tie-break, same order-independence from collect_list.
+  *
+  * Input: array<struct<id: long, rel: long, qv: array<long>>>;
+  * output: array<struct<id: long, rel: long, obj: long>> in pick order.
+  */
+case class IntMmrExpression(child: Expression, k: Int, lambdaPct: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("rel", LongType, nullable = false),
+    StructField("obj", LongType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StructType(Array(f0, f1, f2)), _)
+        if f0.dataType == LongType && f1.dataType == LongType &&
+          (f2.dataType match {
+            case ArrayType(LongType, _) => true
+            case _ => false
+          }) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int mmr expects array<struct<id: bigint, rel: bigint, qv: array<bigint>>>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    IntMmrExpression.select(input.asInstanceOf[ArrayData], k, lambdaPct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.IntMmrExpression.select($c, $k, $lambdaPct)")
+
+  override protected def withNewChildInternal(newChild: Expression): IntMmrExpression =
+    copy(child = newChild)
+}
+
+object IntMmrExpression {
+
+  def select(candidates: ArrayData, k: Int, lambdaPct: Int): ArrayData = {
+    val n = candidates.numElements()
+    val ids = new Array[Long](n)
+    val rels = new Array[Long](n)
+    val vecs = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      val row = candidates.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      rels(i) = row.getLong(1)
+      vecs(i) = row.getArray(2).toLongArray()
+      i += 1
+    }
+    val picked = new Array[Boolean](n)
+    val maxSim = Array.fill(n)(Long.MinValue)
+    val out = new Array[Any](math.min(k, n))
+    var round = 0
+    while (round < out.length) {
+      var best = -1
+      var bestVal = Long.MinValue
+      i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val v =
+            if (round == 0) rels(i)
+            else lambdaPct * rels(i) - (100 - lambdaPct) * maxSim(i)
+          if (best < 0 || v > bestVal || (v == bestVal && ids(i) < ids(best))) {
+            bestVal = v; best = i
+          }
+        }
+        i += 1
+      }
+      picked(best) = true
+      out(round) = InternalRow(ids(best), rels(best), bestVal)
+      i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val s = dot(vecs(i), vecs(best))
+          if (s > maxSim(i)) maxSim(i) = s
+        }
+        i += 1
+      }
+      round += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def dot(a: Array[Long], b: Array[Long]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Column entry point: `intMmr(candidates, k = 5, lambdaPct = 70)`. */
+  def intMmr(candidates: Column, k: Int, lambdaPct: Int): Column = {
+    require(k >= 1 && lambdaPct >= 0 && lambdaPct <= 100)
+    ColumnBridge.column(IntMmrExpression(ColumnBridge.expression(candidates), k, lambdaPct))
+  }
+}

@@ -1536,6 +1536,102 @@ object PipelineQueries {
     }
   }
 
+  /** Exact-integer MMR re-rank, fully ORACLE-CHECKED — the diversity
+    * band's q166: the float greedy (q147's `MmrExpression`) has no SQL
+    * mirror, so this twin re-grounds the SAME greedy recurrence in
+    * integers (relevance and the redundancy penalty are both quantized-int
+    * dot products; objective = λ·rel − (100−λ)·maxSimToPicked with λ as a
+    * percent) and UNROLLS the five greedy picks as generated steps — the
+    * q136 one-definition-shared-by-both-engines discipline applied to a
+    * greedy selection loop. Every pick, tie-break (objective desc, id
+    * asc; pick 1 by raw relevance like the kernel's round 0), and
+    * objective value is bit-identical cross-engine. Shortlist = top-10 by
+    * integer dot per query (the bounded broadcast-query scan); all step
+    * relations are |Q|·k′-sized, cut once behind checkpoints for the ~8
+    * plan references the unrolled steps make. */
+  val q169MmrExact: QuerySpec = {
+    val (lam, kPick, short) = (70, 5, 10)
+    def dotSql(a: String, b: String): String =
+      s"list_reduce(list_prepend(0, list_transform(list_zip($a, $b), " +
+        "p -> p[1]*p[2])), (acc, v) -> acc + v)"
+    val stepCtes = (2 to kPick).map { t =>
+      s"""m$t AS (
+         |  SELECT c.query_id, c.cand_id, c.rel, max(ps.s) AS maxsim
+         |  FROM cands c
+         |  LEFT JOIN pk${t - 1} x ON x.query_id = c.query_id AND x.cand_id = c.cand_id
+         |  JOIN psim ps ON ps.query_id = c.query_id AND ps.id_a = c.cand_id
+         |  JOIN pk${t - 1} p ON p.query_id = ps.query_id AND p.cand_id = ps.id_b
+         |  WHERE x.cand_id IS NULL
+         |  GROUP BY 1, 2, 3),
+         |p$t AS (
+         |  SELECT query_id, cand_id, rel, obj FROM (
+         |    SELECT query_id, cand_id, rel, $lam * rel - ${100 - lam} * maxsim AS obj,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY $lam * rel - ${100 - lam} * maxsim DESC, cand_id) AS rn
+         |    FROM m$t) WHERE rn = 1),
+         |pk$t AS (SELECT * FROM pk${t - 1} UNION ALL SELECT query_id, cand_id FROM p$t)""".stripMargin
+    }
+    val unionAll = (1 to kPick)
+      .map(t => s"SELECT query_id, $t AS pick_order, cand_id, rel, obj FROM p$t")
+      .mkString(" UNION ALL ")
+    val sql =
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |s AS (SELECT vec_id, embedding, ${VectorFns.Sql.maxAbs("embedding")} AS scale FROM v),
+         |q AS (SELECT vec_id, ${VectorFns.Sql.quantizeInt8("embedding", "scale")} AS qv FROM s),
+         |sim AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS cand_id, c.qv,
+         |    ${dotSql("qs.qv", "c.qv")} AS rel
+         |  FROM q qs JOIN q c ON c.vec_id <> qs.vec_id
+         |  WHERE qs.vec_id % 25 = 0),
+         |cands AS (SELECT query_id, cand_id, qv, rel FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY rel DESC, cand_id) AS rn FROM sim)
+         |  WHERE rn <= $short),
+         |psim AS (
+         |  SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b,
+         |    ${dotSql("a.qv", "b.qv")} AS s
+         |  FROM cands a JOIN cands b
+         |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+         |p1 AS (SELECT query_id, cand_id, rel, rel AS obj FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY rel DESC, cand_id) AS rn FROM cands)
+         |  WHERE rn = 1),
+         |pk1 AS (SELECT query_id, cand_id FROM p1),
+         |${stepCtes.mkString(",\n")}
+         |SELECT query_id, pick_order, cand_id, CAST(rel AS BIGINT) AS rel,
+         |  CAST(obj AS BIGINT) AS obj
+         |FROM ($unionAll)
+         |ORDER BY query_id, pick_order""".stripMargin
+    QuerySpec.oracle("q169_mmr_exact", sql) { (spark, dir) =>
+      // Spark side runs the greedy IN-ROW via the codegen'd
+      // [[graft.functions.IntMmrExpression]] kernel over the collected
+      // shortlist — q147's production serving shape (zero extra shuffles
+      // past the shortlist build), while the oracle proves the SAME
+      // recurrence through its unrolled relational steps. A first
+      // implementation unrolled the steps relationally in Spark too:
+      // correct, but 5 step-jobs of pure orchestration (~3.6 s at sf0.1)
+      // for what is per-row arithmetic over k′ = 10 candidates.
+      val quant = Tables.embeddings(spark, dir)
+        .withColumn("scale", VectorFns.maxAbs(col("embedding")))
+        .select(col("vec_id"),
+          VectorFns.quantizeInt8(col("embedding"), col("scale")).as("qv"))
+      val qs = quant.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("qv_q"))
+      val wRel = Window.partitionBy("query_id").orderBy(col("rel").desc, col("cand_id"))
+      val shortlist = quant.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"), col("qv"),
+          graft.functions.LongDotExpr.dot(col("qv_q"), col("qv")).as("rel"))
+        .withColumn("rn", row_number().over(wRel)).filter(col("rn") <= short)
+      shortlist.groupBy("query_id")
+        .agg(collect_list(struct(col("cand_id").as("id"), col("rel"), col("qv"))).as("cs"))
+        .select(col("query_id"), posexplode(
+          graft.functions.IntMmrExpression.intMmr(col("cs"), kPick, lam)))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("pick_order"),
+          col("col.id").as("cand_id"), col("col.rel").as("rel"), col("col.obj").as("obj"))
+        .orderBy("query_id", "pick_order")
+    }
+  }
+
   /** Collocation mining (the phrase-detection pass that runs before
     * tokenizer training — "hot dog" should become one token if its parts
     * co-occur far above chance): bigram lift = P(a,b) / (P(a·)·P(·b)),
@@ -2349,5 +2445,5 @@ object PipelineQueries {
     q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq,
     q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample, q147MmrRerank,
     q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch, q163NgramDecontaminate,
-    q164LshDedupRecall, q165DedupSavings, q166AnnRecallExact)
+    q164LshDedupRecall, q165DedupSavings, q166AnnRecallExact, q169MmrExact)
 }

@@ -65,6 +65,9 @@ class PlanSweepSpec extends SparkSpec {
     // q166 — the exact-top5 ground truth is q40's bounded broadcast-query
     // scan (the 1-in-25 query slice broadcasts into the corpus scan)
     "q166_ann_recall_exact",
+    // q169 — the same bounded broadcast-query scan builds the MMR
+    // shortlist (queries ≪ corpus); the greedy itself is in-row
+    "q169_mmr_exact",
     // q162 — per-round crossJoin(broadcast(dm × scalars)): q136's 1-row
     // dangling/seed-count scalar idiom
     "q162_personalized_pagerank",
@@ -420,6 +423,10 @@ class PlanSweepSpec extends SparkSpec {
     // window subtree + final union's presentation sort; every exchange
     // carries band keys, candidate pairs, or |Q|-sized report rows
     "q166_ann_recall_exact" -> 13,
+    // q169: shortlist window + the per-query collect_list aggregate
+    // (partial→final) + presentation sort — the greedy itself is in-row
+    // (IntMmrExpression), adding zero exchanges
+    "q169_mmr_exact" -> 4,
     // q167: the declared census runs over the checkpointed edge-dictionary
     // RDD — degree agg (partial→final) + triangle-corner explode agg +
     // the deg⋈tri join + presentation sort; the 3-way wedge join itself

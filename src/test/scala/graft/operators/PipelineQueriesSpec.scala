@@ -266,6 +266,51 @@ class PipelineQueriesSpec extends SparkSpec {
       >= tot("lsh_8x8", _.getAs[Long]("n_caught")))
   }
 
+  test("q169: integer MMR picks match a plain-Scala greedy reference exactly") {
+    import org.apache.spark.sql.functions.{broadcast, col, row_number}
+    // rebuild the same shortlist inputs the query uses, then run the greedy
+    // loop naively on the driver and require identical picks and objectives
+    val quant = graft.sources.Tables.embeddings(spark, sf)
+      .withColumn("scale", graft.functions.VectorFns.maxAbs(col("embedding")))
+      .select(col("vec_id"),
+        graft.functions.VectorFns.quantizeInt8(col("embedding"), col("scale")).as("qv"))
+    val qs = quant.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("qv_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rel").desc, col("cand_id"))
+    val cands = quant.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("qv"),
+        graft.functions.LongDotExpr.dot(col("qv_q"), col("qv")).as("rel"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Seq[Long]]("qv").toArray, r.getAs[Long]("rel")))
+      .groupBy(_._1)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val want = cands.flatMap { case (qid, cs) =>
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (cand, obj)
+      val remaining = scala.collection.mutable.Set(cs.map(_._2): _*)
+      val byId = cs.map(c => c._2 -> c).toMap
+      for (t <- 1 to 5) {
+        val best = remaining.toSeq.map { id =>
+          val c = byId(id)
+          val objV =
+            if (t == 1) c._4
+            else 70L * c._4 - 30L * picked.map(p => dot(c._3, byId(p._1)._3)).max
+          (objV, id)
+        }.maxBy { case (o, id) => (o, -id) }
+        picked += ((best._2, best._1))
+        remaining -= best._2
+      }
+      picked.zipWithIndex.map { case ((id, obj), i) => (qid, i + 1, id, obj) }
+    }.toSet
+    val got = graft.SparkEntry.queries("q169_mmr_exact")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("pick_order"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("obj"))).toSet
+    assert(got === want)
+  }
+
   test("q129: TV distance bounds, identical distributions tie, skew ranks highest") {
     // driver-table invariants: TV ∈ [0, 1), token totals positive
     val rows = PipelineQueries.q129SourceDivergence.build(spark, sf).collect()
