@@ -1492,30 +1492,31 @@ object PipelineQueries {
         .withColumn("rn", row_number().over(
           Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
         .filter(col("rn") <= 5).select("query_id", "neighbor_id")
-      // banded candidates per config: the plane literals ride the plan the
-      // way RffSvc's W does — one nested-array literal, zero fitted state
-      def candFor(name: String, planes: Array[Array[Array[Long]]])
-          : org.apache.spark.sql.DataFrame = {
-        val keys = planes.zipWithIndex.map { case (band, b) =>
-          struct(lit(b).as("band"),
+      // banded candidates, ALL configs in one relation: every (config,
+      // band, key) triple computes from one projection of the quantized
+      // corpus (the plane literals ride the plan the way RffSvc's W does —
+      // zero fitted state) and ONE bucket join serves every config, keyed
+      // on the config tag — half the stages of the per-config branches
+      val keyStructs = configs.flatMap { case (name, planes) =>
+        planes.zipWithIndex.map { case (band, b) =>
+          struct(lit(name).as("config"), lit(b).as("band"),
             band.zipWithIndex.map { case (p, j) =>
               when(intDot(col("qv"), typedlit(p.toSeq)) >= 0, lit(1L << j))
                 .otherwise(lit(0L))
             }.reduce(_ + _).as("key"))
         }
-        val bands = quant
-          .select(col("vec_id"), explode(array(keys.toIndexedSeq: _*)).as("bk"))
-          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        bands.filter(col("vec_id") % 25 === 0)
-          .select(col("band"), col("key"), col("vec_id").as("query_id"))
-          .join(bands.select(col("band"), col("key"), col("vec_id").as("neighbor_id")),
-            Seq("band", "key"))
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .select(lit(name).as("config"), col("query_id"), col("neighbor_id"))
-          .distinct()
       }
-      val candAll = configs.map { case (name, planes) => candFor(name, planes) }
-        .reduce(_.unionByName(_))
+      val bands = quant
+        .select(col("vec_id"), explode(array(keyStructs.toIndexedSeq: _*)).as("bk"))
+        .select(col("vec_id"), col("bk.config").as("config"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val candAll = bands.filter(col("vec_id") % 25 === 0)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(bands.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("config", "band", "key"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("config", "query_id", "neighbor_id")
+        .distinct()
       val nc = candAll.groupBy("config", "query_id").agg(count(lit(1)).as("n_candidates"))
       // ONE evaluation of the expensive exact-top5 subtree, fanned across
       // the config dimension by a broadcast 2-row cross join (the lazy
