@@ -58,19 +58,34 @@ object Trainer {
     val spark = train.sparkSession
     import spark.implicits._
     val n = train.count()
-    val fitted = models().map { case (name, est) =>
-      val m = est.fit(train)
-      modelDir.foreach(d => m.asInstanceOf[MLWritable].write.overwrite().save(s"$d/$name"))
-      name -> (m: Transformer)
-    }
-    val runRows = fitted.flatMap { case (name, m) =>
-      val row = confusion(m.transform(valid)).collect().head
+    // fit + persist + evaluate every model CONCURRENTLY: the five fits are
+    // independent jobs, so on an uncontended cluster wall time is the
+    // slowest single fit instead of the sum (MLlib fits are thread-safe —
+    // CrossValidator's own setParallelism is built on exactly this).
+    // Results are collected back in models() order, so the runs table and
+    // every downstream ordering stay deterministic.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(models().size)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val fitted = try {
+      val futures = models().map { case (name, est) =>
+        name -> scala.concurrent.Future {
+          val m = est.fit(train)
+          modelDir.foreach(d => m.asInstanceOf[MLWritable].write.overwrite().save(s"$d/$name"))
+          val row = confusion(m.transform(valid)).collect().head
+          ((m: Transformer), row)
+        }(ec)
+      }
+      futures.map { case (name, f) =>
+        name -> scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+      }
+    } finally pool.shutdown()
+    val runRows = fitted.flatMap { case (name, (_, row)) =>
       Seq("tn", "fp", "fn", "tp", "precision", "recall", "accuracy")
         .map(metric => (runId, name, metric, row.getAs[Any](metric).toString.toDouble, datasetVersion, n)) :+
         ((runId, name, "data_size", n.toDouble, datasetVersion, n))
     }
     val runs = runRows.toDF("run_id", "model_name", "metric", "value", "dataset_version", "n")
-    (fitted.toMap, runs)
+    (fitted.map { case (name, (m, _)) => name -> m }.toMap, runs)
   }
 
   /** Hyperparameter selection via k-fold cross-validation (beyond the
