@@ -1633,6 +1633,122 @@ object PipelineQueries {
     }
   }
 
+  /** Exact-integer k-means, fully ORACLE-CHECKED — the last "not
+    * SQL-expressible" pillar of the ANN band dissolved the q166/q169 way:
+    * Lloyd's algorithm over the int8-quantized embeddings with INTEGER
+    * distances (Σ(x−c)², exact), INTEGER centroid updates (per-dim
+    * integral division of sums — Scala's `/` truncates toward zero exactly
+    * like DuckDB's `//` and Spark's `div`, negatives included; floorDiv
+    * would diverge on negative sums), deterministic
+    * seeds (the k smallest vec_ids) and a (dist, cid) tie-break — so
+    * three full Lloyd rounds, the final assignment, cluster sizes,
+    * per-cluster inertia, AND the centroid coordinates themselves are
+    * bit-identical cross-engine. This is the IVF coarse quantizer (q43)
+    * re-grounded as a verifiable computation: the float k-means keeps
+    * serving production, this twin proves the machinery.
+    *
+    * Build is EAGER and inherently iterative (q141's BPE contract): each
+    * round's per-dim sums collect to the driver as k×dims bounded state
+    * and re-enter the next round's plan as literals; per-round corpus
+    * work is one in-row argmin (kernel dot products against centroid
+    * literals via d² = x·x − 2x·c + c·c) plus one map-side-combined
+    * (cid, dim) aggregate — nothing all-pairs, nothing driver-sized
+    * beyond k×dims. */
+  val q170KmeansExact: QuerySpec = {
+    val (k, dims, rounds) = (8, 64, 3)
+    def d2Sql(a: String, b: String): String =
+      s"list_reduce(list_prepend(0, list_transform(list_zip($a, $b), " +
+        "p -> (p[1]-p[2])*(p[1]-p[2]))), (acc, v) -> acc + v)"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""a$r AS (
+         |  SELECT vec_id, qv, cid FROM (
+         |    SELECT v.vec_id, v.qv, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |                         ORDER BY ${d2Sql("v.qv", "c.dims")}, c.cid) AS rn
+         |    FROM q v CROSS JOIN c${r - 1} c) WHERE rn = 1),
+         |s$r AS (
+         |  SELECT a.cid, g.i, CAST(sum(a.qv[g.i]) AS BIGINT) AS sm, count(*) AS cnt
+         |  FROM a$r a CROSS JOIN generate_series(1, $dims) g(i)
+         |  GROUP BY a.cid, g.i),
+         |c$r AS MATERIALIZED (
+         |  SELECT p.cid,
+         |    list(CASE WHEN s.cnt IS NULL THEN p.dims[s2.i] ELSE s.sm // s.cnt END
+         |         ORDER BY s2.i) AS dims
+         |  FROM c${r - 1} p
+         |  CROSS JOIN generate_series(1, $dims) s2(i)
+         |  LEFT JOIN s$r s ON s.cid = p.cid AND s.i = s2.i
+         |  GROUP BY p.cid)""".stripMargin
+    }
+    val sql =
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |s AS (SELECT vec_id, embedding, ${VectorFns.Sql.maxAbs("embedding")} AS scale FROM v),
+         |q AS MATERIALIZED (SELECT vec_id, ${VectorFns.Sql.quantizeInt8("embedding", "scale")} AS qv FROM s),
+         |c0 AS MATERIALIZED (SELECT vec_id AS cid, qv AS dims FROM q WHERE vec_id < $k),
+         |${roundCtes.mkString(",\n")},
+         |af AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT v.vec_id, c.cid, ${d2Sql("v.qv", "c.dims")} AS dist,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |                         ORDER BY ${d2Sql("v.qv", "c.dims")}, c.cid) AS rn
+         |    FROM q v CROSS JOIN c$rounds c) WHERE rn = 1)
+         |SELECT c.cid, CAST(coalesce(m.n, 0) AS BIGINT) AS n_members,
+         |  CAST(coalesce(m.inertia, 0) AS BIGINT) AS inertia,
+         |  array_to_string(c.dims, ',') AS centroid
+         |FROM c$rounds c
+         |LEFT JOIN (SELECT cid, count(*) AS n, sum(dist) AS inertia
+         |           FROM af GROUP BY 1) m ON m.cid = c.cid
+         |ORDER BY c.cid""".stripMargin
+    QuerySpec.oracle("q170_kmeans_exact", sql) { (spark, dir) =>
+      import spark.implicits._
+      val intDot = graft.functions.LongDotExpr.dot _
+      val quant = Tables.embeddings(spark, dir)
+        .withColumn("scale", VectorFns.maxAbs(col("embedding")))
+        .select(col("vec_id"),
+          VectorFns.quantizeInt8(col("embedding"), col("scale")).as("qv"))
+        .localCheckpoint(eager = false)
+      // argmin over the k centroid LITERALS, in-row: d² = x·x − 2x·c + c·c
+      // (exact in integers), struct (dist, cid) so array_min applies the
+      // same tie-break as the oracle's (dist, cid) row_number
+      def assign(cents: Seq[(Long, Array[Long])]): Column = {
+        val xx = intDot(col("qv"), col("qv"))
+        array_min(array(cents.map { case (cid, cdims) =>
+          val cc = cdims.map(c => c * c).sum
+          struct((xx - lit(2L) * intDot(col("qv"), typedlit(cdims.toSeq)) + lit(cc)).as("dist"),
+            lit(cid).as("cid"))
+        }: _*))
+      }
+      var cents: Seq[(Long, Array[Long])] = quant.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("qv")).collect()
+        .map(r => r.getLong(0) -> r.getAs[Seq[Long]]("qv").toArray).sortBy(_._1).toSeq
+      for (_ <- 1 to rounds) {
+        val sums = quant.select(col("qv"), assign(cents).getField("cid").as("cid"))
+          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos").agg(sum(col("v")).as("sm"), count(lit(1)).as("cnt"))
+          .collect()
+          .map(r => (r.getAs[Long]("cid"), r.getAs[Int]("pos"), r.getAs[Long]("sm"),
+            r.getAs[Long]("cnt")))
+          .groupBy(_._1)
+        cents = cents.map { case (cid, old) =>
+          cid -> (sums.get(cid) match {
+            case Some(rows) =>
+              val byPos = rows.map(t => t._2 -> (t._3, t._4)).toMap
+              Array.tabulate(dims)(p => byPos(p)._1 / byPos(p)._2)
+            case None => old // empty cluster keeps its centroid, both engines
+          })
+        }
+      }
+      val af = quant.withColumn("m", assign(cents))
+        .groupBy(col("m.cid").as("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("m.dist")).cast("long").as("inertia"))
+      val centDf = cents.map { case (cid, cdims) => (cid, cdims.mkString(",")) }
+        .toDF("cid", "centroid")
+      broadcast(centDf).join(af, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+          coalesce(col("inertia"), lit(0L)).as("inertia"), col("centroid"))
+        .orderBy("cid")
+    }
+  }
+
   /** Collocation mining (the phrase-detection pass that runs before
     * tokenizer training — "hot dog" should become one token if its parts
     * co-occur far above chance): bigram lift = P(a,b) / (P(a·)·P(·b)),
@@ -2446,5 +2562,6 @@ object PipelineQueries {
     q125SpanPairs, q126SpanScrub, q127AnnPq, q128AnnIvfPq,
     q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample, q147MmrRerank,
     q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch, q163NgramDecontaminate,
-    q164LshDedupRecall, q165DedupSavings, q166AnnRecallExact, q169MmrExact)
+    q164LshDedupRecall, q165DedupSavings, q166AnnRecallExact, q169MmrExact,
+    q170KmeansExact)
 }

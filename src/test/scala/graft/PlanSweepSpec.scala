@@ -427,6 +427,11 @@ class PlanSweepSpec extends SparkSpec {
     // (partial→final) + presentation sort — the greedy itself is in-row
     // (IntMmrExpression), adding zero exchanges
     "q169_mmr_exact" -> 4,
+    // q170: the declared plan is the final assignment's in-row argmin over
+    // centroid literals + the cluster aggregate (partial→final) + the
+    // broadcast centroid join's presentation sort — the Lloyd rounds
+    // themselves run at build (eager set, q141's iterative contract)
+    "q170_kmeans_exact" -> 2,
     // q167: the declared census runs over the checkpointed edge-dictionary
     // RDD — degree agg (partial→final) + triangle-corner explode agg +
     // the deg⋈tri join + presentation sort; the 3-way wedge join itself

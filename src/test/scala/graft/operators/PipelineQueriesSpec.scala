@@ -311,6 +311,46 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q170: integer k-means matches a plain-Scala Lloyd reference exactly") {
+    import org.apache.spark.sql.functions.col
+    val quant = graft.sources.Tables.embeddings(spark, sf)
+      .withColumn("scale", graft.functions.VectorFns.maxAbs(col("embedding")))
+      .select(col("vec_id"),
+        graft.functions.VectorFns.quantizeInt8(col("embedding"), col("scale")).as("qv"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Long]]("qv").toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, c) => (x - c) * (x - c) }.sum
+    var cents = quant.filter(_._1 < 8).map { case (id, qv) => id -> qv.clone() }
+    def assign() = quant.map { case (id, qv) =>
+      val best = cents.map { case (cid, c) => (d2(qv, c), cid) }.min
+      (id, qv, best._2, best._1)
+    }
+    for (_ <- 1 to 3) {
+      val byCid = assign().groupBy(_._3)
+      cents = cents.map { case (cid, old) =>
+        cid -> (byCid.get(cid) match {
+          case Some(members) =>
+            Array.tabulate(64)(p => members.map(_._2(p)).sum / members.length)
+          case None => old
+        })
+      }
+    }
+    val fin = assign().groupBy(_._3)
+    val want = cents.map { case (cid, c) =>
+      val m: Seq[(Long, Array[Long], Long, Long)] =
+        fin.get(cid).map(_.toSeq).getOrElse(Seq.empty)
+      (cid, m.size.toLong, m.map(_._4).sum, c.mkString(","))
+    }.toSet
+    val got = graft.SparkEntry.queries("q170_kmeans_exact")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("inertia"), r.getAs[String]("centroid"))).toSet
+    assert(got === want)
+    // the census is a partition of the corpus
+    assert(got.toSeq.map(_._2).sum === quant.length.toLong)
+  }
+
   test("q129: TV distance bounds, identical distributions tie, skew ranks highest") {
     // driver-table invariants: TV ∈ [0, 1), token totals positive
     val rows = PipelineQueries.q129SourceDivergence.build(spark, sf).collect()
