@@ -41,32 +41,36 @@ object Bench {
     // the need: two of three passes were host-contaminated and the stdout
     // channel carried no signal once the query count pushed all meta fields
     // to target/bench.json.
-    def render(scale: Int, stripQ: Boolean, withCpar: Boolean): String = {
+    def render(scale: Int, stripQ: Boolean, withCpar: Boolean,
+               minimal: Boolean = false): String = {
       val f = fmtAt(scale) _
       def key(k: String) = {
         val short = k.takeWhile(_ != '_')
         if (stripQ) short.stripPrefix("q") else short
       }
       val cparField = if (withCpar && cpar >= 0) s""","cpar":${fmtAt(2)(cpar)}""" else ""
+      val unitField = if (minimal) "" else ""","unit":"sec""""
+      val sfVal = if (minimal) sfDir.split('/').last else sfDir
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmtAt(2)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$cparField}"""
+      s"""{"metric":"total","value":${fmtAt(2)(total)}$unitField,"queries":$qs,"sf":"$sfVal"$cparField}"""
     }
     // degradation rungs: at 157+ queries of pathological width (every
     // value >= 100 s) even whole seconds overflow — dropping the constant
     // 'q' prefix from the per-query keys buys ~1 char/query and keeps the
-    // line PARSEABLE (numeric keys, same totals); past 168 queries even
-    // that overflows, so the LAST rung sheds the optional cpar field too
-    // (in a regime where every median needs 4 digits, the whole line
-    // already screams contamination — and cpar persists in
-    // target/bench.json regardless). Only the pathological regime no
-    // healthy round has been near can reach the last two rungs.
-    Seq((2, false, true), (1, false, true), (0, false, true),
-        (0, true, true), (0, true, false))
-      .map { case (sc, sq, wc) => render(sc, sq, wc) }
+    // line PARSEABLE (numeric keys, same totals); past 168 queries the
+    // next rung sheds the optional cpar field, and past ~170 the LAST
+    // rung also drops the constant unit field and shortens sf to its
+    // basename (in a regime where every median needs 4 digits the line
+    // already screams contamination, and the full-fidelity record lives
+    // in target/bench.json regardless). Only the pathological regime no
+    // healthy round has been near can reach the last three rungs.
+    Seq((2, false, true, false), (1, false, true, false), (0, false, true, false),
+        (0, true, true, false), (0, true, false, false), (0, true, false, true))
+      .map { case (sc, sq, wc, mn) => render(sc, sq, wc, mn) }
       .find(_.length <= LineBudget)
-      .getOrElse(render(0, stripQ = true, withCpar = false))
+      .getOrElse(render(0, stripQ = true, withCpar = false, minimal = true))
   }
 
   /** Canary-normalized per-query medians. r15 showed median-of-3 alone

@@ -1633,32 +1633,68 @@ object PipelineQueries {
     }
   }
 
-  /** Exact-integer k-means, fully ORACLE-CHECKED — the last "not
-    * SQL-expressible" pillar of the ANN band dissolved the q166/q169 way:
-    * Lloyd's algorithm over the int8-quantized embeddings with INTEGER
-    * distances (Σ(x−c)², exact), INTEGER centroid updates (per-dim
-    * integral division of sums — Scala's `/` truncates toward zero exactly
-    * like DuckDB's `//` and Spark's `div`, negatives included; floorDiv
-    * would diverge on negative sums), deterministic
-    * seeds (the k smallest vec_ids) and a (dist, cid) tie-break — so
-    * three full Lloyd rounds, the final assignment, cluster sizes,
-    * per-cluster inertia, AND the centroid coordinates themselves are
-    * bit-identical cross-engine. This is the IVF coarse quantizer (q43)
-    * re-grounded as a verifiable computation: the float k-means keeps
-    * serving production, this twin proves the machinery.
-    *
-    * Build is EAGER and inherently iterative (q141's BPE contract): each
-    * round's per-dim sums collect to the driver as k×dims bounded state
-    * and re-enter the next round's plan as literals; per-round corpus
-    * work is one in-row argmin (kernel dot products against centroid
-    * literals via d² = x·x − 2x·c + c·c) plus one map-side-combined
-    * (cid, dim) aggregate — nothing all-pairs, nothing driver-sized
-    * beyond k×dims. */
-  val q170KmeansExact: QuerySpec = {
-    val (k, dims, rounds) = (8, 64, 3)
-    def d2Sql(a: String, b: String): String =
-      s"list_reduce(list_prepend(0, list_transform(list_zip($a, $b), " +
-        "p -> (p[1]-p[2])*(p[1]-p[2]))), (acc, v) -> acc + v)"
+  /** Squared-L2 between two integer lists, DuckDB rendering (shared by the
+    * q170/q171 oracles). */
+  private def d2Sql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0, list_transform(list_zip($a, $b), " +
+      "p -> (p[1]-p[2])*(p[1]-p[2]))), (acc, v) -> acc + v)"
+
+  /** The int8-quantized corpus (vec_id, qv) — shared input of the integer
+    * ANN/MMR/k-means audits. */
+  private def quantizedVecs(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("scale", VectorFns.maxAbs(col("embedding")))
+      .select(col("vec_id"),
+        VectorFns.quantizeInt8(col("embedding"), col("scale")).as("qv"))
+
+  /** In-row integer argmin over centroid LITERALS: d² = x·x − 2x·c + c·c
+    * (exact in integers) inside a struct (dist, cid), so array_min applies
+    * the same (dist, cid) tie-break as the oracle's row_number. Shared by
+    * q170's assignment and q171's cell routing. */
+  private def intAssign(cents: Seq[(Long, Array[Long])]): Column = {
+    val intDot = graft.functions.LongDotExpr.dot _
+    val xx = intDot(col("qv"), col("qv"))
+    array_min(array(cents.map { case (cid, cdims) =>
+      val cc = cdims.map(c => c * c).sum
+      struct((xx - lit(2L) * intDot(col("qv"), typedlit(cdims.toSeq)) + lit(cc)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*))
+  }
+
+  /** The eager Lloyd loop (q141's iterative contract): per round one
+    * in-row argmin + one (cid, dim) aggregate whose k×dims result
+    * re-enters the next round's plan as literals. Returns the final
+    * centroids. Shared by q170 and q171. */
+  private def lloydCentroids(quant: org.apache.spark.sql.DataFrame,
+                             k: Int, dims: Int, rounds: Int): Seq[(Long, Array[Long])] = {
+    var cents: Seq[(Long, Array[Long])] = quant.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Long]]("qv").toArray).sortBy(_._1).toSeq
+    for (_ <- 1 to rounds) {
+      val sums = quant.select(col("qv"), intAssign(cents).getField("cid").as("cid"))
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(sum(col("v")).as("sm"), count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getAs[Long]("cid"), r.getAs[Int]("pos"), r.getAs[Long]("sm"),
+          r.getAs[Long]("cnt")))
+        .groupBy(_._1)
+      cents = cents.map { case (cid, old) =>
+        cid -> (sums.get(cid) match {
+          case Some(rows) =>
+            val byPos = rows.map(t => t._2 -> (t._3, t._4)).toMap
+            Array.tabulate(dims)(p => byPos(p)._1 / byPos(p)._2)
+          case None => old // empty cluster keeps its centroid, both engines
+        })
+      }
+    }
+    cents
+  }
+
+  /** The k-means CTE chain (quantize → seeds → `rounds` Lloyd rounds),
+    * generated for the q170/q171 oracles from the same parameters the
+    * Scala loop runs with — one definition of a round, two derivations. */
+  private def kmeansSqlCtes(k: Int, dims: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""a$r AS (
          |  SELECT vec_id, qv, cid FROM (
@@ -1679,18 +1715,43 @@ object PipelineQueries {
          |  LEFT JOIN s$r s ON s.cid = p.cid AND s.i = s2.i
          |  GROUP BY p.cid)""".stripMargin
     }
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |s AS (SELECT vec_id, embedding, ${VectorFns.Sql.maxAbs("embedding")} AS scale FROM v),
+       |q AS MATERIALIZED (SELECT vec_id, ${VectorFns.Sql.quantizeInt8("embedding", "scale")} AS qv FROM s),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, qv AS dims FROM q WHERE vec_id < $k),
+       |${roundCtes.mkString(",\n")},
+       |af AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT v.vec_id, c.cid, ${d2Sql("v.qv", "c.dims")} AS dist,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |                         ORDER BY ${d2Sql("v.qv", "c.dims")}, c.cid) AS rn
+       |    FROM q v CROSS JOIN c$rounds c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Exact-integer k-means, fully ORACLE-CHECKED — the last "not
+    * SQL-expressible" pillar of the ANN band dissolved the q166/q169 way:
+    * Lloyd's algorithm over the int8-quantized embeddings with INTEGER
+    * distances (Σ(x−c)², exact), INTEGER centroid updates (per-dim
+    * integral division of sums — Scala's `/` truncates toward zero exactly
+    * like DuckDB's `//` and Spark's `div`, negatives included; floorDiv
+    * would diverge on negative sums), deterministic seeds (the k smallest
+    * vec_ids) and a (dist, cid) tie-break — so three full Lloyd rounds,
+    * the final assignment, cluster sizes, per-cluster inertia, AND the
+    * centroid coordinates themselves are bit-identical cross-engine. This
+    * is the IVF coarse quantizer (q43) re-grounded as a verifiable
+    * computation: the float k-means keeps serving production, this twin
+    * proves the machinery.
+    *
+    * Build is EAGER and inherently iterative (q141's BPE contract, the
+    * [[lloydCentroids]] loop): each round's per-dim sums collect to the
+    * driver as k×dims bounded state and re-enter the next round's plan as
+    * literals; per-round corpus work is one in-row argmin plus one
+    * map-side-combined (cid, dim) aggregate — nothing all-pairs, nothing
+    * driver-sized beyond k×dims. */
+  val q170KmeansExact: QuerySpec = {
+    val (k, dims, rounds) = (8, 64, 3)
     val sql =
-      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
-         |s AS (SELECT vec_id, embedding, ${VectorFns.Sql.maxAbs("embedding")} AS scale FROM v),
-         |q AS MATERIALIZED (SELECT vec_id, ${VectorFns.Sql.quantizeInt8("embedding", "scale")} AS qv FROM s),
-         |c0 AS MATERIALIZED (SELECT vec_id AS cid, qv AS dims FROM q WHERE vec_id < $k),
-         |${roundCtes.mkString(",\n")},
-         |af AS (
-         |  SELECT vec_id, cid, dist FROM (
-         |    SELECT v.vec_id, c.cid, ${d2Sql("v.qv", "c.dims")} AS dist,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |                         ORDER BY ${d2Sql("v.qv", "c.dims")}, c.cid) AS rn
-         |    FROM q v CROSS JOIN c$rounds c) WHERE rn = 1)
+      s"""${kmeansSqlCtes(k, dims, rounds)}
          |SELECT c.cid, CAST(coalesce(m.n, 0) AS BIGINT) AS n_members,
          |  CAST(coalesce(m.inertia, 0) AS BIGINT) AS inertia,
          |  array_to_string(c.dims, ',') AS centroid
@@ -1700,44 +1761,9 @@ object PipelineQueries {
          |ORDER BY c.cid""".stripMargin
     QuerySpec.oracle("q170_kmeans_exact", sql) { (spark, dir) =>
       import spark.implicits._
-      val intDot = graft.functions.LongDotExpr.dot _
-      val quant = Tables.embeddings(spark, dir)
-        .withColumn("scale", VectorFns.maxAbs(col("embedding")))
-        .select(col("vec_id"),
-          VectorFns.quantizeInt8(col("embedding"), col("scale")).as("qv"))
-        .localCheckpoint(eager = false)
-      // argmin over the k centroid LITERALS, in-row: d² = x·x − 2x·c + c·c
-      // (exact in integers), struct (dist, cid) so array_min applies the
-      // same tie-break as the oracle's (dist, cid) row_number
-      def assign(cents: Seq[(Long, Array[Long])]): Column = {
-        val xx = intDot(col("qv"), col("qv"))
-        array_min(array(cents.map { case (cid, cdims) =>
-          val cc = cdims.map(c => c * c).sum
-          struct((xx - lit(2L) * intDot(col("qv"), typedlit(cdims.toSeq)) + lit(cc)).as("dist"),
-            lit(cid).as("cid"))
-        }: _*))
-      }
-      var cents: Seq[(Long, Array[Long])] = quant.filter(col("vec_id") < k)
-        .select(col("vec_id"), col("qv")).collect()
-        .map(r => r.getLong(0) -> r.getAs[Seq[Long]]("qv").toArray).sortBy(_._1).toSeq
-      for (_ <- 1 to rounds) {
-        val sums = quant.select(col("qv"), assign(cents).getField("cid").as("cid"))
-          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
-          .groupBy("cid", "pos").agg(sum(col("v")).as("sm"), count(lit(1)).as("cnt"))
-          .collect()
-          .map(r => (r.getAs[Long]("cid"), r.getAs[Int]("pos"), r.getAs[Long]("sm"),
-            r.getAs[Long]("cnt")))
-          .groupBy(_._1)
-        cents = cents.map { case (cid, old) =>
-          cid -> (sums.get(cid) match {
-            case Some(rows) =>
-              val byPos = rows.map(t => t._2 -> (t._3, t._4)).toMap
-              Array.tabulate(dims)(p => byPos(p)._1 / byPos(p)._2)
-            case None => old // empty cluster keeps its centroid, both engines
-          })
-        }
-      }
-      val af = quant.withColumn("m", assign(cents))
+      val quant = quantizedVecs(spark, dir).localCheckpoint(eager = false)
+      val cents = lloydCentroids(quant, k, dims, rounds)
+      val af = quant.withColumn("m", intAssign(cents))
         .groupBy(col("m.cid").as("cid"))
         .agg(count(lit(1)).as("n_members"), sum(col("m.dist")).cast("long").as("inertia"))
       val centDf = cents.map { case (cid, cdims) => (cid, cdims.mkString(",")) }
@@ -1746,6 +1772,92 @@ object PipelineQueries {
         .select(col("cid"), coalesce(col("n_members"), lit(0L)).as("n_members"),
           coalesce(col("inertia"), lit(0L)).as("inertia"), col("centroid"))
         .orderBy("cid")
+    }
+  }
+
+  /** Integer IVF serving audit, fully ORACLE-CHECKED — q43's probed-cell
+    * search composed from the verified pieces: [[q170KmeansExact]]'s
+    * integer centroids route the corpus into cells, each query probes its
+    * 2 nearest cells, and recall of [[q166AnnRecallExact]]'s exact
+    * integer top-5 inside the probed candidates is reported per query with
+    * the candidate count the probing paid — the read-reduction/recall
+    * trade IVF exists for, with every cell id, candidate pair, and catch
+    * count bit-identical cross-engine. Same eager-iterative build as q170
+    * (the Lloyd rounds); the serving plan itself is one in-row cell
+    * routing + the bounded probe join. */
+  val q171IvfRecallExact: QuerySpec = {
+    val (k, dims, rounds, nProbe) = (8, 64, 3, 2)
+    val sql =
+      s"""${kmeansSqlCtes(k, dims, rounds)},
+         |qq AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id % 25 = 0),
+         |probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT t.query_id, c.cid,
+         |      row_number() OVER (PARTITION BY t.query_id
+         |                         ORDER BY ${d2Sql("t.qv", "c.dims")}, c.cid) AS rn
+         |    FROM qq t CROSS JOIN c$rounds c) WHERE rn <= $nProbe),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN af a ON a.cid = p.cid
+         |  WHERE a.vec_id <> p.query_id),
+         |sim AS (
+         |  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(0, list_transform(list_zip(qs.qv, c.qv),
+         |      p -> p[1]*p[2])), (acc, v) -> acc + v) AS sim
+         |  FROM qq qs JOIN q c ON c.vec_id <> qs.query_id),
+         |top5 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rn FROM sim)
+         |  WHERE rn <= 5),
+         |nc AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY 1)
+         |SELECT t.query_id, count(*) AS n_exact,
+         |  count(c.query_id) AS n_caught,
+         |  CAST(coalesce(any_value(nc.n_candidates), 0) AS BIGINT) AS n_candidates,
+         |  CAST(count(c.query_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+         |FROM top5 t
+         |LEFT JOIN cand c ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+         |LEFT JOIN nc ON nc.query_id = t.query_id
+         |GROUP BY t.query_id
+         |ORDER BY t.query_id""".stripMargin
+    QuerySpec.oracle("q171_ivf_recall_exact", sql) { (spark, dir) =>
+      val intDot = graft.functions.LongDotExpr.dot _
+      val quant = quantizedVecs(spark, dir).localCheckpoint(eager = false)
+      val cents = lloydCentroids(quant, k, dims, rounds)
+      // corpus → cells: the same in-row argmin as q170's assignment
+      val cells = quant.select(col("vec_id"), intAssign(cents).getField("cid").as("cid"))
+      // query → nProbe nearest cells: sort the k (dist, cid) structs
+      // in-row and slice (array ordering == the oracle's (dist, cid)
+      // row_number; k is a literal-sized array, no shuffle)
+      val probeArr = slice(array_sort(array(cents.map { case (cid, cdims) =>
+        val cc = cdims.map(c => c * c).sum
+        struct((intDot(col("qv"), col("qv"))
+          - lit(2L) * intDot(col("qv"), typedlit(cdims.toSeq)) + lit(cc)).as("dist"),
+          lit(cid).as("cid"))
+      }: _*)), 1, nProbe)
+      val qq = quant.filter(col("vec_id") % 25 === 0)
+      val probes = qq.select(col("vec_id").as("query_id"),
+          explode(probeArr).as("p"))
+        .select(col("query_id"), col("p.cid").as("cid"))
+      val cand = probes.join(cells.withColumnRenamed("vec_id", "neighbor_id"), "cid")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id")
+      val nc = cand.groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+      val qs = qq.select(col("vec_id").as("query_id"), col("qv").as("qv_q"))
+      val top5 = quant.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          intDot(col("qv_q"), col("qv")).as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rn") <= 5).select("query_id", "neighbor_id")
+      top5.join(cand.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_caught"))
+        .join(nc, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"), col("n_caught"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          (col("n_caught").cast("double") / col("n_exact").cast("double")).as("recall"))
+        .orderBy("query_id")
     }
   }
 
@@ -2563,5 +2675,5 @@ object PipelineQueries {
     q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample, q147MmrRerank,
     q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch, q163NgramDecontaminate,
     q164LshDedupRecall, q165DedupSavings, q166AnnRecallExact, q169MmrExact,
-    q170KmeansExact)
+    q170KmeansExact, q171IvfRecallExact)
 }

@@ -68,6 +68,9 @@ class PlanSweepSpec extends SparkSpec {
     // q169 — the same bounded broadcast-query scan builds the MMR
     // shortlist (queries ≪ corpus); the greedy itself is in-row
     "q169_mmr_exact",
+    // q171 — the exact-top5 ground truth is the same bounded
+    // broadcast-query scan (q166's shape)
+    "q171_ivf_recall_exact",
     // q162 — per-round crossJoin(broadcast(dm × scalars)): q136's 1-row
     // dangling/seed-count scalar idiom
     "q162_personalized_pagerank",
@@ -427,6 +430,11 @@ class PlanSweepSpec extends SparkSpec {
     // (partial→final) + presentation sort — the greedy itself is in-row
     // (IntMmrExpression), adding zero exchanges
     "q169_mmr_exact" -> 4,
+    // q171: cell-routing join (probes × cells, cid-keyed) + per-query
+    // candidate count + the top5 window + report join + presentation sort
+    // — every exchange carries cell ids, probed candidates, or |Q| rows;
+    // the Lloyd rounds run at build (eager set)
+    "q171_ivf_recall_exact" -> 6,
     // q170: the declared plan is the final assignment's in-row argmin over
     // centroid literals + the cluster aggregate (partial→final) + the
     // broadcast centroid join's presentation sort — the Lloyd rounds

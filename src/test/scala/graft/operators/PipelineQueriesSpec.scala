@@ -351,6 +351,23 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.toSeq.map(_._2).sum === quant.length.toLong)
   }
 
+  test("q171: IVF recall invariants — candidates come from probed cells only") {
+    val rows = graft.SparkEntry.queries("q171_ivf_recall_exact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ne, nc, cand) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_caught"),
+        r.getAs[Long]("n_candidates"))
+      assert(ne > 0 && ne <= 5 && nc >= 0 && nc <= ne)
+      assert(r.getAs[Double]("recall") == nc.toDouble / ne.toDouble)
+      assert(cand >= nc, "caught neighbors are candidates by definition")
+    }
+    // probing 2 of 8 cells must actually REDUCE reads: the mean candidate
+    // set stays well under the whole corpus
+    val corpus = graft.sources.Tables.embeddings(spark, sf).count()
+    val meanCand = rows.map(_.getAs[Long]("n_candidates")).sum.toDouble / rows.length
+    assert(meanCand < corpus * 0.8, s"probed candidates $meanCand vs corpus $corpus")
+  }
+
   test("q129: TV distance bounds, identical distributions tie, skew ranks highest") {
     // driver-table invariants: TV ∈ [0, 1), token totals positive
     val rows = PipelineQueries.q129SourceDivergence.build(spark, sf).collect()
