@@ -60,17 +60,22 @@ object Bench {
     // value >= 100 s) even whole seconds overflow — dropping the constant
     // 'q' prefix from the per-query keys buys ~1 char/query and keeps the
     // line PARSEABLE (numeric keys, same totals); past 168 queries the
-    // next rung sheds the optional cpar field, and past ~170 the LAST
-    // rung also drops the constant unit field and shortens sf to its
-    // basename (in a regime where every median needs 4 digits the line
-    // already screams contamination, and the full-fidelity record lives
-    // in target/bench.json regardless). Only the pathological regime no
-    // healthy round has been near can reach the last three rungs.
-    Seq((2, false, true, false), (1, false, true, false), (0, false, true, false),
+    // next rung sheds the optional cpar field, then the constant unit
+    // field + the sf prefix. The FINAL rung ends the per-query
+    // whack-a-mole for good: ship the contract fields with an EMPTY query
+    // map — a ~110-char line that fits at ANY query count; the total is
+    // the number the driver's gate grades, and the per-query record
+    // always persists in target/bench.json. Only the pathological regime
+    // no healthy round has been near (every median ≥ 100 s) can reach the
+    // last three rungs.
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val emptyMapRung =
+      s"""{"metric":"total","value":${fmtAt(2)(total)},"unit":"sec","queries":{},"sf":"$sfDir"}"""
+    (Seq((2, false, true, false), (1, false, true, false), (0, false, true, false),
         (0, true, true, false), (0, true, false, false), (0, true, false, true))
-      .map { case (sc, sq, wc, mn) => render(sc, sq, wc, mn) }
+      .map { case (sc, sq, wc, mn) => render(sc, sq, wc, mn) } :+ emptyMapRung)
       .find(_.length <= LineBudget)
-      .getOrElse(render(0, stripQ = true, withCpar = false, minimal = true))
+      .getOrElse(emptyMapRung)
   }
 
   /** Canary-normalized per-query medians. r15 showed median-of-3 alone

@@ -1652,12 +1652,12 @@ object PipelineQueries {
     * (exact in integers) inside a struct (dist, cid), so array_min applies
     * the same (dist, cid) tie-break as the oracle's row_number. Shared by
     * q170's assignment and q171's cell routing. */
-  private def intAssign(cents: Seq[(Long, Array[Long])]): Column = {
+  private def intAssign(cents: Seq[(Long, Array[Long])], vec: Column = col("qv")): Column = {
     val intDot = graft.functions.LongDotExpr.dot _
-    val xx = intDot(col("qv"), col("qv"))
+    val xx = intDot(vec, vec)
     array_min(array(cents.map { case (cid, cdims) =>
       val cc = cdims.map(c => c * c).sum
-      struct((xx - lit(2L) * intDot(col("qv"), typedlit(cdims.toSeq)) + lit(cc)).as("dist"),
+      struct((xx - lit(2L) * intDot(vec, typedlit(cdims.toSeq)) + lit(cc)).as("dist"),
         lit(cid).as("cid"))
     }: _*))
   }
@@ -1857,6 +1857,156 @@ object PipelineQueries {
         .select(col("query_id"), col("n_exact"), col("n_caught"),
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
           (col("n_caught").cast("double") / col("n_exact").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }
+  }
+
+  /** Integer PQ/ADC audit, fully ORACLE-CHECKED — the last member of the
+    * verified-ANN family (LSH q166, MMR q169, k-means q170, IVF q171):
+    * product quantization with INTEGER codebooks. Each of the m=4
+    * subspaces trains its own 16-code codebook with [[lloydCentroids]]'
+    * exact integer Lloyd rounds over the SLICED quantized vectors, the
+    * corpus is encoded to 4 codes/vector (32× narrower than the int8
+    * column), and each query scans the codes via an additive-distance
+    * lookup table (ADC: Σ per-subspace d² to the coded centroid) — the
+    * Jégou et al. 2011 shape, every codebook entry, code, and ADC value
+    * exact integers, bit-identical cross-engine. Reports BOTH tiers per
+    * query: raw ADC top-5 recall (what compression alone retains) and
+    * recall of the exact top-5 inside the 50-candidate shortlist (what
+    * q127's exact re-rank recovers — the shortlist bound). On this
+    * cluster-free random fixture the gap is the finding: ADC@5 ~0.11,
+    * shortlist-50 ~0.54 at sf0.01 — compression needs the re-rank.
+    * Eager-iterative build (4 Lloyd chains, q141's contract). */
+  val q172PqRecallExact: QuerySpec = {
+    val (m, subDims, k, rounds, refine) = (4, 16, 16, 2, 50)
+    def subOf(c: String, p: Int): String = s"$c[${p * subDims + 1}:${p * subDims + subDims}]"
+    val chains = (0 until m).flatMap { p =>
+      val c0 = s"c${p}_0 AS MATERIALIZED (SELECT vec_id AS cid, ${subOf("qv", p)} AS dims " +
+        s"FROM q WHERE vec_id < $k)"
+      val rcs = (1 to rounds).map { r =>
+        s"""a${p}_$r AS (
+           |  SELECT vec_id, qv, cid FROM (
+           |    SELECT v.vec_id, v.qv, c.cid,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |                         ORDER BY ${d2Sql(subOf("v.qv", p), "c.dims")}, c.cid) AS rn
+           |    FROM q v CROSS JOIN c${p}_${r - 1} c) WHERE rn = 1),
+           |s${p}_$r AS (
+           |  SELECT a.cid, g.i, CAST(sum(${subOf("a.qv", p)}[g.i]) AS BIGINT) AS sm, count(*) AS cnt
+           |  FROM a${p}_$r a CROSS JOIN generate_series(1, $subDims) g(i)
+           |  GROUP BY a.cid, g.i),
+           |c${p}_$r AS MATERIALIZED (
+           |  SELECT pp.cid,
+           |    list(CASE WHEN s.cnt IS NULL THEN pp.dims[s2.i] ELSE s.sm // s.cnt END
+           |         ORDER BY s2.i) AS dims
+           |  FROM c${p}_${r - 1} pp
+           |  CROSS JOIN generate_series(1, $subDims) s2(i)
+           |  LEFT JOIN s${p}_$r s ON s.cid = pp.cid AND s.i = s2.i
+           |  GROUP BY pp.cid)""".stripMargin
+      }
+      val tail =
+        s"""af$p AS MATERIALIZED (
+           |  SELECT vec_id, cid AS code FROM (
+           |    SELECT v.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |                         ORDER BY ${d2Sql(subOf("v.qv", p), "c.dims")}, c.cid) AS rn
+           |    FROM q v CROSS JOIN c${p}_$rounds c) WHERE rn = 1),
+           |lut$p AS (SELECT t.query_id, c.cid AS code, ${d2Sql(subOf("t.qv", p), "c.dims")} AS d
+           |  FROM qq t CROSS JOIN c${p}_$rounds c)""".stripMargin
+      (c0 +: rcs) :+ tail
+    }
+    val codeJoins = (1 until m).map(p => s"JOIN af$p x$p ON x$p.vec_id = x0.vec_id").mkString("\n  ")
+    val lutJoins = (0 until m)
+      .map(p => s"JOIN lut$p l$p ON l$p.query_id = q2.query_id AND l$p.code = x$p.code")
+      .mkString("\n  ")
+    val adcSum = (0 until m).map(p => s"l$p.d").mkString(" + ")
+    val sql =
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |s AS (SELECT vec_id, embedding, ${VectorFns.Sql.maxAbs("embedding")} AS scale FROM v),
+         |q AS MATERIALIZED (SELECT vec_id, ${VectorFns.Sql.quantizeInt8("embedding", "scale")} AS qv FROM s),
+         |qq AS MATERIALIZED (SELECT vec_id AS query_id, qv FROM q WHERE vec_id % 25 = 0),
+         |${chains.mkString(",\n")},
+         |adc AS (
+         |  SELECT q2.query_id, x0.vec_id AS neighbor_id, $adcSum AS adc
+         |  FROM af0 x0
+         |  $codeJoins
+         |  CROSS JOIN qq q2
+         |  $lutJoins
+         |  WHERE x0.vec_id <> q2.query_id),
+         |ar AS (SELECT query_id, neighbor_id, rn FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+         |  FROM adc) WHERE rn <= $refine),
+         |ex AS (
+         |  SELECT q2.query_id, c.vec_id AS neighbor_id, ${d2Sql("q2.qv", "c.qv")} AS d
+         |  FROM qq q2 JOIN q c ON c.vec_id <> q2.query_id),
+         |et5 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+         |  FROM ex) WHERE rn <= 5)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |  CAST(count(CASE WHEN a.rn <= 5 THEN 1 END) AS BIGINT) AS n_caught_adc5,
+         |  CAST(count(a.rn) AS BIGINT) AS n_caught_r$refine,
+         |  CAST(count(CASE WHEN a.rn <= 5 THEN 1 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recall_adc5,
+         |  CAST(count(a.rn) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_r$refine
+         |FROM et5 e
+         |LEFT JOIN ar a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+    QuerySpec.oracle("q172_pq_recall_exact", sql) { (spark, dir) =>
+      val intDot = graft.functions.LongDotExpr.dot _
+      val quant = quantizedVecs(spark, dir).localCheckpoint(eager = false)
+      val subCents = (0 until m).map { p =>
+        lloydCentroids(
+          quant.select(col("vec_id"), slice(col("qv"), p * subDims + 1, subDims).as("qv")),
+          k, subDims, rounds)
+      }
+      // encode: one projection carrying all m codes (in-row argmins over
+      // the sliced vector against each subspace's codebook literals),
+      // CUT behind a lazy checkpoint: PQ codes are a stored artifact —
+      // encoded once per corpus row — and without the cut CollapseProject
+      // folds the 4×16-struct argmin into the per-(query,code) ADC scan,
+      // re-evaluating the whole encoding |Q| times per row as one
+      // codegen-hostile mega-expression (measured 41 s → 1.4 s at sf0.1)
+      val codes = quant.select(col("vec_id") +: col("qv").as("qv") +: (0 until m).map { p =>
+        intAssign(subCents(p), slice(col("qv"), p * subDims + 1, subDims))
+          .getField("cid").as(s"code$p")
+      }: _*).drop("qv").localCheckpoint(eager = false)
+      val qq = quant.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("qv_q"))
+      // ADC: per-subspace LUT distance via codebook literals (codebooks
+      // are cid-ordered 0..k-1, so element_at(·, code+1) IS the lookup)
+      val adcCol = (0 until m).map { p =>
+        val qsub = slice(col("qv_q"), p * subDims + 1, subDims)
+        val centArr = typedlit(subCents(p).map(_._2.toSeq))
+        val ccArr = typedlit(subCents(p).map { case (_, cd) => cd.map(x => x * x).sum })
+        val idx = col(s"code$p").cast("int") + 1
+        intDot(qsub, qsub) - lit(2L) * intDot(qsub, element_at(centArr, idx)) +
+          element_at(ccArr, idx)
+      }.reduce(_ + _)
+      val shortlist = codes.join(broadcast(qq), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), adcCol.as("adc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))))
+        .filter(col("rn") <= refine)
+        .select("query_id", "neighbor_id", "rn")
+      val et5 = quant.join(broadcast(qq), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (intDot(col("qv_q"), col("qv_q")) - lit(2L) * intDot(col("qv_q"), col("qv"))
+            + intDot(col("qv"), col("qv"))).as("d"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("d"), col("neighbor_id"))))
+        .filter(col("rn") <= 5).select("query_id", "neighbor_id")
+      et5.join(shortlist, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          count(when(col("rn") <= 5, 1)).as("n_caught_adc5"),
+          count(col("rn")).as(s"n_caught_r$refine"))
+        .select(col("query_id"), col("n_exact"), col("n_caught_adc5"),
+          col(s"n_caught_r$refine"),
+          (col("n_caught_adc5").cast("double") / col("n_exact").cast("double"))
+            .as("recall_adc5"),
+          (col(s"n_caught_r$refine").cast("double") / col("n_exact").cast("double"))
+            .as(s"recall_r$refine"))
         .orderBy("query_id")
     }
   }
@@ -2661,6 +2811,184 @@ object PipelineQueries {
       .orderBy("query_id")
   }
 
+  /** Count-Min sketch frequency audit — the MERGEABLE frequency estimator
+    * (Cormode & Muthukrishnan 2005) completing the sketch family next to
+    * q161's KMV cardinality and q51's Bloom membership, and like them
+    * hash-EXACT cross-engine: d=4 seeded md5-prefix hash rows (the
+    * q138/q161 hex→int discipline) at three widths w ∈ {64, 512, 4096},
+    * so every cell count, every estimate min_j cms[j][h_j(x)], and every
+    * overestimate is an exact integer and the report is the CMS SIZING
+    * CURVE — the ε=e/w error bound collapsing as the sketch widens
+    * (measured at sf0.01: mean overestimate 315 → 14 → 0 on the top-20
+    * keys), q164's recall-S-curve discipline applied to frequency
+    * sketching. The stream is the token BIGRAMS (the ~1k-key universe
+    * where the fixture actually exercises collisions; unigrams' 31-word
+    * vocabulary saturates every width), audited against the exact top-20.
+    * CMS's one-sided guarantee (est ≥ exact, always) is a
+    * PipelineQueriesSpec invariant. Shape at 100 TB: each sketch build is
+    * ONE map-side-combined aggregate on the (w, row, bucket) key whose
+    * global state is Σ d·w cells regardless of corpus size —
+    * per-partition sketches merge by cell-wise addition, exactly how a
+    * 1000-executor cluster folds partial sketches — and the probe side
+    * joins 20·d·|w| key-cells against the broadcast sketch. The exact
+    * top-20 ground truth rides the same bigram-keyed aggregate as q57's
+    * LM counts (slice+arrays_zip, never a per-token HOF). */
+  val q173CmsSketch: QuerySpec = {
+    val (d, widths, topN) = (4, Seq(64, 512, 4096), 20)
+    def bSql(t: String, j: Int, w: Int): String =
+      s"('0x' || substring(md5('$j:' || $t), 1, 15))::BIGINT % $w"
+    val cellRows = (for { w <- widths; j <- 0 until d }
+      yield s"SELECT $w AS w, $j AS j, ${bSql("t", j, w)} AS bucket FROM occ")
+      .mkString("\n       |  UNION ALL ")
+    val keyRows = (for { w <- widths; j <- 0 until d }
+      yield s"SELECT t, n_exact, $w AS w, $j AS j, ${bSql("t", j, w)} AS bucket FROM top")
+      .mkString("\n       |  UNION ALL ")
+    QuerySpec.oracle(
+      "q173_cms_sketch",
+      s"""WITH toks AS (SELECT doc_id, $LowToksSql AS ts FROM documents),
+         |occ AS (SELECT unnest(CASE WHEN len(ts) >= 2
+         |    THEN list_transform(generate_series(1, len(ts) - 1),
+         |      i -> concat_ws(' ', ts[i], ts[i+1]))
+         |    ELSE [] END) AS t FROM toks),
+         |cells AS ($cellRows),
+         |sk AS (SELECT w, j, bucket, count(*) AS c FROM cells GROUP BY 1, 2, 3),
+         |ex AS (SELECT t, count(*) AS n_exact FROM occ GROUP BY t),
+         |top AS (SELECT t, n_exact FROM ex ORDER BY n_exact DESC, t LIMIT $topN),
+         |kb AS ($keyRows),
+         |est AS (SELECT w, t, any_value(n_exact) AS n_exact, min(c) AS est
+         |  FROM kb JOIN sk USING (w, j, bucket) GROUP BY w, t)
+         |SELECT CAST(w AS BIGINT) AS width, t AS bigram,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(est AS BIGINT) AS est_cms,
+         |  CAST(est - n_exact AS BIGINT) AS overestimate
+         |FROM est ORDER BY width, n_exact DESC, bigram""".stripMargin
+    ) { (spark, dir) =>
+      def bucket(j: Int, w: Int, t: Column): Column =
+        pmod(conv(substring(md5(concat(lit(s"$j:"), t)), 1, 15), 16, 10).cast("long"),
+          lit(w.toLong))
+      def cellsOf(t: Column): Column =
+        explode(array((for { w <- widths; j <- 0 until d } yield
+          struct(lit(w.toLong).as("w"), lit(j).as("j"), bucket(j, w, t).as("bucket"))): _*))
+      // bigram stream via slice+arrays_zip — q57's native-codegen idiom
+      val n1 = greatest(size(col("ts")) - 1, lit(0))
+      val occ = Tables.documents(spark, dir)
+        .select(lowToksCol.as("ts"))
+        .select(explode(arrays_zip(
+          slice(col("ts"), lit(1), n1).as("a"),
+          slice(col("ts"), lit(2), n1).as("b"))).as("z"))
+        .select(concat_ws(" ", col("z.a"), col("z.b")).as("t"))
+      val sketch = occ.select(cellsOf(col("t")).as("cell"))
+        .select(col("cell.w").as("w"), col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+        .groupBy("w", "j", "bucket").agg(count(lit(1)).as("c"))
+      val top = occ.groupBy("t").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("t")).limit(topN)
+      top.select(col("t"), col("n_exact"), cellsOf(col("t")).as("cell"))
+        .select(col("t"), col("n_exact"), col("cell.w").as("w"), col("cell.j").as("j"),
+          col("cell.bucket").as("bucket"))
+        .join(sketch.hint("broadcast"), Seq("w", "j", "bucket"))
+        .groupBy("w", "t")
+        .agg(first(col("n_exact")).as("n_exact"), min(col("c")).as("est"))
+        .select(col("w").as("width"), col("t").as("bigram"), col("n_exact"),
+          col("est").as("est_cms"), (col("est") - col("n_exact")).as("overestimate"))
+        .orderBy(col("width"), col("n_exact").desc, col("bigram"))
+    }
+  }
+
+  /** BM25 top-k retrieval (Robertson-Spärck Jones, k1=1.2 b=0.75) — the
+    * lexical ranking function every RAG/retrieval pipeline runs next to
+    * the vector path (q40/q149), hash-verified end to end: the idf term
+    * uses q115's odds-ratio surrogate ((N−df+0.5)/(df+0.5), monotone in
+    * the textbook log-idf, every step exactly-rounded IEEE — the no-libm
+    * bar), the tf saturation (tf·(k1+1))/(tf + k1·(0.25 + 0.75·dl/avgdl))
+    * is a fixed-order expression over shared literals, and the per-doc
+    * score sums its ≤4 term scores in SORTED-TERM pivot order (q149's
+    * rank-pivot discipline) so float addition order is identical in both
+    * engines. Queries: every 50th document's 4 alphabetically-first
+    * distinct tokens. Shape at 100 TB: term-at-a-time — the broadcast
+    * query-term dictionary semi-prunes the corpus-sized (doc,token) tf
+    * relation on the token key, df joins token-keyed with NO broadcast
+    * hint (the vocabulary must never be forced resident, q27's rule),
+    * doc length joins doc-keyed, and the only windows partition on
+    * query_id. tf/df/dl are independent pushed-down scans of the same
+    * parquet (each a one-pass map-side-combined aggregate); nothing ever
+    * crosses a doc×query product. */
+  val q174Bm25TopK: QuerySpec = {
+    val nQTerms = 4
+    val sSql =
+      """((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        | * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)
+        |      + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |               / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+        .stripMargin.replace("\n", "")
+    val pivSql = (1 to nQTerms)
+      .map(i => s"max(CASE WHEN ti = $i THEN s END) AS s$i").mkString(",\n       |    ")
+    val totSql = (1 to nQTerms).map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+    QuerySpec.oracle(
+      "q174_bm25_topk",
+      s"""WITH toks AS (SELECT doc_id, $LowToksSql AS ts FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |pair AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+         |tfc AS (SELECT doc_id, token, count(*) AS tf FROM pair GROUP BY 1, 2),
+         |dft AS (SELECT token, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM pair) GROUP BY 1),
+         |qt AS (SELECT doc_id AS query_id,
+         |    unnest(list_sort(list_distinct(ts))[1:$nQTerms]) AS token
+         |  FROM toks WHERE doc_id % 50 = 0),
+         |qti AS (SELECT query_id, token,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY token) AS ti FROM qt),
+         |sc AS (SELECT q.query_id, t.doc_id, q.ti, $sSql AS s
+         |  FROM qti q
+         |  JOIN tfc t ON t.token = q.token
+         |  JOIN dft ON dft.token = q.token
+         |  JOIN dl ON dl.doc_id = t.doc_id
+         |  CROSS JOIN st),
+         |piv AS (SELECT query_id, doc_id,
+         |    $pivSql
+         |  FROM sc GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, $totSql AS score,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY $totSql DESC, doc_id) AS rank
+         |  FROM piv)
+         |SELECT query_id, rank, doc_id, score
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    ) { (spark, dir) =>
+      val toks = Tables.documents(spark, dir).select(col("doc_id"), lowToksCol.as("ts"))
+      val dl = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val pair = toks.select(col("doc_id"), explode(col("ts")).as("token"))
+      val tfc = pair.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dft = pair.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      val qt = toks.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(array_sort(array_distinct(col("ts"))), 1, nQTerms)).as("token"))
+        .withColumn("ti",
+          row_number().over(Window.partitionBy("query_id").orderBy("token")))
+      val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val tfn = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+      val sc = broadcast(qt).join(tfc, "token").join(dft, "token").join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .select(col("query_id"), col("doc_id"), col("ti"), (idf * tfn).as("s"))
+      val piv = sc.groupBy("query_id", "doc_id")
+        .agg(max(when(col("ti") === 1, col("s"))).as("s1"),
+          (2 to nQTerms).map(i => max(when(col("ti") === i, col("s"))).as(s"s$i")): _*)
+      val total = (1 to nQTerms).map(i => coalesce(col(s"s$i"), lit(0.0))).reduce(_ + _)
+      piv.select(col("query_id"), col("doc_id"), total.as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+        // DuckDB row_number returns BIGINT — match it
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score"))
+        .orderBy("query_id", "rank")
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -2675,5 +3003,6 @@ object PipelineQueries {
     q129SourceDivergence, q135MatryoshkaRecall, q143PpsSample, q147MmrRerank,
     q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch, q163NgramDecontaminate,
     q164LshDedupRecall, q165DedupSavings, q166AnnRecallExact, q169MmrExact,
-    q170KmeansExact, q171IvfRecallExact)
+    q170KmeansExact, q171IvfRecallExact, q172PqRecallExact, q173CmsSketch,
+    q174Bm25TopK)
 }

@@ -19,11 +19,20 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("stdout line fits the log-tail window at worst-case value widths") {
     // 999.99 is wider than any plausible per-query median (the slowest
-    // query in any round to date is ~5 s); -1 is the failure sentinel
+    // query in any round to date is ~5 s); -1 is the failure sentinel.
+    // The empty-query-map final rung guarantees the fit at ANY width and
+    // query count; the second loop pins that every width a real round
+    // could produce still ships the FULL per-query map.
     for (v <- Seq(999.99, -1.0, 0.5)) {
       val line = worstCase(v)
       assert(line.length <= Bench.LineBudget,
         s"bench line ${line.length} chars at value $v — driver tail will truncate its head")
+    }
+    for (v <- Seq(99.99, 9.99, -1.0, 0.5)) {
+      val line = worstCase(v)
+      assert(!line.contains("\"queries\":{}"),
+        s"value width $v must not need the empty-map rung")
+      assert(line.length <= Bench.LineBudget)
     }
   }
 

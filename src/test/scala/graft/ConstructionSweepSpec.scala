@@ -106,11 +106,11 @@ class ConstructionSweepSpec extends SparkSpec {
     // collect that must become a literal in the next round's rewrite —
     // inherently iterative (Bpe.learnMerges documents the contract)
     "q141_bpe_merges", "q142_bpe_fertility",
-    // q170/q171 run their Lloyd rounds at build: each round's k×dims
-    // centroid sums collect and re-enter the next round's plan as
-    // literals — the same inherently-iterative contract as q141's
-    // merge learning
-    "q170_kmeans_exact", "q171_ivf_recall_exact")
+    // q170/q171/q172 run their Lloyd rounds at build (q172: one chain per
+    // PQ subspace): each round's k×dims centroid sums collect and
+    // re-enter the next round's plan as literals — the same
+    // inherently-iterative contract as q141's merge learning
+    "q170_kmeans_exact", "q171_ivf_recall_exact", "q172_pq_recall_exact")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

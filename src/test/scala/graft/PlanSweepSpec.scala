@@ -71,6 +71,12 @@ class PlanSweepSpec extends SparkSpec {
     // q171 — the exact-top5 ground truth is the same bounded
     // broadcast-query scan (q166's shape)
     "q171_ivf_recall_exact",
+    // q172 — two bounded broadcast-query scans (exact ground truth + the
+    // ADC code scan; queries ≪ corpus)
+    "q172_pq_recall_exact",
+    // q174 — crossJoin(broadcast(st)) where st is the 1-row corpus length
+    // statistics aggregate (N, Σdl): the q27/q45 lazy scalar idiom
+    "q174_bm25_topk",
     // q162 — per-round crossJoin(broadcast(dm × scalars)): q136's 1-row
     // dangling/seed-count scalar idiom
     "q162_personalized_pagerank",
@@ -435,6 +441,20 @@ class PlanSweepSpec extends SparkSpec {
     // — every exchange carries cell ids, probed candidates, or |Q| rows;
     // the Lloyd rounds run at build (eager set)
     "q171_ivf_recall_exact" -> 6,
+    // q172: the ADC shortlist window + the exact-top5 window + report
+    // aggregate + presentation sort — code encoding and the per-subspace
+    // LUT distances are in-row against codebook literals; the 4 Lloyd
+    // chains run at build (eager set)
+    "q172_pq_recall_exact" -> 6,
+    // q173: sketch-cell agg + exact-count agg (its top-20 rides
+    // TakeOrdered, no exchange) + the post-broadcast-probe (w, t) min-agg
+    // + presentation sort — every exchange carries (w, j, bucket) cells
+    // or top-20 key rows, never the corpus twice
+    "q173_cms_sketch" -> 4,
+    // q174: tf agg + df distinct+agg + dl-keyed join + the query-term
+    // window + the (query, doc) pivot agg + rank window + presentation
+    // sort — the query dictionary and the 1-row length stats broadcast
+    "q174_bm25_topk" -> 9,
     // q170: the declared plan is the final assignment's in-row argmin over
     // centroid literals + the cluster aggregate (partial→final) + the
     // broadcast centroid join's presentation sort — the Lloyd rounds

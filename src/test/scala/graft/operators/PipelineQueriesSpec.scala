@@ -368,6 +368,53 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(meanCand < corpus * 0.8, s"probed candidates $meanCand vs corpus $corpus")
   }
 
+  test("q172: PQ recall invariants — the shortlist dominates raw ADC@5") {
+    val rows = graft.SparkEntry.queries("q172_pq_recall_exact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ne, a5, r50) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_caught_adc5"),
+        r.getAs[Long]("n_caught_r50"))
+      assert(ne > 0 && ne <= 5)
+      // ADC top-5 ⊆ ADC top-50, so the shortlist can only catch MORE
+      assert(a5 >= 0 && a5 <= r50 && r50 <= ne)
+      assert(r.getAs[Double]("recall_adc5") == a5.toDouble / ne.toDouble)
+      assert(r.getAs[Double]("recall_r50") == r50.toDouble / ne.toDouble)
+    }
+  }
+
+  test("q173: CMS one-sided guarantee and monotone width improvement") {
+    val rows = graft.SparkEntry.queries("q173_cms_sketch")(spark, sf).collect()
+    assert(rows.length == 60) // 3 widths x top-20
+    rows.foreach { r =>
+      // est >= exact, always — the Count-Min one-sided error guarantee
+      assert(r.getAs[Long]("overestimate") >= 0L,
+        s"CMS underestimated ${r.getAs[String]("bigram")}")
+      assert(r.getAs[Long]("est_cms") ==
+        r.getAs[Long]("n_exact") + r.getAs[Long]("overestimate"))
+    }
+    val meanOver = rows.groupBy(_.getAs[Long]("width"))
+      .view.mapValues(rs => rs.map(_.getAs[Long]("overestimate")).sum.toDouble / rs.size)
+      .toMap
+    // the sizing curve: mean overestimate non-increasing as the sketch widens
+    assert(meanOver(64L) >= meanOver(512L) && meanOver(512L) >= meanOver(4096L),
+      s"width sweep not monotone: $meanOver")
+    assert(meanOver(64L) > 0.0, "w=64 should show real collisions on this stream")
+  }
+
+  test("q174: BM25 ranks are dense per query and scores positive-descending") {
+    val rows = graft.SparkEntry.queries("q174_bm25_topk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to rs.length.toLong),
+        s"query $qid ranks not dense")
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.forall(_ > 0.0))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $qid scores not descending")
+    }
+  }
+
   test("q129: TV distance bounds, identical distributions tie, skew ranks highest") {
     // driver-table invariants: TV ∈ [0, 1), token totals positive
     val rows = PipelineQueries.q129SourceDivergence.build(spark, sf).collect()
