@@ -468,28 +468,56 @@ object Graph {
           .otherwise(lit(0.0)).as("clustering_coeff"))
   }
 
-  /** Triangle census of the supplier co-supply graph: suppliers are
-    * adjacent when they REPEATEDLY serve the same customer (≥2 orders on
-    * the (customer, supplier) pair — one-off trades would make the
-    * projection near-complete and meaningless), the bipartite trade graph
-    * projected onto its supplier side. Two scale guards make the
-    * projection 100 TB-safe: the repeat-trade filter bounds edge mass to
-    * persistent relationships, and customers fanning out to >1000
-    * suppliers are dropped before pairing (the q31 stop-shingle/hub cap —
-    * a single hub customer would otherwise contribute C(k,2) pairs). The
-    * node set is the supplier DICTIONARY (SF×10k), so the per-node output
-    * and the wedge join are dictionary-bounded. Exact integer counts;
-    * DuckDB re-derives the identical graph and census. */
-  val q167TriangleCount: QuerySpec = QuerySpec.oracle(
-    "q167_triangle_count",
-    """WITH p AS (
+  /** DuckDB CTE prefix deriving the supplier co-supply edge dictionary
+    * (ends at `e(s_a, s_b)`, one row per undirected edge, s_a < s_b) —
+    * shared verbatim by the q167/q175 oracles, mirroring
+    * [[coSupplyEdges]]. */
+  private def CoSupplySqlCtes(minRepeat: Int = 2): String =
+    s"""p AS (
       |  SELECT o_custkey AS cust, l_suppkey AS supp
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |  GROUP BY 1, 2 HAVING count(*) >= $minRepeat),
       |ok AS (SELECT cust FROM p GROUP BY cust HAVING count(*) <= 1000),
       |pc AS (SELECT p.cust, p.supp FROM p JOIN ok USING (cust)),
       |e AS (SELECT DISTINCT a.supp AS s_a, b.supp AS s_b
-      |      FROM pc a JOIN pc b ON a.cust = b.cust AND a.supp < b.supp),
+      |      FROM pc a JOIN pc b ON a.cust = b.cust AND a.supp < b.supp)""".stripMargin
+
+  /** The supplier co-supply edge dictionary (shared by q167/q175):
+    * suppliers adjacent when they REPEATEDLY serve the same customer
+    * (≥2 orders on the (customer, supplier) pair — one-off trades would
+    * make the projection near-complete and meaningless), the bipartite
+    * trade graph projected onto its supplier side. Two scale guards make
+    * the projection 100 TB-safe: the repeat-trade filter bounds edge mass
+    * to persistent relationships, and customers fanning out to >1000
+    * suppliers are dropped before pairing (the q31 stop-shingle/hub cap —
+    * a single hub customer would otherwise contribute C(k,2) pairs). One
+    * row per undirected edge, s_a < s_b. */
+  private def coSupplyEdges(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, minRepeat: Int = 2): DataFrame = {
+    val p = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minRepeat)
+      .select("cust", "supp")
+    val ok = p.groupBy("cust").agg(count(lit(1)).as("k"))
+      .filter(col("k") <= 1000)
+      .select("cust")
+    val pc = p.join(ok, "cust")
+    pc.as("a").join(pc.as("b"),
+        col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
+      .select(col("a.supp").as("s_a"), col("b.supp").as("s_b"))
+      .distinct()
+  }
+
+  /** Triangle census of the supplier co-supply graph (see
+    * [[coSupplyEdges]] for the graph and its scale guards). The node set
+    * is the supplier DICTIONARY (SF×10k), so the per-node output and the
+    * wedge join are dictionary-bounded. Exact integer counts; DuckDB
+    * re-derives the identical graph and census. */
+  val q167TriangleCount: QuerySpec = QuerySpec.oracle(
+    "q167_triangle_count",
+    s"""WITH ${CoSupplySqlCtes()},
       |deg AS (SELECT s, count(*) AS degree FROM (
       |    SELECT s_a AS s FROM e UNION ALL SELECT s_b AS s FROM e) GROUP BY s),
       |tri AS (SELECT e1.s_a AS a, e1.s_b AS b, e2.s_b AS c
@@ -507,21 +535,93 @@ object Graph {
       |FROM deg d LEFT JOIN tn ON tn.s = d.s
       |ORDER BY node_id""".stripMargin
   ) { (spark, dir) =>
-    val p = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select("cust", "supp")
-    val ok = p.groupBy("cust").agg(count(lit(1)).as("k"))
-      .filter(col("k") <= 1000)
-      .select("cust")
-    val pc = p.join(ok, "cust")
-    val edges = pc.as("a").join(pc.as("b"),
-        col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
-      .select(col("a.supp").as("s_a"), col("b.supp").as("s_b"))
-      .distinct()
-    triangleStats(edges).orderBy("node_id")
+    triangleStats(coSupplyEdges(spark, dir)).orderBy("node_id")
+  }
+
+  /** Label-propagation community detection (Raghavan et al. 2007,
+    * SYNCHRONOUS variant, fixed 2 rounds) over the co-supply graph — the
+    * community statistic after PageRank/CC/triangles: each node adopts
+    * the MAJORITY label among its neighbors' previous-round labels, ties
+    * broken by smallest label, labels initialized to node ids. A fixed
+    * round count makes the synchronous schedule fully deterministic (no
+    * convergence test, no float), so every per-round label — not just the
+    * final partition — is exact integer relational algebra and the oracle
+    * unrolls the identical recurrence as generated CTEs (q136's
+    * discipline). Differs from connected components (q35) exactly where
+    * it should: CC merges everything reachable; LPA's majority vote keeps
+    * densely-knit neighborhoods in distinct communities inside one
+    * component (this graph is one component; LPA at these parameters
+    * partitions it into 4). Graph parameters are chosen where the fixture
+    * has structure to show: minRepeat=3 (the ≥2 graph is 99.9%-complete —
+    * 4946/4950 possible edges — and ANY majority dynamic on a
+    * near-complete graph collapses to one label; at ≥3 density drops to
+    * ~22%) and 2 rounds (measured label counts by round at sf0.01:
+    * 100 → 20 → 4 → 1 — the random trade fixture has no stable
+    * communities, so the report freezes the dynamic before the
+    * known-degenerate fixpoint). Shape at scale: per round ONE edge-keyed
+    * join carrying (node, nbr-label) + one (node, label) count + a
+    * node-partitioned argmax window — the adjacency is cut once behind a
+    * checkpoint (referenced every round), rounds shuffle node-sized label
+    * relations, and nothing is ever quadratic in the dictionary. */
+  /** Synchronous label propagation over an undirected edge set (one row
+    * per edge, (s_a, s_b)): labels start as node ids; each of the fixed
+    * `rounds` rounds every node adopts the majority label among its
+    * neighbors' previous-round labels, ties to the smallest label.
+    * Returns (node, label). Deterministic integer relational algebra —
+    * see q175 for the oracle unrolling and the scale shape. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    // the adjacency is referenced by every round — cut its lineage once
+    // (lazy: no job at build, one materialization at run)
+    val adj = edges.select(col("s_a").as("node"), col("s_b").as("nbr"))
+      .union(edges.select(col("s_b").as("node"), col("s_a").as("nbr")))
+      .localCheckpoint(eager = false)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val counts = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy("node", "label").agg(count(lit(1)).as("c"))
+      labels = counts.withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("c").desc, col("label"))))
+        .filter(col("rn") === 1).select("node", "label")
+    }
+    labels
+  }
+
+  val q175LabelPropagation: QuerySpec = {
+    val rounds = 2
+    val roundCtes = (1 to rounds).map { r =>
+      s"""r$r AS (SELECT a.node, l.label, count(*) AS c
+         |  FROM adj a JOIN l${r - 1} l ON l.node = a.nbr GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |    FROM r$r) WHERE rn = 1)""".stripMargin
+    }
+    QuerySpec.oracle(
+      "q175_label_propagation",
+      s"""WITH ${CoSupplySqlCtes(minRepeat = 3)},
+         |adj AS MATERIALIZED (SELECT s_a AS node, s_b AS nbr FROM e
+         |  UNION ALL SELECT s_b, s_a FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj),
+         |${roundCtes.mkString(",\n")},
+         |sz AS (SELECT label, count(*) AS n_members FROM l$rounds GROUP BY label)
+         |SELECT l.node AS node_id, l.label AS community,
+         |  CAST(sz.n_members AS BIGINT) AS n_members
+         |FROM l$rounds l JOIN sz USING (label)
+         |ORDER BY node_id""".stripMargin
+    ) { (spark, dir) =>
+      // final labels feed both the per-node output and the size aggregate
+      // — one cut so the rounds chain executes once, not twice
+      val l3 = labelPropagation(coSupplyEdges(spark, dir, minRepeat = 3), rounds)
+        .localCheckpoint(eager = false)
+      val sz = l3.groupBy("label").agg(count(lit(1)).as("n_members"))
+      l3.join(sz, "label")
+        .select(col("node").as("node_id"), col("label").as("community"),
+          col("n_members"))
+        .orderBy("node_id")
+    }
   }
 
   /** Record-linkage entity resolution: q93's dictionary-blocked fuzzy
@@ -588,5 +688,6 @@ object Graph {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    q136PageRank, q140EntityGroups, q162PersonalizedPageRank, q167TriangleCount)
+    q136PageRank, q140EntityGroups, q162PersonalizedPageRank, q167TriangleCount,
+    q175LabelPropagation)
 }

@@ -36,6 +36,10 @@ class ConstructionSweepSpec extends SparkSpec {
     "q35_dedup_groups", "q59_dedup_keeplist", "q73_dedup_apply",
     // q165 iterates CC over the near-dup pair graph at build, like q35
     "q165_dedup_savings",
+    // q175's adjacency + final-label lazy checkpoints: under AQE,
+    // checkpoint creation executes the upstream rounds at build — the
+    // index-build-shaped step q136's per-round cuts are allowed for
+    "q175_label_propagation",
     "q50_ml_train_eval", "q43_ann_ivf", "q76_bucketed_join",
     // q78 fits q43's IVF quantizer (once, reused for top-k AND candidate
     // stats) — same eager-index rationale as q43; round 15 adds q127's PQ

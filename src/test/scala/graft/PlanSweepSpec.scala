@@ -460,6 +460,11 @@ class PlanSweepSpec extends SparkSpec {
     // broadcast centroid join's presentation sort — the Lloyd rounds
     // themselves run at build (eager set, q141's iterative contract)
     "q170_kmeans_exact" -> 2,
+    // q175: per round ONE nbr-keyed label join + the (node, label) count
+    // + the node-partitioned argmax window over the checkpointed
+    // adjacency, then the size aggregate + its join back + presentation
+    // sort — rounds shuffle node-sized label relations only
+    "q175_label_propagation" -> 14,
     // q167: the declared census runs over the checkpointed edge-dictionary
     // RDD — degree agg (partial→final) + triangle-corner explode agg +
     // the deg⋈tri join + presentation sort; the 3-way wedge join itself

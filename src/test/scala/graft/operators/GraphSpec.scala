@@ -132,6 +132,38 @@ class GraphSpec extends SparkSpec {
     assert(rows.length.toLong === nNames)
   }
 
+  test("labelPropagation separates a barbell and matches a plain-Scala reference") {
+    // two triangles joined by one bridge edge: after 3 synchronous rounds
+    // each triangle settles on its own label (the bridge minority vote
+    // never outweighs the two in-triangle neighbors; hand-traced, the
+    // right triangle needs the third round to absorb its tie cascade)
+    val barbell = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("s_a", "s_b")
+    val got = Graph.labelPropagation(barbell, 3).as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(4L) == got(5L) && got(5L) == got(6L))
+    assert(got(1L) != got(4L), s"bridge merged the barbell: $got")
+
+    // seeded random graph vs a plain-Scala synchronous LPA
+    val rnd = new scala.util.Random(7)
+    val edges = (for (_ <- 1 to 80)
+      yield (rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .filter(p => p._1 != p._2).distinct
+    val nbrs = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var ref = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      ref = nbrs.map { case (v, ns) =>
+        val counts = ns.groupBy(ref).view.mapValues(_.size).toMap
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got2 = Graph.labelPropagation(edges.toDF("s_a", "s_b"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === ref)
+  }
+
   test("triangleStats matches a plain-Scala census on known and random graphs") {
     // K4 minus edge (3,4): triangles (1,2,3) and (1,2,4)
     val k4m = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("s_a", "s_b")
