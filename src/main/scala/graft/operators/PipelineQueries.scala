@@ -2989,6 +2989,87 @@ object PipelineQueries {
     }
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): score every raw document by its
+    * log-likelihood ratio under a TARGET-domain n-gram LM vs the RAW-pool
+    * LM, then keep the top-scoring subset — the data-selection pass that
+    * upgrades a random crawl sample toward a quality domain. Target =
+    * src0 (q163's held-out convention), LMs = add-one-smoothed bigram
+    * models, and the per-bigram log ratio is QUANTIZED TO WHOLE BITS the
+    * q58 way: log2(p_t/p_b) ≈ bits(num div den) − bits(den div num) with
+    * num = (n_t+1)·(D_r+V), den = (n_r+1)·(D_t+V) — exactly one side
+    * nonzero (both zero when the ratio is 1), every step integer, so doc
+    * scores AND the selected top-100 hash-match where a libm log never
+    * could. Products stay under int64 while n·D < 2⁶³ (fine at every
+    * driver SF; a 100 TB corpus would shard the LM key space or hash
+    * counts down first — same bound q58 documents). Shape at scale: two
+    * pushed-down corpus passes build the token-pair-keyed LMs
+    * (map-side-combined), the raw bigram stream re-joins the merged LM on
+    * the pair key, the three totals ride ONE broadcast 1-row aggregate
+    * (q27's scalar idiom), and selection is a rank-orderBy-limit, never a
+    * global window. */
+  val q176DsirWeights: QuerySpec = {
+    def bitsSql(x: String): String = s"(length(bin($x)) - 1)"
+    val numSql = "((lm.n_t + 1) * (st.d_r + st.v))"
+    val denSql = "((lm.n_r + 1) * (st.d_t + st.v))"
+    QuerySpec.oracle(
+      "q176_dsir_weights",
+      s"""WITH toks AS (SELECT doc_id, source, $LowToksSql AS ts FROM documents),
+         |bg AS (SELECT doc_id, source, unnest(CASE WHEN len(ts) >= 2
+         |    THEN list_transform(generate_series(1, len(ts) - 1),
+         |      i -> concat_ws(' ', ts[i], ts[i+1]))
+         |    ELSE [] END) AS t FROM toks),
+         |lmt AS (SELECT t, count(*) AS n_t FROM bg WHERE source = 'src0' GROUP BY t),
+         |lmr AS (SELECT t, count(*) AS n_r FROM bg WHERE source <> 'src0' GROUP BY t),
+         |lm AS (SELECT coalesce(lmt.t, lmr.t) AS t, coalesce(n_t, 0) AS n_t,
+         |    coalesce(n_r, 0) AS n_r
+         |  FROM lmt FULL OUTER JOIN lmr ON lmt.t = lmr.t),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS v,
+         |    CAST(sum(n_t) AS BIGINT) AS d_t, CAST(sum(n_r) AS BIGINT) AS d_r FROM lm),
+         |sc AS (SELECT b.doc_id,
+         |    ${bitsSql(s"$numSql // $denSql")} - ${bitsSql(s"$denSql // $numSql")} AS w
+         |  FROM bg b JOIN lm ON lm.t = b.t CROSS JOIN st
+         |  WHERE b.source <> 'src0')
+         |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(w) AS BIGINT) AS sum_bits,
+         |  CAST(sum(w) AS DOUBLE) / count(*) AS avg_bits
+         |FROM sc GROUP BY doc_id
+         |ORDER BY avg_bits DESC, doc_id LIMIT 100""".stripMargin
+    ) { (spark, dir) =>
+      // bigram stream via slice+arrays_zip — q57's native-codegen idiom
+      def bigrams(df: org.apache.spark.sql.DataFrame) = {
+        val n1 = greatest(size(col("ts")) - 1, lit(0))
+        df.select(col("doc_id"), lowToksCol.as("ts"))
+          .select(col("doc_id"), explode(arrays_zip(
+            slice(col("ts"), lit(1), n1).as("a"),
+            slice(col("ts"), lit(2), n1).as("b"))).as("z"))
+          .select(col("doc_id"), concat_ws(" ", col("z.a"), col("z.b")).as("t"))
+      }
+      val docs = Tables.documents(spark, dir)
+      val tgt = bigrams(docs.filter(col("source") === "src0"))
+      val raw = bigrams(docs.filter(col("source") =!= "src0"))
+      val lmt = tgt.groupBy("t").agg(count(lit(1)).as("n_t"))
+      val lmr = raw.groupBy("t").agg(count(lit(1)).as("n_r"))
+      val lm = lmt.join(lmr, Seq("t"), "full_outer")
+        .select(col("t"), coalesce(col("n_t"), lit(0L)).as("n_t"),
+          coalesce(col("n_r"), lit(0L)).as("n_r"))
+      val st = lm.agg(count(lit(1)).as("v"),
+        sum(col("n_t")).as("d_t"), sum(col("n_r")).as("d_r"))
+      def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+      raw.join(lm, "t").crossJoin(broadcast(st))
+        .withColumn("num", (col("n_t") + 1) * (col("d_r") + col("v")))
+        .withColumn("den", (col("n_r") + 1) * (col("d_t") + col("v")))
+        .select(col("doc_id"),
+          (bits(expr("num DIV den")) - bits(expr("den DIV num"))).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("sum_bits"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+          (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+            .as("avg_bits"))
+        .orderBy(col("avg_bits").desc, col("doc_id"))
+        .limit(100)
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -3004,5 +3085,5 @@ object PipelineQueries {
     q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch, q163NgramDecontaminate,
     q164LshDedupRecall, q165DedupSavings, q166AnnRecallExact, q169MmrExact,
     q170KmeansExact, q171IvfRecallExact, q172PqRecallExact, q173CmsSketch,
-    q174Bm25TopK)
+    q174Bm25TopK, q176DsirWeights)
 }

@@ -77,6 +77,9 @@ class PlanSweepSpec extends SparkSpec {
     // q174 — crossJoin(broadcast(st)) where st is the 1-row corpus length
     // statistics aggregate (N, Σdl): the q27/q45 lazy scalar idiom
     "q174_bm25_topk",
+    // q176 — crossJoin(broadcast(st)) where st is the 1-row LM totals
+    // aggregate (V, D_t, D_r): the same scalar idiom
+    "q176_dsir_weights",
     // q162 — per-round crossJoin(broadcast(dm × scalars)): q136's 1-row
     // dangling/seed-count scalar idiom
     "q162_personalized_pagerank",
@@ -460,6 +463,10 @@ class PlanSweepSpec extends SparkSpec {
     // broadcast centroid join's presentation sort — the Lloyd rounds
     // themselves run at build (eager set, q141's iterative contract)
     "q170_kmeans_exact" -> 2,
+    // q176: two pair-keyed LM aggregates + their full-outer merge + the
+    // raw-stream re-join on the pair key + the per-doc sum — selection is
+    // TakeOrdered (no exchange); totals ride the broadcast scalar
+    "q176_dsir_weights" -> 9,
     // q175: per round ONE nbr-keyed label join + the (node, label) count
     // + the node-partitioned argmax window over the checkpointed
     // adjacency, then the size aggregate + its join back + presentation

@@ -415,6 +415,19 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q176: DSIR weights — target docs rescored as raw outrank the raw pool") {
+    val rows = graft.SparkEntry.queries("q176_dsir_weights")(spark, sf).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") > 0L)
+      assert(r.getAs[Double]("avg_bits") ==
+        r.getAs[Long]("sum_bits").toDouble / r.getAs[Long]("n_bigrams").toDouble)
+    }
+    // ordering is by avg_bits desc then doc_id
+    val avgs = rows.map(_.getAs[Double]("avg_bits"))
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q129: TV distance bounds, identical distributions tie, skew ranks highest") {
     // driver-table invariants: TV ∈ [0, 1), token totals positive
     val rows = PipelineQueries.q129SourceDivergence.build(spark, sf).collect()
