@@ -3070,6 +3070,79 @@ object PipelineQueries {
     }
   }
 
+  /** EWMA trend smoothing in EXACT integer micro-units — the sequential
+    * recurrence the series band was missing (q102 windows average, q122
+    * z-scores; neither carries running state): s₁ = x₁,
+    * sₜ = (xₜ + 3·sₜ₋₁) div 4 (α = 1/4), per nation over the daily
+    * shipped-revenue series, reporting the final smoothed level and the
+    * largest single-day deviation |xₜ − sₜ₋₁| (the spike an EWMA-based
+    * alert would page on). Revenue is exact integer micro-cents
+    * (decimal(18,2) casts shared with dsum's contract, then
+    * price_cents · (100 − disc_pct)), and the recurrence divides by 4 via
+    * shiftright on non-negative values ≡ DuckDB's `// 4` — every smoothed
+    * value bit-identical cross-engine, where float EWMA never reproduces.
+    * An inherently sequential fold CANNOT be a window function; it runs
+    * IN-ROW over the date-ordered collected series (Spark `aggregate`
+    * HOF with (s, max-dev) struct state ↔ DuckDB `list_reduce` with a
+    * 2-list state — d2Sql's proven pattern). Shape at scale: the series
+    * key is the nation DICTIONARY and the array is CALENDAR-bounded
+    * (~2.4k days), so the collect is bounded state per key — the same
+    * argument as q109's densification scaffold; the corpus contributes
+    * one map-side-combined (nation, day) aggregate and never collects. */
+  val q177EwmaTrend: QuerySpec = QuerySpec.oracle(
+    "q177_ewma_trend",
+    """WITH rev AS (
+      |  SELECT s_nationkey AS nk, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS x
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |ser AS (SELECT nk, count(*) AS n_days, max(day) AS last_day,
+      |    list_prepend([CAST(-1 AS BIGINT), CAST(0 AS BIGINT)],
+      |      list_transform(list(x ORDER BY day), v -> [v, CAST(0 AS BIGINT)])) AS vs
+      |  FROM rev GROUP BY nk),
+      |ew AS (SELECT nk, n_days, last_day,
+      |    list_reduce(vs, (acc, e) -> [
+      |      CASE WHEN acc[1] = -1 THEN e[1] ELSE (e[1] + 3 * acc[1]) // 4 END,
+      |      greatest(acc[2], CASE WHEN acc[1] = -1 THEN CAST(0 AS BIGINT)
+      |                            ELSE abs(e[1] - acc[1]) END)]) AS st
+      |  FROM ser)
+      |SELECT n.n_name AS nation, CAST(e.n_days AS BIGINT) AS n_days, e.last_day,
+      |  CAST(e.st[1] AS BIGINT) AS ewma_micro, CAST(e.st[2] AS BIGINT) AS max_dev_micro
+      |FROM ew e JOIN nation n ON n.n_nationkey = e.nk
+      |ORDER BY nation""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
+      .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+    val ser = rev.groupBy("nk")
+      .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+        array_sort(collect_list(struct(col("day"), col("x")))).as("vs"))
+    // the recurrence: non-negative throughout, so div 4 ≡ shiftright 2
+    val folded = aggregate(
+      transform(col("vs"), v => v.getField("x")),
+      struct(lit(-1L).as("s"), lit(0L).as("mx")),
+      (acc, x) => struct(
+        when(acc.getField("s") === -1L, x)
+          .otherwise(shiftright(x + lit(3L) * acc.getField("s"), 2)).as("s"),
+        greatest(acc.getField("mx"),
+          when(acc.getField("s") === -1L, lit(0L))
+            .otherwise(abs(x - acc.getField("s")))).as("mx")))
+    ser.select(col("nk"), col("n_days"), col("last_day"), folded.as("st"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_days"), col("last_day"),
+        col("st.s").as("ewma_micro"), col("st.mx").as("max_dev_micro"))
+      .orderBy("nation")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -3085,5 +3158,5 @@ object PipelineQueries {
     q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch, q163NgramDecontaminate,
     q164LshDedupRecall, q165DedupSavings, q166AnnRecallExact, q169MmrExact,
     q170KmeansExact, q171IvfRecallExact, q172PqRecallExact, q173CmsSketch,
-    q174Bm25TopK, q176DsirWeights)
+    q174Bm25TopK, q176DsirWeights, q177EwmaTrend)
 }

@@ -463,6 +463,10 @@ class PlanSweepSpec extends SparkSpec {
     // broadcast centroid join's presentation sort — the Lloyd rounds
     // themselves run at build (eager set, q141's iterative contract)
     "q170_kmeans_exact" -> 2,
+    // q177: the (nation, day) revenue aggregate + the per-nation series
+    // collect + presentation sort — the EWMA fold is in-row over the
+    // calendar-bounded array; supplier/nation dims broadcast
+    "q177_ewma_trend" -> 3,
     // q176: two pair-keyed LM aggregates + their full-outer merge + the
     // raw-stream re-join on the pair key + the per-doc sum — selection is
     // TakeOrdered (no exchange); totals ride the broadcast scalar

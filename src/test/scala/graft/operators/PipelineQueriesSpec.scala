@@ -428,6 +428,41 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(avgs.zip(avgs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q177: EWMA fold matches a plain-Scala recurrence per nation") {
+    val rows = graft.SparkEntry.queries("q177_ewma_trend")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the recurrence from the same (nation, day) series
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val rev = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.supplier(spark, sf)
+          .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
+      .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+      .join(graft.sources.Tables.nation(spark, sf)
+          .select(col("n_nationkey").as("nk"), col("n_name")),
+        "nk")
+      .collect()
+      .groupBy(_.getAs[String]("n_name"))
+    rows.foreach { row =>
+      val series = rev(row.getAs[String]("nation"))
+        .sortBy(_.getAs[java.sql.Date]("day").toString).map(_.getAs[Long]("x"))
+      var (s, mx) = (-1L, 0L)
+      series.foreach { x =>
+        if (s == -1L) s = x
+        else { mx = math.max(mx, math.abs(x - s)); s = (x + 3 * s) / 4 }
+      }
+      assert(row.getAs[Long]("ewma_micro") == s, s"nation ${row.getString(0)}")
+      assert(row.getAs[Long]("max_dev_micro") == mx)
+      assert(row.getAs[Long]("n_days") == series.length.toLong)
+    }
+    assert(rows.length == rev.size, "one output row per supplier nation")
+  }
+
   test("q129: TV distance bounds, identical distributions tie, skew ranks highest") {
     // driver-table invariants: TV ∈ [0, 1), token totals positive
     val rows = PipelineQueries.q129SourceDivergence.build(spark, sf).collect()
