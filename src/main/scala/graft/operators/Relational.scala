@@ -1519,6 +1519,44 @@ object Relational {
       .orderBy("n_name", "o_orderkey")
   }
 
+  /** l-diversity audit — q137's governance companion one rung up the
+    * privacy ladder: k-anonymity says each quasi-identifier group is big
+    * enough to hide in, l-diversity (Machanavajjhala et al. 2007) says the
+    * SENSITIVE attribute inside the group is varied enough that group
+    * membership doesn't leak it (a k=500 group whose every row shares one
+    * segment still discloses the segment — the homogeneity attack). QI =
+    * (nation, balance-bucket) with q137's 2000-wide generalization;
+    * sensitive = market segment. Per group: size, l = distinct sensitive
+    * values, the l ≥ 3 flag, and the dominant value's exact count (the
+    * homogeneity share numerator — shares stay integer, no float). Shape:
+    * two stacked map-side-combined aggregates — (QI, sensitive) counts,
+    * then QI rollup — report sized by QI combinations, never the corpus. */
+  val q178LDiversity: QuerySpec = QuerySpec.oracle(
+    "q178_l_diversity",
+    """WITH g AS (
+      |  SELECT c_nationkey AS nation,
+      |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_bucket,
+      |    c_mktsegment AS segment, count(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT nation, bal_bucket, CAST(sum(n) AS BIGINT) AS n_rows,
+      |  count(*) AS l_distinct, count(*) >= 3 AS l_diverse,
+      |  CAST(max(n) AS BIGINT) AS top_segment_rows
+      |FROM g GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / lit(2000.0)).cast("long").as("bal_bucket"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("nation", "bal_bucket")
+      .agg(sum(col("n")).cast("long").as("n_rows"),
+        count(lit(1)).as("l_distinct"),
+        (count(lit(1)) >= 3).as("l_diverse"),
+        max(col("n")).as("top_segment_rows"))
+      .orderBy("nation", "bal_bucket")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
@@ -1530,5 +1568,6 @@ object Relational {
     q93FuzzyNamePairs, q153JaroWinkler, q158SortedNeighborhood, q95PriceHistogram, q96GroupingSets,
     q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
     q108RevenueShare, q109DensifyGaps, q110LongestGap,
-    q118FanoutProfile, q119EquidepthHistogram, q121RankDistribution)
+    q118FanoutProfile, q119EquidepthHistogram, q121RankDistribution,
+    q178LDiversity)
 }

@@ -488,6 +488,9 @@ class PlanSweepSpec extends SparkSpec {
     "q136_pagerank" -> 12,
     // q137: QI agg (partial→final) + presentation sort — one scan
     "q137_k_anonymity" -> 2,
+    // q178: the (QI, sensitive) agg + the QI rollup (each partial→final)
+    // + presentation sort — one scan, report sized by QI combinations
+    "q178_l_diversity" -> 3,
     // q138: manifest agg (partial→final) + presentation sort — one scan
     "q138_manifest_checksums" -> 2,
     // q149: the top-k agg (partial→final, q40's shape) — the rank pivot
