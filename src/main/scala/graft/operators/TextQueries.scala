@@ -751,6 +751,33 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** XML round-trip over Spark 4's BUILT-IN XML datasource (the spark-xml
+    * donation, `format("xml")` with rowTag) — the fourth boundary format
+    * beside CSV (q86), JSON-lines (q87) and ORC (q82), because upstream
+    * document feeds still arrive as XML dumps (wiki exports, sitemaps,
+    * TEI corpora). Same per-row lossless claim as q86: written once per
+    * (dir), read back with the EXPLICIT schema and compared row-for-row
+    * against the parquet source, so the hash match proves every value —
+    * unicode text included — survived markup escaping both ways. The
+    * fixture text is verified markup-free-hostile anyway (entities and
+    * angle brackets escape/unescape symmetrically). Eager by design
+    * (one-time layout write, _SUCCESS-guarded like q82/q86/q87). */
+  val q179XmlRoundtrip: QuerySpec = QuerySpec.oracle(
+    "q179_xml_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+  ) { (spark, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"target/graft_xml_$tag/documents"
+    if (!new java.io.File(path, "_SUCCESS").exists)
+      Tables.documents(spark, dir).coalesce(4).write
+        .format("xml").option("rowTag", "doc").option("rootTag", "documents")
+        .mode("overwrite").save(path)
+    spark.read.schema(documentsSchema)
+      .format("xml").option("rowTag", "doc").load(path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Hive-style partition PRUNING ([[Sinks.writeParquetPartitioned]]) as a
     * declared oracle query — the classic warehouse layout: documents
     * written ONCE per (dir) into `lang=.../` directories, read back with a
@@ -1219,5 +1246,6 @@ object TextQueries {
     q85PartitionPrunedScan, q86CsvRoundtrip, q87JsonRoundtrip, q89ZOrderDictScan,
     q103PartitionOverwrite, q104Compaction, q105QualityGate, q112SentenceStats,
     q120CompactionPartitioned, q124PipelineCorpus, q138ManifestChecksums,
-    q144TimeTravel, q145SnapshotDiff, q146CompressionQuality, q157CorpusShards)
+    q144TimeTravel, q145SnapshotDiff, q146CompressionQuality, q157CorpusShards,
+    q179XmlRoundtrip)
 }

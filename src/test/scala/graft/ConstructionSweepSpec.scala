@@ -68,6 +68,8 @@ class ConstructionSweepSpec extends SparkSpec {
     // q86/q87's FIRST builds write the CSV / JSON-lines layouts the
     // round-trips read (one-time, _SUCCESS-marked)
     "q86_csv_roundtrip", "q87_json_roundtrip",
+    // q179's FIRST build writes the XML layout (one-time, _SUCCESS-marked)
+    "q179_xml_roundtrip",
     // q89's FIRST build writes the dict-z-ordered layout (+ its two tiny
     // dictionary/max-code aggregates); one-time, _SUCCESS-marked
     "q89_zorder_dict_scan",

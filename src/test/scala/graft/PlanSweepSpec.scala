@@ -244,6 +244,8 @@ class PlanSweepSpec extends SparkSpec {
     // q86/q87: pure scan + the presentation sort (round-trip queries)
     "q86_csv_roundtrip" -> 1,
     "q87_json_roundtrip" -> 1,
+    // q179: pure scan of the XML layout + presentation sort (q86's shape)
+    "q179_xml_roundtrip" -> 1,
     // q88: candidate distinct + presentation sort carry the exchanges; the
     // band self-join and both shingle-set rejoins broadcast at test scale
     // (the bounded candidate set is broadcast-sized by construction)
