@@ -41,8 +41,14 @@ object Bench {
     // the need: two of three passes were host-contaminated and the stdout
     // channel carried no signal once the query count pushed all meta fields
     // to target/bench.json.
+    //
+    // `restBelow` > 0 folds every query whose CLEAN sample sits under the
+    // threshold into one "rest" entry (sum, plus a rest_n count field) so
+    // the queries that actually carry cost keep sub-second resolution —
+    // failure sentinels (-1) are NEVER folded away, a failing query must
+    // stay visible on the driver channel by name.
     def render(scale: Int, stripQ: Boolean, withCpar: Boolean,
-               minimal: Boolean = false): String = {
+               minimal: Boolean = false, restBelow: Double = 0.0): String = {
       val f = fmtAt(scale) _
       def key(k: String) = {
         val short = k.takeWhile(_ != '_')
@@ -51,29 +57,38 @@ object Bench {
       val cparField = if (withCpar && cpar >= 0) s""","cpar":${fmtAt(2)(cpar)}""" else ""
       val unitField = if (minimal) "" else ""","unit":"sec""""
       val sfVal = if (minimal) sfDir.split('/').last else sfDir
-      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
+      val (kept, rest) = results.partition { case (_, v) => v < 0 || v >= restBelow }
+      val restEntry =
+        if (rest.isEmpty) Seq.empty
+        else Seq("\"rest\":" + fmtAt(2)(rest.values.sum))
+      val restN = if (rest.isEmpty) "" else s""","rest_n":${rest.size}"""
+      val qs = (kept.map { case (k, v) => "\"" + key(k) + "\":" + f(v) } ++ restEntry)
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmtAt(2)(total)}$unitField,"queries":$qs,"sf":"$sfVal"$cparField}"""
+      s"""{"metric":"total","value":${fmtAt(2)(total)}$unitField,"queries":$qs,"sf":"$sfVal"$cparField$restN}"""
     }
-    // degradation rungs: at 157+ queries of pathological width (every
-    // value >= 100 s) even whole seconds overflow — dropping the constant
-    // 'q' prefix from the per-query keys buys ~1 char/query and keeps the
-    // line PARSEABLE (numeric keys, same totals); past 168 queries the
-    // next rung sheds the optional cpar field, then the constant unit
-    // field + the sf prefix. The FINAL rung ends the per-query
-    // whack-a-mole for good: ship the contract fields with an EMPTY query
-    // map — a ~110-char line that fits at ANY query count; the total is
-    // the number the driver's gate grades, and the per-query record
-    // always persists in target/bench.json. Only the pathological regime
-    // no healthy round has been near (every median ≥ 100 s) can reach the
-    // last three rungs.
+    // degradation rungs. r17 showed the old scale-only ladder failing its
+    // purpose at 180 queries: the line degraded to WHOLE seconds and
+    // 131/180 values printed as 0 or 1 — the driver's only per-query
+    // regression channel lost sub-second resolution exactly where all the
+    // cost sits. The middle rungs now fold the sub-threshold tail (0.05,
+    // then 0.2, then 0.5 s) into one "rest" sum INSTEAD of coarsening
+    // every value: each query at/above the threshold keeps 0.1 s
+    // resolution, and the folded tail is by construction the cheap one
+    // (≤ threshold × rest_n total). Only past that — ~150 queries all
+    // ≥ 0.5 s — does the ladder fall back to whole-second full maps, then
+    // the key-shortening rungs, then the EMPTY-map rung that fits at ANY
+    // query count; the full-precision record always persists in
+    // target/bench.json.
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val emptyMapRung =
       s"""{"metric":"total","value":${fmtAt(2)(total)},"unit":"sec","queries":{},"sf":"$sfDir"}"""
-    (Seq((2, false, true, false), (1, false, true, false), (0, false, true, false),
-        (0, true, true, false), (0, true, false, false), (0, true, false, true))
-      .map { case (sc, sq, wc, mn) => render(sc, sq, wc, mn) } :+ emptyMapRung)
+    (Seq((2, false, true, false, 0.0), (1, false, true, false, 0.0),
+        (1, false, true, false, 0.05), (1, false, true, false, 0.2),
+        (1, false, true, false, 0.5), (0, false, true, false, 0.0),
+        (0, true, true, false, 0.0), (0, true, false, false, 0.0),
+        (0, true, false, true, 0.0))
+      .map { case (sc, sq, wc, mn, rb) => render(sc, sq, wc, mn, rb) } :+ emptyMapRung)
       .find(_.length <= LineBudget)
       .getOrElse(emptyMapRung)
   }
@@ -96,18 +111,24 @@ object Bench {
     * in-guest measurement. Failure sentinel -1 propagates un-normalized.
     * Pure, so BenchLineSpec can pin the polluted-pass case.
     *
-    * Residual blind spot, closed r17: contamination that starts and ends
-    * BETWEEN two canary windows leaves both brackets clean while
-    * polluting that pass's samples (r16's q140 read median 4.9 s from
-    * [15.6, 1.25, 4.93] under clean ~0.7 s brackets), and a one-time
-    * layout write (q76's bucketed tables, the z-order/versioned sinks)
-    * legitimately lands in the first timed pass at a fresh warehouse —
-    * both produce the same signature: clean brackets, same-query samples
-    * spread far beyond host noise. When every bracket is clean (no
-    * normalization applied) and a query's samples spread > 3×, the MIN is
-    * the only sample consistent with the clean-host evidence, so it
-    * replaces the median. Gated on clean brackets: after a real
-    * correction the min could be the over-corrected sample.
+    * Residual blind spot, closed r17 (estimator revised r18): contamination
+    * that starts and ends BETWEEN two canary windows leaves both brackets
+    * clean while polluting that pass's samples (r16's q140 read median
+    * 4.9 s from [15.6, 1.25, 4.93] under clean ~0.7 s brackets), and a
+    * one-time layout write (q76's bucketed tables, the z-order/versioned
+    * sinks) legitimately lands in the first timed pass at a fresh
+    * warehouse — both produce the same signature: clean brackets,
+    * same-query samples spread far beyond host noise. When every bracket
+    * is clean (no normalization applied) and a query's samples spread
+    * > 3×, the estimator switches to the MEAN OF THE TWO SMALLEST samples
+    * — not the bare min (ADVICE r17: the min systematically reports the
+    * best case of any genuinely high-variance query, and an exact-0.0
+    * sample would win outright), but still discarding the one sample the
+    * clean-host evidence says is an outlier. Gated on clean brackets:
+    * after a real correction the min could be the over-corrected sample.
+    * Queries where the switch fired are returned as markers and land in
+    * target/bench.json ("min_rule") so downstream graders see which
+    * numbers used which estimator.
     *
     * @param canaries pass brackets: canaries(i) precedes pass i,
     *                 canaries(i+1) follows it — length passes.size + 1.
@@ -115,7 +136,16 @@ object Bench {
   def canaryNormalizedMedians(
       keys: Seq[String],
       passes: Seq[Map[String, Double]],
-      canaries: Seq[Double]): scala.collection.immutable.ListMap[String, Double] = {
+      canaries: Seq[Double]): scala.collection.immutable.ListMap[String, Double] =
+    canaryNormalizedMediansMarked(keys, passes, canaries)._1
+
+  /** [[canaryNormalizedMedians]] plus the list of queries whose estimator
+    * switched to the clean-bracket two-smallest mean. */
+  def canaryNormalizedMediansMarked(
+      keys: Seq[String],
+      passes: Seq[Map[String, Double]],
+      canaries: Seq[Double])
+      : (scala.collection.immutable.ListMap[String, Double], Seq[String]) = {
     require(canaries.size == passes.size + 1, "need one canary bracket per pass boundary")
     val best = canaries.min
     val ratios = passes.indices.map { i =>
@@ -125,16 +155,20 @@ object Bench {
       math.min(math.max(bracket / best, 1.0), 8.0)
     }
     val bracketsClean = ratios.forall(_ <= 1.25)
-    scala.collection.immutable.ListMap(keys.map { k =>
+    val switched = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = scala.collection.immutable.ListMap(keys.map { k =>
       val samples = passes.indices.map(i => if (passes(i)(k) < 0) -1.0 else passes(i)(k) / ratios(i))
       k -> (if (samples.exists(_ < 0)) -1.0
             else {
               val sorted = samples.sorted
               val spreadOver3x = sorted.head <= 0.0 || sorted.last / sorted.head > 3.0
-              if (bracketsClean && spreadOver3x) sorted.head
-              else sorted(samples.size / 2)
+              if (bracketsClean && spreadOver3x && sorted.size >= 2) {
+                switched += k
+                (sorted(0) + sorted(1)) / 2.0
+              } else sorted(samples.size / 2)
             })
     }: _*)
+    (out, switched.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -270,8 +304,8 @@ object Bench {
     }).getOrElse(-1.0)
     // ListMap keeps SparkEntry's insertion order so bench lines diff cleanly
     // across rounds
-    val results =
-      canaryNormalizedMedians(SparkEntry.queries.keys.toSeq, passes, passCanaries)
+    val (results, minRuleKeys) =
+      canaryNormalizedMediansMarked(SparkEntry.queries.keys.toSeq, passes, passCanaries)
     // The build log is tail-captured to its last 2000 chars downstream, and
     // anything after the JSON line (sbt's success banner, ~70 chars) eats
     // into that window too — BENCH_r14's tail proves it: the captured tail
@@ -294,7 +328,10 @@ object Bench {
       s""""load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)},""" +
       s""""steal_pct":${fmt(stealPct)},"canary_sec_before":${fmt(canaryBefore)},"canary_sec_after":${fmt(canaryAfter)},""" +
       s""""canary_par_before":${fmt(canaryParBefore)},"canary_par_after":${fmt(canaryParAfter)},""" +
-      s""""pass_canaries":${passCanaries.map(fmt).mkString("[", ",", "]")}"""
+      s""""pass_canaries":${passCanaries.map(fmt).mkString("[", ",", "]")},""" +
+      // estimator provenance: queries whose reported value is the
+      // clean-bracket two-smallest mean instead of the median
+      s""""min_rule":${minRuleKeys.map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")}"""
     println(stdoutLine(results, sfDir, cpar = passCanaries.max))
     // The file carries the full-fidelity record: 3-decimal medians plus the
     // raw per-pass samples ("passes") so a contaminated round can be

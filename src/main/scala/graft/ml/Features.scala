@@ -73,9 +73,12 @@ object TextFeaturizer {
     * (hdfs://, s3a://, file:) answers — a java.nio probe only ever saw the
     * local disk and mis-loaded every remote save. Saves delete the sibling
     * kind's layout, so a kind flip at the same path can't resurrect a stale
-    * model. */
+    * model. The w2v probe keys on the save's COMPLETION marker (data/ is
+    * the last piece MLlib's writer commits), not bare directory existence:
+    * a crashed first save leaves a partial w2v/ that a directory probe
+    * would route to Word2VecModel.load forever (ADVICE r17). */
   def load(path: String): TextFeaturizer =
-    if (Features.layoutExists(path, "w2v"))
+    if (Features.w2vComplete(path))
       Word2VecFeaturizer(Word2VecModel.load(s"$path/w2v"))
     else
       TfIdfFeaturizer(IDFModel.load(s"$path/idf"), HashingTF.load(s"$path/tf").getNumFeatures)
@@ -96,6 +99,12 @@ object Features {
     val (fs, p) = hadoopPath(path, sub)
     fs.exists(p)
   }
+
+  /** A Word2Vec save at `path` is COMPLETE: metadata and the data parquet
+    * (written last by MLlib's writer, _SUCCESS-committed) both landed. */
+  private[ml] def w2vComplete(path: String): Boolean =
+    layoutExists(path, "w2v/metadata/_SUCCESS") &&
+      layoutExists(path, "w2v/data/_SUCCESS")
 
   private[ml] def deleteLayout(path: String, sub: String): Unit = {
     val (fs, p) = hadoopPath(path, sub)

@@ -71,7 +71,11 @@ object MlQueries {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"target/graft_w2v_$tag"
     val docs = Tables.documents(spark, dir)
-    if (!Features.layoutExists(path, "w2v"))
+    // completion-marker guard, not directory existence: a crashed or
+    // interrupted first fit leaves a partial w2v/ that would pass a bare
+    // dir probe and fail Word2VecModel.load on every later build (the
+    // q179 _SUCCESS pattern; ADVICE r17)
+    if (!Features.w2vComplete(path))
       Features.fitWord2Vec(docs, "text", vectorSize = 32, minCount = 2).save(path)
     val feats = TextFeaturizer.load(path).transform(docs, "text")
       .select(col("source"), vector_to_array(col("features")).as("a"))

@@ -75,9 +75,17 @@ object Trainer {
           ((m: Transformer), row)
         }(ec)
       }
+      // finite await: a wedged MLlib fit must FAIL the run, not hang the
+      // JVM forever (the pool is non-daemon); generous bound — the whole
+      // roster fits in well under a minute at test scale
       futures.map { case (name, f) =>
-        name -> scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+        name -> scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration(20, "min"))
       }
+    } catch {
+      // one fit failed or timed out: interrupt the survivors instead of
+      // letting them run their Spark jobs to completion behind the error
+      case e: Throwable => pool.shutdownNow(); throw e
     } finally pool.shutdown()
     val runRows = fitted.flatMap { case (name, (_, row)) =>
       Seq("tn", "fp", "fn", "tp", "precision", "recall", "accuracy")

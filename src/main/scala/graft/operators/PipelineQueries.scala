@@ -1648,6 +1648,43 @@ object PipelineQueries {
       .select(col("vec_id"),
         VectorFns.quantizeInt8(col("embedding"), col("scale")).as("qv"))
 
+  /** One checkpointed quantized-corpus relation per (session, dir), shared
+    * by the q170/q171/q172 builds (VERDICT r17 item 5): the three audits
+    * are pure functions of (spark, dir), so each session materializes the
+    * int8 corpus ONCE instead of once per query build — the Bucketing
+    * layout-memo economics. Keyed by session too: test suites open fresh
+    * sessions whose checkpointed RDDs die with them. */
+  private val quantCkCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  private def quantizedVecsCk(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    quantCkCache.computeIfAbsent((spark, dir),
+      _ => quantizedVecs(spark, dir).localCheckpoint(eager = false))
+
+  /** Memoized [[lloydCentroids]] per (session, dir, slice, k, dims,
+    * rounds): the q170 coarse centroids ARE q171's routing index, and
+    * q172's four subspace codebooks are re-read on every bench pass —
+    * training once per session and serving from the cached literals is
+    * the production split (fit once, reuse) that q43 documents for the
+    * float IVF. `slice` is -1 for the full vector, else the PQ subspace
+    * ordinal. */
+  private val centCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String, Int, Int, Int, Int),
+      Seq[(Long, Array[Long])]]()
+  private def lloydCentroidsCached(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                   slice: Int, k: Int, dims: Int, rounds: Int)
+      : Seq[(Long, Array[Long])] =
+    centCache.computeIfAbsent((spark, dir, slice, k, dims, rounds), _ => {
+      val quant = quantizedVecsCk(spark, dir)
+      val in =
+        if (slice < 0) quant
+        else quant.select(col("vec_id"), org.apache.spark.sql.functions
+          .slice(col("qv"), slice * dims + 1, dims).as("qv"))
+      lloydCentroids(in, k, dims, rounds)
+    })
+
   /** In-row integer argmin over centroid LITERALS: d² = x·x − 2x·c + c·c
     * (exact in integers) inside a struct (dist, cid), so array_min applies
     * the same (dist, cid) tie-break as the oracle's row_number. Shared by
@@ -1671,6 +1708,12 @@ object PipelineQueries {
     var cents: Seq[(Long, Array[Long])] = quant.filter(col("vec_id") < k)
       .select(col("vec_id"), col("qv")).collect()
       .map(r => r.getLong(0) -> r.getAs[Seq[Long]]("qv").toArray).sortBy(_._1).toSeq
+    // q172's ADC lookup indexes codebook literals POSITIONALLY
+    // (element_at(centArr, code+1)), which is only sound when the seed
+    // cids are exactly 0..k-1; a fixture with a vec_id gap below k would
+    // silently misroute every lookup (ADVICE r17) — fail loudly instead
+    require(cents.map(_._1) == (0L until k.toLong),
+      s"lloydCentroids: seed vec_ids must be exactly 0..${k - 1}, got ${cents.map(_._1)}")
     for (_ <- 1 to rounds) {
       val sums = quant.select(col("qv"), intAssign(cents).getField("cid").as("cid"))
         .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
@@ -1761,8 +1804,8 @@ object PipelineQueries {
          |ORDER BY c.cid""".stripMargin
     QuerySpec.oracle("q170_kmeans_exact", sql) { (spark, dir) =>
       import spark.implicits._
-      val quant = quantizedVecs(spark, dir).localCheckpoint(eager = false)
-      val cents = lloydCentroids(quant, k, dims, rounds)
+      val quant = quantizedVecsCk(spark, dir)
+      val cents = lloydCentroidsCached(spark, dir, -1, k, dims, rounds)
       val af = quant.withColumn("m", intAssign(cents))
         .groupBy(col("m.cid").as("cid"))
         .agg(count(lit(1)).as("n_members"), sum(col("m.dist")).cast("long").as("inertia"))
@@ -1822,8 +1865,10 @@ object PipelineQueries {
          |ORDER BY t.query_id""".stripMargin
     QuerySpec.oracle("q171_ivf_recall_exact", sql) { (spark, dir) =>
       val intDot = graft.functions.LongDotExpr.dot _
-      val quant = quantizedVecs(spark, dir).localCheckpoint(eager = false)
-      val cents = lloydCentroids(quant, k, dims, rounds)
+      val quant = quantizedVecsCk(spark, dir)
+      // the routing index IS q170's centroid set — served from the memo,
+      // not re-derived (VERDICT r17 item 5)
+      val cents = lloydCentroidsCached(spark, dir, -1, k, dims, rounds)
       // corpus → cells: the same in-row argmin as q170's assignment
       val cells = quant.select(col("vec_id"), intAssign(cents).getField("cid").as("cid"))
       // query → nProbe nearest cells: sort the k (dist, cid) structs
@@ -1954,11 +1999,9 @@ object PipelineQueries {
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
     QuerySpec.oracle("q172_pq_recall_exact", sql) { (spark, dir) =>
       val intDot = graft.functions.LongDotExpr.dot _
-      val quant = quantizedVecs(spark, dir).localCheckpoint(eager = false)
+      val quant = quantizedVecsCk(spark, dir)
       val subCents = (0 until m).map { p =>
-        lloydCentroids(
-          quant.select(col("vec_id"), slice(col("qv"), p * subDims + 1, subDims).as("qv")),
-          k, subDims, rounds)
+        lloydCentroidsCached(spark, dir, p, k, subDims, rounds)
       }
       // encode: one projection carrying all m codes (in-row argmins over
       // the sliced vector against each subspace's codebook literals),

@@ -83,31 +83,78 @@ class BenchLineSpec extends AnyFunSuite {
     assert(failed("q1") == -1.0)
   }
 
-  test("clean-bracket >3x spread takes the min (r16 q140 blind spot + layout-pass cost)") {
+  test("clean-bracket >3x spread takes the two-smallest mean, marked (r16 blind spot, ADVICE r17)") {
     // r16's actual q140 shape: contamination fell entirely BETWEEN canary
     // windows, so every bracket read clean ~0.7 s while two passes carried
-    // polluted samples — the median can only pick a polluted one
-    val q140 = Bench.canaryNormalizedMedians(Seq("q140"),
+    // polluted samples — the median can only pick a polluted one. The
+    // estimator is the MEAN OF THE TWO SMALLEST (not the bare min, which
+    // would systematically report the best case of any high-variance
+    // query), and the switch is visible in the markers.
+    val (q140, m140) = Bench.canaryNormalizedMediansMarked(Seq("q140"),
       Seq(Map("q140" -> 15.6), Map("q140" -> 1.25), Map("q140" -> 4.93)),
       Seq(0.78, 0.69, 0.99, 0.79))
-    assert(math.abs(q140("q140") - 1.25) < 1e-9,
-      s"clean-bracket 12x spread must report the min, got ${q140("q140")}")
+    // pass 3's bracket (min(0.99, 0.79) over best 0.69) normalizes its
+    // sample by 0.79/0.69 before the estimator picks the two smallest
+    val expected = (1.25 + 4.93 / (0.79 / 0.69)) / 2
+    assert(math.abs(q140("q140") - expected) < 1e-9,
+      s"clean-bracket 12x spread must report the two-smallest mean $expected, got ${q140("q140")}")
+    assert(m140 == Seq("q140"), s"estimator switch must be marked, got $m140")
     // same signature from the other cause: the first timed pass at a fresh
     // warehouse pays q76's one-time bucketed-layout write
     val q76 = Bench.canaryNormalizedMedians(Seq("q76"),
       Seq(Map("q76" -> 2.62), Map("q76" -> 0.31), Map("q76" -> 0.19)),
       Seq(0.7, 0.7, 0.7, 0.7))
-    assert(math.abs(q76("q76") - 0.19) < 1e-9)
+    assert(math.abs(q76("q76") - (0.19 + 0.31) / 2) < 1e-9)
+    // an exact-0.0 sample must not win outright (ADVICE r17): it averages
+    // with the second-smallest instead
+    val zero = Bench.canaryNormalizedMedians(Seq("q1"),
+      Seq(Map("q1" -> 0.0), Map("q1" -> 0.4), Map("q1" -> 0.5)), Seq(0.7, 0.7, 0.7, 0.7))
+    assert(math.abs(zero("q1") - 0.2) < 1e-9)
     // sub-3x spread stays a median: ordinary noise must not switch estimator
-    val noisy = Bench.canaryNormalizedMedians(Seq("q1"),
+    val (noisy, mNoisy) = Bench.canaryNormalizedMediansMarked(Seq("q1"),
       Seq(Map("q1" -> 1.0), Map("q1" -> 2.0), Map("q1" -> 1.5)), Seq(0.7, 0.7, 0.7, 0.7))
-    assert(math.abs(noisy("q1") - 1.5) < 1e-9)
+    assert(math.abs(noisy("q1") - 1.5) < 1e-9 && mNoisy.isEmpty)
     // dirty brackets keep the median too: after a real correction the min
     // could be the over-corrected sample
     val dirty = Bench.canaryNormalizedMedians(Seq("q1"),
       Seq(Map("q1" -> 1.0), Map("q1" -> 40.0), Map("q1" -> 1.0)), Seq(0.7, 7.0, 7.0, 0.7))
     assert(math.abs(dirty("q1") - 1.0) < 1e-9,
       s"pass-2 ratio 10 corrects 40.0 -> 4.0; median of [1,4,1] is 1, got ${dirty("q1")}")
+  }
+
+  test("realistic mixed-cost round keeps >=0.1s resolution for every query >=0.5s") {
+    // the r17 failure: at 180 queries the ladder coarsened EVERY value to
+    // whole seconds (131/180 printed 0 or 1). The rest-fold rungs must
+    // instead fold the cheap tail and keep deciseconds on the costly head.
+    val costs = Seq(0.02, 0.04, 0.11, 0.31, 0.72, 1.43, 3.35, 0.09)
+    val results = ListMap(SparkEntry.queries.keys.zipWithIndex.map {
+      case (k, i) => k -> costs(i % costs.size)
+    }.toSeq: _*)
+    val line = Bench.stdoutLine(results, "/root/testdata/sf0.1", cpar = 0.71)
+    assert(line.length <= Bench.LineBudget)
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    val qmap = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj.toMap
+    results.foreach { case (k, v) =>
+      if (v >= 0.5) {
+        val short = k.takeWhile(_ != '_')
+        val got = qmap(short) match {
+          case org.json4s.JDouble(d) => d
+          case org.json4s.JInt(n) => n.toDouble
+          case other => fail(s"unexpected JSON value for $short: $other")
+        }
+        assert(math.abs(got - v) <= 0.05 + 1e-9,
+          s"$short: $v rendered as $got — lost sub-second resolution")
+      }
+    }
+    // the folded tail is present and the total is preserved
+    assert(qmap.contains("rest"), "cheap-tail fold entry missing")
+    assert(line.contains("\"rest_n\":"))
+    val total = (parsed \ "value").asInstanceOf[org.json4s.JDouble].num
+    assert(math.abs(total - results.values.sum) < 0.01)
+    // a failure sentinel must never be folded into rest
+    val withFail = Bench.stdoutLine(results.updated(results.keys.head, -1.0),
+      "/root/testdata/sf0.1", cpar = 0.71)
+    assert(withFail.contains("\"" + results.keys.head.takeWhile(_ != '_') + "\":-1"))
   }
 
   test("values render compactly and parse back to the same number") {

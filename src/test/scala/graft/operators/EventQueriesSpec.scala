@@ -139,8 +139,12 @@ class EventQueriesSpec extends SparkSpec {
     // sf0.01, not the sf0.001 fixture: the spec-scale groups sit entirely
     // below both sketch cutoffs (15 distinct users ≤ k=64, ~200 rows ≤
     // 1024-sample), where estimate ≡ exact and the envelope assert would
-    // be vacuous; at sf0.01 both approximation branches are live
-    val rows = EventQueries.q117SketchReport.build(spark, "/root/testdata/sf0.01").collect()
+    // be vacuous; at sf0.01 both approximation branches are live. Resolved
+    // as the sf fixture's SIBLING (not a hardcoded absolute path) and
+    // skipped with a clear message where that scale wasn't generated.
+    val sf001 = new java.io.File(new java.io.File(sf).getParentFile, "sf0.01")
+    assume(sf001.isDirectory, s"sf0.01 fixture not present at $sf001 — skipping envelope test")
+    val rows = EventQueries.q117SketchReport.build(spark, sf001.getPath).collect()
     assert(rows.length == 15, "3 metrics x 5 event types")
     rows.foreach { r =>
       val (m, e) = (r.getAs[String]("metric"), r.getAs[Double]("rel_err"))
