@@ -624,6 +624,102 @@ object Graph {
     }
   }
 
+  /** Seed-set hop distance (BFS layers) — the graph-proximity primitive
+    * beside PageRank's importance and PPR's random-walk closeness: the
+    * MINIMUM number of edges from any seed to each node, computed as
+    * `rounds` min-plus relaxations d_r(v) = min(d_{r-1}(v),
+    * min_{u∈N(v)} d_{r-1}(u) + 1) — exact small integers, so every
+    * per-round distance is bit-identical cross-engine and the oracle
+    * unrolls the identical recurrence (q136's generated-CTE discipline).
+    * Nodes unreached within `rounds` hops report -1 (the fixed round
+    * count IS the operator's contract: hop-k neighborhoods, not full
+    * SSSP convergence).
+    *
+    * `edges` carries one row per undirected edge (s_a, s_b); `seeds`
+    * carries `node` — seeds outside the node set are ignored. Scale
+    * shape: the relaxation joins on the node key with WEIGHT-0 SELF-LOOPS
+    * folded into the adjacency, so the carried distance relation is
+    * referenced ONCE per round (the "keep own distance" term rides the
+    * same join) — the lean single-reference lazy chain, no per-round
+    * checkpoint cuts (the q136 double-reference lesson applied by
+    * construction); the adjacency is cut once behind a checkpoint and
+    * each round shuffles only the node-sized distance relation into one
+    * map-side-combined min aggregate. */
+  def hopDistance(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                  inf: Long = 999L): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.select(col("s_a"), col("s_b")).localCheckpoint(eager = false)
+    val nodes = e.select(col("s_a").as("node"))
+      .union(e.select(col("s_b").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    val adjp = e.select(col("s_a").as("node"), col("s_b").as("nbr"), lit(1L).as("w"))
+      .union(e.select(col("s_b").as("node"), col("s_a").as("nbr"), lit(1L).as("w")))
+      .union(nodes.select(col("node"), col("node").as("nbr"), lit(0L).as("w")))
+      .localCheckpoint(eager = false)
+    var dist = nodes
+      .join(broadcast(seeds.select(col("node")).distinct().withColumn("s", lit(1))),
+        Seq("node"), "left")
+      .select(col("node"),
+        when(col("s").isNotNull, lit(0L)).otherwise(lit(inf)).cast("long").as("d"))
+    for (_ <- 1 to rounds) {
+      dist = adjp.join(dist.select(col("node").as("nbr"), col("d")), "nbr")
+        .groupBy("node").agg(min(col("d") + col("w")).as("d"))
+    }
+    dist.select(col("node").as("node_id"),
+      when(col("d") >= inf, lit(-1L)).otherwise(col("d")).cast("long").as("hop"))
+  }
+
+  /** BFS layers over the co-supply graph from the nation-1 supplier seed
+    * set: "how many trade hops is each supplier from nation 1's supply
+    * base?" — the retrieval-graph neighborhood primitive next to q162's
+    * PPR (which weights paths; this counts them). Same minRepeat=3 graph
+    * as q175 (structure over near-completeness), 4 rounds, degree rides
+    * along from the same edge dictionary; unreached suppliers report
+    * hop -1. Oracle: the recurrence unrolled as generated CTEs with
+    * weight-0 self-loops — ONE definition of a round, two derivations. */
+  val q181HopDistance: QuerySpec = {
+    val rounds = 4
+    val roundCtes = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT a.node, min(l.d + a.w) AS d
+         |  FROM adjp a JOIN l${r - 1} l ON l.node = a.nbr GROUP BY a.node)""".stripMargin
+    }
+    QuerySpec.oracle(
+      "q181_hop_distance",
+      s"""WITH ${CoSupplySqlCtes(minRepeat = 3)},
+         |nodes AS MATERIALIZED (SELECT DISTINCT s_a AS node FROM e UNION SELECT s_b FROM e),
+         |deg AS (SELECT s, count(*) AS degree FROM (
+         |    SELECT s_a AS s FROM e UNION ALL SELECT s_b AS s FROM e) GROUP BY s),
+         |adjp AS MATERIALIZED (
+         |  SELECT s_a AS node, s_b AS nbr, 1 AS w FROM e
+         |  UNION ALL SELECT s_b, s_a, 1 FROM e
+         |  UNION ALL SELECT node, node, 0 FROM nodes),
+         |seeds AS (SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = 1
+         |          INTERSECT SELECT node FROM nodes),
+         |l0 AS MATERIALIZED (
+         |  SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 0 ELSE 999 END AS d
+         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         |${roundCtes.mkString(",\n")}
+         |SELECT l.node AS node_id,
+         |  CAST(CASE WHEN l.d >= 999 THEN -1 ELSE l.d END AS BIGINT) AS hop,
+         |  CAST(d.degree AS BIGINT) AS degree
+         |FROM l$rounds l JOIN deg d ON d.s = l.node
+         |ORDER BY node_id""".stripMargin
+    ) { (spark, dir) =>
+      val edges = coSupplyEdges(spark, dir, minRepeat = 3)
+        .localCheckpoint(eager = false) // hops + degree both derive from it
+      val seeds = Tables.supplier(spark, dir)
+        .filter(col("s_nationkey") === 1)
+        .select(col("s_suppkey").as("node"))
+      val deg = edges.select(col("s_a").as("node_id"))
+        .union(edges.select(col("s_b").as("node_id")))
+        .groupBy("node_id").agg(count(lit(1)).as("degree"))
+      hopDistance(edges, seeds, rounds)
+        .join(deg, "node_id")
+        .orderBy("node_id")
+    }
+  }
+
   /** Record-linkage entity resolution: q93's dictionary-blocked fuzzy
     * edges (part-name pairs within Levenshtein 2 — tighter than q93's
     * report threshold, this is a MERGE decision) closed transitively by
@@ -689,5 +785,5 @@ object Graph {
 
   val all: Seq[QuerySpec] = Seq(
     q136PageRank, q140EntityGroups, q162PersonalizedPageRank, q167TriangleCount,
-    q175LabelPropagation)
+    q175LabelPropagation, q181HopDistance)
 }

@@ -3186,6 +3186,192 @@ object PipelineQueries {
       .orderBy("nation")
   }
 
+  /** Holt linear trend (double exponential smoothing) in EXACT integer
+    * micro-units — the forecasting primitive the trend band still lacked
+    * (q155 Theil-Sen and q159 OLS fit one global line; q177's EWMA tracks
+    * level but no slope): the LEVEL+TREND double recurrence
+    * lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁ at
+    * α = β = 1/4 over each nation's daily shipped-revenue series,
+    * reporting the final level, the final trend (the per-day drift an
+    * alert thresholds on), and the 7-day-ahead forecast l + 7b. All
+    * arithmetic is integer: revenue in exact micro-cents (q177's
+    * contract) and both divisions-by-4 via the shared-truncation identity
+    * c − (c mod 4) is exactly divisible, so shiftright ≡ DuckDB's `//`
+    * even on NEGATIVE trend carries (Scala %, Spark %, DuckDB % all take
+    * the dividend's sign) — every (level, trend) pair bit-identical
+    * cross-engine, where float Holt never reproduces. Same in-row fold
+    * shape as q177: Spark `aggregate` HOF with a (flag, level, trend)
+    * struct state ↔ DuckDB `list_reduce` with a homogeneous 3-list state;
+    * the per-key state is the calendar-bounded day array, the corpus
+    * contributes one map-side-combined (nation, day) aggregate. */
+  val q184HoltTrend: QuerySpec = {
+    // DuckDB rendering of the exactly-divisible truncating quarter:
+    // (c - c % 4) // 4 — factored here so the recurrence reads once
+    def q4(c: String): String = s"(($c) - (($c) % 4)) // 4"
+    val lNew = q4("e[1] + 3*(acc[2] + acc[3])")
+    val bNew = q4(s"($lNew) - acc[2] + 3*acc[3]")
+    QuerySpec.oracle(
+      "q184_holt_trend",
+      s"""WITH rev AS (
+         |  SELECT s_nationkey AS nk, CAST(l_shipdate AS DATE) AS day,
+         |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS x
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY 1, 2),
+         |ser AS (SELECT nk, count(*) AS n_days, max(day) AS last_day,
+         |    list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+         |      list_transform(list(x ORDER BY day),
+         |        v -> [v, CAST(0 AS BIGINT), CAST(0 AS BIGINT)])) AS vs
+         |  FROM rev GROUP BY nk),
+         |ho AS (SELECT nk, n_days, last_day,
+         |    list_reduce(vs, (acc, e) -> CASE WHEN acc[1] = 0
+         |      THEN [CAST(1 AS BIGINT), e[1], CAST(0 AS BIGINT)]
+         |      ELSE [CAST(1 AS BIGINT), $lNew, $bNew] END) AS st
+         |  FROM ser)
+         |SELECT n.n_name AS nation, CAST(h.n_days AS BIGINT) AS n_days, h.last_day,
+         |  CAST(h.st[2] AS BIGINT) AS level_micro, CAST(h.st[3] AS BIGINT) AS trend_micro,
+         |  CAST(h.st[2] + 7 * h.st[3] AS BIGINT) AS forecast7_micro
+         |FROM ho h JOIN nation n ON n.n_nationkey = h.nk
+         |ORDER BY nation""".stripMargin
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
+      // exactly-divisible truncating quarter: c - (c % 4) is a multiple of
+      // 4, so the arithmetic shift is exact even for negative trends
+      def q4c(c: Column): Column = shiftright(c - (c % lit(4L)), 2)
+      val rev = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.supplier(spark, dir)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
+        .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+      val ser = rev.groupBy("nk")
+        .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+          array_sort(collect_list(struct(col("day"), col("x")))).as("vs"))
+      val folded = aggregate(
+        transform(col("vs"), v => v.getField("x")),
+        struct(lit(0L).as("f"), lit(0L).as("l"), lit(0L).as("b")),
+        (acc, x) => {
+          val (l0, b0) = (acc.getField("l"), acc.getField("b"))
+          val nl = q4c(x + lit(3L) * (l0 + b0))
+          val nb = q4c(nl - l0 + lit(3L) * b0)
+          when(acc.getField("f") === 0L,
+            struct(lit(1L).as("f"), x.as("l"), lit(0L).as("b")))
+            .otherwise(struct(lit(1L).as("f"), nl.as("l"), nb.as("b")))
+        })
+      ser.select(col("nk"), col("n_days"), col("last_day"), folded.as("st"))
+        .join(broadcast(Tables.nation(spark, dir)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("nk") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_days"), col("last_day"),
+          col("st.l").as("level_micro"), col("st.b").as("trend_micro"),
+          (col("st.l") + lit(7L) * col("st.b")).as("forecast7_micro"))
+        .orderBy("nation")
+    }
+  }
+
+  /** Mergeable QUANTILE sketch — the member the sketch family still lacked
+    * (q161 KMV cardinality, q173 CMS frequency, q51 Bloom membership):
+    * percentile features at 100 TB cannot run q15's exact sort, so each
+    * scope keeps the k=256 rows with the smallest md5(row-key) rank — a
+    * deterministic uniform sample whose sorted values answer any quantile
+    * by integer rank arithmetic — and the global sketch is just the
+    * bottom-k of the UNION of per-scope sketches (bottom-k-by-hash is a
+    * semilattice merge, the same property q161's k-min exploits). Because
+    * rank keys are md5 hex (identical bytes cross-engine) and values are
+    * integer cents, the SAMPLE ITSELF and therefore every estimated
+    * quantile is bit-identical in DuckDB — the estimate, not just its
+    * error band, is oracle-verified (q12/q161's md5-order discipline).
+    * Report: per l_returnflag scope and '(all)', exact n, sample size,
+    * and estimated-vs-exact p50/p90/p99 of the price-cents distribution
+    * (measured rel. error at sf0.01: ~6%/2%/0.6% — 1/√k behavior, the
+    * error column is what the audit exists to show). Shape at scale: the
+    * sketch is ONE map-side-combined bottom-k aggregate
+    * ([[graft.functions.BottomKRows]], ≤k rows per scope per partition
+    * cross the shuffle — never a per-scope sort); the EXACT side (audit
+    * reference only, like q161's n_exact) is the one per-scope
+    * window-ranked pass a production run would drop. PipelineQueriesSpec
+    * pins the estimator's error bound against the exact percentiles. */
+  val q180QuantileSketch: QuerySpec = {
+    val k = 256
+    val pcts = Seq(50, 90, 99)
+    val estSel = pcts.map(p =>
+      s"s.sv[CAST(($p*(len(s.sv)-1))//100 + 1 AS BIGINT)] AS p${p}_est").mkString(",\n       |    ")
+    val exSel = pcts.map(p =>
+      s"max(CASE WHEN r.vr = ($p*(c.n-1))//100 + 1 THEN r.v END) AS p${p}_exact")
+      .mkString(",\n       |    ")
+    val outSel = pcts.map(p =>
+      s"CAST(e.p${p}_est AS BIGINT) AS p${p}_est, CAST(x.p${p}_exact AS BIGINT) AS p${p}_exact")
+      .mkString(",\n       |  ")
+    QuerySpec.oracle(
+      "q180_quantile_sketch",
+      s"""WITH base AS (
+         |  SELECT l_returnflag AS scope,
+         |    md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)) AS rk,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM lineitem),
+         |rows2 AS (
+         |  SELECT scope, rk, v FROM base
+         |  UNION ALL SELECT '(all)', rk, v FROM base),
+         |cnt AS (SELECT scope, count(*) AS n FROM rows2 GROUP BY scope),
+         |rnk AS (SELECT scope, rk, v,
+         |    row_number() OVER (PARTITION BY scope ORDER BY rk) AS rn FROM rows2),
+         |samp AS (SELECT scope, list(v ORDER BY v) AS sv FROM rnk WHERE rn <= $k GROUP BY scope),
+         |vrank AS (SELECT scope, v,
+         |    row_number() OVER (PARTITION BY scope ORDER BY v, rk) AS vr FROM rows2),
+         |est AS (
+         |  SELECT c.scope, c.n, len(s.sv) AS sample_n,
+         |    $estSel
+         |  FROM cnt c JOIN samp s ON s.scope = c.scope),
+         |ex AS (
+         |  SELECT c.scope,
+         |    $exSel
+         |  FROM cnt c JOIN vrank r ON r.scope = c.scope
+         |  GROUP BY c.scope)
+         |SELECT e.scope, CAST(e.n AS BIGINT) AS n_exact,
+         |  CAST(e.sample_n AS BIGINT) AS sample_n,
+         |  $outSel
+         |FROM est e JOIN ex x ON x.scope = e.scope
+         |ORDER BY e.scope""".stripMargin
+    ) { (spark, dir) =>
+      import graft.functions.BottomKRows
+      import org.apache.spark.sql.types.DecimalType
+      val base = Tables.lineitem(spark, dir).select(
+        col("l_returnflag").as("scope"),
+        md5((col("l_orderkey") * 8 + col("l_linenumber")).cast("string")).as("rk"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("v"))
+      val rows2 = base.unionByName(
+        base.select(lit("(all)").as("scope"), col("rk"), col("v")))
+      // the production path: ONE bounded-heap aggregate — exact count +
+      // the k-smallest-by-hash sample, map-side combined
+      val samp = rows2.groupBy("scope")
+        .agg(count(lit(1)).as("n_exact"),
+          BottomKRows.bottomK(col("rk"), struct(col("v")), k).as("mins"))
+        .select(col("scope"), col("n_exact"),
+          size(col("mins")).cast("long").as("sample_n"),
+          array_sort(transform(col("mins"), m => m.getField("v"))).as("sv"))
+      val estCols = pcts.map(p =>
+        element_at(col("sv"),
+          (expr(s"($p * (sample_n - 1)) div 100") + 1).cast("int")).as(s"p${p}_est"))
+      val est = samp.select(Seq(col("scope"), col("n_exact"), col("sample_n")) ++ estCols: _*)
+      // the audit reference: exact quantiles at the same integer ranks
+      // (per-scope ranked pass — the cost the sketch exists to avoid)
+      val vrank = rows2.withColumn("vr",
+        row_number().over(Window.partitionBy("scope").orderBy(col("v"), col("rk"))))
+      val cnts = rows2.groupBy("scope").agg(count(lit(1)).as("n"))
+      val exCols = pcts.map(p =>
+        max(when(col("vr") === expr(s"($p * (n - 1)) div 100") + 1, col("v")))
+          .as(s"p${p}_exact"))
+      val exact = vrank.join(broadcast(cnts), "scope")
+        .groupBy("scope").agg(exCols.head, exCols.tail: _*)
+      est.join(exact, "scope")
+        .select(Seq(col("scope"), col("n_exact"), col("sample_n")) ++
+          pcts.flatMap(p => Seq(col(s"p${p}_est"), col(s"p${p}_exact"))): _*)
+        .orderBy("scope")
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -3201,5 +3387,6 @@ object PipelineQueries {
     q149RetrievalEval, q160MmrLambdaSweep, q161KmvSketch, q163NgramDecontaminate,
     q164LshDedupRecall, q165DedupSavings, q166AnnRecallExact, q169MmrExact,
     q170KmeansExact, q171IvfRecallExact, q172PqRecallExact, q173CmsSketch,
-    q174Bm25TopK, q176DsirWeights, q177EwmaTrend)
+    q174Bm25TopK, q176DsirWeights, q177EwmaTrend, q180QuantileSketch,
+    q184HoltTrend)
 }

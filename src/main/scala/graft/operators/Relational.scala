@@ -1557,6 +1557,90 @@ object Relational {
       .orderBy("nation", "bal_bucket")
   }
 
+  /** t-closeness audit — the third rung of the privacy ladder (k-anonymity
+    * q137: groups big enough to hide in; l-diversity q178: sensitive
+    * values varied enough; t-closeness, Li et al. 2007: the sensitive
+    * DISTRIBUTION inside each group stays close to the global one — a
+    * group can be large and varied yet still skew toward "all high
+    * balances", the skewness attack). QI = (segment, nation); sensitive =
+    * the ORDERED 2000-wide balance bucket, where closeness is the Earth
+    * Mover's Distance — which for an ordered attribute is just the mean
+    * absolute difference of cumulative counts: EMD = Σ_j |cumP_j − cumQ_j|
+    * / (m−1). Every term is kept integer over the SHARED denominator
+    * n_g·N: emd_num = Σ_j |cum_g·N − cum_glob·n_g|, t_micro =
+    * emd_num·10⁶ div (n_g·N·(m−1)) — exact integers end-to-end, so the
+    * distance itself (not a float approximation) hash-matches DuckDB.
+    * Flag at t ≤ 0.2 (the paper's running example). Shape at scale: one
+    * corpus-sized (QI, bucket) aggregate; the global bucket CDF and the
+    * (N, m) totals are dictionary-/unit-sized broadcasts; the grid is
+    * QI-groups × bucket-dictionary (bounded by design, the q109 scaffold
+    * argument) with a group-partitioned cumulative window — the corpus
+    * never shuffles twice. Magnitudes: cum·N ≤ n_g·N ≤ N², and ·10⁶ —
+    * fits int64 through SF where N ≤ ~3·10⁶ rows per audit scope; larger
+    * releases audit per partition or move the internal sums to decimal. */
+  val q182TCloseness: QuerySpec = QuerySpec.oracle(
+    "q182_t_closeness",
+    """WITH b AS (
+      |  SELECT c_mktsegment AS segment, c_nationkey AS nation,
+      |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bucket
+      |  FROM customer),
+      |gb AS (SELECT bucket, count(*) AS nb FROM b GROUP BY bucket),
+      |gcum AS (SELECT bucket, CAST(sum(nb) OVER (ORDER BY bucket) AS BIGINT) AS cum_g FROM gb),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |               CAST(count(DISTINCT bucket) AS BIGINT) AS m FROM b),
+      |grp AS (SELECT segment, nation, count(*) AS ng FROM b GROUP BY 1, 2),
+      |gbc AS (SELECT segment, nation, bucket, count(*) AS c FROM b GROUP BY 1, 2, 3),
+      |grid AS (SELECT g.segment, g.nation, g.ng, gc.bucket, gc.cum_g
+      |         FROM grp g CROSS JOIN gcum gc),
+      |cum AS (
+      |  SELECT gr.segment, gr.nation, gr.ng, gr.bucket, gr.cum_g,
+      |    CAST(sum(coalesce(gbc.c, 0)) OVER (PARTITION BY gr.segment, gr.nation
+      |      ORDER BY gr.bucket) AS BIGINT) AS cum_grp
+      |  FROM grid gr LEFT JOIN gbc
+      |    ON gbc.segment = gr.segment AND gbc.nation = gr.nation AND gbc.bucket = gr.bucket)
+      |SELECT c.segment, c.nation, CAST(any_value(c.ng) AS BIGINT) AS n_rows,
+      |  CAST(sum(abs(c.cum_grp * t.n - c.cum_g * c.ng)) AS BIGINT) AS emd_num,
+      |  CAST(any_value(c.ng) * t.n * (t.m - 1) AS BIGINT) AS emd_den,
+      |  CAST(sum(abs(c.cum_grp * t.n - c.cum_g * c.ng)) * 1000000
+      |    // (any_value(c.ng) * t.n * (t.m - 1)) AS BIGINT) AS t_micro,
+      |  sum(abs(c.cum_grp * t.n - c.cum_g * c.ng)) * 1000000
+      |    // (any_value(c.ng) * t.n * (t.m - 1)) <= 200000 AS t_close
+      |FROM cum c CROSS JOIN tot t
+      |GROUP BY c.segment, c.nation, t.n, t.m
+      |ORDER BY c.segment, c.nation""".stripMargin
+  ) { (spark, dir) =>
+    val b = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("segment"), col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / lit(2000.0)).cast("long").as("bucket"))
+    // bucket dictionary with its global CDF (dict-sized; the single-
+    // partition window is over ~|buckets| rows, q109's calendar argument)
+    val gcum = b.groupBy("bucket").agg(count(lit(1)).as("nb"))
+      .withColumn("cum_g",
+        sum(col("nb")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select("bucket", "cum_g")
+    val tot = b.agg(count(lit(1)).cast("long").as("n"),
+      countDistinct(col("bucket")).cast("long").as("m"))
+    val grp = b.groupBy("segment", "nation").agg(count(lit(1)).as("ng"))
+    val gbc = b.groupBy("segment", "nation", "bucket").agg(count(lit(1)).as("c"))
+    // QI-groups × bucket dictionary: bounded grid, never corpus-sized
+    val grid = grp.crossJoin(broadcast(gcum))
+    val cum = grid.join(gbc, Seq("segment", "nation", "bucket"), "left")
+      .withColumn("cum_grp",
+        sum(coalesce(col("c"), lit(0L)))
+          .over(Window.partitionBy("segment", "nation").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy("segment", "nation", "n", "m")
+      .agg(first(col("ng")).as("ng"),
+        sum(abs(col("cum_grp") * col("n") - col("cum_g") * col("ng"))).cast("long").as("emd_num"))
+      .select(col("segment"), col("nation"), col("ng").as("n_rows"), col("emd_num"),
+        (col("ng") * col("n") * (col("m") - 1)).cast("long").as("emd_den"),
+        expr("(emd_num * 1000000) div (ng * n * (m - 1))").cast("long").as("t_micro"),
+        (expr("(emd_num * 1000000) div (ng * n * (m - 1))") <= 200000L).as("t_close"))
+      .orderBy("segment", "nation")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02ScanProjectFilter, q03JoinBroadcast, q04JoinSortMerge,
     q05JoinSemiAnti, q06AggRollup, q07PivotConfusion, q08WindowTopK,
@@ -1569,5 +1653,5 @@ object Relational {
     q97TableDiff, q99WeeklyWow, q101Correlation, q102RollingRevenue,
     q108RevenueShare, q109DensifyGaps, q110LongestGap,
     q118FanoutProfile, q119EquidepthHistogram, q121RankDistribution,
-    q178LDiversity)
+    q178LDiversity, q182TCloseness)
 }

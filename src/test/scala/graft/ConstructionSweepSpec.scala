@@ -116,7 +116,12 @@ class ConstructionSweepSpec extends SparkSpec {
     // PQ subspace): each round's k×dims centroid sums collect and
     // re-enter the next round's plan as literals — the same
     // inherently-iterative contract as q141's merge learning
-    "q170_kmeans_exact", "q171_ivf_recall_exact", "q172_pq_recall_exact")
+    "q170_kmeans_exact", "q171_ivf_recall_exact", "q172_pq_recall_exact",
+    // q181: the edge-dictionary / node-set / self-loop-augmented
+    // adjacency sit behind (nominally lazy) localCheckpoints — under AQE
+    // checkpoint creation executes the upstream stages at build, q136's
+    // index-build-shaped trade
+    "q181_hop_distance")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

@@ -137,7 +137,11 @@ class PlanSweepSpec extends SparkSpec {
     "q159_ols_trend",
     // q157 — crossJoin(broadcast(cuts)): the pack stage's 1-row stripe
     // cut-point aggregate, the same q36 StripedWindow idiom
-    "q157_corpus_shards")
+    "q157_corpus_shards",
+    // q182 — crossJoin(broadcast(gcum)) over the bucket DICTIONARY (the
+    // bounded QI-groups × buckets grid, q109's scaffold argument) plus
+    // crossJoin(broadcast(tot)), the 1-row (N, m) scalar idiom
+    "q182_t_closeness")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -592,7 +596,21 @@ class PlanSweepSpec extends SparkSpec {
     // q140: q35's static resolution shape over the dictionary graph — CC
     // labels join + sizes agg + name/entity/count joins + the dictionary
     // window's SinglePartition + final sort (every row vocab-bounded)
-    "q140_entity_groups" -> 9)
+    "q140_entity_groups" -> 9,
+    // q180: the union'd (scope ∪ '(all)') bottom-k sketch agg
+    // (partial→final) + the exact side's per-scope rank window + count
+    "q180_quantile_sketch" -> 4,
+    // q181: the co-supply projection (pair agg + hub cap + distinct) into
+    // the checkpointed dictionary, then 4 node-keyed min-relaxation
+    // rounds + the degree agg — each round shuffles only the node-sized
+    // distance relation
+    "q181_hop_distance" -> 12,
+    // q182: (QI,bucket) + QI + bucket aggs (partial→final) + the
+    // group-partitioned cumulative window; grid/total ride as broadcasts
+    "q182_t_closeness" -> 7,
+    // q184: the (nation, day) revenue agg + the per-nation series
+    // collect + the broadcast nation join
+    "q184_holt_trend" -> 3)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

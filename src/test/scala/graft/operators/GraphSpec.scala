@@ -191,4 +191,21 @@ class GraphSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got2 === refCensus)
   }
+
+  test("hopDistance walks a path graph by exactly one layer per round") {
+    // path 1—2—3—4—5; the hand-traceable BFS fixture
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s_a", "s_b")
+    def hops(seeds: Seq[Long], rounds: Int): Map[Long, Long] =
+      Graph.hopDistance(path, seeds.toDF("node"), rounds)
+        .as[(Long, Long)].collect().toMap
+    // enough rounds: full distances from the end seed
+    assert(hops(Seq(1L), 4) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // the round count IS the horizon: nodes beyond it report -1
+    assert(hops(Seq(1L), 2) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> -1L, 5L -> -1L))
+    // multi-seed takes the MIN over seeds; a seed outside the graph is ignored
+    assert(hops(Seq(1L, 5L, 99L), 2) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    // extra rounds past convergence are a fixpoint
+    assert(hops(Seq(3L), 9) === Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+  }
 }

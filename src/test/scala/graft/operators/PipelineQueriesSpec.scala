@@ -463,6 +463,76 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.length == rev.size, "one output row per supplier nation")
   }
 
+  test("q184: Holt fold matches a plain-Scala level+trend recurrence per nation") {
+    val rows = graft.SparkEntry.queries("q184_holt_trend")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val rev = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.supplier(spark, sf)
+          .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
+      .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+      .join(graft.sources.Tables.nation(spark, sf)
+          .select(col("n_nationkey").as("nk"), col("n_name")),
+        "nk")
+      .collect()
+      .groupBy(_.getAs[String]("n_name"))
+    rows.foreach { row =>
+      val series = rev(row.getAs[String]("nation"))
+        .sortBy(_.getAs[java.sql.Date]("day").toString).map(_.getAs[Long]("x"))
+      // Scala Long division truncates toward zero — the identical
+      // semantics the Spark/DuckDB recurrence uses (negatives included)
+      var (init, l, b) = (false, 0L, 0L)
+      series.foreach { x =>
+        if (!init) { init = true; l = x; b = 0L }
+        else {
+          val nl = (x + 3 * (l + b)) / 4
+          b = ((nl - l) + 3 * b) / 4
+          l = nl
+        }
+      }
+      assert(row.getAs[Long]("level_micro") == l, s"level, nation ${row.getString(0)}")
+      assert(row.getAs[Long]("trend_micro") == b, s"trend, nation ${row.getString(0)}")
+      assert(row.getAs[Long]("forecast7_micro") == l + 7 * b)
+      assert(row.getAs[Long]("n_days") == series.length.toLong)
+    }
+    assert(rows.length == rev.size, "one output row per supplier nation")
+  }
+
+  test("q180: quantile sketch lands inside its error envelope against the exact ranks") {
+    val rows = graft.SparkEntry.queries("q180_quantile_sketch")(spark, sf).collect()
+    // 3 return flags + the merged '(all)' row
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (n, sn) = (r.getAs[Long]("n_exact"), r.getAs[Long]("sample_n"))
+      assert(sn == math.min(256L, n), "sample is exactly the bottom-k")
+      Seq(50, 90, 99).foreach { p =>
+        val est = r.getAs[Long](s"p${p}_est").toDouble
+        val exact = r.getAs[Long](s"p${p}_exact").toDouble
+        assert(exact > 0)
+        // k=256 uniform sample: rank error ~ n/√k; on the ~uniform price
+        // distribution that is ≲ 3·(1/√256) ≈ 19% relative — bound sized
+        // to the estimator (3 standard errors), not tuned to the fixture
+        assert(math.abs(est - exact) / exact < 0.25,
+          s"${r.getString(0)}/p$p: est $est vs exact $exact")
+      }
+      // quantiles are monotone in p on both paths
+      assert(r.getAs[Long]("p50_est") <= r.getAs[Long]("p90_est") &&
+        r.getAs[Long]("p90_est") <= r.getAs[Long]("p99_est"))
+      assert(r.getAs[Long]("p50_exact") <= r.getAs[Long]("p90_exact") &&
+        r.getAs[Long]("p90_exact") <= r.getAs[Long]("p99_exact"))
+    }
+    // the sketch branch is actually live: at least one estimate differs
+    // from its exact twin (n ≫ k for every scope at this sf)
+    assert(rows.exists(r => r.getAs[Long]("p50_est") != r.getAs[Long]("p50_exact")),
+      "estimates identical to exact everywhere — sample branch not exercised")
+  }
+
   test("q129: TV distance bounds, identical distributions tie, skew ranks highest") {
     // driver-table invariants: TV ∈ [0, 1), token totals positive
     val rows = PipelineQueries.q129SourceDivergence.build(spark, sf).collect()
