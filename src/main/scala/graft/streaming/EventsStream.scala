@@ -216,6 +216,63 @@ object EventsStream {
     }
   }
 
+  /** Streaming SKETCH maintenance — [[maintainDailyView]]'s exactly-once
+    * versioned-merge discipline applied to the MERGEABLE sketch family
+    * (q161 KMV / q173 CMS): every micro-batch computes its PARTIAL
+    * sketches over the event keys and folds them into the persisted
+    * state. Both merges are the sketches' defining algebra — CMS by
+    * CELL-WISE ADDITION (the counts form an abelian monoid), KMV by
+    * re-taking the bottom-k of the distinct union (a semilattice) — so
+    * maintained-state ≡ from-scratch recompute EXACTLY, cell for cell
+    * and hash for hash, no approximation drift across any batch split
+    * (EventsStreamSpec pins the identity). Same replay-idempotent
+    * version-key contract as the daily view: replaying batch N rebuilds
+    * `v=N` from the same committed `v=M` (M < N) and the same rows.
+    *
+    * Scale shape: the per-batch CMS pass is one map-side-combined
+    * (j, bucket) aggregate over the batch only; the state read back per
+    * trigger is d·w cells + k hashes — CONSTANT regardless of history
+    * length, the property that makes sketches the streaming-state answer
+    * where q132's exact rollup state grows with the key universe. The
+    * hash discipline is q138/q161/q173's md5-prefix integer, so the
+    * maintained state is directly comparable against the batch oracles. */
+  def maintainSketches(events: DataFrame, stateDir: String, checkpointDir: String,
+                       d: Int = 4, w: Int = 64, k: Int = 64): Unit = {
+    runForeachBatch(events, checkpointDir) { (batch, id) =>
+      val spark = batch.sparkSession
+      val keys = batch.select(
+        concat_ws(":", col("event_type"), col("user_id")).as("t"))
+      // CMS partial: the q173 seeded-row bucket scheme over this batch
+      val cells = keys.select(explode(array((0 until d).map(j =>
+          struct(lit(j).as("j"),
+            pmod(conv(substring(md5(concat(lit(s"$j:"), col("t"))), 1, 15), 16, 10)
+              .cast("long"), lit(w.toLong)).as("bucket"))): _*)).as("cell"))
+        .groupBy(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val cms = latestView(spark, s"$stateDir/cms", beforeVersion = Some(id)) match {
+        case Some(prior) => prior.unionByName(cells)
+          .groupBy("j", "bucket").agg(sum(col("c")).cast("long").as("c"))
+        case None => cells
+      }
+      cms.write.mode("overwrite").parquet(s"$stateDir/cms/v=$id")
+      // KMV partial: distinct key hashes; merge = bottom-k of the union
+      val hs = keys.distinct()
+        .select(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+      val kmv = (latestView(spark, s"$stateDir/kmv", beforeVersion = Some(id)) match {
+        case Some(prior) => prior.unionByName(hs)
+        case None => hs
+      }).distinct().orderBy("h").limit(k)
+      kmv.write.mode("overwrite").parquet(s"$stateDir/kmv/v=$id")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      Seq("cms", "kmv").foreach { kind =>
+        viewVersions(spark, s"$stateDir/$kind").dropRight(3).foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$kind/v=$v"), true)
+        }
+      }
+    }
+  }
+
   /** Committed (\_SUCCESS-marked) view versions, ascending. */
   private def viewVersions(spark: SparkSession, viewDir: String): Seq[Long] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

@@ -84,6 +84,54 @@ class EventsStreamSpec extends SparkSpec {
     assert(viewState() === before, "an empty trigger leaves the view untouched")
   }
 
+  test("streaming sketch maintenance: batch-merged CMS/KMV ≡ from-scratch recompute, exactly") {
+    val (src, state, ckpt) = tempDirs()
+    val (d, w, k) = (4, 64, 8) // k small so the bottom-k branch is live
+    def run(): Unit = EventsStream.maintainSketches(
+      EventsStream.readEventStream(spark, src), state, ckpt, d, w, k)
+    def allKeys() = spark.read.schema(EventsStream.eventSchema).json(src)
+      .select(concat_ws(":", col("event_type"), col("user_id")).as("t"))
+    def recomputeCms(): Map[(Int, Long), Long] = allKeys()
+      .select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"),
+          pmod(conv(substring(md5(concat(lit(s"$j:"), col("t"))), 1, 15), 16, 10)
+            .cast("long"), lit(w.toLong)).as("bucket"))): _*)).as("cell"))
+      .groupBy(col("cell.j"), col("cell.bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def recomputeKmv(): Seq[Long] = allKeys().distinct()
+      .select(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+      .collect().map(_.getLong(0)).sorted.take(k).toSeq
+    def stateCms(): Map[(Int, Long), Long] =
+      EventsStream.latestView(spark, s"$state/cms").get.collect()
+        .map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket")) -> r.getAs[Long]("c")).toMap
+    def stateKmv(): Seq[Long] =
+      EventsStream.latestView(spark, s"$state/kmv").get.collect()
+        .map(_.getAs[Long]("h")).sorted.toSeq
+
+    // 12 distinct (type, user) keys over two files → two micro-batches,
+    // with cross-batch key overlap so the CMS sum-merge is exercised
+    writeBatch(src, "b0.json", (1 to 8).map(i =>
+      evt(i, f"2024-01-01 10:0$i%01d:00", i % 5, if (i % 2 == 0) "click" else "view", i)))
+    writeBatch(src, "b1.json", (9 to 16).map(i =>
+      evt(i, f"2024-01-01 11:0${i - 9}%01d:00", i % 7, if (i % 3 == 0) "click" else "buy", i)))
+    run() // two merge steps (maxFilesPerTrigger = 1)
+    assert(stateCms() === recomputeCms(),
+      "after two batch folds every CMS cell equals the from-scratch count")
+    assert(stateKmv() === recomputeKmv(),
+      "the maintained KMV sample is exactly the global bottom-k")
+
+    writeBatch(src, "b2.json", (17 to 20).map(i =>
+      evt(i, f"2024-01-01 12:0${i - 17}%01d:00", i % 5, "click", i)))
+    run() // RESTART from the checkpoint: folds only the delta
+    assert(stateCms() === recomputeCms(), "restart keeps the merge identity")
+    assert(stateKmv() === recomputeKmv())
+    // the merged CMS preserves total mass: Σ cells per row j = total events
+    val total = spark.read.schema(EventsStream.eventSchema).json(src).count()
+    stateCms().groupBy(_._1._1).foreach { case (j, cells) =>
+      assert(cells.values.sum == total, s"row $j mass ${cells.values.sum} != $total")
+    }
+  }
+
   test("streaming dedup drops re-delivered event_ids") {
     val (src, out, ckpt) = tempDirs()
     writeBatch(src, "b0.json", Seq(
