@@ -1221,6 +1221,70 @@ object EventQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** Streaming sketch maintenance made DRIVER-VISIBLE with a full oracle —
+    * the claim behind [[graft.streaming.EventsStream.maintainSketches]]
+    * (mergeable state folded per micro-batch by its defining algebra) is
+    * exactly what makes this verifiable: the final CMS/KMV state is
+    * SPLIT-INVARIANT, so DuckDB can recompute it from the events table
+    * with no notion of batching and the maintained state must hash-match
+    * cell for cell. First build per dir: copy events into a 3-file source
+    * layout, drive the AvailableNow stream through three foreachBatch
+    * merge steps, mark done; repeat builds read the persisted state (the
+    * q168/q179 one-time-layout economics). Output: the d=4 × w=64 CMS
+    * cell counts (part = hash row) plus the KMV bottom-64 key hashes
+    * (part = -1, slot = rank) — one int64 schema for both sketch kinds.
+    * Shape at 100 TB: per trigger one map-side-combined batch aggregate
+    * + a constant d·w + k state read-back, the property the streaming
+    * band exists to prove. */
+  val q183StreamSketchState: QuerySpec = {
+    val (d, w, k) = (4, 64, 64)
+    val cellRows = (0 until d).map(j =>
+      s"SELECT $j AS j, ('0x' || substring(md5('$j:' || t), 1, 15))::BIGINT % $w AS bucket FROM keys")
+      .mkString("\n       |  UNION ALL ")
+    QuerySpec.oracle(
+      "q183_stream_sketch_state",
+      s"""WITH keys AS (
+         |  SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS t FROM events),
+         |cells AS ($cellRows),
+         |cms AS (SELECT j, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
+         |hs AS (SELECT ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+         |       FROM (SELECT DISTINCT t FROM keys)),
+         |kmv AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hs)
+         |SELECT CAST(j AS BIGINT) AS part, CAST(bucket AS BIGINT) AS slot,
+         |  CAST(c AS BIGINT) AS val FROM cms
+         |UNION ALL SELECT -1, rn, h FROM kmv WHERE rn <= $k
+         |ORDER BY part, slot""".stripMargin
+    ) { (spark, dir) =>
+      import graft.streaming.EventsStream
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"target/graft_stream_sketch_$tag"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(s"$root/_SKETCHED")
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = Tables.events(spark, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        // ANY 3-way split works — the merge identity is the point — but
+        // the modulo key keeps the layout deterministic across builds
+        ev.repartition(3, pmod(col("event_id"), lit(3)))
+          .write.mode("overwrite").parquet(s"$root/src")
+        EventsStream.maintainSketches(
+          spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$root/src"),
+          s"$root/state", s"$root/ckpt", d, w, k)
+        fs.create(done, true).close()
+      }
+      val cms = EventsStream.latestView(spark, s"$root/state/cms").get
+      val kmv = EventsStream.latestView(spark, s"$root/state/kmv").get
+      cms.select(col("j").cast("long").as("part"), col("bucket").as("slot"),
+          col("c").as("val"))
+        .unionByName(kmv
+          .withColumn("slot", row_number().over(Window.orderBy("h")).cast("long"))
+          .select(lit(-1L).as("part"), col("slot"), col("h").as("val")))
+        .orderBy("part", "slot")
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q60TumblingWindow, q61SessionWindow, q62AsOfJoin, q63SlidingWindow,
     q64JsonExtract, q65RangeJoin, q66ValueMoments, q67Funnel, q68Retention,
@@ -1229,5 +1293,5 @@ object EventQueries {
     q113GrowthCurve, q114RobustOutliers, q117SketchReport,
     q122VolumeAnomaly, q81SaltedJoin, q130SeriesCorrelation, q139Attribution,
     q151PitFeatures, q152EventPattern, q154TrimmedMean, q155TrendRobust,
-    q159OlsTrend)
+    q159OlsTrend, q183StreamSketchState)
 }

@@ -121,7 +121,11 @@ class ConstructionSweepSpec extends SparkSpec {
     // adjacency sit behind (nominally lazy) localCheckpoints — under AQE
     // checkpoint creation executes the upstream stages at build, q136's
     // index-build-shaped trade
-    "q181_hop_distance")
+    "q181_hop_distance",
+    // q183's FIRST build copies events into the 3-file stream source and
+    // drives the AvailableNow sketch-maintenance stream (one-time,
+    // _SKETCHED-marked; repeat builds read the persisted state)
+    "q183_stream_sketch_state")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

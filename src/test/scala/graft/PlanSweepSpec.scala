@@ -610,7 +610,10 @@ class PlanSweepSpec extends SparkSpec {
     "q182_t_closeness" -> 7,
     // q184: the (nation, day) revenue agg + the per-nation series
     // collect + the broadcast nation join
-    "q184_holt_trend" -> 3)
+    "q184_holt_trend" -> 3,
+    // q183: the declared plan reads the persisted d·w + k sketch state
+    // (the stream ran at first build) — the KMV rank window + the union
+    "q183_stream_sketch_state" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
