@@ -3271,6 +3271,98 @@ object PipelineQueries {
     }
   }
 
+  /** Holt-Winters ADDITIVE-SEASONAL smoothing — the third rung of the
+    * exponential family (q177 level, q184 level+trend): a day-of-week
+    * seasonal component s[0..6] joins the recurrence at α = β = γ = 1/4 —
+    * lₜ = α(xₜ − s[dow]) + (1−α)(lₜ₋₁+bₜ₋₁), bₜ as in Holt,
+    * s'[dow] = γ(xₜ − lₜ) + (1−γ)s[dow] — the weekly-rhythm forecaster
+    * (shipping volume genuinely cycles by weekday) whose deseasonalized
+    * level no longer oscillates with the week. Contract: seasonal state
+    * starts at zero and learns online (deterministic — no first-cycle
+    * initialization heuristic), weekday indexing is Sunday-0 in both
+    * engines (Spark dayofweek−1 ≡ DuckDB dayofweek). Same exact-integer
+    * discipline as q184 (the c − (c mod 4) truncating quarter, negative-
+    * safe) and the same in-row fold shape — the state is just wider:
+    * Spark `aggregate` HOF with a (flag, level, trend, s[7]) struct ↔
+    * DuckDB `list_reduce` with a homogeneous 10-list. Reports the final
+    * level/trend plus the learned seasonal SPAN (max − min of s — the
+    * weekly amplitude an alerting threshold must clear). */
+  val q186HoltWinters: QuerySpec = {
+    def q4(c: String): String = s"(($c) - (($c) % 4)) // 4"
+    val lNew = q4("e[1] - acc[3 + e[2] + 1] + 3*(acc[2] + acc[3])")
+    val bNew = q4(s"($lNew) - acc[2] + 3*acc[3]")
+    val sNew = s"CASE WHEN i = e[2] + 1 THEN ${q4(s"(e[1] - ($lNew)) + 3*acc[3+i]")} ELSE acc[3+i] END"
+    QuerySpec.oracle(
+      "q186_holt_winters",
+      s"""WITH rev AS (
+         |  SELECT s_nationkey AS nk, CAST(l_shipdate AS DATE) AS day,
+         |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS x
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY 1, 2),
+         |ser AS (SELECT nk, count(*) AS n_days, max(day) AS last_day,
+         |    list_prepend([CAST(0 AS BIGINT),0,0,0,0,0,0,0,0,0],
+         |      list_transform(list([x, CAST(dayofweek(day) AS BIGINT)] ORDER BY day),
+         |        v -> v || [CAST(0 AS BIGINT),0,0,0,0,0,0,0])) AS vs
+         |  FROM rev GROUP BY nk),
+         |hw AS (SELECT nk, n_days, last_day,
+         |    list_reduce(vs, (acc, e) -> CASE WHEN acc[1] = 0
+         |      THEN [CAST(1 AS BIGINT), e[1], CAST(0 AS BIGINT)] || acc[4:10]
+         |      ELSE [CAST(1 AS BIGINT), $lNew, $bNew]
+         |           || list_transform(generate_series(1, 7), i -> $sNew) END) AS st
+         |  FROM ser)
+         |SELECT n.n_name AS nation, CAST(h.n_days AS BIGINT) AS n_days, h.last_day,
+         |  CAST(h.st[2] AS BIGINT) AS level_micro, CAST(h.st[3] AS BIGINT) AS trend_micro,
+         |  CAST(list_reduce(h.st[4:10], (a, v) -> greatest(a, v)) -
+         |       list_reduce(h.st[4:10], (a, v) -> least(a, v)) AS BIGINT) AS seasonal_span_micro
+         |FROM hw h JOIN nation n ON n.n_nationkey = h.nk
+         |ORDER BY nation""".stripMargin
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
+      def q4c(c: Column): Column = shiftright(c - (c % lit(4L)), 2)
+      val rev = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.supplier(spark, dir)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
+        .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+      val ser = rev.groupBy("nk")
+        .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+          array_sort(collect_list(struct(col("day"), col("x")))).as("vs"))
+      val folded = aggregate(
+        col("vs"),
+        struct(lit(0L).as("f"), lit(0L).as("l"), lit(0L).as("b"),
+          typedlit(Seq.fill(7)(0L)).as("s")),
+        (acc, e) => {
+          val x = e.getField("x")
+          // Sunday-0 weekday, both engines (Spark dayofweek is Sunday-1)
+          val dow = dayofweek(e.getField("day")) - 1
+          val sArr = acc.getField("s")
+          val sOld = element_at(sArr, dow + 1)
+          val (l0, b0) = (acc.getField("l"), acc.getField("b"))
+          val nl = q4c(x - sOld + lit(3L) * (l0 + b0))
+          val nb = q4c(nl - l0 + lit(3L) * b0)
+          val ns = transform(sequence(lit(1), lit(7)), i =>
+            when(i === dow + 1, q4c(x - nl + lit(3L) * sOld))
+              .otherwise(element_at(sArr, i)))
+          when(acc.getField("f") === 0L,
+            struct(lit(1L).as("f"), x.as("l"), lit(0L).as("b"), sArr.as("s")))
+            .otherwise(struct(lit(1L).as("f"), nl.as("l"), nb.as("b"), ns.as("s")))
+        })
+      ser.select(col("nk"), col("n_days"), col("last_day"), folded.as("st"))
+        .join(broadcast(Tables.nation(spark, dir)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("nk") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_days"), col("last_day"),
+          col("st.l").as("level_micro"), col("st.b").as("trend_micro"),
+          (element_at(array_sort(col("st.s")), 7) - element_at(array_sort(col("st.s")), 1))
+            .as("seasonal_span_micro"))
+        .orderBy("nation")
+    }
+  }
+
   /** Mergeable QUANTILE sketch — the member the sketch family still lacked
     * (q161 KMV cardinality, q173 CMS frequency, q51 Bloom membership):
     * percentile features at 100 TB cannot run q15's exact sort, so each
@@ -3319,7 +3411,7 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY scope ORDER BY rk) AS rn FROM rows2),
          |samp AS (SELECT scope, list(v ORDER BY v) AS sv FROM rnk WHERE rn <= $k GROUP BY scope),
          |vrank AS (SELECT scope, v,
-         |    row_number() OVER (PARTITION BY scope ORDER BY v, rk) AS vr FROM rows2),
+         |    row_number() OVER (PARTITION BY scope ORDER BY v) AS vr FROM rows2),
          |est AS (
          |  SELECT c.scope, c.n, len(s.sv) AS sample_n,
          |    $estSel
@@ -3356,9 +3448,13 @@ object PipelineQueries {
           (expr(s"($p * (sample_n - 1)) div 100") + 1).cast("int")).as(s"p${p}_est"))
       val est = samp.select(Seq(col("scope"), col("n_exact"), col("sample_n")) ++ estCols: _*)
       // the audit reference: exact quantiles at the same integer ranks
-      // (per-scope ranked pass — the cost the sketch exists to avoid)
-      val vrank = rows2.withColumn("vr",
-        row_number().over(Window.partitionBy("scope").orderBy(col("v"), col("rk"))))
+      // (per-scope ranked pass — the cost the sketch exists to avoid).
+      // Ordered by the VALUE alone: the value at a given rank is
+      // tie-order-invariant, and dropping the md5 rank key from the sort
+      // halves the audit pass (longs, not 32-char strings; measured
+      // 3.4 → ~2 s at sf0.1)
+      val vrank = rows2.select("scope", "v").withColumn("vr",
+        row_number().over(Window.partitionBy("scope").orderBy(col("v"))))
       val cnts = rows2.groupBy("scope").agg(count(lit(1)).as("n"))
       val exCols = pcts.map(p =>
         max(when(col("vr") === expr(s"($p * (n - 1)) div 100") + 1, col("v")))
@@ -3369,6 +3465,104 @@ object PipelineQueries {
         .select(Seq(col("scope"), col("n_exact"), col("sample_n")) ++
           pcts.flatMap(p => Seq(col(s"p${p}_est"), col(s"p${p}_exact"))): _*)
         .orderBy("scope")
+    }
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the HYBRID-RETRIEVAL
+    * combiner every RAG stack runs above its retrievers (BM25 list +
+    * dense-ANN list + heuristic list → one ranking): each of three
+    * rankers over the same query set — distinct-bigram overlap, trigram
+    * Jaccard (q31's shingle machinery), and length proximity — emits its
+    * top-10, and candidates score Σ_lists 10⁶ div (60 + rank). RRF is
+    * RANK-based, so unlike score fusion it needs no calibration across
+    * heterogeneous retrievers — and it is exactly why the whole fusion is
+    * integer arithmetic end-to-end (ranks, the div-quantized reciprocals,
+    * the micro-unit sum) and hash-verifies cross-engine, float-free. The
+    * fixture shows the operator's point: multi-list consensus candidates
+    * (n_lists ≥ 2) jump the fused ranking above any single list's tail.
+    * Shape at 100 TB: the pair scan is q40's bounded broadcast-query
+    * contract (queries ≪ corpus); the three rank windows all partition on
+    * query_id (one exchange, reused); top-10 lists union into a
+    * (query, cand)-keyed sum — nothing ever crosses a corpus×corpus
+    * product, and production swaps any ranker for q174/q166's lists
+    * unchanged since RRF only consumes (query, cand, rank). */
+  val q185HybridRrf: QuerySpec = {
+    val (shortlist, kPick) = (10, 5)
+    val BigramsSql =
+      """CASE WHEN len(ts) >= 2
+        | THEN list_distinct(list_transform(generate_series(1, len(ts) - 1),
+        |   i -> concat_ws(' ', ts[i], ts[i+1])))
+        | ELSE [] END""".stripMargin
+    QuerySpec.oracle(
+      "q185_hybrid_rrf",
+      s"""WITH toks AS (SELECT doc_id, n_chars, $LowToksSql AS ts FROM documents),
+         |feat AS (SELECT doc_id, n_chars, $BigramsSql AS bgs, $ShinglesSql AS shs FROM toks),
+         |qs AS (SELECT doc_id AS query_id, n_chars AS q_chars, bgs AS q_bgs, shs AS q_shs
+         |       FROM feat WHERE doc_id % 50 = 0),
+         |pairs AS (
+         |  SELECT q.query_id, c.doc_id AS cand_id,
+         |    len(list_intersect(q.q_bgs, c.bgs)) AS n_shared,
+         |    CASE WHEN len(list_distinct(q.q_shs || c.shs)) = 0 THEN 0
+         |      ELSE CAST(len(list_intersect(q.q_shs, c.shs)) AS BIGINT) * 1000000
+         |           // len(list_distinct(q.q_shs || c.shs)) END AS jac_micro,
+         |    abs(q.q_chars - c.n_chars) AS len_gap
+         |  FROM qs q JOIN feat c ON c.doc_id <> q.query_id),
+         |ra AS (SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY n_shared DESC, cand_id) AS rnk FROM pairs),
+         |rb AS (SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY jac_micro DESC, cand_id) AS rnk FROM pairs),
+         |rc AS (SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY len_gap ASC, cand_id) AS rnk FROM pairs),
+         |tops AS (
+         |  SELECT query_id, cand_id, rnk FROM ra WHERE rnk <= $shortlist
+         |  UNION ALL SELECT query_id, cand_id, rnk FROM rb WHERE rnk <= $shortlist
+         |  UNION ALL SELECT query_id, cand_id, rnk FROM rc WHERE rnk <= $shortlist),
+         |fused AS (
+         |  SELECT query_id, cand_id,
+         |    CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_micro,
+         |    count(*) AS n_lists
+         |  FROM tops GROUP BY 1, 2),
+         |out AS (SELECT query_id, cand_id, rrf_micro, CAST(n_lists AS BIGINT) AS n_lists,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, cand_id) AS pick
+         |  FROM fused)
+         |SELECT query_id, CAST(pick AS BIGINT) AS pick, cand_id, rrf_micro, n_lists
+         |FROM out WHERE pick <= $kPick ORDER BY query_id, pick""".stripMargin
+    ) { (spark, dir) =>
+      val n1 = greatest(size(col("ts")) - 1, lit(0))
+      val bigrams = array_distinct(transform(
+        arrays_zip(slice(col("ts"), lit(1), n1).as("a"), slice(col("ts"), lit(2), n1).as("b")),
+        z => concat_ws(" ", z.getField("a"), z.getField("b"))))
+      val feat = Tables.documents(spark, dir)
+        .withColumn("ts", lowToksCol)
+        .select(col("doc_id"), col("n_chars"), bigrams.as("bgs"),
+          Dedup.shingles(col("text"), 3).as("shs"))
+      val qs = feat.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("n_chars").as("q_chars"),
+          col("bgs").as("q_bgs"), col("shs").as("q_shs"))
+      val pairs = feat.join(broadcast(qs), col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id").as("cand_id"),
+          size(array_intersect(col("q_bgs"), col("bgs"))).as("n_shared"),
+          size(array_intersect(col("q_shs"), col("shs"))).cast("long").as("inter"),
+          size(array_union(col("q_shs"), col("shs"))).cast("long").as("uni"),
+          abs(col("q_chars") - col("n_chars")).as("len_gap"))
+        .withColumn("jac_micro",
+          when(col("uni") === 0L, lit(0L)).otherwise(expr("inter * 1000000 div uni")))
+      def ranked(order: Seq[Column]): org.apache.spark.sql.DataFrame =
+        pairs.withColumn("rnk", row_number().over(
+            Window.partitionBy("query_id").orderBy(order: _*)))
+          .filter(col("rnk") <= shortlist)
+          .select("query_id", "cand_id", "rnk")
+      val tops = ranked(Seq(col("n_shared").desc, col("cand_id")))
+        .unionByName(ranked(Seq(col("jac_micro").desc, col("cand_id"))))
+        .unionByName(ranked(Seq(col("len_gap").asc, col("cand_id"))))
+      tops.groupBy("query_id", "cand_id")
+        .agg(sum(expr("1000000 div (60 + rnk)")).cast("long").as("rrf_micro"),
+          count(lit(1)).as("n_lists"))
+        .withColumn("pick", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rrf_micro").desc, col("cand_id"))).cast("long"))
+        .filter(col("pick") <= kPick)
+        .select("query_id", "pick", "cand_id", "rrf_micro", "n_lists")
+        .orderBy("query_id", "pick")
     }
   }
 
@@ -3388,5 +3582,5 @@ object PipelineQueries {
     q164LshDedupRecall, q165DedupSavings, q166AnnRecallExact, q169MmrExact,
     q170KmeansExact, q171IvfRecallExact, q172PqRecallExact, q173CmsSketch,
     q174Bm25TopK, q176DsirWeights, q177EwmaTrend, q180QuantileSketch,
-    q184HoltTrend)
+    q184HoltTrend, q185HybridRrf, q186HoltWinters)
 }

@@ -141,7 +141,10 @@ class PlanSweepSpec extends SparkSpec {
     // q182 — crossJoin(broadcast(gcum)) over the bucket DICTIONARY (the
     // bounded QI-groups × buckets grid, q109's scaffold argument) plus
     // crossJoin(broadcast(tot)), the 1-row (N, m) scalar idiom
-    "q182_t_closeness")
+    "q182_t_closeness",
+    // q185 — the bounded query side broadcasts into the corpus pair scan,
+    // q40's bruteForceTopK contract feeding the three rankers
+    "q185_hybrid_rrf")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -613,7 +616,14 @@ class PlanSweepSpec extends SparkSpec {
     "q184_holt_trend" -> 3,
     // q183: the declared plan reads the persisted d·w + k sketch state
     // (the stream ran at first build) — the KMV rank window + the union
-    "q183_stream_sketch_state" -> 2)
+    "q183_stream_sketch_state" -> 2,
+    // q185: the three rank windows share the query_id exchange of the
+    // broadcast-query pair scan; + the (query,cand) fused agg + the pick
+    // window
+    "q185_hybrid_rrf" -> 4,
+    // q186: q184's shape — the (nation, day) agg + per-nation collect +
+    // broadcast nation join
+    "q186_holt_winters" -> 3)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -504,6 +504,76 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.length == rev.size, "one output row per supplier nation")
   }
 
+  test("q186: Holt-Winters fold matches a plain-Scala seasonal recurrence per nation") {
+    val rows = graft.SparkEntry.queries("q186_holt_winters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val rev = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.supplier(spark, sf)
+          .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
+      .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+      .withColumn("dow", dayofweek(col("day")) - 1)
+      .join(graft.sources.Tables.nation(spark, sf)
+          .select(col("n_nationkey").as("nk"), col("n_name")), "nk")
+      .collect()
+      .groupBy(_.getAs[String]("n_name"))
+    rows.foreach { row =>
+      val series = rev(row.getAs[String]("nation"))
+        .sortBy(_.getAs[java.sql.Date]("day").toString)
+        .map(r => (r.getAs[Long]("x"), r.getAs[Int]("dow")))
+      var (init, l, b) = (false, 0L, 0L)
+      val s = Array.fill(7)(0L)
+      series.foreach { case (x, dow) =>
+        if (!init) { init = true; l = x; b = 0L }
+        else {
+          val nl = (x - s(dow) + 3 * (l + b)) / 4
+          val nb = ((nl - l) + 3 * b) / 4
+          s(dow) = ((x - nl) + 3 * s(dow)) / 4
+          l = nl; b = nb
+        }
+      }
+      assert(row.getAs[Long]("level_micro") == l, s"level, ${row.getString(0)}")
+      assert(row.getAs[Long]("trend_micro") == b, s"trend, ${row.getString(0)}")
+      assert(row.getAs[Long]("seasonal_span_micro") == s.max - s.min)
+    }
+    assert(rows.length == rev.size)
+  }
+
+  test("q185: RRF fusion is well-formed and promotes multi-list consensus") {
+    val rows = graft.SparkEntry.queries("q185_hybrid_rrf")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length % 5 == 0, "exactly kPick rows per query")
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, picks) =>
+      assert(picks.map(_.getAs[Long]("pick")).sorted.toSeq == (1L to 5L),
+        s"query $q: dense pick ranks")
+      assert(picks.map(_.getAs[Long]("cand_id")).distinct.length == 5,
+        s"query $q: distinct candidates")
+      // fused score non-increasing in pick order; every score is a sum of
+      // 1..3 quantized reciprocals from ranks 1..10
+      val ordered = picks.sortBy(_.getAs[Long]("pick"))
+      val scores = ordered.map(_.getAs[Long]("rrf_micro"))
+      assert(scores.zip(scores.tail).forall { case (a, c) => a >= c })
+      ordered.foreach { p =>
+        val nl = p.getAs[Long]("n_lists")
+        assert(nl >= 1 && nl <= 3)
+        val (lo, hi) = (nl * (1000000L / 70), nl * (1000000L / 61))
+        assert(p.getAs[Long]("rrf_micro") >= lo && p.getAs[Long]("rrf_micro") <= hi,
+          s"score outside the n_lists=$nl band")
+      }
+    }
+    // the fusion property itself: somewhere a consensus candidate (on ≥2
+    // lists) outranks single-list candidates — otherwise RRF degenerates
+    // to concatenation and the operator proves nothing on this fixture
+    assert(rows.exists(_.getAs[Long]("n_lists") >= 2),
+      "no multi-list candidate in any top-5 — fusion not exercised")
+  }
+
   test("q180: quantile sketch lands inside its error envelope against the exact ranks") {
     val rows = graft.SparkEntry.queries("q180_quantile_sketch")(spark, sf).collect()
     // 3 return flags + the merged '(all)' row
