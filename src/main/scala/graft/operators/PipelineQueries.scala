@@ -2920,8 +2920,20 @@ object PipelineQueries {
           slice(col("ts"), lit(1), n1).as("a"),
           slice(col("ts"), lit(2), n1).as("b"))).as("z"))
         .select(concat_ws(" ", col("z.a"), col("z.b")).as("t"))
-      val sketch = occ.select(cellsOf(col("t")).as("cell"))
-        .select(col("cell.w").as("w"), col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+      // two-stage explode: hash rows first (d md5s per occurrence,
+      // evaluated once each by the generator), THEN fan out the widths
+      // with a cheap pmod per (row, width) — the single-stage (w, j)
+      // explode evaluated d·|widths| md5s per occurrence because every
+      // width recomputed the same width-independent hash (measured
+      // q173 3.3 → ~1.9 s at sf0.1)
+      val hashOf = (j: Int, t: Column) =>
+        conv(substring(md5(concat(lit(s"$j:"), t)), 1, 15), 16, 10).cast("long")
+      val sketch = occ.select(explode(array((0 until d).map(j =>
+          struct(lit(j).as("j"), hashOf(j, col("t")).as("h"))): _*)).as("jh"))
+        .select(col("jh.j").as("j"), col("jh.h").as("h"))
+        .select(col("j"), explode(array(widths.map(w =>
+          struct(lit(w.toLong).as("w"), pmod(col("h"), lit(w.toLong)).as("bucket"))): _*)).as("wb"))
+        .select(col("wb.w").as("w"), col("j"), col("wb.bucket").as("bucket"))
         .groupBy("w", "j", "bucket").agg(count(lit(1)).as("c"))
       val top = occ.groupBy("t").agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("t")).limit(topN)
@@ -3433,14 +3445,15 @@ object PipelineQueries {
         col("l_returnflag").as("scope"),
         md5((col("l_orderkey") * 8 + col("l_linenumber")).cast("string")).as("rk"),
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("v"))
-      val rows2 = base.unionByName(
-        base.select(lit("(all)").as("scope"), col("rk"), col("v")))
       // the production path: ONE bounded-heap aggregate — exact count +
-      // the k-smallest-by-hash sample, map-side combined
-      val samp = rows2.groupBy("scope")
+      // the k-smallest-by-hash sample, map-side combined. rollup(scope)
+      // supplies the '(all)' group via Expand BELOW which the md5 rank
+      // key is computed ONCE per input row — a scope∪'(all)' union would
+      // evaluate the hash subtree twice (2× scans, 2× md5s)
+      val samp = base.rollup("scope")
         .agg(count(lit(1)).as("n_exact"),
           BottomKRows.bottomK(col("rk"), struct(col("v")), k).as("mins"))
-        .select(col("scope"), col("n_exact"),
+        .select(coalesce(col("scope"), lit("(all)")).as("scope"), col("n_exact"),
           size(col("mins")).cast("long").as("sample_n"),
           array_sort(transform(col("mins"), m => m.getField("v"))).as("sv"))
       val estCols = pcts.map(p =>
@@ -3449,13 +3462,21 @@ object PipelineQueries {
       val est = samp.select(Seq(col("scope"), col("n_exact"), col("sample_n")) ++ estCols: _*)
       // the audit reference: exact quantiles at the same integer ranks
       // (per-scope ranked pass — the cost the sketch exists to avoid).
-      // Ordered by the VALUE alone: the value at a given rank is
-      // tie-order-invariant, and dropping the md5 rank key from the sort
-      // halves the audit pass (longs, not 32-char strings; measured
-      // 3.4 → ~2 s at sf0.1)
-      val vrank = rows2.select("scope", "v").withColumn("vr",
-        row_number().over(Window.partitionBy("scope").orderBy(col("v"))))
-      val cnts = rows2.groupBy("scope").agg(count(lit(1)).as("n"))
+      // Hash-free — ranked by the VALUE alone (the value at a given rank
+      // is tie-order-invariant) — and STRIPED (q36's two-phase window):
+      // the plain per-scope window put the whole '(all)' copy through one
+      // task; 32 range stripes on v + broadcast stripe offsets restore
+      // full parallelism (measured: the audit half 1.7 → ~0.6 s at sf0.1)
+      val valsOnly = Tables.lineitem(spark, dir).select(
+        col("l_returnflag").as("scope"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("v"))
+      val rows2 = valsOnly.unionByName(
+        valsOnly.select(lit("(all)").as("scope"), col("v")))
+      val vrank = StripedWindow.runningSum(
+        StripedWindow.withRangeStripe(rows2, "v", 32),
+        Seq("scope"), Seq(col("v")), lit(1L), "vr", includeCurrent = true)
+      val cnts = valsOnly.rollup("scope").agg(count(lit(1)).as("n"))
+        .select(coalesce(col("scope"), lit("(all)")).as("scope"), col("n"))
       val exCols = pcts.map(p =>
         max(when(col("vr") === expr(s"($p * (n - 1)) div 100") + 1, col("v")))
           .as(s"p${p}_exact"))

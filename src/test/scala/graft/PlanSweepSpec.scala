@@ -144,7 +144,10 @@ class PlanSweepSpec extends SparkSpec {
     "q182_t_closeness",
     // q185 — the bounded query side broadcasts into the corpus pair scan,
     // q40's bruteForceTopK contract feeding the three rankers
-    "q185_hybrid_rrf")
+    "q185_hybrid_rrf",
+    // q180 — crossJoin(broadcast(cuts)): the audit rank's 1-row stripe
+    // min/max cut-point aggregate, q36's StripedWindow idiom
+    "q180_quantile_sketch")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -600,9 +603,10 @@ class PlanSweepSpec extends SparkSpec {
     // labels join + sizes agg + name/entity/count joins + the dictionary
     // window's SinglePartition + final sort (every row vocab-bounded)
     "q140_entity_groups" -> 9,
-    // q180: the union'd (scope ∪ '(all)') bottom-k sketch agg
-    // (partial→final) + the exact side's per-scope rank window + count
-    "q180_quantile_sketch" -> 4,
+    // q180: the rollup'd bottom-k sketch agg (partial→final) + the
+    // striped audit rank (q36's two-phase window: intra-stripe window +
+    // stripe-totals agg + offsets join) + the rollup'd count
+    "q180_quantile_sketch" -> 9,
     // q181: the co-supply projection (pair agg + hub cap + distinct) into
     // the checkpointed dictionary, then 4 node-keyed min-relaxation
     // rounds + the degree agg — each round shuffles only the node-sized
