@@ -3502,11 +3502,17 @@ object PipelineQueries {
     * fixture shows the operator's point: multi-list consensus candidates
     * (n_lists ≥ 2) jump the fused ranking above any single list's tail.
     * Shape at 100 TB: the pair scan is q40's bounded broadcast-query
-    * contract (queries ≪ corpus); the three rank windows all partition on
-    * query_id (one exchange, reused); top-10 lists union into a
-    * (query, cand)-keyed sum — nothing ever crosses a corpus×corpus
-    * product, and production swaps any ranker for q174/q166's lists
-    * unchanged since RRF only consumes (query, cand, rank). */
+    * contract (queries ≪ corpus), with per-pair overlap counted by the
+    * codegen'd [[graft.functions.SortedInterExpr]] merge walk over
+    * PRE-SORTED gram arrays — `array_intersect`'s per-row generic hash
+    * set paid 19 s at sf0.1 for what the sorted merge does in ~2 (the
+    * LongDotExpr kernel economics; union sizes come free by
+    * inclusion-exclusion from the per-doc gram counts); the three rank
+    * windows all partition on query_id (one exchange, reused); top-10
+    * lists union into a (query, cand)-keyed sum — nothing ever crosses a
+    * corpus×corpus product, and production swaps any ranker for
+    * q174/q166's lists unchanged since RRF only consumes
+    * (query, cand, rank). */
   val q185HybridRrf: QuerySpec = {
     val (shortlist, kPick) = (10, 5)
     val BigramsSql =
@@ -3553,21 +3559,29 @@ object PipelineQueries {
       val bigrams = array_distinct(transform(
         arrays_zip(slice(col("ts"), lit(1), n1).as("a"), slice(col("ts"), lit(2), n1).as("b")),
         z => concat_ws(" ", z.getField("a"), z.getField("b"))))
+      import graft.functions.SortedInterExpr.interCount
+      // grams pre-SORTED once per doc: the merge-walk kernel's contract
       val feat = Tables.documents(spark, dir)
         .withColumn("ts", lowToksCol)
-        .select(col("doc_id"), col("n_chars"), bigrams.as("bgs"),
-          Dedup.shingles(col("text"), 3).as("shs"))
+        .select(col("doc_id"), col("n_chars"), array_sort(bigrams).as("bgs"),
+          array_sort(Dedup.shingles(col("text"), 3)).as("shs"))
       val qs = feat.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("query_id"), col("n_chars").as("q_chars"),
           col("bgs").as("q_bgs"), col("shs").as("q_shs"))
       val pairs = feat.join(broadcast(qs), col("doc_id") =!= col("query_id"))
         .select(col("query_id"), col("doc_id").as("cand_id"),
-          size(array_intersect(col("q_bgs"), col("bgs"))).as("n_shared"),
-          size(array_intersect(col("q_shs"), col("shs"))).cast("long").as("inter"),
-          size(array_union(col("q_shs"), col("shs"))).cast("long").as("uni"),
+          interCount(col("q_bgs"), col("bgs")).as("n_shared"),
+          interCount(col("q_shs"), col("shs")).as("inter"),
+          // |A ∪ B| by inclusion-exclusion — grams are distinct per doc
+          (size(col("q_shs")) + size(col("shs"))).cast("long").as("sz_sum"),
           abs(col("q_chars") - col("n_chars")).as("len_gap"))
+        .withColumn("uni", col("sz_sum") - col("inter"))
         .withColumn("jac_micro",
           when(col("uni") === 0L, lit(0L)).otherwise(expr("inter * 1000000 div uni")))
+      // three per-ranker top-10 windows; all partition on query_id so the
+      // pairs exchange canonicalizes identically and AQE reuses it at
+      // runtime (an in-row collect-sort-slice alternative measured 3×
+      // SLOWER — 500k×3 structs through un-combined collect_list buffers)
       def ranked(order: Seq[Column]): org.apache.spark.sql.DataFrame =
         pairs.withColumn("rnk", row_number().over(
             Window.partitionBy("query_id").orderBy(order: _*)))
