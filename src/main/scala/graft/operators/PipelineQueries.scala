@@ -3601,6 +3601,67 @@ object PipelineQueries {
     }
   }
 
+  /** χ² drift audit — the distribution-shift test beside q129's
+    * TV-distance ranking: for each source, Pearson's χ² homogeneity
+    * statistic of its document-length distribution (200-char buckets)
+    * against the corpus-wide one — the standard "did this feed drift?"
+    * gate a data pipeline runs per ingestion batch, here hash-EXACT
+    * where textbook χ² never reproduces: every term
+    * (o·N − n_s·N_b)²·10⁶ div (n_s·N_b·N) is quantized to integer micro
+    * units BEFORE summation (the numerator runs in decimal internally —
+    * it exceeds int64 at corpus scale — and only the int64 quotient
+    * emerges, the q138 wide-decimal discipline), so the statistic itself
+    * oracle-verifies. The drifted flag uses the χ²/dof > 2 rule of thumb
+    * (documented heuristic — exact critical values need an inverse-CDF
+    * no SQL engine shares bit-for-bit). Shape at scale: one corpus
+    * (source, bucket) aggregate; the bucket CDF-free global counts and
+    * the (N, m) totals ride as broadcasts over the bounded
+    * sources × buckets grid — q182's scaffold. */
+  val q187Chi2Drift: QuerySpec = QuerySpec.oracle(
+    "q187_chi2_drift",
+    """WITH b AS (SELECT source, CAST(n_chars // 200 AS BIGINT) AS bucket FROM documents),
+      |gb AS (SELECT bucket, count(*) AS nb FROM b GROUP BY bucket),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |               CAST(count(DISTINCT bucket) AS BIGINT) AS m FROM b),
+      |src AS (SELECT source, count(*) AS ns FROM b GROUP BY source),
+      |sb AS (SELECT source, bucket, count(*) AS o FROM b GROUP BY 1, 2),
+      |grid AS (SELECT s.source, s.ns, g.bucket, g.nb FROM src s CROSS JOIN gb g),
+      |terms AS (
+      |  SELECT gr.source, gr.ns, t.m,
+      |    CAST((CAST(coalesce(sb.o, 0)*t.n - gr.ns*gr.nb AS HUGEINT)
+      |          * (coalesce(sb.o, 0)*t.n - gr.ns*gr.nb) * 1000000)
+      |      // (CAST(gr.ns AS HUGEINT)*gr.nb*t.n) AS BIGINT) AS tm
+      |  FROM grid gr CROSS JOIN tot t
+      |  LEFT JOIN sb ON sb.source = gr.source AND sb.bucket = gr.bucket)
+      |SELECT source, CAST(any_value(ns) AS BIGINT) AS n_docs,
+      |  CAST(sum(tm) AS BIGINT) AS chi2_micro,
+      |  CAST(any_value(m) - 1 AS BIGINT) AS dof,
+      |  sum(tm) > 2000000 * (any_value(m) - 1) AS drifted
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    val b = Tables.documents(spark, dir)
+      .select(col("source"), expr("n_chars div 200").as("bucket"))
+    val gb = b.groupBy("bucket").agg(count(lit(1)).as("nb"))
+    val tot = b.agg(count(lit(1)).cast("long").as("n"),
+      countDistinct(col("bucket")).cast("long").as("m"))
+    val src = b.groupBy("source").agg(count(lit(1)).as("ns"))
+    val sb = b.groupBy("source", "bucket").agg(count(lit(1)).as("o"))
+    val grid = src.crossJoin(broadcast(gb))
+    grid.join(sb, Seq("source", "bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("d", coalesce(col("o"), lit(0L)) * col("n") - col("ns") * col("nb"))
+      // d² · 10⁶ exceeds int64 at corpus scale — decimal internally, the
+      // int64 quotient is what leaves (PlanSweep's wide-decimal rule)
+      .withColumn("tm",
+        expr("(CAST(d AS DECIMAL(38,0)) * d * 1000000) div (ns * nb * n)").cast("long"))
+      .groupBy("source")
+      .agg(first(col("ns")).as("n_docs"),
+        sum(col("tm")).cast("long").as("chi2_micro"),
+        (first(col("m")) - 1).cast("long").as("dof"))
+      .withColumn("drifted", col("chi2_micro") > lit(2000000L) * col("dof"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -3617,5 +3678,5 @@ object PipelineQueries {
     q164LshDedupRecall, q165DedupSavings, q166AnnRecallExact, q169MmrExact,
     q170KmeansExact, q171IvfRecallExact, q172PqRecallExact, q173CmsSketch,
     q174Bm25TopK, q176DsirWeights, q177EwmaTrend, q180QuantileSketch,
-    q184HoltTrend, q185HybridRrf, q186HoltWinters)
+    q184HoltTrend, q185HybridRrf, q186HoltWinters, q187Chi2Drift)
 }

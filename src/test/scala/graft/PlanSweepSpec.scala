@@ -147,7 +147,11 @@ class PlanSweepSpec extends SparkSpec {
     "q185_hybrid_rrf",
     // q180 — crossJoin(broadcast(cuts)): the audit rank's 1-row stripe
     // min/max cut-point aggregate, q36's StripedWindow idiom
-    "q180_quantile_sketch")
+    "q180_quantile_sketch",
+    // q187 — crossJoin(broadcast(gb)) over the bucket DICTIONARY (the
+    // bounded sources × buckets grid) + crossJoin(broadcast(tot)), the
+    // q182 scaffold
+    "q187_chi2_drift")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -627,7 +631,10 @@ class PlanSweepSpec extends SparkSpec {
     "q185_hybrid_rrf" -> 4,
     // q186: q184's shape — the (nation, day) agg + per-nation collect +
     // broadcast nation join
-    "q186_holt_winters" -> 3)
+    "q186_holt_winters" -> 3,
+    // q187: the (source, bucket) + source + bucket + totals aggs
+    // (partial→final where corpus-sized) feeding the bounded grid
+    "q187_chi2_drift" -> 6)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
