@@ -455,8 +455,9 @@ object Graph {
       |  GROUP BY 1, 2 HAVING count(*) >= $minRepeat),
       |ok AS (SELECT cust FROM p GROUP BY cust HAVING count(*) <= 1000),
       |pc AS (SELECT p.cust, p.supp FROM p JOIN ok USING (cust)),
-      |e AS (SELECT DISTINCT a.supp AS s_a, b.supp AS s_b
-      |      FROM pc a JOIN pc b ON a.cust = b.cust AND a.supp < b.supp)""".stripMargin
+      |e AS (SELECT a.supp AS s_a, b.supp AS s_b, count(*) AS n_sc
+      |      FROM pc a JOIN pc b ON a.cust = b.cust AND a.supp < b.supp
+      |      GROUP BY 1, 2)""".stripMargin
 
   /** Memoized distinct customer↔supplier trade PAIRS per (session, dir) —
     * the expensive dedup-to-dictionary step q136 and q162 both build from
@@ -518,10 +519,13 @@ object Graph {
         .filter(col("k") <= 1000)
         .select("cust")
       val pc = p.join(ok, "cust")
+      // the grouped form of the distinct pair dictionary: same rows, plus
+      // the shared-customer count q188 weights edges by ((cust, supp) is
+      // unique in pc, so count(*) IS the distinct shared-customer count)
       pc.as("a").join(pc.as("b"),
           col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
-        .select(col("a.supp").as("s_a"), col("b.supp").as("s_b"))
-        .distinct()
+        .groupBy(col("a.supp").as("s_a"), col("b.supp").as("s_b"))
+        .agg(count(lit(1)).as("n_sc"))
         .localCheckpoint(eager = false)
     })
 
@@ -661,14 +665,26 @@ object Graph {
     * each round shuffles only the node-sized distance relation into one
     * map-side-combined min aggregate. */
   def hopDistance(edges: DataFrame, seeds: DataFrame, rounds: Int,
-                  inf: Long = 999L): DataFrame = {
+                  inf: Long = 999L): DataFrame =
+    minPlusDistance(edges.select(col("s_a"), col("s_b"), lit(1L).as("w")),
+        seeds, rounds, inf)
+      .withColumnRenamed("dist", "hop")
+
+  /** The general min-plus relaxation behind [[hopDistance]]: `rounds`
+    * Bellman-Ford iterations over an undirected WEIGHTED edge set
+    * (s_a, s_b, w ≥ 0) — d_r(v) = min(d_{r-1}(v), min_u d_{r-1}(u) +
+    * w(u,v)), seeds at 0, unreached -1. Weight-0 self-loops keep the
+    * carried relation single-referenced per round (see [[hopDistance]]);
+    * `inf` must exceed any reachable path cost (rounds × max w). */
+  def minPlusDistance(wEdges: DataFrame, seeds: DataFrame, rounds: Int,
+                      inf: Long): DataFrame = {
     require(rounds >= 1)
-    val e = edges.select(col("s_a"), col("s_b")).localCheckpoint(eager = false)
+    val e = wEdges.select(col("s_a"), col("s_b"), col("w")).localCheckpoint(eager = false)
     val nodes = e.select(col("s_a").as("node"))
       .union(e.select(col("s_b").as("node"))).distinct()
       .localCheckpoint(eager = false)
-    val adjp = e.select(col("s_a").as("node"), col("s_b").as("nbr"), lit(1L).as("w"))
-      .union(e.select(col("s_b").as("node"), col("s_a").as("nbr"), lit(1L).as("w")))
+    val adjp = e.select(col("s_a").as("node"), col("s_b").as("nbr"), col("w"))
+      .union(e.select(col("s_b").as("node"), col("s_a").as("nbr"), col("w")))
       .union(nodes.select(col("node"), col("node").as("nbr"), lit(0L).as("w")))
       .localCheckpoint(eager = false)
     var dist = nodes
@@ -681,7 +697,7 @@ object Graph {
         .groupBy("node").agg(min(col("d") + col("w")).as("d"))
     }
     dist.select(col("node").as("node_id"),
-      when(col("d") >= inf, lit(-1L)).otherwise(col("d")).cast("long").as("hop"))
+      when(col("d") >= inf, lit(-1L)).otherwise(col("d")).cast("long").as("dist"))
   }
 
   /** BFS layers over the co-supply graph from the nation-1 supplier seed
@@ -731,6 +747,54 @@ object Graph {
         .groupBy("node_id").agg(count(lit(1)).as("degree"))
       hopDistance(edges, seeds, rounds)
         .join(deg, "node_id")
+        .orderBy("node_id")
+    }
+  }
+
+  /** WEIGHTED shortest path (bounded-round Bellman-Ford) over the
+    * co-supply graph — q181's hop count generalized to trade-STRENGTH
+    * costs: edge weight 10⁶ div n_shared_customers, so strongly-bonded
+    * supplier pairs are cheap to traverse and the distance ranks "how
+    * tightly is each supplier coupled to nation 1's supply base" rather
+    * than merely "how many hops away" (the two orderings genuinely
+    * differ: a two-strong-hops path beats one weak direct edge). Exact
+    * integer micro-unit costs (one integral division per edge, q136's
+    * discipline), 4 relaxation rounds, unreached -1; oracle unrolls the
+    * identical recurrence. Same lean single-reference round shape as
+    * [[minPlusDistance]] documents. */
+  val q188WeightedHops: QuerySpec = {
+    val rounds = 4
+    val inf = 1000000000000L
+    val roundCtes = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT a.node, min(l.d + a.w) AS d
+         |  FROM adjp a JOIN l${r - 1} l ON l.node = a.nbr GROUP BY a.node)""".stripMargin
+    }
+    QuerySpec.oracle(
+      "q188_weighted_hops",
+      s"""WITH ${CoSupplySqlCtes(minRepeat = 3)},
+         |nodes AS MATERIALIZED (SELECT DISTINCT s_a AS node FROM e UNION SELECT s_b FROM e),
+         |adjp AS MATERIALIZED (
+         |  SELECT s_a AS node, s_b AS nbr, CAST(1000000 // n_sc AS BIGINT) AS w FROM e
+         |  UNION ALL SELECT s_b, s_a, CAST(1000000 // n_sc AS BIGINT) FROM e
+         |  UNION ALL SELECT node, node, CAST(0 AS BIGINT) FROM nodes),
+         |seeds AS (SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = 1
+         |          INTERSECT SELECT node FROM nodes),
+         |l0 AS MATERIALIZED (
+         |  SELECT n.node, CAST(CASE WHEN s.node IS NOT NULL THEN 0 ELSE $inf END AS BIGINT) AS d
+         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         |${roundCtes.mkString(",\n")}
+         |SELECT node AS node_id,
+         |  CAST(CASE WHEN d >= $inf THEN -1 ELSE d END AS BIGINT) AS cost_micro
+         |FROM l$rounds ORDER BY node_id""".stripMargin
+    ) { (spark, dir) =>
+      val we = coSupplyEdges(spark, dir, minRepeat = 3)
+        .select(col("s_a"), col("s_b"), expr("1000000 div n_sc").as("w"))
+      val seeds = Tables.supplier(spark, dir)
+        .filter(col("s_nationkey") === 1)
+        .select(col("s_suppkey").as("node"))
+      minPlusDistance(we, seeds, rounds, inf)
+        .withColumnRenamed("dist", "cost_micro")
         .orderBy("node_id")
     }
   }
@@ -800,5 +864,5 @@ object Graph {
 
   val all: Seq[QuerySpec] = Seq(
     q136PageRank, q140EntityGroups, q162PersonalizedPageRank, q167TriangleCount,
-    q175LabelPropagation, q181HopDistance)
+    q175LabelPropagation, q181HopDistance, q188WeightedHops)
 }

@@ -634,7 +634,11 @@ class PlanSweepSpec extends SparkSpec {
     "q186_holt_winters" -> 3,
     // q187: the (source, bucket) + source + bucket + totals aggs
     // (partial→final where corpus-sized) feeding the bounded grid
-    "q187_chi2_drift" -> 6)
+    "q187_chi2_drift" -> 6,
+    // q188: q181's relaxation shape over the grouped (weighted) pair
+    // dictionary — co-supply projection (pair agg + hub cap + weighted
+    // pair agg) + 4 node-keyed min-plus rounds + presentation sort
+    "q188_weighted_hops" -> 12)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -208,4 +208,16 @@ class GraphSpec extends SparkSpec {
     // extra rounds past convergence are a fixpoint
     assert(hops(Seq(3L), 9) === Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
   }
+
+  test("minPlusDistance takes the cheaper multi-hop path over a heavy direct edge") {
+    // triangle 1-2 (5), 2-3 (1), 1-3 (10): best 1→3 is 5+1=6, not 10
+    val we = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L)).toDF("s_a", "s_b", "w")
+    def dists(rounds: Int): Map[Long, Long] =
+      Graph.minPlusDistance(we, Seq(1L).toDF("node"), rounds, inf = 999L)
+        .as[(Long, Long)].collect().toMap
+    // one round only relaxes direct edges; two rounds find the detour
+    assert(dists(1) === Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+    assert(dists(2) === Map(1L -> 0L, 2L -> 5L, 3L -> 6L))
+    assert(dists(7) === Map(1L -> 0L, 2L -> 5L, 3L -> 6L), "fixpoint")
+  }
 }
