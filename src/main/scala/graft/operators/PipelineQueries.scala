@@ -2795,9 +2795,15 @@ object PipelineQueries {
     "q149_retrieval_eval", {
       val rels = (1 to 5).map(i => s"max(CASE WHEN rk = $i THEN rel END) AS rel$i").mkString(",\n      |        ")
       val nRel = (1 to 5).map(i => s"rel$i").mkString(" + ")
-      val dcg = (1 to 5).map(i => s"rel$i * ${NdcgW(i - 1)}").mkString(" + ")
-      val mrr = (1 to 5).map(i => s"WHEN rel$i = 1 THEN ${InvRank(i - 1)}").mkString(" ")
-      val idcg = (1 to 5).map(i => s"WHEN $i THEN ${NdcgCum(i - 1)}").mkString(" ")
+      // '<v>'::DOUBLE, never a bare decimal literal: DuckDB parses bare
+      // decimals as DECIMAL(17,16) and the decimal→double cast loses the
+      // last bit on 7 of the 31 rel patterns (1-ulp ndcg drift, seen at
+      // sf0.1); the string→double parse is correctly rounded, so the
+      // shared Scala constants land bit-identical in both engines
+      def dl(v: Double): String = s"'$v'::DOUBLE"
+      val dcg = (1 to 5).map(i => s"rel$i * ${dl(NdcgW(i - 1))}").mkString(" + ")
+      val mrr = (1 to 5).map(i => s"WHEN rel$i = 1 THEN ${dl(InvRank(i - 1))}").mkString(" ")
+      val idcg = (1 to 5).map(i => s"WHEN $i THEN ${dl(NdcgCum(i - 1))}").mkString(" ")
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
          |           FROM embeddings WHERE vec_id % 25 = 0),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS clabel
@@ -3662,6 +3668,91 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** CUSUM changepoint localization in EXACT integer arithmetic — the
+    * WHERE beside q187's whether: χ²/TV say a distribution shifted, the
+    * CUSUM argmax says when. Per nation over the q177 daily
+    * shipped-revenue series, the classic mean-shift statistic
+    * S_t = cum_t − t·mean peaks at the most likely change day; scaled by
+    * n it is D_t = n·cum_t − t·total, exact integers throughout (the
+    * products exceed int64 at corpus scale → decimal internally, only
+    * int64 quotients leave — q187's discipline). Reports the argmax day
+    * (earliest on ties), the normalized statistic
+    * max|D|·10⁶ div (n·total) ∈ [0, 10⁶], the level on each side of the
+    * break, and a >2% heuristic flag (documented, like q187's
+    * χ²/dof > 2). Shape at 100 TB: the corpus contributes one
+    * map-side-combined (nation, day) aggregate; both window passes and
+    * the argmax ride ONE nation-keyed exchange (same partition key), and
+    * the carried relation is the calendar-bounded daily series, never
+    * line items. */
+  val q189CusumChangepoint: QuerySpec = QuerySpec.oracle(
+    "q189_cusum_changepoint",
+    """WITH rev AS (
+      |  SELECT s_nationkey AS nk, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS x
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT nk, day,
+      |    CAST(sum(x) OVER (PARTITION BY nk ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    row_number() OVER (PARTITION BY nk ORDER BY day) AS t,
+      |    CAST(sum(x) OVER (PARTITION BY nk) AS BIGINT) AS total,
+      |    count(*) OVER (PARTITION BY nk) AS n
+      |  FROM rev),
+      |d AS (
+      |  SELECT nk, day, t, n, cum, total,
+      |    abs(CAST(n AS HUGEINT) * cum - CAST(t AS HUGEINT) * total) AS absd
+      |  FROM w),
+      |cp AS (SELECT *, row_number() OVER (PARTITION BY nk ORDER BY absd DESC, day) AS rk
+      |       FROM d)
+      |SELECT nn.n_name AS nation, day AS cp_day,
+      |  CAST(t AS BIGINT) AS cp_t, CAST(n AS BIGINT) AS n_days,
+      |  CAST(absd * 1000000 // (CAST(n AS HUGEINT) * total) AS BIGINT) AS stat_micro,
+      |  CAST(cum // t AS BIGINT) AS mean_before_micro,
+      |  CAST(CASE WHEN n = t THEN 0 ELSE (total - cum) // (n - t) END AS BIGINT)
+      |    AS mean_after_micro,
+      |  absd * 1000000 // (CAST(n AS HUGEINT) * total) > 20000 AS shifted
+      |FROM cp JOIN nation nn ON nn.n_nationkey = cp.nk
+      |WHERE rk = 1 ORDER BY nation""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
+      .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+    val byDay = Window.partitionBy("nk").orderBy("day")
+    val whole = Window.partitionBy("nk")
+    val d = rev
+      .withColumn("cum", sum(col("x")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .withColumn("t", row_number().over(byDay))
+      .withColumn("total", sum(col("x")).over(whole).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("absd",
+        expr("abs(CAST(n AS DECIMAL(38,0)) * cum - CAST(t AS DECIMAL(38,0)) * total)"))
+    d.withColumn("rk",
+        row_number().over(Window.partitionBy("nk").orderBy(col("absd").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("day").as("cp_day"),
+        col("t").cast("long").as("cp_t"), col("n").cast("long").as("n_days"),
+        expr("(absd * 1000000) div (CAST(n AS DECIMAL(38,0)) * total)")
+          .cast("long").as("stat_micro"),
+        expr("cum div t").cast("long").as("mean_before_micro"),
+        when(col("n") === col("t"), 0L)
+          .otherwise(expr("(total - cum) div (n - t)")).cast("long")
+          .as("mean_after_micro"))
+      .withColumn("shifted", col("stat_micro") > 20000L)
+      .orderBy("nation")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -3678,5 +3769,6 @@ object PipelineQueries {
     q164LshDedupRecall, q165DedupSavings, q166AnnRecallExact, q169MmrExact,
     q170KmeansExact, q171IvfRecallExact, q172PqRecallExact, q173CmsSketch,
     q174Bm25TopK, q176DsirWeights, q177EwmaTrend, q180QuantileSketch,
-    q184HoltTrend, q185HybridRrf, q186HoltWinters, q187Chi2Drift)
+    q184HoltTrend, q185HybridRrf, q186HoltWinters, q187Chi2Drift,
+    q189CusumChangepoint)
 }

@@ -463,6 +463,52 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.length == rev.size, "one output row per supplier nation")
   }
 
+  test("q189: CUSUM argmax matches a plain-Scala reference per nation") {
+    val rows = graft.SparkEntry.queries("q189_cusum_changepoint")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val rev = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.supplier(spark, sf)
+          .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
+      .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+      .join(graft.sources.Tables.nation(spark, sf)
+          .select(col("n_nationkey").as("nk"), col("n_name")),
+        "nk")
+      .collect()
+      .groupBy(_.getAs[String]("n_name"))
+    rows.foreach { row =>
+      val series = rev(row.getAs[String]("nation"))
+        .sortBy(_.getAs[java.sql.Date]("day").toString)
+        .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("x")))
+      val n = BigInt(series.length)
+      val total = BigInt(series.map(_._2).sum)
+      var (cum, bestAbs, bestIdx) = (BigInt(0), BigInt(-1), -1)
+      series.zipWithIndex.foreach { case ((_, x), i) =>
+        cum += x
+        val absd = (n * cum - BigInt(i + 1) * total).abs
+        if (absd > bestAbs) { bestAbs = absd; bestIdx = i } // earliest on ties
+      }
+      val t = BigInt(bestIdx + 1)
+      val cumAt = BigInt(series.take(bestIdx + 1).map(_._2).sum)
+      assert(row.getAs[java.sql.Date]("cp_day").toString == series(bestIdx)._1,
+        s"nation ${row.getString(0)}")
+      assert(row.getAs[Long]("cp_t") == t.toLong)
+      assert(row.getAs[Long]("n_days") == n.toLong)
+      assert(row.getAs[Long]("stat_micro") == (bestAbs * 1000000 / (n * total)).toLong)
+      assert(row.getAs[Long]("mean_before_micro") == (cumAt / t).toLong)
+      if (t != n)
+        assert(row.getAs[Long]("mean_after_micro") == ((total - cumAt) / (n - t)).toLong)
+      assert(row.getAs[Boolean]("shifted") == (row.getAs[Long]("stat_micro") > 20000L))
+    }
+    assert(rows.length == rev.size, "one output row per supplier nation")
+  }
+
   test("q184: Holt fold matches a plain-Scala level+trend recurrence per nation") {
     val rows = graft.SparkEntry.queries("q184_holt_trend")(spark, sf).collect()
     assert(rows.nonEmpty)
