@@ -638,7 +638,15 @@ class PlanSweepSpec extends SparkSpec {
     // q188: q181's relaxation shape over the grouped (weighted) pair
     // dictionary — co-supply projection (pair agg + hub cap + weighted
     // pair agg) + 4 node-keyed min-plus rounds + presentation sort
-    "q188_weighted_hops" -> 12)
+    "q188_weighted_hops" -> 12,
+    // q189: the (nation, day) agg + ONE nation-keyed exchange shared by
+    // all three window passes (cumsum, totals, argmax) + presentation
+    // sort
+    "q189_cusum_changepoint" -> 3,
+    // q190: the declared plan is the survivor degree agg + presentation
+    // sort — the peel rounds sit behind per-round lazy checkpoint cuts
+    // (each round: one (k, node) degree agg + two anti joins)
+    "q190_kcore" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -209,6 +209,43 @@ class GraphSpec extends SparkSpec {
     assert(hops(Seq(3L), 9) === Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("kCore peels a planted core and matches a plain-Scala peeler on a random graph") {
+    // K4 on {1,2,3,4} plus pendant 5-1 and a 5-6 tail: 2-core = the K4
+    // (pendants cascade off), 3-core = the K4, 4-core empty
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (5L, 6L))
+    val df = k4.toDF("s_a", "s_b")
+    val got = Graph.kCore(df, Seq(2, 3, 4), rounds = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    val expect = (for (n <- 1L to 4L; k <- Seq(2L, 3L)) yield (k, n, 3L)).toSet
+    assert(got === expect)
+
+    // seeded random graph vs a plain-Scala fixpoint peeler
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    def peel(k: Int): Map[Long, Int] = {
+      var alive = adj.keySet.toSet
+      var changed = true
+      while (changed) {
+        val dead = alive.filter(v => adj(v).count(alive) < k)
+        changed = dead.nonEmpty; alive = alive -- dead
+      }
+      alive.map(v => v -> adj(v).count(alive)).toMap
+    }
+    val ks = Seq(3, 5, 7)
+    val got2 = Graph.kCore(edges.toDF("s_a", "s_b"), ks, rounds = 30)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(r => r._2 -> r._3).toMap }
+    ks.foreach { k =>
+      val want = peel(k).map { case (n, d) => n -> d.toLong }
+      assert(got2.getOrElse(k.toLong, Map()) === want, s"k=$k")
+    }
+  }
+
   test("minPlusDistance takes the cheaper multi-hop path over a heavy direct edge") {
     // triangle 1-2 (5), 2-3 (1), 1-3 (10): best 1→3 is 5+1=6, not 10
     val we = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L)).toDF("s_a", "s_b", "w")
