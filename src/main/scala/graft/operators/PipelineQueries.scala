@@ -3753,6 +3753,171 @@ object PipelineQueries {
       .orderBy("nation")
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift test — the binning-FREE member
+    * of the drift family: q187's χ² needs a bucket width (and a wrong
+    * one hides shift inside a bucket); KS compares each source's raw
+    * doc-length ECDF against the rest-of-corpus ECDF at every observed
+    * value. Exact integers over the shared denominator n_s·n_r:
+    * M = max over the value grid of |cum_s·n_r − cum_r·n_s|, reported as
+    * D·10⁶ = M·10⁶ div (n_s·n_r); the α=0.10 flag squares the classic
+    * critical value c(α)√((n_s+n_r)/(n_s·n_r)) so the comparison
+    * M²·10⁶ > c²₁₀·10⁶·(n_s+n_r)·n_s·n_r is integer-exact too
+    * (c(0.10)²·10⁶ = 1498176; internal products exceed int64 at corpus
+    * scale → decimal inside, int64/boolean out — q187's discipline).
+    * Shape at 100 TB: ONE corpus (source, value) aggregate; the grid is
+    * sources × distinct-values (both bounded dictionaries), the global
+    * CDF a dictionary-sized single-partition window, the per-source CDF
+    * a source-keyed window. The corpus is never re-scanned per source. */
+  val q191KsDrift: QuerySpec = QuerySpec.oracle(
+    "q191_ks_drift",
+    """WITH pc AS (SELECT source, n_chars AS v, count(*) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |srcn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM pc GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM pc),
+      |gc AS (SELECT v, CAST(sum(sum(c)) OVER (ORDER BY v) AS BIGINT) AS cum_all
+      |       FROM pc GROUP BY v),
+      |dense AS (
+      |  SELECT s.source, g.v, coalesce(pc.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM pc) s
+      |  CROSS JOIN (SELECT v FROM gc) g
+      |  LEFT JOIN pc ON pc.source = s.source AND pc.v = g.v),
+      |cum AS (
+      |  SELECT source, v,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum_s
+      |  FROM dense),
+      |mx AS (
+      |  SELECT c.source, n_s, n_all - n_s AS n_r,
+      |    max(abs(CAST(cum_s AS HUGEINT) * (n_all - n_s)
+      |            - CAST(gc.cum_all - cum_s AS HUGEINT) * n_s)) AS m
+      |  FROM cum c JOIN gc USING (v) JOIN srcn ON srcn.source = c.source
+      |  CROSS JOIN tot GROUP BY 1, 2, 3)
+      |SELECT source, n_s AS n_src, n_r AS n_rest,
+      |  CAST(m * 1000000 // (CAST(n_s AS HUGEINT) * n_r) AS BIGINT) AS d_micro,
+      |  m * m * 1000000 > 1498176 * CAST(n_s + n_r AS HUGEINT) * n_s * n_r
+      |    AS shifted
+      |FROM mx ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    val pc = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // four references below
+    val srcn = pc.groupBy("source").agg(sum(col("c")).cast("long").as("n_s"))
+    val tot = pc.agg(sum(col("c")).cast("long").as("n_all"))
+    val gc = pc.groupBy("v").agg(sum(col("c")).as("gvc"))
+      // dictionary-sized (distinct lengths) single-partition cumulative
+      .withColumn("cum_all", sum(col("gvc")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .select("v", "cum_all")
+    val dense = srcn.select("source").crossJoin(broadcast(gc.select("v")))
+      .join(pc, Seq("source", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    dense
+      .withColumn("cum_s", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .join(broadcast(gc), "v")
+      .join(broadcast(srcn), "source")
+      .crossJoin(broadcast(tot))
+      // cum·n products exceed int64 at corpus scale — decimal inside,
+      // only the int64 quotient and the boolean leave (q187 discipline)
+      .withColumn("ad", expr(
+        "abs(CAST(cum_s AS DECIMAL(38,0)) * (n_all - n_s) - CAST(cum_all - cum_s AS DECIMAL(38,0)) * n_s)"))
+      .groupBy("source")
+      .agg(first(col("n_s")).as("n_s"),
+        first(col("n_all") - col("n_s")).as("n_r"),
+        max(col("ad")).as("m"))
+      .select(col("source"), col("n_s").as("n_src"), col("n_r").as("n_rest"),
+        expr("(m * 1000000) div (CAST(n_s AS DECIMAL(38,0)) * n_r)")
+          .cast("long").as("d_micro"),
+        expr("m * m * 1000000 > CAST(1498176 AS DECIMAL(38,0)) * (n_s + n_r) * n_s * n_r")
+          .as("shifted"))
+      .orderBy("source")
+  }
+
+  /** Mann-Kendall trend test — the nonparametric IS-there-a-trend
+    * verdict the series band's estimators (q177 EWMA, q184 Holt, q155
+    * Theil-Sen slope) all presuppose: S = Σ_{i<j} sgn(x_j − x_i) over
+    * each nation's monthly shipped-revenue series, entirely SIGN-based,
+    * so the statistic is exact integers end-to-end with no quantization
+    * at all. Reports S, tau_a·10⁶ = S·10⁶ div C(n,2), the tie-corrected
+    * 18·Var(S) = n(n−1)(2n+5) − Σt(t−1)(2t+5), and the α=0.10 normal-
+    * approximation flag squared into integers:
+    * S²·18·10⁶ > z²₀.₀₅·10⁶·var18 (z=1.645, z²·10⁶ = 2706025; the
+    * left side exceeds int64 only past ~10³ periods — decimal inside,
+    * boolean out). Shape at 100 TB: the corpus contributes one
+    * map-side-combined (nation, month) aggregate; the pair enumeration
+    * is an equi-join on the nation key over the CALENDAR-BOUNDED series
+    * (≤ n² per key, n = months), never over line items. */
+  val q192MannKendall: QuerySpec = QuerySpec.oracle(
+    "q192_mann_kendall",
+    """WITH rev AS (
+      |  SELECT s_nationkey AS nk, date_trunc('month', CAST(l_shipdate AS DATE)) AS mo,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS x
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.nk,
+      |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+      |  FROM rev a JOIN rev b ON a.nk = b.nk AND b.mo > a.mo),
+      |s AS (SELECT nk, CAST(sum(sg) AS BIGINT) AS s, count(*) AS n0
+      |      FROM pairs GROUP BY 1),
+      |nn AS (SELECT nk, count(*) AS n FROM rev GROUP BY 1),
+      |ties AS (
+      |  SELECT nk, CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS tterm
+      |  FROM (SELECT nk, x, count(*) AS t FROM rev GROUP BY 1, 2
+      |        HAVING count(*) > 1) GROUP BY 1),
+      |v AS (
+      |  SELECT s.nk, s.s, s.n0, nn.n,
+      |    nn.n*(nn.n-1)*(2*nn.n+5) - coalesce(ties.tterm, 0) AS var18
+      |  FROM s JOIN nn USING (nk) LEFT JOIN ties USING (nk))
+      |SELECT n_name AS nation, CAST(n AS BIGINT) AS n_months, s AS kendall_s,
+      |  CAST(s * 1000000 // n0 AS BIGINT) AS tau_micro,
+      |  CAST(var18 AS BIGINT) AS var18,
+      |  CAST(s AS HUGEINT) * s * 18000000 > 2706025 * CAST(var18 AS HUGEINT)
+      |    AS trending
+      |FROM v JOIN nation ON n_nationkey = nk ORDER BY nation""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nk"), trunc(to_date(col("l_shipdate")), "month").as("mo"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
+      .groupBy("nk", "mo").agg(sum(col("r")).cast("long").as("x"))
+      .localCheckpoint(eager = false) // three references (pairs ×2, ties)
+    val pairs = rev.select(col("nk"), col("mo").as("moa"), col("x").as("xa"))
+      .join(rev.select(col("nk"), col("mo").as("mob"), col("x").as("xb")), Seq("nk"))
+      .filter(col("mob") > col("moa"))
+      .select(col("nk"),
+        when(col("xb") > col("xa"), 1L).when(col("xb") < col("xa"), -1L)
+          .otherwise(0L).as("sg"))
+    val s = pairs.groupBy("nk")
+      .agg(sum(col("sg")).cast("long").as("s"), count(lit(1)).as("n0"))
+    val nn = rev.groupBy("nk").agg(count(lit(1)).as("n"))
+    val ties = rev.groupBy("nk", "x").agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .groupBy("nk")
+      .agg(sum(expr("t*(t-1)*(2*t+5)")).cast("long").as("tterm"))
+    s.join(nn, "nk").join(ties, Seq("nk"), "left")
+      .withColumn("var18",
+        expr("n*(n-1)*(2*n+5)") - coalesce(col("tterm"), lit(0L)))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n").cast("long").as("n_months"),
+        col("s").as("kendall_s"),
+        expr("s * 1000000 div n0").cast("long").as("tau_micro"),
+        col("var18").cast("long").as("var18"),
+        // S²·18·10⁶ passes int64 only past ~10³ periods — decimal inside
+        expr("CAST(s AS DECIMAL(38,0)) * s * 18000000 > CAST(2706025 AS DECIMAL(38,0)) * var18")
+          .as("trending"))
+      .orderBy("nation")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -3770,5 +3935,5 @@ object PipelineQueries {
     q170KmeansExact, q171IvfRecallExact, q172PqRecallExact, q173CmsSketch,
     q174Bm25TopK, q176DsirWeights, q177EwmaTrend, q180QuantileSketch,
     q184HoltTrend, q185HybridRrf, q186HoltWinters, q187Chi2Drift,
-    q189CusumChangepoint)
+    q189CusumChangepoint, q191KsDrift, q192MannKendall)
 }

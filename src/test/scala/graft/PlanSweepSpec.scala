@@ -151,7 +151,11 @@ class PlanSweepSpec extends SparkSpec {
     // q187 — crossJoin(broadcast(gb)) over the bucket DICTIONARY (the
     // bounded sources × buckets grid) + crossJoin(broadcast(tot)), the
     // q182 scaffold
-    "q187_chi2_drift")
+    "q187_chi2_drift",
+    // q191 — crossJoin(broadcast(grid)) over the distinct-value
+    // DICTIONARY (the bounded sources × values ECDF grid, q187's
+    // scaffold) + crossJoin(broadcast(tot)), the 1-row scalar idiom
+    "q191_ks_drift")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -646,7 +650,16 @@ class PlanSweepSpec extends SparkSpec {
     // q190: the declared plan is the survivor degree agg + presentation
     // sort — the peel rounds sit behind per-round lazy checkpoint cuts
     // (each round: one (k, node) degree agg + two anti joins)
-    "q190_kcore" -> 2)
+    "q190_kcore" -> 2,
+    // q191: behind the (source, value) dictionary checkpoint — srcn/tot/
+    // gc aggregates (gc's cumulative is a dictionary-sized single
+    // partition), the dense grid's source-keyed window + per-source max,
+    // presentation sort
+    "q191_ks_drift" -> 7,
+    // q192: behind the (nation, month) series checkpoint — the nk-keyed
+    // pair join + S agg, n/ties aggregates, final joins, presentation
+    // sort
+    "q192_mann_kendall" -> 6)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -509,6 +509,73 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.length == rev.size, "one output row per supplier nation")
   }
 
+  test("q191: KS statistic matches a plain-Scala ECDF max per source") {
+    val rows = graft.SparkEntry.queries("q191_ks_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val grid = docs.map(_._2).distinct.sorted
+    val n = docs.length
+    rows.foreach { row =>
+      val src = row.getAs[String]("source")
+      val mine = docs.filter(_._1 == src).map(_._2)
+      val ns = mine.length
+      val nr = n - ns
+      val m = grid.map { v =>
+        val cs = BigInt(mine.count(_ <= v))
+        val cr = BigInt(docs.count(_._2 <= v)) - cs
+        (cs * nr - cr * ns).abs
+      }.max
+      assert(row.getAs[Long]("n_src") == ns.toLong, src)
+      assert(row.getAs[Long]("n_rest") == nr.toLong, src)
+      assert(row.getAs[Long]("d_micro") == (m * 1000000 / (BigInt(ns) * nr)).toLong, src)
+      assert(row.getAs[Boolean]("shifted") ==
+        (m * m * 1000000 > BigInt(1498176) * (ns + nr) * ns * nr), src)
+    }
+    assert(rows.length == docs.map(_._1).distinct.length, "one row per source")
+  }
+
+  test("q192: Kendall S and tie-corrected variance match a plain-Scala pair count") {
+    val rows = graft.SparkEntry.queries("q192_mann_kendall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val rev = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.supplier(spark, sf)
+          .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nk"),
+        trunc(to_date(col("l_shipdate")), "month").as("mo"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
+      .groupBy("nk", "mo").agg(sum(col("r")).cast("long").as("x"))
+      .join(graft.sources.Tables.nation(spark, sf)
+          .select(col("n_nationkey").as("nk"), col("n_name")), "nk")
+      .collect()
+      .groupBy(_.getAs[String]("n_name"))
+    rows.foreach { row =>
+      val series = rev(row.getAs[String]("nation"))
+        .sortBy(_.getAs[java.sql.Date]("mo").toString).map(_.getAs[Long]("x"))
+      val nMo = series.length
+      var s = 0L
+      for (i <- series.indices; j <- i + 1 until nMo)
+        s += java.lang.Long.signum(series(j) - series(i))
+      val tterm = series.groupBy(identity).values.map(_.length.toLong)
+        .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+      val var18 = nMo.toLong * (nMo - 1) * (2L * nMo + 5) - tterm
+      val n0 = nMo.toLong * (nMo - 1) / 2
+      assert(row.getAs[Long]("n_months") == nMo.toLong)
+      assert(row.getAs[Long]("kendall_s") == s, row.getString(0))
+      assert(row.getAs[Long]("tau_micro") == s * 1000000 / n0)
+      assert(row.getAs[Long]("var18") == var18)
+      assert(row.getAs[Boolean]("trending") ==
+        (BigInt(s) * s * 18000000 > BigInt(2706025) * var18))
+    }
+    assert(rows.length == rev.size, "one row per supplier nation")
+  }
+
   test("q184: Holt fold matches a plain-Scala level+trend recurrence per nation") {
     val rows = graft.SparkEntry.queries("q184_holt_trend")(spark, sf).collect()
     assert(rows.nonEmpty)
