@@ -874,6 +874,103 @@ object Graph {
     }
   }
 
+  /** Bounded-round k-truss peeling over an undirected edge set
+    * (s_a, s_b) for a LADDER of thresholds — the EDGE-level density
+    * sibling of [[kCore]]: an edge survives at k while it sits in at
+    * least k−2 triangles of the surviving set, so a k-truss demands
+    * cohesion a k-core can fake with disjoint stars. Each round is one
+    * triangle-support join (the q167 ordered-wedge shape, k riding
+    * along) + a left-join filter; synchronous drops, all k values
+    * advance together. Returns (truss_k, node_id, truss_deg). */
+  def kTruss(edges: DataFrame, ks: Seq[Int], rounds: Int): DataFrame = {
+    require(rounds >= 1 && ks.nonEmpty)
+    // Round cut that RESETS size statistics, not just lineage: a
+    // localCheckpoint snapshots the round plan's estimated stats into
+    // the LogicalRDD, and because every round INNER-joins the carried
+    // relation to itself twice, the sizeInBytes estimate compounds as
+    // S → S⁴ per round — by round ~15 the optimizer is multiplying
+    // BigInts with millions of digits and planning time explodes
+    // (kCore never hits this: anti-join stats don't multiply). The
+    // RDD[Row] round-trip pins each round's stats back to the default
+    // constant; the data path cost is nil on a dictionary-sized graph.
+    def cut(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd.localCheckpoint(), df.schema)
+    var e = cut(edges.select(explode(typedLit(ks.map(_.toLong))).as("k"),
+      col("s_a"), col("s_b")))
+    for (_ <- 1 to rounds) {
+      // e is referenced four times per round (two adjacency orientations
+      // × two wedge arms, plus the survivor filter) — the per-round
+      // checkpoint cut keeps the lazy chain from doubling (q136 lesson)
+      def dir(kc: String, ac: String, bc: String): DataFrame =
+        e.select(col("k").as(kc), col("s_a").as(ac), col("s_b").as(bc))
+          .union(e.select(col("k").as(kc), col("s_b").as(ac), col("s_a").as(bc)))
+      val sup = e
+        .join(dir("xk", "xa", "xb"),
+          col("xk") === col("k") && col("xa") === col("s_a"))
+        .join(dir("yk", "ya", "yb"),
+          col("yk") === col("k") && col("ya") === col("s_b") && col("yb") === col("xb"))
+        .groupBy("k", "s_a", "s_b").agg(count(lit(1)).as("sup"))
+        .select(col("k").as("sk"), col("s_a").as("sa"), col("s_b").as("sb"),
+          col("sup"))
+      e = cut(e.join(sup,
+          col("sk") === col("k") && col("sa") === col("s_a") && col("sb") === col("s_b"),
+          "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= col("k") - 2)
+        .select("k", "s_a", "s_b"))
+    }
+    e.select(col("k"), col("s_a").as("node"))
+      .union(e.select(col("k"), col("s_b")))
+      .groupBy("k", "node").agg(count(lit(1)).as("truss_deg"))
+      .select(col("k").as("truss_k"), col("node").as("node_id"), col("truss_deg"))
+  }
+
+  /** k-truss decomposition of the co-supply graph — the EDGE-cohesion
+    * rung above q190's k-core: a supplier pair survives at k only while
+    * embedded in ≥ k−2 surviving triangles, so trusses certify mutual
+    * density stars and near-cliques of the core can fake. (Measured at
+    * sf0.01 over the minRepeat=3 graph, 1082 edges: k=5 keeps 930 edges
+    * / 94 nodes in 8 rounds, k=8 keeps 160 / 34 in 7, k=10 CASCADES to
+    * empty in 4 — contrast q190 where k-core 12 still keeps 90 nodes;
+    * the truss collapsing two rungs earlier is the star-vs-clique
+    * distinction made quantitative.) 9 rounds cover every fixpoint.
+    * All-integer (triangle counts + joins), so the oracle unrolls the
+    * identical recurrence as generated CTEs. Shape at 100 TB: |ks|
+    * copies of the dictionary-bounded edge set; each round ONE
+    * edge-keyed triangle-support join (the q167 wedge shape, hub-capped
+    * upstream) + a left-join filter — no per-edge priority queue. */
+  val q193KTruss: QuerySpec = {
+    val (ks, rounds) = (Seq(5, 8, 10), 9)
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT k, s_a AS a, s_b AS b FROM e${r - 1}
+         |        UNION ALL SELECT k, s_b, s_a FROM e${r - 1}),
+         |sup$r AS MATERIALIZED (
+         |  SELECT e.k, e.s_a, e.s_b, count(*) AS sup
+         |  FROM e${r - 1} e JOIN d$r x ON x.k = e.k AND x.a = e.s_a
+         |                   JOIN d$r y ON y.k = e.k AND y.a = e.s_b AND y.b = x.b
+         |  GROUP BY 1, 2, 3),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.k, e.s_a, e.s_b FROM e${r - 1} e
+         |  LEFT JOIN sup$r s ON s.k = e.k AND s.s_a = e.s_a AND s.s_b = e.s_b
+         |  WHERE coalesce(s.sup, 0) >= e.k - 2)""".stripMargin
+    }
+    QuerySpec.oracle(
+      "q193_ktruss",
+      s"""WITH ${CoSupplySqlCtes(minRepeat = 3)},
+         |e0 AS MATERIALIZED (
+         |  SELECT k, s_a, s_b FROM e
+         |  CROSS JOIN (SELECT unnest([${ks.mkString(", ")}]) AS k)),
+         |${roundCtes.mkString(",\n")}
+         |SELECT CAST(k AS BIGINT) AS truss_k, node AS node_id,
+         |  CAST(count(*) AS BIGINT) AS truss_deg
+         |FROM (SELECT k, s_a AS node FROM e$rounds
+         |      UNION ALL SELECT k, s_b FROM e$rounds)
+         |GROUP BY 1, 2 ORDER BY truss_k, node_id""".stripMargin
+    ) { (spark, dir) =>
+      kTruss(coSupplyEdges(spark, dir, minRepeat = 3), ks, rounds)
+        .orderBy("truss_k", "node_id")
+    }
+  }
+
   /** Record-linkage entity resolution: q93's dictionary-blocked fuzzy
     * edges (part-name pairs within Levenshtein 2 — tighter than q93's
     * report threshold, this is a MERGE decision) closed transitively by
@@ -939,5 +1036,6 @@ object Graph {
 
   val all: Seq[QuerySpec] = Seq(
     q136PageRank, q140EntityGroups, q162PersonalizedPageRank, q167TriangleCount,
-    q175LabelPropagation, q181HopDistance, q188WeightedHops, q190KCore)
+    q175LabelPropagation, q181HopDistance, q188WeightedHops, q190KCore,
+    q193KTruss)
 }

@@ -659,7 +659,11 @@ class PlanSweepSpec extends SparkSpec {
     // q192: behind the (nation, month) series checkpoint — the nk-keyed
     // pair join + S agg, n/ties aggregates, final joins, presentation
     // sort
-    "q192_mann_kendall" -> 6)
+    "q192_mann_kendall" -> 6,
+    // q193: the declared plan is the survivor orientation union + degree
+    // agg + presentation sort - the truss rounds sit behind per-round
+    // lazy checkpoint cuts (each round: one wedge-support join + filter)
+    "q193_ktruss" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -246,6 +246,48 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kTruss keeps K5 at k=5, sheds the pendant triangle, and matches a plain peeler") {
+    // K5 on {1..5}: every edge has 3 common neighbors → survives k=5,
+    // dies at k=6. Pendant triangle {6,7,8} bridged by 5-6: triangle
+    // edges have 1 common neighbor → 3-truss only; the bridge sits in
+    // no triangle at all and dies at every k ≥ 3.
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val extra = Seq((6L, 7L), (6L, 8L), (7L, 8L), (5L, 6L))
+    val df = (k5 ++ extra).toDF("s_a", "s_b")
+    val got = Graph.kTruss(df, Seq(3, 5, 6), rounds = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    val expect =
+      (for (n <- 1L to 5L) yield (3L, n, 4L)).toSet ++
+        Set((3L, 6L, 2L), (3L, 7L, 2L), (3L, 8L, 2L)) ++
+        (for (n <- 1L to 5L) yield (5L, n, 4L)).toSet
+    assert(got === expect)
+
+    // seeded random graph vs a plain-Scala synchronous truss peeler
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 160).map(_ => (rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    def peel(k: Int): Map[Long, Long] = {
+      var alive = edges.toSet
+      var changed = true
+      while (changed) {
+        val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+        alive.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+        val dead = alive.filter { case (a, b) => (adj(a) & adj(b)).size < k - 2 }
+        changed = dead.nonEmpty; alive = alive -- dead
+      }
+      alive.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    }
+    val ks = Seq(4, 5, 6)
+    val got2 = Graph.kTruss(edges.toDF("s_a", "s_b"), ks, rounds = 20)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(r => r._2 -> r._3).toMap }
+    ks.foreach { k =>
+      assert(got2.getOrElse(k.toLong, Map()) === peel(k), s"k=$k")
+    }
+  }
+
   test("minPlusDistance takes the cheaper multi-hop path over a heavy direct edge") {
     // triangle 1-2 (5), 2-3 (1), 1-3 (10): best 1→3 is 5+1=6, not 10
     val we = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L)).toDF("s_a", "s_b", "w")
