@@ -3918,6 +3918,81 @@ object PipelineQueries {
       .orderBy("nation")
   }
 
+  /** Exact stratified sampler with largest-remainder apportionment —
+    * the allocation step between q56's mixture rates and X1's exact-n
+    * class sampler: given a total budget B = 200 over the
+    * (lang, source) strata, quotas are base_h = B·N_h div N plus one
+    * extra for the R = B − Σbase strata with the largest remainders
+    * (Hamilton's method — the ONLY apportionment that is exactly
+    * proportional to ±1 and sums to B by construction), then each
+    * stratum's picks are its quota_h lowest content-hash ranks
+    * (conv(md5) — reproducible across runs, partitionings, and engines,
+    * q156's discipline). The whole allocation is integer arithmetic, so
+    * the quota table AND the selected roster hash-match. Shape at
+    * 100 TB: quotas live on the bounded strata dictionary (two
+    * dictionary-sized global windows); selection is ONE stratum-keyed
+    * rank window over the corpus with the quota dictionary broadcast —
+    * no per-stratum passes, no collect. Requires B ≤ N (documented);
+    * a stratum can never be allocated past its size since
+    * base_h + 1 ≤ N_h whenever B < N. */
+  val q194StratifiedSample: QuerySpec = QuerySpec.oracle(
+    "q194_stratified_sample",
+    """WITH d AS (SELECT lang, source, doc_id FROM documents),
+      |h AS (SELECT lang, source, count(*) AS n_h FROM d GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n_h) AS BIGINT) AS n FROM h),
+      |q AS (
+      |  SELECT lang, source, n_h,
+      |    CAST(200 * n_h // n AS BIGINT) AS base,
+      |    CAST(200 * n_h % n AS BIGINT) AS rem
+      |  FROM h CROSS JOIN tot),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source) AS rr,
+      |    CAST(200 - sum(base) OVER () AS BIGINT) AS leftover
+      |  FROM q),
+      |quota AS (
+      |  SELECT lang AS ql, source AS qs, n_h,
+      |    base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota
+      |  FROM r),
+      |keyed AS (
+      |  SELECT lang, source, doc_id,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |        doc_id) AS rk
+      |  FROM d)
+      |SELECT k.lang, k.source, CAST(n_h AS BIGINT) AS n_h,
+      |  CAST(quota AS BIGINT) AS quota, k.doc_id, CAST(rk AS BIGINT) AS pick
+      |FROM keyed k JOIN quota q ON q.ql = k.lang AND q.qs = k.source
+      |WHERE rk <= quota ORDER BY k.lang, k.source, pick""".stripMargin
+  ) { (spark, dir) =>
+    val budget = 200L
+    val d = Tables.documents(spark, dir).select("lang", "source", "doc_id")
+    val h = d.groupBy("lang", "source").agg(count(lit(1)).as("n_h"))
+    val tot = h.agg(sum(col("n_h")).cast("long").as("n"))
+    val quota = h.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$budget * n_h div n"))
+      .withColumn("rem", expr(s"$budget * n_h % n"))
+      // two dictionary-sized global windows: the remainder rank and the
+      // base-total leftover — strata dictionaries, never corpus rows
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+      .withColumn("leftover",
+        lit(budget) - sum(col("base")).over(Window.partitionBy()))
+      .select(col("lang").as("ql"), col("source").as("qs_src"), col("n_h"),
+        (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+    val keyed = d.withColumn("rk", row_number().over(
+      Window.partitionBy("lang", "source").orderBy(
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"),
+        col("doc_id"))))
+    keyed.join(broadcast(quota),
+        col("ql") === col("lang") && col("qs_src") === col("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("lang"), col("source"), col("n_h").cast("long").as("n_h"),
+        col("quota").cast("long").as("quota"), col("doc_id"),
+        col("rk").cast("long").as("pick"))
+      .orderBy("lang", "source", "pick")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -3935,5 +4010,6 @@ object PipelineQueries {
     q170KmeansExact, q171IvfRecallExact, q172PqRecallExact, q173CmsSketch,
     q174Bm25TopK, q176DsirWeights, q177EwmaTrend, q180QuantileSketch,
     q184HoltTrend, q185HybridRrf, q186HoltWinters, q187Chi2Drift,
-    q189CusumChangepoint, q191KsDrift, q192MannKendall)
+    q189CusumChangepoint, q191KsDrift, q192MannKendall,
+    q194StratifiedSample)
 }

@@ -152,6 +152,9 @@ class PlanSweepSpec extends SparkSpec {
     // bounded sources × buckets grid) + crossJoin(broadcast(tot)), the
     // q182 scaffold
     "q187_chi2_drift",
+    // q194 — crossJoin(broadcast(tot)) where tot is the 1-row strata
+    // total: the q27/q45 lazy scalar-subquery idiom
+    "q194_stratified_sample",
     // q191 — crossJoin(broadcast(grid)) over the distinct-value
     // DICTIONARY (the bounded sources × values ECDF grid, q187's
     // scaffold) + crossJoin(broadcast(tot)), the 1-row scalar idiom
@@ -663,7 +666,11 @@ class PlanSweepSpec extends SparkSpec {
     // q193: the declared plan is the survivor orientation union + degree
     // agg + presentation sort - the truss rounds sit behind per-round
     // lazy checkpoint cuts (each round: one wedge-support join + filter)
-    "q193_ktruss" -> 2)
+    "q193_ktruss" -> 2,
+    // q194: strata-dictionary agg + the two dictionary-sized global
+    // windows (remainder rank, leftover) + the stratum-keyed corpus rank
+    // window + presentation sort
+    "q194_stratified_sample" -> 6)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

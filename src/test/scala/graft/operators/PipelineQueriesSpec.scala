@@ -463,6 +463,28 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.length == rev.size, "one output row per supplier nation")
   }
 
+  test("q194: largest-remainder quotas sum to B, stay within 1 of proportional") {
+    val rows = graft.SparkEntry.queries("q194_stratified_sample")(spark, sf).collect()
+    assert(rows.length == 200, "the roster is exactly the budget")
+    val again = graft.SparkEntry.queries("q194_stratified_sample")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "content-hash ranks make the sample reproducible")
+    val byStratum = rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    byStratum.foreach { case ((lang, src), picks) =>
+      val quota = picks.head.getAs[Long]("quota")
+      val nh = picks.head.getAs[Long]("n_h")
+      assert(picks.length.toLong == quota, s"($lang,$src) roster matches its quota")
+      assert(quota <= nh, "never allocated past the stratum size")
+      val base = 200L * nh / n
+      assert(quota == base || quota == base + 1,
+        s"($lang,$src) within 1 of exact proportionality")
+      assert(picks.map(_.getAs[Long]("pick")).sorted.toSeq == (1L to quota).toSeq,
+        "picks are the quota lowest hash ranks, densely numbered")
+    }
+    assert(byStratum.values.map(_.head.getAs[Long]("quota")).sum == 200L)
+  }
+
   test("q189: CUSUM argmax matches a plain-Scala reference per nation") {
     val rows = graft.SparkEntry.queries("q189_cusum_changepoint")(spark, sf).collect()
     assert(rows.nonEmpty)
