@@ -3918,6 +3918,127 @@ object PipelineQueries {
       .orderBy("nation")
   }
 
+  /** Simplified-silhouette clustering audit, exact integers — the
+    * did-k-fit verdict above [[q170KmeansExact]]'s inertia: inertia
+    * always falls as k grows, silhouette does not, so THIS is the number
+    * that says whether the IVF coarse quantizer's cells are real
+    * structure or arbitrary cuts. Per point the SIMPLIFIED silhouette
+    * (Hruschka et al. — centroid distances instead of O(n²) pairwise;
+    * the standard scale-out variant) on SQUARED integer distances:
+    * s·10⁶ = (b² − a²)·10⁶ div max(a², b²) where a² is the distance to
+    * the own centroid and b² the nearest other — bounded by
+    * dims·(2·127)² under int8 quantization, so the arithmetic never
+    * leaves int64 at ANY corpus size. Reports per cluster: members,
+    * mean silhouette, and the count of negative-silhouette (misplaced)
+    * points. Centroids serve from q170's session memo (fit once, audit
+    * many); the audit itself is ONE in-row pass over the corpus (the
+    * k-struct distance array per row) + one cid-keyed aggregate. */
+  val q195Silhouette: QuerySpec = {
+    val (k, dims, rounds) = (8, 64, 3)
+    val sql =
+      s"""${kmeansSqlCtes(k, dims, rounds)},
+         |alld AS (SELECT v.vec_id, c.cid, ${d2Sql("v.qv", "c.dims")} AS dist
+         |         FROM q v CROSS JOIN c$rounds c),
+         |o AS (SELECT a.vec_id, a.cid, a.dist AS a2, min(d.dist) AS b2
+         |      FROM af a JOIN alld d ON d.vec_id = a.vec_id AND d.cid <> a.cid
+         |      GROUP BY 1, 2, 3),
+         |sil AS (SELECT vec_id, cid,
+         |  CASE WHEN greatest(a2, b2) = 0 THEN 0
+         |       ELSE (b2 - a2) * 1000000 // greatest(a2, b2) END AS s
+         |  FROM o)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(CAST(sum(s) AS BIGINT) // count(*) AS BIGINT) AS mean_sil_micro,
+         |  CAST(count(*) FILTER (WHERE s < 0) AS BIGINT) AS n_misplaced
+         |FROM sil GROUP BY cid ORDER BY cid""".stripMargin
+    QuerySpec.oracle("q195_silhouette", sql) { (spark, dir) =>
+      val intDot = graft.functions.LongDotExpr.dot _
+      val quant = quantizedVecsCk(spark, dir)
+      val cents = lloydCentroidsCached(spark, dir, -1, k, dims, rounds)
+      val distArr = array(cents.map { case (cid, cdims) =>
+        val cc = cdims.map(c => c * c).sum
+        struct((intDot(col("qv"), col("qv"))
+          - lit(2L) * intDot(col("qv"), typedlit(cdims.toSeq)) + lit(cc)).as("dist"),
+          lit(cid).as("cid"))
+      }: _*)
+      quant.withColumn("own", array_min(distArr))
+        .withColumn("b2",
+          array_min(filter(distArr, s => s.getField("cid") =!= col("own.cid")))
+            .getField("dist"))
+        .select(col("own.cid").as("cid"), col("own.dist").as("a2"), col("b2"))
+        .withColumn("s", when(greatest(col("a2"), col("b2")) === 0L, 0L)
+          .otherwise(expr("(b2 - a2) * 1000000 div greatest(a2, b2)")))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          expr("CAST(sum(s) AS BIGINT)").as("sum_s"),
+          count(when(col("s") < 0L, 1)).as("n_misplaced"))
+        .select(col("cid"), col("n_members"),
+          expr("sum_s div n_members").cast("long").as("mean_sil_micro"),
+          col("n_misplaced"))
+        .orderBy("cid")
+    }
+  }
+
+  /** Cohen's kappa inter-labeler agreement, exact integers — the label-QA
+    * primitive every weak-supervision / auto-labeling pipeline needs
+    * before trusting a heuristic rater: raw agreement rewards a rater
+    * that always says the majority class; kappa subtracts the agreement
+    * EXPECTED from the raters' marginals. Here the two deterministic
+    * raters are independent length heuristics (3-class char-count tercile
+    * vs 3-class whitespace-count tercile — calibrated to correlate, not
+    * coincide), and per source
+    * κ·10⁶ = (agree·n − Σ_c naᶜ·nbᶜ)·10⁶ div (n² − Σ_c naᶜ·nbᶜ)
+    * with the products in internal decimal (n² passes int64 per source
+    * at corpus scale — q187's discipline) and only the int64 quotient
+    * emitted, so the agreement statistic ITSELF hash-verifies. Any real
+    * rater pair (model vs heuristic, two model versions) plugs into the
+    * same two class columns. Shape at 100 TB: ONE map-side-combined
+    * per-source conditional-count aggregate — nine FILTER counts in a
+    * single pass, no joins, no per-class regrouping. */
+  val q196CohensKappa: QuerySpec = QuerySpec.oracle(
+    "q196_cohens_kappa",
+    """WITH l AS (
+      |  SELECT source, least(n_chars // 200, 2) AS a,
+      |    least((length(text) - length(replace(text, ' ', ''))) // 35, 2) AS b
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, count(*) AS n, count(*) FILTER (WHERE a = b) AS agree,
+      |    count(*) FILTER (WHERE a = 0) AS na0,
+      |    count(*) FILTER (WHERE a = 1) AS na1,
+      |    count(*) FILTER (WHERE a = 2) AS na2,
+      |    count(*) FILTER (WHERE b = 0) AS nb0,
+      |    count(*) FILTER (WHERE b = 1) AS nb1,
+      |    count(*) FILTER (WHERE b = 2) AS nb2
+      |  FROM l GROUP BY 1)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS n_agree,
+      |  CAST(agree * 1000000 // n AS BIGINT) AS po_micro,
+      |  CAST(CASE WHEN n*n - (na0*nb0 + na1*nb1 + na2*nb2) = 0 THEN 0
+      |    ELSE CAST(agree*n - (na0*nb0 + na1*nb1 + na2*nb2) AS HUGEINT) * 1000000
+      |         // (n*n - (na0*nb0 + na1*nb1 + na2*nb2)) END AS BIGINT) AS kappa_micro
+      |FROM agg ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    def cls(a: Long): Column => Column = c => count(when(c === a, 1))
+    val l = Tables.documents(spark, dir)
+      .select(col("source"),
+        expr("least(n_chars div 200, 2)").as("a"),
+        expr("least((length(text) - length(replace(text, ' ', ''))) div 35, 2)")
+          .as("b"))
+    l.groupBy("source")
+      .agg(count(lit(1)).as("n"), count(when(col("a") === col("b"), 1)).as("agree"),
+        cls(0)(col("a")).as("na0"), cls(1)(col("a")).as("na1"), cls(2)(col("a")).as("na2"),
+        cls(0)(col("b")).as("nb0"), cls(1)(col("b")).as("nb1"), cls(2)(col("b")).as("nb2"))
+      .withColumn("pe_num", expr("na0*nb0 + na1*nb1 + na2*nb2"))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        col("agree").cast("long").as("n_agree"),
+        expr("agree * 1000000 div n").cast("long").as("po_micro"),
+        // agree·n·10⁶ passes int64 at corpus scale — decimal inside,
+        // int64 quotient out (q187 discipline)
+        when(expr("n*n - pe_num") === 0L, 0L)
+          .otherwise(expr(
+            "(CAST(agree AS DECIMAL(38,0)) * n - pe_num) * 1000000 div (CAST(n AS DECIMAL(38,0)) * n - pe_num)"))
+          .cast("long").as("kappa_micro"))
+      .orderBy("source")
+  }
+
   /** Exact stratified sampler with largest-remainder apportionment —
     * the allocation step between q56's mixture rates and X1's exact-n
     * class sampler: given a total budget B = 200 over the
@@ -4011,5 +4132,5 @@ object PipelineQueries {
     q174Bm25TopK, q176DsirWeights, q177EwmaTrend, q180QuantileSketch,
     q184HoltTrend, q185HybridRrf, q186HoltWinters, q187Chi2Drift,
     q189CusumChangepoint, q191KsDrift, q192MannKendall,
-    q194StratifiedSample)
+    q194StratifiedSample, q195Silhouette, q196CohensKappa)
 }

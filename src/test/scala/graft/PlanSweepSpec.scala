@@ -670,7 +670,13 @@ class PlanSweepSpec extends SparkSpec {
     // q194: strata-dictionary agg + the two dictionary-sized global
     // windows (remainder rank, leftover) + the stratum-keyed corpus rank
     // window + presentation sort
-    "q194_stratified_sample" -> 6)
+    "q194_stratified_sample" -> 6,
+    // q195: the in-row k-struct distance pass + one cid-keyed aggregate
+    // + presentation sort (centroids are memoized literals)
+    "q195_silhouette" -> 2,
+    // q196: one map-side-combined per-source conditional-count aggregate
+    // + presentation sort
+    "q196_cohens_kappa" -> 2)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

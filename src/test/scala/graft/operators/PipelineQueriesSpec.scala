@@ -485,6 +485,71 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(byStratum.values.map(_.head.getAs[Long]("quota")).sum == 200L)
   }
 
+  test("q195: simplified silhouette matches a plain-Scala reference") {
+    val rows = graft.SparkEntry.queries("q195_silhouette")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    // rebuild the int8 corpus and centroids exactly as the query does:
+    // centroid strings come from q170's own output (the shared memo)
+    val quant = graft.sources.Tables.embeddings(spark, sf)
+      .withColumn("scale", graft.functions.VectorFns.maxAbs(col("embedding")))
+      .select(col("vec_id"),
+        graft.functions.VectorFns.quantizeInt8(col("embedding"), col("scale")).as("qv"))
+      .collect().map(r => r.getAs[Seq[Long]]("qv").toArray)
+    val cents = graft.SparkEntry.queries("q170_kmeans_exact")(spark, sf).collect()
+      .map(r => r.getAs[Long]("cid") ->
+        r.getAs[String]("centroid").split(",").map(_.toLong)).sortBy(_._1)
+    def d2(x: Array[Long], c: Array[Long]): Long =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    val per = scala.collection.mutable.Map[Long, (Long, BigInt, Long)]()
+      .withDefaultValue((0L, BigInt(0), 0L))
+    quant.foreach { x =>
+      val ds = cents.map { case (cid, c) => (d2(x, c), cid) }.sorted
+      val (a2, own) = ds.head
+      val b2 = ds.filter(_._2 != own).map(_._1).min
+      val sil = if (math.max(a2, b2) == 0) 0L
+        else (b2 - a2) * 1000000L / math.max(a2, b2)
+      val (n, sum, neg) = per(own)
+      per(own) = (n + 1, sum + sil, neg + (if (sil < 0) 1L else 0L))
+    }
+    rows.foreach { r =>
+      val (n, sum, neg) = per(r.getAs[Long]("cid"))
+      assert(r.getAs[Long]("n_members") == n)
+      assert(r.getAs[Long]("mean_sil_micro") == (sum / n).toLong,
+        s"cid ${r.getAs[Long]("cid")}")
+      assert(r.getAs[Long]("n_misplaced") == neg)
+    }
+    assert(rows.map(_.getAs[Long]("n_members")).sum == quant.length)
+  }
+
+  test("q196: kappa matches a plain-Scala marginal computation per source") {
+    val rows = graft.SparkEntry.queries("q196_cohens_kappa")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "n_chars", "text").collect()
+      .map { r =>
+        val text = r.getAs[String]("text")
+        val spaces = (text.length - text.replace(" ", "").length).toLong
+        (r.getAs[String]("source"),
+          math.min(r.getAs[Long]("n_chars") / 200, 2L), math.min(spaces / 35, 2L))
+      }.groupBy(_._1)
+    rows.foreach { row =>
+      val g = docs(row.getAs[String]("source"))
+      val n = BigInt(g.length)
+      val agree = BigInt(g.count(t => t._2 == t._3))
+      val pe = (0L to 2L).map(c =>
+        BigInt(g.count(_._2 == c)) * g.count(_._3 == c)).sum
+      assert(row.getAs[Long]("n_docs") == n.toLong)
+      assert(row.getAs[Long]("n_agree") == agree.toLong)
+      assert(row.getAs[Long]("po_micro") == (agree * 1000000 / n).toLong)
+      val expected = if (n * n == pe) 0L
+        else ((agree * n - pe) * 1000000 / (n * n - pe)).toLong
+      assert(row.getAs[Long]("kappa_micro") == expected, row.getString(0))
+      assert(row.getAs[Long]("kappa_micro") <= 1000000L)
+    }
+    assert(rows.length == docs.size)
+  }
+
   test("q189: CUSUM argmax matches a plain-Scala reference per nation") {
     val rows = graft.SparkEntry.queries("q189_cusum_changepoint")(spark, sf).collect()
     assert(rows.nonEmpty)
