@@ -4039,6 +4039,91 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Shuffle-skew audit with exact Gini concentration — the diagnosis
+    * that decides WHEN q74/q81's salting mitigation is worth its cost:
+    * for each join/aggregation key the engine shuffles on, the key-
+    * frequency concentration (Gini over per-key counts) and the hottest
+    * key's row share, flagged hot when one key owns more than 1/32 of
+    * the relation (one reducer's fair share at 32-way parallelism — the
+    * salting trigger). Exact at ANY key cardinality WITHOUT a global
+    * rank sort: Gini's rank-weighted sum is computed from the
+    * COUNT-OF-COUNTS histogram — all keys tied at count v occupy a
+    * contiguous rank block, whose Σ(2i−K−1)·v collapses to the closed
+    * form v·(2·(s·m + m(m+1)/2) − (K+1)·m) with s the cumulative
+    * multiplicity below v — so the per-column plan is one map-side-
+    * combined key-count aggregate, a TINY (distinct count values)
+    * histogram, and one histogram-sized window. Products pass int64 at
+    * corpus scale (N·K²) — decimal inside, int64 out (q187). */
+  val q197SkewAudit: QuerySpec = {
+    val audited = Seq(
+      ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      ("lineitem.l_partkey", "lineitem", "l_partkey"),
+      ("orders.o_custkey", "orders", "o_custkey"),
+      ("events.user_id", "events", "user_id"),
+      ("documents.source", "documents", "source"))
+    val hotMicro = 1000000L / 32
+    val sqlAudits = audited.map { case (label, table, key) =>
+      val from =
+        if (table == "events") "(SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events)"
+        else table
+      s"""SELECT '$label' AS key_col, n_rows, n_keys, top1_share_micro, gini_micro,
+         |  top1_share_micro > $hotMicro AS hot
+         |FROM (
+         |  WITH c AS (SELECT $key AS k, count(*) AS cnt FROM $from GROUP BY 1),
+         |  h AS (SELECT cnt AS v, count(*) AS m FROM c GROUP BY 1),
+         |  w AS (SELECT v, m,
+         |      CAST(coalesce(sum(m) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s,
+         |      CAST(sum(v*m) OVER () AS BIGINT) AS n,
+         |      CAST(sum(m) OVER () AS BIGINT) AS kk,
+         |      CAST(max(v) OVER () AS BIGINT) AS mx
+         |    FROM h)
+         |  SELECT CAST(any_value(n) AS BIGINT) AS n_rows,
+         |    CAST(any_value(kk) AS BIGINT) AS n_keys,
+         |    CAST(any_value(mx) * 1000000 // any_value(n) AS BIGINT) AS top1_share_micro,
+         |    CAST(CAST(sum(CAST(v AS HUGEINT) * (2*(s*m + m*(m+1)//2) - (kk+1)*m)) AS HUGEINT)
+         |         * 1000000 // (CAST(any_value(kk) AS HUGEINT) * any_value(n)) AS BIGINT)
+         |      AS gini_micro
+         |  FROM w)""".stripMargin
+    }
+    QuerySpec.oracle(
+      "q197_skew_audit",
+      sqlAudits.mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+    ) { (spark, dir) =>
+      def one(df: org.apache.spark.sql.DataFrame, key: String, label: String)
+          : org.apache.spark.sql.DataFrame = {
+        val c = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+        val h = c.groupBy(col("cnt").as("v")).agg(count(lit(1)).as("m"))
+        // histogram-sized window: rows = DISTINCT count values, bounded
+        // far below the key dictionary, let alone the corpus
+        val byV = Window.orderBy("v")
+        val all = Window.partitionBy()
+        h.withColumn("s", coalesce(sum(col("m")).over(
+            byV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
+          .withColumn("n", sum(col("v") * col("m")).over(all).cast("long"))
+          .withColumn("kk", sum(col("m")).over(all).cast("long"))
+          .withColumn("mx", max(col("v")).over(all).cast("long"))
+          // rank-block closed form exceeds int64 at corpus scale (N·K²)
+          // — decimal inside, int64 quotient out (q187 discipline)
+          .agg(first(col("n")).as("n_rows"), first(col("kk")).as("n_keys"),
+            expr("first(mx) * 1000000 div first(n)").cast("long")
+              .as("top1_share_micro"),
+            expr("""(sum(CAST(v AS DECIMAL(38,0)) * (2*(s*m + m*(m+1) div 2) - (kk+1)*m))
+                    * 1000000) div (CAST(first(kk) AS DECIMAL(38,0)) * first(n))""")
+              .cast("long").as("gini_micro"))
+          .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+            col("top1_share_micro"), col("gini_micro"),
+            (col("top1_share_micro") > hotMicro).as("hot"))
+      }
+      one(Tables.lineitem(spark, dir), "l_suppkey", "lineitem.l_suppkey")
+        .unionByName(one(Tables.lineitem(spark, dir), "l_partkey", "lineitem.l_partkey"))
+        .unionByName(one(Tables.orders(spark, dir), "o_custkey", "orders.o_custkey"))
+        .unionByName(one(Tables.events(spark, dir), "user_id", "events.user_id"))
+        .unionByName(one(Tables.documents(spark, dir), "source", "documents.source"))
+        .orderBy("key_col")
+    }
+  }
+
   /** Exact stratified sampler with largest-remainder apportionment —
     * the allocation step between q56's mixture rates and X1's exact-n
     * class sampler: given a total budget B = 200 over the
@@ -4132,5 +4217,6 @@ object PipelineQueries {
     q174Bm25TopK, q176DsirWeights, q177EwmaTrend, q180QuantileSketch,
     q184HoltTrend, q185HybridRrf, q186HoltWinters, q187Chi2Drift,
     q189CusumChangepoint, q191KsDrift, q192MannKendall,
-    q194StratifiedSample, q195Silhouette, q196CohensKappa)
+    q194StratifiedSample, q195Silhouette, q196CohensKappa,
+    q197SkewAudit)
 }

@@ -676,7 +676,11 @@ class PlanSweepSpec extends SparkSpec {
     "q195_silhouette" -> 2,
     // q196: one map-side-combined per-source conditional-count aggregate
     // + presentation sort
-    "q196_cohens_kappa" -> 2)
+    "q196_cohens_kappa" -> 2,
+    // q197: per audited column a key-count agg + count-of-counts agg +
+    // the histogram-sized window, five audits unioned + presentation
+    // sort
+    "q197_skew_audit" -> 15)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -550,6 +550,39 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.length == docs.size)
   }
 
+  test("q197: Gini from count-of-counts equals the definitional sorted-rank Gini") {
+    val rows = graft.SparkEntry.queries("q197_skew_audit")(spark, sf).collect()
+    assert(rows.length == 5)
+    def giniOf(counts: Seq[Long]): (Long, Long, Long, Long) = {
+      val x = counts.sorted
+      val k = BigInt(x.length)
+      val n = BigInt(x.sum)
+      val num = x.zipWithIndex.map { case (v, i) =>
+        BigInt(2 * (i + 1) - 1) * v - k * v
+      }.sum
+      ((n).toLong, k.toLong, (BigInt(x.max) * 1000000 / n).toLong,
+        (num * 1000000 / (k * n)).toLong)
+    }
+    import org.apache.spark.sql.functions._
+    val byCol: Map[String, Seq[Long]] = Map(
+      "lineitem.l_suppkey" -> graft.sources.Tables.lineitem(spark, sf)
+        .groupBy("l_suppkey").count().collect().map(_.getAs[Long]("count")).toSeq,
+      "documents.source" -> graft.sources.Tables.documents(spark, sf)
+        .groupBy("source").count().collect().map(_.getAs[Long]("count")).toSeq)
+    rows.filter(r => byCol.contains(r.getAs[String]("key_col"))).foreach { r =>
+      val (n, k, top1, gini) = giniOf(byCol(r.getAs[String]("key_col")))
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_keys") == k)
+      assert(r.getAs[Long]("top1_share_micro") == top1)
+      assert(r.getAs[Long]("gini_micro") == gini, r.getAs[String]("key_col"))
+      assert(r.getAs[Boolean]("hot") == (top1 > 31250L))
+    }
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gini_micro")
+      assert(g >= 0L && g < 1000000L, "Gini in [0, 1)")
+    }
+  }
+
   test("q189: CUSUM argmax matches a plain-Scala reference per nation") {
     val rows = graft.SparkEntry.queries("q189_cusum_changepoint")(spark, sf).collect()
     assert(rows.nonEmpty)
