@@ -4124,6 +4124,125 @@ object PipelineQueries {
     }
   }
 
+  /** Join-cardinality estimation via CMS inner product vs exact — the
+    * OPTIMIZER-statistics question underneath every join reorder: how
+    * big is A ⋈ B before running it? The AMS/CMS answer is the sketch
+    * inner product est = min_j Σ_w cmsA[j][w]·cmsB[j][w] (q173's cells,
+    * same md5 rows), always an OVERestimate with collision noise bounded
+    * by ~N_A·N_B/w — and the report carries that bound as a column, so
+    * the three audited joins show the three regimes the estimator
+    * lives in: a self-join explosion where signal ≫ noise (partkey,
+    * est within 2× at w=2048), a medium case (user_id, within 3%), and
+    * a 1:1 key where the true size sits BELOW the noise floor
+    * (orderkey, the estimate is the bound — exactly when an optimizer
+    * must not trust it). Exact sizes come from key-count dictionaries
+    * (Σ c_A·c_B). All integers; products exceed int64 at corpus scale →
+    * decimal inside (q187). Shape at 100 TB: per relation ONE
+    * map-side-combined (j, bucket) cell aggregate (fixed Σd·w state);
+    * inner products join sketch cells, never rows; exact runs on the
+    * key dictionaries. */
+  val q198JoinCardEst: QuerySpec = {
+    val (d, widths) = (4, Seq(256, 2048))
+    def bSql(j: Int, k: String): String =
+      s"('0x' || substring(md5('$j:' || CAST($k AS VARCHAR)), 1, 15))::BIGINT"
+    def sketchSql(src: String, key: String, name: String): String = {
+      val rows = (for { w <- widths; j <- 0 until d } yield
+        s"SELECT $w AS w, $j AS j, ${bSql(j, key)} % $w AS bucket FROM $src")
+        .mkString("\n      |    UNION ALL ")
+      s"$name AS (SELECT w, j, bucket, count(*) AS c FROM ($rows) GROUP BY 1, 2, 3)"
+    }
+    def ipSql(sa: String, sb: String, ex: String, na: String, nb: String,
+              label: String): String =
+      s"""SELECT '$label' AS join_key, CAST(w AS BIGINT) AS width,
+         |    (SELECT n FROM $na) AS n_left, (SELECT n FROM $nb) AS n_right,
+         |    (SELECT x FROM $ex) AS exact, CAST(min(s) AS BIGINT) AS est_cms,
+         |    CAST(min(s) - (SELECT x FROM $ex) AS BIGINT) AS overestimate,
+         |    CAST((SELECT n FROM $na) * (SELECT n FROM $nb) // w AS BIGINT)
+         |      AS noise_bound
+         |  FROM (SELECT w, j, sum(CAST(a.c AS HUGEINT) * b.c) AS s
+         |        FROM $sa a JOIN $sb b USING (w, j, bucket) GROUP BY 1, 2)
+         |  GROUP BY w""".stripMargin
+    QuerySpec.oracle(
+      "q198_join_card_est",
+      s"""WITH events2 AS (SELECT user_id FROM events),
+         |${sketchSql("lineitem", "l_partkey", "sp")},
+         |${sketchSql("events2", "user_id", "se")},
+         |${sketchSql("orders", "o_orderkey", "so")},
+         |${sketchSql("lineitem", "l_orderkey", "sl")},
+         |xp AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS x
+         |       FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)),
+         |xe AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS x
+         |       FROM (SELECT count(*) AS c FROM events2 GROUP BY user_id)),
+         |xo AS (SELECT CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS x
+         |       FROM (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1) a
+         |       JOIN (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1) b
+         |       USING (k)),
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events2),
+         |no AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+         |${ipSql("sp", "sp", "xp", "nl", "nl", "lineitem.l_partkey x lineitem.l_partkey")}
+         |UNION ALL ${ipSql("se", "se", "xe", "ne", "ne", "events.user_id x events.user_id")}
+         |UNION ALL ${ipSql("sl", "so", "xo", "nl", "no", "lineitem.l_orderkey x orders.o_orderkey")}
+         |ORDER BY join_key, width""".stripMargin
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.DataFrame
+      def sketchOf(df: DataFrame, key: String): DataFrame = {
+        // q173's two-stage explode: d md5 hash rows once per row, then
+        // the widths fan out with a cheap pmod each
+        val hashOf = (j: Int) => conv(substring(
+          md5(concat(lit(s"$j:"), col(key).cast("string"))), 1, 15), 16, 10)
+          .cast("long")
+        df.select(explode(array((0 until d).map(j =>
+            struct(lit(j).as("j"), hashOf(j).as("h"))): _*)).as("jh"))
+          .select(col("jh.j").as("j"), explode(array(widths.map(w =>
+            struct(lit(w.toLong).as("w"), pmod(col("jh.h"), lit(w.toLong)).as("bucket"))): _*))
+            .as("wb"))
+          .select(col("wb.w").as("w"), col("j"), col("wb.bucket").as("bucket"))
+          .groupBy("w", "j", "bucket").agg(count(lit(1)).as("c"))
+      }
+      def keyCounts(df: DataFrame, key: String): DataFrame =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      def audit(a: (DataFrame, String), b: (DataFrame, String), self: Boolean,
+                label: String): DataFrame = {
+        val (skA, skB) = (sketchOf(a._1, a._2), sketchOf(b._1, b._2))
+        // sketch-cell products pass int64 at corpus scale (counts up to
+        // N per cell) — decimal inside, int64 out (q187 discipline)
+        val est = skA.join(skB.select(col("w").as("bw"), col("j").as("bj"),
+              col("bucket").as("bb"), col("c").as("bc")),
+            col("bw") === col("w") && col("bj") === col("j") && col("bb") === col("bucket"))
+          .groupBy("w", "j")
+          .agg(expr("sum(CAST(c AS DECIMAL(38,0)) * bc)").as("s"))
+          .groupBy("w").agg(min(col("s")).as("est"))
+        val exact =
+          if (self) keyCounts(a._1, a._2)
+            .agg(expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)").as("x"))
+          else keyCounts(a._1, a._2).join(
+              keyCounts(b._1, b._2).select(col("k"), col("c").as("c2")), "k")
+            .agg(expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * c2) AS BIGINT)").as("x"))
+        val ns = a._1.agg(count(lit(1)).as("n_left"))
+          .crossJoin(b._1.agg(count(lit(1)).as("n_right")))
+        est.crossJoin(broadcast(exact)).crossJoin(broadcast(ns))
+          .select(lit(label).as("join_key"), col("w").as("width"),
+            col("n_left").cast("long").as("n_left"),
+            col("n_right").cast("long").as("n_right"), col("x").as("exact"),
+            col("est").cast("long").as("est_cms"),
+            (col("est") - col("x")).cast("long").as("overestimate"),
+            expr("(CAST(n_left AS DECIMAL(38,0)) * n_right) div width")
+              .cast("long").as("noise_bound"))
+      }
+      val li = Tables.lineitem(spark, dir)
+      val ev = Tables.events(spark, dir).select("user_id")
+      val or = Tables.orders(spark, dir)
+      audit((li, "l_partkey"), (li, "l_partkey"), self = true,
+          "lineitem.l_partkey x lineitem.l_partkey")
+        .unionByName(audit((ev, "user_id"), (ev, "user_id"), self = true,
+          "events.user_id x events.user_id"))
+        .unionByName(audit((li, "l_orderkey"), (or, "o_orderkey"), self = false,
+          "lineitem.l_orderkey x orders.o_orderkey"))
+        .orderBy("join_key", "width")
+    }
+  }
+
   /** Exact stratified sampler with largest-remainder apportionment —
     * the allocation step between q56's mixture rates and X1's exact-n
     * class sampler: given a total budget B = 200 over the
@@ -4218,5 +4337,5 @@ object PipelineQueries {
     q184HoltTrend, q185HybridRrf, q186HoltWinters, q187Chi2Drift,
     q189CusumChangepoint, q191KsDrift, q192MannKendall,
     q194StratifiedSample, q195Silhouette, q196CohensKappa,
-    q197SkewAudit)
+    q197SkewAudit, q198JoinCardEst)
 }

@@ -155,6 +155,9 @@ class PlanSweepSpec extends SparkSpec {
     // q194 — crossJoin(broadcast(tot)) where tot is the 1-row strata
     // total: the q27/q45 lazy scalar-subquery idiom
     "q194_stratified_sample",
+    // q198 — crossJoin(broadcast(x)) of 1-row aggregates (the exact join
+    // size and the (n_left, n_right) scalar pair): the q27/q45 idiom
+    "q198_join_card_est",
     // q191 — crossJoin(broadcast(grid)) over the distinct-value
     // DICTIONARY (the bounded sources × values ECDF grid, q187's
     // scaffold) + crossJoin(broadcast(tot)), the 1-row scalar idiom
@@ -680,7 +683,11 @@ class PlanSweepSpec extends SparkSpec {
     // q197: per audited column a key-count agg + count-of-counts agg +
     // the histogram-sized window, five audits unioned + presentation
     // sort
-    "q197_skew_audit" -> 15)
+    "q197_skew_audit" -> 15,
+    // q198: per audited pair two sketch-cell aggregates + the cell join
+    // + per-(w,j) sum + per-w min, the key-dictionary exact join and the
+    // 1-row scalar cross joins, three audits unioned + presentation sort
+    "q198_join_card_est" -> 26)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -583,6 +583,29 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q198: CMS inner product always overestimates and tightens with width") {
+    val rows = graft.SparkEntry.queries("q198_join_card_est")(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overestimate") >= 0L,
+        s"${r.getAs[String]("join_key")}: CMS inner product is an overestimate")
+      assert(r.getAs[Long]("est_cms") ==
+        r.getAs[Long]("exact") + r.getAs[Long]("overestimate"))
+      assert(r.getAs[Long]("noise_bound") ==
+        r.getAs[Long]("n_left") * r.getAs[Long]("n_right") / r.getAs[Long]("width"))
+    }
+    // widening the sketch can only remove collisions (never add signal)
+    rows.groupBy(_.getAs[String]("join_key")).foreach { case (k, g) =>
+      val byW = g.sortBy(_.getAs[Long]("width"))
+      assert(byW.head.getAs[Long]("est_cms") >= byW.last.getAs[Long]("est_cms"), k)
+      assert(byW.map(_.getAs[Long]("exact")).distinct.length == 1,
+        "exact size is width-independent")
+    }
+    // the 1:N orderkey join: exact must equal the lineitem row count
+    val ok = rows.filter(_.getAs[String]("join_key").startsWith("lineitem.l_orderkey"))
+    assert(ok.head.getAs[Long]("exact") == ok.head.getAs[Long]("n_left"))
+  }
+
   test("q189: CUSUM argmax matches a plain-Scala reference per nation") {
     val rows = graft.SparkEntry.queries("q189_cusum_changepoint")(spark, sf).collect()
     assert(rows.nonEmpty)
