@@ -4243,6 +4243,172 @@ object PipelineQueries {
     }
   }
 
+  /** Benford first-digit conformance audit — the forensic data-quality
+    * gate for MONEY columns (fabricated or unit-mangled feeds break the
+    * log-uniform leading-digit law long before totals look wrong): per
+    * audited amount column, the observed first-significant-digit
+    * distribution against Benford's p_d = log10(1+1/d), with the per-
+    * digit χ² contribution — the digits that carry the deviation are
+    * the report, not just the verdict. Exactness: the nine Benford
+    * probabilities are Scala-computed micro literals embedded in BOTH
+    * engines (q149's shared-constant discipline); the first digit comes
+    * from the integer-cents STRING prefix (bigint rendering is
+    * identical everywhere, no float log10); each χ² term is
+    * (o·10⁶ − n·p)² div (n·p) with the square in internal decimal
+    * (q187). Shape at 100 TB: ONE map-side-combined (col, digit)
+    * aggregate over the fact table — the 9-row Benford grid is a
+    * literal. */
+  val q199BenfordAudit: QuerySpec = {
+    val benfordMicro: Seq[Long] = (1 to 9)
+      .map(dd => math.round(math.log10(1.0 + 1.0 / dd) * 1000000))
+    val gridSql = benfordMicro.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    def centsSql(c: String): String =
+      s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    QuerySpec.oracle(
+      "q199_benford_audit",
+      s"""WITH amounts AS (
+         |  SELECT 'lineitem.l_extendedprice' AS col,
+         |    ${centsSql("l_extendedprice")} AS cents FROM lineitem
+         |  UNION ALL
+         |  SELECT 'orders.o_totalprice', ${centsSql("o_totalprice")} FROM orders),
+         |o AS (
+         |  SELECT col, CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    count(*) AS o
+         |  FROM amounts GROUP BY 1, 2),
+         |n AS (SELECT col, CAST(sum(o) AS BIGINT) AS n FROM o GROUP BY 1),
+         |g AS (SELECT * FROM (VALUES $gridSql) AS t(digit, p_micro))
+         |SELECT n.col AS col, CAST(g.digit AS BIGINT) AS digit,
+         |  CAST(coalesce(o.o, 0) AS BIGINT) AS n_obs,
+         |  CAST(coalesce(o.o, 0) * 1000000 // n.n AS BIGINT) AS obs_share_micro,
+         |  CAST(g.p_micro AS BIGINT) AS benford_micro,
+         |  CAST(CAST(coalesce(o.o, 0)*1000000 - n.n*g.p_micro AS HUGEINT)
+         |       * (coalesce(o.o, 0)*1000000 - n.n*g.p_micro)
+         |       // (CAST(n.n AS HUGEINT) * g.p_micro * 1000000) AS BIGINT)
+         |    AS chi2_term_micro
+         |FROM n CROSS JOIN g
+         |LEFT JOIN o ON o.col = n.col AND o.digit = g.digit
+         |ORDER BY col, digit""".stripMargin
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
+      val amounts = Tables.lineitem(spark, dir)
+        .select(lit("lineitem.l_extendedprice").as("col"),
+          cents(col("l_extendedprice")).as("cents"))
+        .unionByName(Tables.orders(spark, dir)
+          .select(lit("orders.o_totalprice").as("col"),
+            cents(col("o_totalprice")).as("cents")))
+      val o = amounts
+        .select(col("col"),
+          substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("col", "digit").agg(count(lit(1)).as("o"))
+      val n = o.groupBy("col").agg(sum(col("o")).cast("long").as("n"))
+      val g = benfordMicro.zipWithIndex
+        .map { case (p, i) => ((i + 1).toLong, p) }.toDF("digit", "p_micro")
+      n.crossJoin(broadcast(g))
+        .join(o, Seq("col", "digit"), "left")
+        .withColumn("n_obs", coalesce(col("o"), lit(0L)))
+        // (o·10⁶ − n·p)² exceeds int64 at corpus scale — decimal inside,
+        // the int64 per-digit term out (q187 discipline)
+        .withColumn("d", col("n_obs") * 1000000L - col("n") * col("p_micro"))
+        .select(col("col"), col("digit"), col("n_obs"),
+          expr("n_obs * 1000000 div n").cast("long").as("obs_share_micro"),
+          col("p_micro").as("benford_micro"),
+          expr("(CAST(d AS DECIMAL(38,0)) * d) div (CAST(n AS DECIMAL(38,0)) * p_micro * 1000000)")
+            .cast("long").as("chi2_term_micro"))
+        .orderBy("col", "digit")
+    }
+  }
+
+  /** First-order Markov behavior model over event sequences — the
+    * transition structure q98's raw paths only enumerate: per user the
+    * (event → next event) stream (lead window over event time), the
+    * row-normalized transition matrix in integer micro-probabilities,
+    * and the model's STATIONARY distribution — where user attention
+    * settles in the long run, the single most-quoted number of a
+    * behavior model. Exactness: the matrix is dictionary-bounded
+    * (|event_type|² cells), so it collects once and the power iteration
+    * runs eagerly over integer micro units — π'_j = Σ_i π_i·p_ij div 10⁶
+    * with PER-TERM truncation, the q136 recurrence discipline — and the
+    * oracle unrolls the identical eight rounds as generated CTEs
+    * (eagerByDesign, the Lloyd/BPE contract). Shape at 100 TB: the
+    * corpus contributes ONE user-keyed lead window + one (from, to)
+    * aggregate; everything after lives on the 25-cell dictionary. */
+  val q200MarkovStationary: QuerySpec = {
+    val (k0, rounds) = (5, 8) // |event_type| at every sf; fixpoint ≤ 8
+    val piInit = 1000000L / k0
+    val roundCtes = (1 to rounds).map { r =>
+      s"""pi$r AS (
+         |  SELECT tr.to_type AS t,
+         |    CAST(sum(pi.p * tr.p_micro // 1000000) AS BIGINT) AS p
+         |  FROM pi${r - 1} pi JOIN tr ON tr.from_type = pi.t GROUP BY 1)""".stripMargin
+    }
+    QuerySpec.oracle(
+      "q200_markov_stationary",
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+         |           FROM events),
+         |seq AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS to_type
+         |  FROM e),
+         |c AS (SELECT from_type, to_type, count(*) AS cnt FROM seq
+         |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS n_out FROM c GROUP BY 1),
+         |tr AS (SELECT c.from_type, c.to_type,
+         |         CAST(c.cnt * 1000000 // t.n_out AS BIGINT) AS p_micro
+         |       FROM c JOIN tot t USING (from_type)),
+         |pi0 AS (SELECT from_type AS t, CAST($piInit AS BIGINT) AS p FROM tot),
+         |${roundCtes.mkString(",\n")}
+         |SELECT t.from_type AS event_type, t.n_out,
+         |  CAST(coalesce(s.p_micro, 0) AS BIGINT) AS p_self_micro,
+         |  CAST(pi.p AS BIGINT) AS stationary_micro
+         |FROM tot t
+         |JOIN pi$rounds pi ON pi.t = t.from_type
+         |LEFT JOIN tr s ON s.from_type = t.from_type AND s.to_type = t.from_type
+         |ORDER BY event_type""".stripMargin
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val seq0 = Tables.events(spark, dir)
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+            .as("to_type"))
+        .filter(col("to_type").isNotNull)
+      val c = seq0.groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = false) // referenced by tot, tr, and the collect
+      val tot = c.groupBy("from_type").agg(sum(col("cnt")).cast("long").as("n_out"))
+      val tr = c.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"),
+          expr("cnt * 1000000 div n_out").cast("long").as("p_micro"))
+      // the matrix is |event_type|² cells — dictionary-bounded eager
+      // state (the Lloyd/BPE eagerByDesign contract); the power
+      // iteration is exact integer arithmetic shared with the oracle
+      val cells = tr.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("p_micro")))
+      val types = cells.map(_._1).distinct.sorted
+      var pi: Map[String, Long] = types.map(_ -> piInit).toMap
+      for (_ <- 1 to rounds) {
+        pi = types.map { j =>
+          j -> cells.filter(_._2 == j)
+            .map { case (i, _, p) => pi.getOrElse(i, 0L) * p / 1000000L }.sum
+        }.toMap
+      }
+      val piDf = pi.toSeq.toDF("event_type", "stationary_micro")
+      tot.withColumnRenamed("from_type", "event_type")
+        .join(broadcast(tr.filter(col("from_type") === col("to_type"))
+            .select(col("from_type").as("event_type"),
+              col("p_micro").as("self_p"))),
+          Seq("event_type"), "left")
+        .join(broadcast(piDf), "event_type")
+        .select(col("event_type"), col("n_out"),
+          coalesce(col("self_p"), lit(0L)).as("p_self_micro"),
+          col("stationary_micro"))
+        .orderBy("event_type")
+    }
+  }
+
   /** Exact stratified sampler with largest-remainder apportionment —
     * the allocation step between q56's mixture rates and X1's exact-n
     * class sampler: given a total budget B = 200 over the
@@ -4337,5 +4503,6 @@ object PipelineQueries {
     q184HoltTrend, q185HybridRrf, q186HoltWinters, q187Chi2Drift,
     q189CusumChangepoint, q191KsDrift, q192MannKendall,
     q194StratifiedSample, q195Silhouette, q196CohensKappa,
-    q197SkewAudit, q198JoinCardEst)
+    q197SkewAudit, q198JoinCardEst, q199BenfordAudit,
+    q200MarkovStationary)
 }

@@ -56,6 +56,20 @@ class ConstructionSweepSpec extends SparkSpec {
     "q80_dedup_incremental",
     // q123 iterates CC over the cosine-pair graph at build, like q35
     "q123_semantic_dedup",
+    // q200 collects the |event_type|² transition matrix at build and
+    // power-iterates eagerly over integer micro units — the Lloyd/BPE
+    // dictionary-bounded-state contract
+    "q200_markov_stationary",
+    // q188/q190/q193 carry per-round lazy checkpoints (min-plus
+    // relaxation / peel rounds); q191/q192 cut their shared dictionary
+    // relation once — in every case checkpoint CREATION executes the
+    // upstream stage at build under AQE, q136/q175's documented
+    // index-build-shaped step
+    "q188_weighted_hops", "q190_kcore", "q193_ktruss",
+    "q191_ks_drift", "q192_mann_kendall",
+    // q195 serves q170's memoized Lloyd centroids — a cold cache fits
+    // them at build (the q43/q78/q127 eager-index rationale)
+    "q195_silhouette",
     // q82's FIRST build writes the ORC layout (one-time, _SUCCESS-marked)
     "q82_orc_roundtrip",
     // q83's FIRST build writes the z-ordered layout (+ its one-row min/max

@@ -158,6 +158,9 @@ class PlanSweepSpec extends SparkSpec {
     // q198 — crossJoin(broadcast(x)) of 1-row aggregates (the exact join
     // size and the (n_left, n_right) scalar pair): the q27/q45 idiom
     "q198_join_card_est",
+    // q199 — crossJoin(broadcast(g)) over the 9-row LITERAL Benford
+    // grid: a constant-sized dictionary, the q109 scaffold argument
+    "q199_benford_audit",
     // q191 — crossJoin(broadcast(grid)) over the distinct-value
     // DICTIONARY (the bounded sources × values ECDF grid, q187's
     // scaffold) + crossJoin(broadcast(tot)), the 1-row scalar idiom
@@ -687,7 +690,14 @@ class PlanSweepSpec extends SparkSpec {
     // q198: per audited pair two sketch-cell aggregates + the cell join
     // + per-(w,j) sum + per-w min, the key-dictionary exact join and the
     // 1-row scalar cross joins, three audits unioned + presentation sort
-    "q198_join_card_est" -> 26)
+    "q198_join_card_est" -> 26,
+    // q199: the unioned cents scan + (col, digit) agg + per-col totals,
+    // the 9-row literal Benford grid broadcast, presentation sort
+    "q199_benford_audit" -> 4,
+    // q200: the user-keyed lead window + (from, to) agg behind the
+    // dictionary checkpoint; totals, self-loop and stationary literals
+    // join on the 5-type dictionary + presentation sort
+    "q200_markov_stationary" -> 3)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

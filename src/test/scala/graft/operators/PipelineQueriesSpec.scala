@@ -606,6 +606,58 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(ok.head.getAs[Long]("exact") == ok.head.getAs[Long]("n_left"))
   }
 
+  test("q199: Benford grid complete, shares sum to ~1, terms nonnegative") {
+    val rows = graft.SparkEntry.queries("q199_benford_audit")(spark, sf).collect()
+    assert(rows.length == 18, "two audited columns x nine digits")
+    rows.groupBy(_.getAs[String]("col")).foreach { case (c, g) =>
+      assert(g.map(_.getAs[Long]("digit")).sorted.toSeq == (1L to 9L), c)
+      val shares = g.map(_.getAs[Long]("obs_share_micro")).sum
+      assert(shares > 990000L && shares <= 1000000L, s"$c shares ≈ 1")
+      assert(g.map(_.getAs[Long]("benford_micro")).sum == 1000000L,
+        "the nine rounded Benford micro constants")
+      g.foreach(r => assert(r.getAs[Long]("chi2_term_micro") >= 0L))
+      // digit 1 must dominate digit 9 in any Benford-conformant column,
+      // and these synthetic prices at least put mass on every digit
+      val by = g.map(r => r.getAs[Long]("digit") -> r.getAs[Long]("n_obs")).toMap
+      assert(by(1L) > 0L)
+    }
+  }
+
+  test("q200: stationary distribution is the matrix fixpoint and nearly sums to 1") {
+    val rows = graft.SparkEntry.queries("q200_markov_stationary")(spark, sf).collect()
+    assert(rows.length == 5, "one row per event type")
+    val pi = rows.map(r => r.getAs[String]("event_type") ->
+      r.getAs[Long]("stationary_micro")).toMap
+    val s = pi.values.sum
+    assert(s > 990000L && s <= 1000000L, s"mass ≈ 1 after truncation, got $s")
+    // rebuild the transition matrix relationally and check one more
+    // power-iteration step moves nothing (fixpoint at the report's
+    // precision)
+    import org.apache.spark.sql.functions._
+    val seq0 = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type").as("f"),
+        lead(col("event_type"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("ts"), col("event_id"))).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy("f", "t").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("cnt")))
+    val tot = seq0.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._3).sum }
+    val p = seq0.map { case (f, t, c) => (f, t) -> c * 1000000L / tot(f) }.toMap
+    val types = tot.keys.toSeq.sorted
+    val next = types.map { j =>
+      j -> types.map(i => pi(i) * p.getOrElse((i, j), 0L) / 1000000L).sum
+    }.toMap
+    types.foreach { j =>
+      // per-term truncation wobbles a few micro per step near the fixpoint
+      assert(math.abs(next(j) - pi(j)) <= 5L, s"$j: ${next(j)} vs ${pi(j)}")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p_self_micro") >= 0L &&
+        r.getAs[Long]("p_self_micro") <= 1000000L)
+    }
+  }
+
   test("q189: CUSUM argmax matches a plain-Scala reference per nation") {
     val rows = graft.SparkEntry.queries("q189_cusum_changepoint")(spark, sf).collect()
     assert(rows.nonEmpty)
