@@ -48,7 +48,8 @@ object Bench {
     // failure sentinels (-1) are NEVER folded away, a failing query must
     // stay visible on the driver channel by name.
     def render(scale: Int, stripQ: Boolean, withCpar: Boolean,
-               minimal: Boolean = false, restBelow: Double = 0.0): String = {
+               minimal: Boolean = false, restBelow: Double = 0.0,
+               topK: Int = 0): String = {
       val f = fmtAt(scale) _
       def key(k: String) = {
         val short = k.takeWhile(_ != '_')
@@ -57,7 +58,15 @@ object Bench {
       val cparField = if (withCpar && cpar >= 0) s""","cpar":${fmtAt(2)(cpar)}""" else ""
       val unitField = if (minimal) "" else ""","unit":"sec""""
       val sfVal = if (minimal) sfDir.split('/').last else sfDir
-      val (kept, rest) = results.partition { case (_, v) => v < 0 || v >= restBelow }
+      // topK > 0: keep the K most expensive queries by NAME and fold all
+      // others — the budget-aware rung for rounds where the threshold
+      // folds can't help (every query expensive); sentinels always kept
+      val topKeep: Set[String] =
+        if (topK <= 0) results.keySet.toSet
+        else results.toSeq.sortBy { case (k, v) => (-v, k) }
+          .take(topK).map(_._1).toSet
+      val (kept, rest) = results.partition { case (k, v) =>
+        v < 0 || (topK > 0 && topKeep(k)) || (topK <= 0 && v >= restBelow) }
       val restEntry =
         if (rest.isEmpty) Seq.empty
         else Seq("\"rest\":" + fmtAt(2)(rest.values.sum))
@@ -83,12 +92,17 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val emptyMapRung =
       s"""{"metric":"total","value":${fmtAt(2)(total)},"unit":"sec","queries":{},"sf":"$sfDir"}"""
-    (Seq((2, false, true, false, 0.0), (1, false, true, false, 0.0),
-        (1, false, true, false, 0.05), (1, false, true, false, 0.2),
-        (1, false, true, false, 0.5), (0, false, true, false, 0.0),
-        (0, true, true, false, 0.0), (0, true, false, false, 0.0),
-        (0, true, false, true, 0.0))
-      .map { case (sc, sq, wc, mn, rb) => render(sc, sq, wc, mn, rb) } :+ emptyMapRung)
+    (Seq((2, false, true, false, 0.0, 0), (1, false, true, false, 0.0, 0),
+        (1, false, true, false, 0.05, 0), (1, false, true, false, 0.2, 0),
+        (1, false, true, false, 0.5, 0),
+        // budget-aware rungs for rounds where the threshold folds can't
+        // help (every query expensive): keep the costliest K by name at
+        // decisecond resolution, fold the remainder into rest/rest_n
+        (1, false, true, false, 0.0, 140), (1, false, true, false, 0.0, 80),
+        (0, false, true, false, 0.0, 0),
+        (0, true, true, false, 0.0, 0), (0, true, false, false, 0.0, 0),
+        (0, true, false, true, 0.0, 0))
+      .map { case (sc, sq, wc, mn, rb, tk) => render(sc, sq, wc, mn, rb, tk) } :+ emptyMapRung)
       .find(_.length <= LineBudget)
       .getOrElse(emptyMapRung)
   }
