@@ -4204,7 +4204,11 @@ object PipelineQueries {
         df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
       def audit(a: (DataFrame, String), b: (DataFrame, String), self: Boolean,
                 label: String): DataFrame = {
-        val (skA, skB) = (sketchOf(a._1, a._2), sketchOf(b._1, b._2))
+        val skA = sketchOf(a._1, a._2)
+        // a self-join audit needs ONE sketch build — reusing the plan
+        // lets AQE serve both join sides from the same exchange instead
+        // of hashing the relation twice (d md5s per row are the cost)
+        val skB = if (self) skA else sketchOf(b._1, b._2)
         // sketch-cell products pass int64 at corpus scale (counts up to
         // N per cell) — decimal inside, int64 out (q187 discipline)
         val est = skA.join(skB.select(col("w").as("bw"), col("j").as("bj"),
@@ -4409,6 +4413,87 @@ object PipelineQueries {
     }
   }
 
+  /** A/B conversion significance via the exact 2×2 χ² closed form — the
+    * experimentation primitive beside the drift family: per goal event,
+    * (user, day) units that SAW a view are split into arms by the
+    * deterministic user-id parity and the conversion-rate difference is
+    * tested with χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — the 2×2 case
+    * collapses to one integer ratio, so the statistic hash-verifies with
+    * NO quantization of intermediate expectations (contrast q187's
+    * binned form). Because the parity split carries no treatment, this
+    * doubles as the A/A HARNESS TEST every experimentation platform
+    * runs first: all three goals read non-significant at α=0.05
+    * (flag threshold χ² > 3.841459), which is the correct answer — a
+    * pipeline that fabricates significance on an A/A split is broken.
+    * Products reach N⁵ → internal decimal (q187 discipline). Shape at
+    * 100 TB: ONE (user, arm, day) conditional-max aggregate over the
+    * event stream, a per-unit goal explode bounded by |goals|, one
+    * goal-keyed cell aggregate. */
+  val q201AbTest: QuerySpec = QuerySpec.oracle(
+    "q201_ab_test",
+    """WITH ud AS (
+      |  SELECT user_id, user_id % 2 AS arm, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+      |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signed
+      |  FROM events GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT goal, arm, conv FROM (SELECT * FROM ud WHERE saw = 1) u,
+      |    LATERAL (VALUES ('purchase', bought), ('click', clicked),
+      |             ('signup', signed)) AS t(goal, conv)),
+      |cells AS (
+      |  SELECT goal,
+      |    count(*) FILTER (WHERE arm = 0 AND conv = 1) AS a,
+      |    count(*) FILTER (WHERE arm = 0 AND conv = 0) AS b,
+      |    count(*) FILTER (WHERE arm = 1 AND conv = 1) AS c,
+      |    count(*) FILTER (WHERE arm = 1 AND conv = 0) AS d
+      |  FROM g GROUP BY 1)
+      |SELECT goal, CAST(a + b AS BIGINT) AS n_arm0, CAST(c + d AS BIGINT) AS n_arm1,
+      |  CAST(a * 1000000 // (a + b) AS BIGINT) AS rate0_micro,
+      |  CAST(c * 1000000 // (c + d) AS BIGINT) AS rate1_micro,
+      |  CAST(CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN 0
+      |    ELSE CAST(a+b+c+d AS HUGEINT) * (a*d - b*c) * (a*d - b*c) * 1000000
+      |      // (CAST(a+b AS HUGEINT) * (c+d) * (a+c) * (b+d)) END AS BIGINT)
+      |    AS chi2_micro,
+      |  CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN false
+      |    ELSE CAST(a+b+c+d AS HUGEINT) * (a*d - b*c) * (a*d - b*c) * 1000000
+      |      // (CAST(a+b AS HUGEINT) * (c+d) * (a+c) * (b+d)) > 3841459 END
+      |    AS significant
+      |FROM cells ORDER BY goal""".stripMargin
+  ) { (spark, dir) =>
+    def flag(t: String): Column =
+      max(when(col("event_type") === t, 1L).otherwise(0L))
+    val ud = Tables.events(spark, dir)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("arm"),
+        to_date(col("ts")).as("day"))
+      .agg(flag("view").as("saw"), flag("purchase").as("bought"),
+        flag("click").as("clicked"), flag("signup").as("signed"))
+      .filter(col("saw") === 1L)
+    val g = ud.select(col("arm"), explode(array(
+        struct(lit("purchase").as("goal"), col("bought").as("conv")),
+        struct(lit("click").as("goal"), col("clicked").as("conv")),
+        struct(lit("signup").as("goal"), col("signed").as("conv")))).as("gc"))
+      .select(col("arm"), col("gc.goal").as("goal"), col("gc.conv").as("conv"))
+    g.groupBy("goal")
+      .agg(count(when(col("arm") === 0 && col("conv") === 1L, 1)).as("a"),
+        count(when(col("arm") === 0 && col("conv") === 0L, 1)).as("b"),
+        count(when(col("arm") === 1 && col("conv") === 1L, 1)).as("c"),
+        count(when(col("arm") === 1 && col("conv") === 0L, 1)).as("d"))
+      // N·(ad−bc)²·10⁶ reaches N⁵ — decimal inside, int64/boolean out
+      .withColumn("den", expr("CAST(a+b AS DECIMAL(38,0)) * (c+d) * (a+c) * (b+d)"))
+      .withColumn("chi2", when(col("den") === 0, 0L).otherwise(
+        expr("(CAST(a+b+c+d AS DECIMAL(38,0)) * (a*d - b*c) * (a*d - b*c) * 1000000) div den"))
+        .cast("long"))
+      .select(col("goal"), (col("a") + col("b")).cast("long").as("n_arm0"),
+        (col("c") + col("d")).cast("long").as("n_arm1"),
+        expr("a * 1000000 div (a + b)").cast("long").as("rate0_micro"),
+        expr("c * 1000000 div (c + d)").cast("long").as("rate1_micro"),
+        col("chi2").as("chi2_micro"),
+        (col("chi2") > 3841459L).as("significant"))
+      .orderBy("goal")
+  }
+
   /** Exact stratified sampler with largest-remainder apportionment —
     * the allocation step between q56's mixture rates and X1's exact-n
     * class sampler: given a total budget B = 200 over the
@@ -4504,5 +4589,5 @@ object PipelineQueries {
     q189CusumChangepoint, q191KsDrift, q192MannKendall,
     q194StratifiedSample, q195Silhouette, q196CohensKappa,
     q197SkewAudit, q198JoinCardEst, q199BenfordAudit,
-    q200MarkovStationary)
+    q200MarkovStationary, q201AbTest)
 }

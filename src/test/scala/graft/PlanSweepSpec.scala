@@ -697,7 +697,10 @@ class PlanSweepSpec extends SparkSpec {
     // q200: the user-keyed lead window + (from, to) agg behind the
     // dictionary checkpoint; totals, self-loop and stationary literals
     // join on the 5-type dictionary + presentation sort
-    "q200_markov_stationary" -> 3)
+    "q200_markov_stationary" -> 3,
+    // q201: the (user, arm, day) conditional-max agg + the goal-keyed
+    // cell agg + presentation sort
+    "q201_ab_test" -> 3)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -658,6 +658,43 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q201: 2x2 chi-square matches a plain-Scala closed form per goal") {
+    val rows = graft.SparkEntry.queries("q201_ab_test")(spark, sf).collect()
+    assert(rows.length == 3)
+    import org.apache.spark.sql.functions._
+    val ud = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("saw"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("bought"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicked"),
+        max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("signed"))
+      .filter(col("saw") === 1L).collect()
+    def cells(get: org.apache.spark.sql.Row => Long) = {
+      val by = ud.groupBy(r => (r.getAs[Long]("user_id") % 2, get(r)))
+        .map { case (k, v) => k -> v.length.toLong }.withDefaultValue(0L)
+      (by((0L, 1L)), by((0L, 0L)), by((1L, 1L)), by((1L, 0L)))
+    }
+    val goals = Map[String, org.apache.spark.sql.Row => Long](
+      "purchase" -> (_.getAs[Long]("bought")), "click" -> (_.getAs[Long]("clicked")),
+      "signup" -> (_.getAs[Long]("signed")))
+    rows.foreach { row =>
+      val (a, b, c, d) = cells(goals(row.getAs[String]("goal")))
+      val n = BigInt(a + b + c + d)
+      val den = BigInt(a + b) * (c + d) * (a + c) * (b + d)
+      val chi2 = if (den == 0) 0L
+        else (n * BigInt(a * d - b * c).pow(2) * 1000000 / den).toLong
+      assert(row.getAs[Long]("n_arm0") == a + b)
+      assert(row.getAs[Long]("n_arm1") == c + d)
+      assert(row.getAs[Long]("rate0_micro") == a * 1000000L / (a + b))
+      assert(row.getAs[Long]("rate1_micro") == c * 1000000L / (c + d))
+      assert(row.getAs[Long]("chi2_micro") == chi2, row.getString(0))
+      assert(row.getAs[Boolean]("significant") == (chi2 > 3841459L))
+      // the parity split is an A/A test: fabricated significance here
+      // means the harness is broken
+      assert(!row.getAs[Boolean]("significant"), "A/A split must read n.s.")
+    }
+  }
+
   test("q189: CUSUM argmax matches a plain-Scala reference per nation") {
     val rows = graft.SparkEntry.queries("q189_cusum_changepoint")(spark, sf).collect()
     assert(rows.nonEmpty)
