@@ -4494,6 +4494,144 @@ object PipelineQueries {
       .orderBy("goal")
   }
 
+  /** McNemar paired-recall test: IVF vs sign-LSH on the SAME ground
+    * truth — the missing inferential step above the ANN recall reports
+    * (q166/q171 say WHICH method catches more; this says whether the
+    * edge is statistically real or an artifact of this query sample).
+    * Items are the exact integer top-5 (query, neighbor) pairs; per item
+    * each method either catches it in its candidate set or not, and
+    * McNemar uses only the DISCORDANT counts: χ²·10⁶ = (b−c)²·10⁶
+    * div (b+c) against χ²₁(0.05) = 3.841459 — paired design, so the
+    * shared easy/hard items cancel instead of diluting the comparison.
+    * Both candidate generators are the verified integer machines (q171's
+    * 2-probe IVF over q170's memoized centroids; q166's 8×8 literal
+    * integer planes), so every cell of the 2×2 discordance table
+    * hash-verifies. Shape at 100 TB: the two candidate relations are the
+    * audits' own bounded shapes (probed cells / bucket joins); the test
+    * itself is two left joins on the top-5 items + ONE aggregate. */
+  val q202AnnMcnemar: QuerySpec = {
+    val (k, dims, rounds, nProbe) = (8, 64, 3, 2)
+    val planes = intPlanes(8, 8, dims, 43L)
+    def sqlIntDot(vecExpr: String, lits: Array[Long]): String =
+      s"list_reduce(list_prepend(0, list_transform(list_zip($vecExpr, " +
+        s"[${lits.mkString(",")}]), p -> p[1]*p[2])), (acc, v) -> acc + v)"
+    val bandSelects = planes.zipWithIndex.map { case (band, b) =>
+      val key = band.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN ${sqlIntDot("qv", p)} >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS key FROM q"
+    }
+    val sql =
+      s"""${kmeansSqlCtes(k, dims, rounds)},
+         |qq AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id % 25 = 0),
+         |probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT t.query_id, c.cid,
+         |      row_number() OVER (PARTITION BY t.query_id
+         |                         ORDER BY ${d2Sql("t.qv", "c.dims")}, c.cid) AS rn
+         |    FROM qq t CROSS JOIN c$rounds c) WHERE rn <= $nProbe),
+         |ci AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |       FROM probes p JOIN af a ON a.cid = p.cid
+         |       WHERE a.vec_id <> p.query_id),
+         |bl AS (${bandSelects.mkString("\n  UNION ALL ")}),
+         |cl AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |       FROM bl qb JOIN bl cb
+         |         ON qb.band = cb.band AND qb.key = cb.key AND cb.vec_id <> qb.vec_id
+         |       WHERE qb.vec_id % 25 = 0),
+         |sim AS (
+         |  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(0, list_transform(list_zip(qs.qv, c.qv),
+         |      p -> p[1]*p[2])), (acc, v) -> acc + v) AS sim
+         |  FROM qq qs JOIN q c ON c.vec_id <> qs.query_id),
+         |top5 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rn FROM sim)
+         |  WHERE rn <= 5),
+         |it AS (
+         |  SELECT t.query_id, t.neighbor_id,
+         |    CASE WHEN ci.query_id IS NOT NULL THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN cl.query_id IS NOT NULL THEN 1 ELSE 0 END AS l
+         |  FROM top5 t
+         |  LEFT JOIN ci ON ci.query_id = t.query_id AND ci.neighbor_id = t.neighbor_id
+         |  LEFT JOIN cl ON cl.query_id = t.query_id AND cl.neighbor_id = t.neighbor_id),
+         |cellsm AS (
+         |  SELECT count(*) AS n_items, CAST(sum(a) AS BIGINT) AS caught_ivf,
+         |    CAST(sum(l) AS BIGINT) AS caught_lsh,
+         |    count(*) FILTER (WHERE a = 1 AND l = 0) AS only_ivf,
+         |    count(*) FILTER (WHERE l = 1 AND a = 0) AS only_lsh
+         |  FROM it)
+         |SELECT CAST(n_items AS BIGINT) AS n_items, caught_ivf, caught_lsh,
+         |  CAST(only_ivf AS BIGINT) AS only_ivf, CAST(only_lsh AS BIGINT) AS only_lsh,
+         |  CAST(CASE WHEN only_ivf + only_lsh = 0 THEN 0
+         |    ELSE CAST(only_ivf - only_lsh AS HUGEINT) * (only_ivf - only_lsh)
+         |         * 1000000 // (only_ivf + only_lsh) END AS BIGINT) AS mcnemar_micro,
+         |  CASE WHEN only_ivf + only_lsh = 0 THEN false
+         |    ELSE CAST(only_ivf - only_lsh AS HUGEINT) * (only_ivf - only_lsh)
+         |         * 1000000 // (only_ivf + only_lsh) > 3841459 END AS significant
+         |FROM cellsm""".stripMargin
+    QuerySpec.oracle("q202_ann_mcnemar", sql) { (spark, dir) =>
+      def intDot(a: Column, b: Column): Column = graft.functions.LongDotExpr.dot(a, b)
+      val quant = quantizedVecsCk(spark, dir)
+      val cents = lloydCentroidsCached(spark, dir, -1, k, dims, rounds)
+      // IVF candidates: q171's cell routing + 2-probe join
+      val cells = quant.select(col("vec_id"), intAssign(cents).getField("cid").as("cid"))
+      val probeArr = slice(array_sort(array(cents.map { case (cid, cdims) =>
+        val cc = cdims.map(c => c * c).sum
+        struct((intDot(col("qv"), col("qv"))
+          - lit(2L) * intDot(col("qv"), typedlit(cdims.toSeq)) + lit(cc)).as("dist"),
+          lit(cid).as("cid"))
+      }: _*)), 1, nProbe)
+      val qq = quant.filter(col("vec_id") % 25 === 0)
+      val candIvf = qq.select(col("vec_id").as("query_id"), explode(probeArr).as("p"))
+        .select(col("query_id"), col("p.cid").as("cid"))
+        .join(cells.withColumnRenamed("vec_id", "neighbor_id"), "cid")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id")
+      // LSH candidates: q166's banded bucket join, one config
+      val keyStructs = planes.zipWithIndex.map { case (band, b) =>
+        struct(lit(b).as("band"),
+          band.zipWithIndex.map { case (p, j) =>
+            when(intDot(col("qv"), typedlit(p.toSeq)) >= 0, lit(1L << j))
+              .otherwise(lit(0L))
+          }.reduce(_ + _).as("key"))
+      }
+      val bands = quant
+        .select(col("vec_id"), explode(array(keyStructs.toIndexedSeq: _*)).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val candLsh = bands.filter(col("vec_id") % 25 === 0)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(bands.withColumnRenamed("vec_id", "neighbor_id"), Seq("band", "key"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id").distinct()
+      // exact top-5 ground truth: the bounded broadcast-query scan
+      val qs2 = qq.select(col("vec_id").as("query_id"), col("qv").as("qv_q"))
+      val top5 = quant.join(broadcast(qs2), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          intDot(col("qv_q"), col("qv")).as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rn") <= 5).select("query_id", "neighbor_id")
+      top5
+        .join(candIvf.withColumn("a", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .join(candLsh.withColumn("l", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_items"),
+          count(col("a")).as("caught_ivf"), count(col("l")).as("caught_lsh"),
+          count(when(col("a").isNotNull && col("l").isNull, 1)).as("only_ivf"),
+          count(when(col("l").isNotNull && col("a").isNull, 1)).as("only_lsh"))
+        .withColumn("mcnemar_micro",
+          when(col("only_ivf") + col("only_lsh") === 0L, 0L)
+            .otherwise(expr(
+              // (b−c)²·10⁶ passes int64 at corpus-scale item counts —
+              // decimal inside, int64 out (q187 discipline)
+              "(CAST(only_ivf - only_lsh AS DECIMAL(38,0)) * (only_ivf - only_lsh) * 1000000) div (only_ivf + only_lsh)"))
+            .cast("long"))
+        .select(col("n_items"), col("caught_ivf"), col("caught_lsh"),
+          col("only_ivf"), col("only_lsh"), col("mcnemar_micro"),
+          (col("mcnemar_micro") > 3841459L).as("significant"))
+    }
+  }
+
   /** Exact stratified sampler with largest-remainder apportionment —
     * the allocation step between q56's mixture rates and X1's exact-n
     * class sampler: given a total budget B = 200 over the
@@ -4589,5 +4727,5 @@ object PipelineQueries {
     q189CusumChangepoint, q191KsDrift, q192MannKendall,
     q194StratifiedSample, q195Silhouette, q196CohensKappa,
     q197SkewAudit, q198JoinCardEst, q199BenfordAudit,
-    q200MarkovStationary, q201AbTest)
+    q200MarkovStationary, q201AbTest, q202AnnMcnemar)
 }

@@ -67,9 +67,9 @@ class ConstructionSweepSpec extends SparkSpec {
     // index-build-shaped step
     "q188_weighted_hops", "q190_kcore", "q193_ktruss",
     "q191_ks_drift", "q192_mann_kendall",
-    // q195 serves q170's memoized Lloyd centroids — a cold cache fits
-    // them at build (the q43/q78/q127 eager-index rationale)
-    "q195_silhouette",
+    // q195/q202 serve q170's memoized Lloyd centroids — a cold cache
+    // fits them at build (the q43/q78/q127 eager-index rationale)
+    "q195_silhouette", "q202_ann_mcnemar",
     // q82's FIRST build writes the ORC layout (one-time, _SUCCESS-marked)
     "q82_orc_roundtrip",
     // q83's FIRST build writes the z-ordered layout (+ its one-row min/max

@@ -161,6 +161,9 @@ class PlanSweepSpec extends SparkSpec {
     // q199 — crossJoin(broadcast(g)) over the 9-row LITERAL Benford
     // grid: a constant-sized dictionary, the q109 scaffold argument
     "q199_benford_audit",
+    // q202 — the exact-top5 ground truth is q166's bounded
+    // broadcast-query scan (the 1-in-25 slice into the corpus)
+    "q202_ann_mcnemar",
     // q191 — crossJoin(broadcast(grid)) over the distinct-value
     // DICTIONARY (the bounded sources × values ECDF grid, q187's
     // scaffold) + crossJoin(broadcast(tot)), the 1-row scalar idiom
@@ -700,7 +703,11 @@ class PlanSweepSpec extends SparkSpec {
     "q200_markov_stationary" -> 3,
     // q201: the (user, arm, day) conditional-max agg + the goal-keyed
     // cell agg + presentation sort
-    "q201_ab_test" -> 3)
+    "q201_ab_test" -> 3,
+    // q202: the IVF cell routing + probe join, the banded bucket join +
+    // distinct, the exact-top5 broadcast-query scan, two item joins +
+    // one aggregate
+    "q202_ann_mcnemar" -> 5)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -695,6 +695,20 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q202: McNemar cells are coherent and the statistic matches the closed form") {
+    val r = graft.SparkEntry.queries("q202_ann_mcnemar")(spark, sf).collect().head
+    val (n, ca, cl) = (r.getAs[Long]("n_items"), r.getAs[Long]("caught_ivf"),
+      r.getAs[Long]("caught_lsh"))
+    val (b, c) = (r.getAs[Long]("only_ivf"), r.getAs[Long]("only_lsh"))
+    assert(n > 0 && ca <= n && cl <= n)
+    assert(b <= ca && c <= cl, "discordant counts bounded by catches")
+    // inclusion-exclusion: both = ca - b = cl - c
+    assert(ca - b == cl - c, "the 2x2 table closes")
+    val expected = if (b + c == 0) 0L else (b - c) * (b - c) * 1000000L / (b + c)
+    assert(r.getAs[Long]("mcnemar_micro") == expected)
+    assert(r.getAs[Boolean]("significant") == (expected > 3841459L))
+  }
+
   test("q189: CUSUM argmax matches a plain-Scala reference per nation") {
     val rows = graft.SparkEntry.queries("q189_cusum_changepoint")(spark, sf).collect()
     assert(rows.nonEmpty)
