@@ -707,7 +707,10 @@ class PlanSweepSpec extends SparkSpec {
     // q202: the IVF cell routing + probe join, the banded bucket join +
     // distinct, the exact-top5 broadcast-query scan, two item joins +
     // one aggregate
-    "q202_ann_mcnemar" -> 5)
+    "q202_ann_mcnemar" -> 5,
+    // q203: the (nation, day) agg + ONE nation-keyed exchange shared by
+    // both rank windows + the per-nation aggregate + presentation sort
+    "q203_spearman" -> 3)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

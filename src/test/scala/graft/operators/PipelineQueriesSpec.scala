@@ -709,6 +709,44 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r.getAs[Boolean]("significant") == (expected > 3841459L))
   }
 
+  test("q203: Spearman matches a plain-Scala rank computation per nation") {
+    val rows = graft.SparkEntry.queries("q203_spearman")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val rev = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.supplier(spark, sf)
+          .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"),
+        cents(col("l_quantity")).as("q"))
+      .groupBy("nk", "day")
+      .agg(sum(col("r")).cast("long").as("x"), sum(col("q")).cast("long").as("y"))
+      .join(graft.sources.Tables.nation(spark, sf)
+          .select(col("n_nationkey").as("nk"), col("n_name")), "nk")
+      .collect().groupBy(_.getAs[String]("n_name"))
+    rows.foreach { row =>
+      val g = rev(row.getAs[String]("nation"))
+        .map(r => (r.getAs[java.sql.Date]("day").toString,
+          r.getAs[Long]("x"), r.getAs[Long]("y")))
+      val n = g.length
+      def ranks(key: ((String, Long, Long)) => (Long, String)): Map[String, Int] =
+        g.sortBy(key).zipWithIndex.map { case (t, i) => t._1 -> (i + 1) }.toMap
+      val rx = ranks(t => (t._2, t._1))
+      val ry = ranks(t => (t._3, t._1))
+      val sd2 = g.map(t => { val d = BigInt(rx(t._1) - ry(t._1)); d * d }).sum
+      val rho = BigInt(1000000) - BigInt(6) * sd2 * 1000000 / (BigInt(n) * (n.toLong * n - 1))
+      assert(row.getAs[Long]("n_days") == n.toLong)
+      assert(row.getAs[Long]("sum_d2") == sd2.toLong, row.getString(0))
+      assert(row.getAs[Long]("spearman_micro") == rho.toLong)
+      assert(math.abs(row.getAs[Long]("spearman_micro")) <= 1000000L)
+    }
+    assert(rows.length == rev.size)
+  }
+
   test("q189: CUSUM argmax matches a plain-Scala reference per nation") {
     val rows = graft.SparkEntry.queries("q189_cusum_changepoint")(spark, sf).collect()
     assert(rows.nonEmpty)
