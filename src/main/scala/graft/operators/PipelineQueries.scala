@@ -4701,6 +4701,79 @@ object PipelineQueries {
       .orderBy("nation")
   }
 
+  /** Kaplan-Meier time-to-event curve, exact integers — the survival
+    * primitive the event band lacked (q68's cohort grid counts WHO is
+    * active; KM estimates WHEN the event arrives, correctly under
+    * right-censoring): time from a user's first activity to their first
+    * purchase, users without one censored at the horizon (this fixture
+    * observes every conversion, so the censor branch is structural —
+    * the estimator must not assume it). The product-limit estimator
+    * Ŝ(t) = Π_{u≤t}(1 − d_u/n_u) is a product of rationals, made
+    * hash-exact the q200 way: quantize with PER-STEP truncation,
+    * s ← s·(n−d) div n from s₀ = 10⁶ — and because the step table is
+    * TIME-BOUNDED (one row per event day), each step's prefix fold runs
+    * in-row over the sorted step arrays (q177's list machinery; the
+    * prefix trick is `aggregate(sequence(1, i), …)` over parallel d/n
+    * arrays ↔ DuckDB list_reduce over a prepended index list). Shape at
+    * 100 TB: ONE per-user min/min aggregate over the event stream + a
+    * day-keyed step aggregate; the risk set is a reverse cumulative sum
+    * on the step table; the fold never touches corpus rows. */
+  val q204KaplanMeier: QuerySpec = QuerySpec.oracle(
+    "q204_kaplan_meier",
+    """WITH e AS (SELECT user_id, event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |           FROM events),
+      |h AS (SELECT max(day) AS hz FROM e),
+      |u AS (SELECT user_id, min(day) AS f,
+      |        min(CASE WHEN event_type = 'purchase' THEN day END) AS p
+      |      FROM e GROUP BY 1),
+      |d AS (SELECT CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev,
+      |        CASE WHEN p IS NOT NULL THEN date_diff('day', f, p)
+      |             ELSE date_diff('day', f, hz) END AS t
+      |      FROM u CROSS JOIN h),
+      |steps AS (SELECT t, CAST(sum(ev) AS BIGINT) AS dd, count(*) AS at_t
+      |          FROM d GROUP BY 1),
+      |risk AS (SELECT t, dd,
+      |           CAST(sum(at_t) OVER (ORDER BY t DESC) AS BIGINT) AS n
+      |         FROM steps),
+      |ord AS (SELECT t, dd, n FROM risk WHERE dd > 0),
+      |arrs AS (SELECT list(t ORDER BY t) AS ts, list(dd ORDER BY t) AS ds,
+      |                list(n ORDER BY t) AS ns FROM ord)
+      |SELECT CAST(ts[i] AS BIGINT) AS t_days, ns[i] AS n_risk, ds[i] AS d_events,
+      |  CAST(list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+      |    list_transform(generate_series(1, i), j -> CAST(j AS BIGINT))),
+      |    (acc, j) -> acc * (ns[j] - ds[j]) // ns[j]) AS BIGINT) AS s_micro
+      |FROM arrs, LATERAL unnest(generate_series(1, len(ts))) AS g(i)
+      |ORDER BY t_days""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val u = e.groupBy("user_id")
+      .agg(min(col("day")).as("f"),
+        min(when(col("event_type") === "purchase", col("day"))).as("p"))
+    val h = e.agg(max(col("day")).as("hz"))
+    val d = u.crossJoin(broadcast(h))
+      .select(when(col("p").isNotNull, 1L).otherwise(0L).as("ev"),
+        when(col("p").isNotNull, datediff(col("p"), col("f")))
+          .otherwise(datediff(col("hz"), col("f"))).cast("long").as("t"))
+    val steps = d.groupBy("t")
+      .agg(sum(col("ev")).cast("long").as("dd"), count(lit(1)).as("at_t"))
+      // time-bounded step table: the reverse-cumulative risk set rides a
+      // single-partition window over event DAYS, never users
+      .withColumn("n", sum(col("at_t")).over(
+        Window.orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .filter(col("dd") > 0)
+    steps.agg(sort_array(collect_list(struct(col("t"), col("dd"), col("n")))).as("a"))
+      .select(explode(expr(
+        """transform(sequence(1, size(a)), i -> struct(
+          |  a[i-1].t AS t_days, a[i-1].n AS n_risk, a[i-1].dd AS d_events,
+          |  aggregate(sequence(1, i), CAST(1000000 AS BIGINT),
+          |    (acc, j) -> (acc * (a[j-1].n - a[j-1].dd)) div a[j-1].n) AS s_micro))""".stripMargin))
+        .as("r"))
+      .select(col("r.t_days"), col("r.n_risk"), col("r.d_events"), col("r.s_micro"))
+      .orderBy("t_days")
+  }
+
   /** Exact stratified sampler with largest-remainder apportionment —
     * the allocation step between q56's mixture rates and X1's exact-n
     * class sampler: given a total budget B = 200 over the
@@ -4796,5 +4869,6 @@ object PipelineQueries {
     q189CusumChangepoint, q191KsDrift, q192MannKendall,
     q194StratifiedSample, q195Silhouette, q196CohensKappa,
     q197SkewAudit, q198JoinCardEst, q199BenfordAudit,
-    q200MarkovStationary, q201AbTest, q202AnnMcnemar, q203Spearman)
+    q200MarkovStationary, q201AbTest, q202AnnMcnemar, q203Spearman,
+    q204KaplanMeier)
 }

@@ -164,6 +164,9 @@ class PlanSweepSpec extends SparkSpec {
     // q202 — the exact-top5 ground truth is q166's bounded
     // broadcast-query scan (the 1-in-25 slice into the corpus)
     "q202_ann_mcnemar",
+    // q204 — crossJoin(broadcast(h)) where h is the 1-row horizon
+    // aggregate: the q27/q45 lazy scalar-subquery idiom
+    "q204_kaplan_meier",
     // q191 — crossJoin(broadcast(grid)) over the distinct-value
     // DICTIONARY (the bounded sources × values ECDF grid, q187's
     // scaffold) + crossJoin(broadcast(tot)), the 1-row scalar idiom
@@ -710,7 +713,11 @@ class PlanSweepSpec extends SparkSpec {
     "q202_ann_mcnemar" -> 5,
     // q203: the (nation, day) agg + ONE nation-keyed exchange shared by
     // both rank windows + the per-nation aggregate + presentation sort
-    "q203_spearman" -> 3)
+    "q203_spearman" -> 3,
+    // q204: the per-user min/min agg, the day-keyed step agg + the
+    // time-bounded reverse-cumulative window, the 1-row arrays collect +
+    // presentation sort
+    "q204_kaplan_meier" -> 4)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -747,6 +747,49 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.length == rev.size)
   }
 
+  test("q204: KM curve matches a plain-Scala product-limit fold") {
+    val rows = graft.SparkEntry.queries("q204_kaplan_meier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val users = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("user_id")
+      .agg(min(col("day")).as("f"),
+        min(when(col("event_type") === "purchase", col("day"))).as("p"),
+        max(col("day")).as("l"))
+      .collect()
+    val hz = users.map(_.getAs[java.sql.Date]("l").toLocalDate).maxBy(_.toEpochDay)
+    val durs = users.map { r =>
+      val f = r.getAs[java.sql.Date]("f").toLocalDate
+      val p = Option(r.getAs[java.sql.Date]("p")).map(_.toLocalDate)
+      p match {
+        case Some(pp) => (pp.toEpochDay - f.toEpochDay, 1L)
+        case None => (hz.toEpochDay - f.toEpochDay, 0L)
+      }
+    }
+    val byT = durs.groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.map(_._2).sum, xs.length.toLong)
+    }
+    val ts = byT.keys.toSeq.sorted
+    var s = 1000000L
+    val expected = ts.flatMap { t =>
+      val n = durs.count(_._1 >= t).toLong
+      val d = byT(t)._1
+      if (d > 0) { s = s * (n - d) / n; Some((t, n, d, s)) } else None
+    }
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (t, n, d, sm)) =>
+      assert(r.getAs[Long]("t_days") == t)
+      assert(r.getAs[Long]("n_risk") == n)
+      assert(r.getAs[Long]("d_events") == d)
+      assert(r.getAs[Long]("s_micro") == sm, s"t=$t")
+    }
+    // survival is monotone non-increasing from 1
+    val ss = rows.map(_.getAs[Long]("s_micro")).toSeq
+    assert(ss.zip(ss.tail).forall { case (a, b) => b <= a })
+    assert(ss.head <= 1000000L)
+  }
+
   test("q189: CUSUM argmax matches a plain-Scala reference per nation") {
     val rows = graft.SparkEntry.queries("q189_cusum_changepoint")(spark, sf).collect()
     assert(rows.nonEmpty)
