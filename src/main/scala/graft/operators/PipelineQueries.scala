@@ -4774,6 +4774,157 @@ object PipelineQueries {
       .orderBy("t_days")
   }
 
+  /** Multi-touch conversion attribution — the marketing-analytics
+    * primitive above q67's funnel: every purchase credits the
+    * touchpoints (view/click/signup) in its trailing 3-day window under
+    * the three standard models AT ONCE — first-touch, last-touch, and
+    * linear (each of k touches gets 10⁶ div k micro-credits, truncation
+    * documented), so the report shows how the models DISAGREE, which is
+    * the whole point of running more than one. Exact integers: window
+    * membership compares unix micros (q65's NTZ-robust discipline),
+    * first/last are deterministic (ts, type) row_numbers, linear credit
+    * is integral division. Shape at 100 TB: the touch-to-purchase pair
+    * join is user-keyed with a BOUNDED time window (q65's range-join
+    * argument — pairs per user bounded by window × activity rate, never
+    * all-pairs), both rank windows and the per-purchase count share one
+    * (user, purchase) exchange, and the report is one type-keyed
+    * aggregate. */
+  val q205Attribution: QuerySpec = QuerySpec.oracle(
+    "q205_attribution",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events),
+      |p AS (SELECT user_id, us AS pus FROM e WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_type, us FROM e
+      |      WHERE event_type IN ('view', 'click', 'signup')),
+      |pairs AS (
+      |  SELECT p.user_id, p.pus, t.event_type, t.us
+      |  FROM p JOIN t ON t.user_id = p.user_id
+      |    AND t.us < p.pus AND t.us >= p.pus - 259200000000),
+      |rk AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, pus ORDER BY us, event_type) AS rf,
+      |    row_number() OVER (PARTITION BY user_id, pus ORDER BY us DESC, event_type) AS rl,
+      |    count(*) OVER (PARTITION BY user_id, pus) AS k
+      |  FROM pairs)
+      |SELECT event_type,
+      |  CAST(count(*) FILTER (WHERE rf = 1) AS BIGINT) AS first_touch,
+      |  CAST(count(*) FILTER (WHERE rl = 1) AS BIGINT) AS last_touch,
+      |  CAST(sum(1000000 // k) AS BIGINT) AS linear_micro
+      |FROM rk GROUP BY 1 ORDER BY event_type""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus"))
+    val t = e.filter(col("event_type").isin("view", "click", "signup"))
+    val pairs = p.join(t, Seq("user_id"))
+      .filter(col("us") < col("pus") && col("us") >= col("pus") - 259200000000L)
+    val byP = Window.partitionBy("user_id", "pus")
+    pairs
+      .withColumn("rf", row_number().over(byP.orderBy(col("us"), col("event_type"))))
+      .withColumn("rl", row_number().over(byP.orderBy(col("us").desc, col("event_type"))))
+      .withColumn("k", count(lit(1)).over(byP))
+      .groupBy("event_type")
+      .agg(count(when(col("rf") === 1, 1)).as("first_touch"),
+        count(when(col("rl") === 1, 1)).as("last_touch"),
+        sum(expr("1000000 div k")).cast("long").as("linear_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Bootstrap confidence intervals via the deterministic POISSON
+    * bootstrap — the one-pass, shard-friendly bootstrap (Chamandy et
+    * al., Google): resampling n-out-of-n is impossible to coordinate
+    * across executors, but giving every row an independent Poisson(1)
+    * weight per replicate needs NO coordination at all — and made
+    * deterministic from md5(key:replicate), the whole CI hash-verifies.
+    * Here: per-nation mean order value, B = 64 replicates; each weight
+    * is the Poisson(1) quantile of the row-replicate hash against a
+    * Scala-computed integer CDF ladder shared by both engines (q149's
+    * constant discipline), replicate means are Σwx div Σw in micro
+    * units, and the 95% band is the 2nd/63rd ranked replicate mean —
+    * rank arithmetic, no float percentiles. Shape at 100 TB: ONE
+    * map-side-combined (nation, replicate) aggregate over a ×B
+    * generator explode (B md5s per row, linear map work); the rank step
+    * runs on the nations × B table. */
+  val q206BootstrapCi: QuerySpec = {
+    val B = 64
+    // Poisson(1) CDF ladder scaled to 1e9, computed once and embedded in
+    // both engines; weights cap at 7 (P > 7 ≈ 1e-5 of 1e-9 resolution)
+    val cdf: Seq[Long] = {
+      var (p, cum) = (math.exp(-1.0), 0.0)
+      (0 to 6).map { k =>
+        if (k > 0) p = p / k
+        cum += p
+        math.floor(cum * 1e9).toLong
+      }
+    }
+    def wSql(u: String): String =
+      cdf.zipWithIndex.map { case (c, k) => s"WHEN $u < $c THEN $k" }
+        .mkString("CASE ", " ", " ELSE 7 END")
+    QuerySpec.oracle(
+      "q206_bootstrap_ci",
+      s"""WITH o AS (
+         |  SELECT c_nationkey AS nk, o_orderkey AS k,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |w AS (
+         |  SELECT nk, r, ${wSql(s"('0x' || substring(md5(k || ':' || r), 1, 15))::BIGINT % 1000000000")} AS w, x
+         |  FROM o CROSS JOIN (SELECT unnest(generate_series(1, $B)) AS r)),
+         |reps AS (
+         |  SELECT nk, r,
+         |    CAST(sum(CAST(w AS HUGEINT) * x) // greatest(sum(w), 1) AS BIGINT) AS m
+         |  FROM w GROUP BY 1, 2),
+         |rk AS (SELECT nk, m, row_number() OVER (PARTITION BY nk ORDER BY m, r) AS q
+         |       FROM reps),
+         |pt AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_orders,
+         |         CAST(sum(CAST(x AS HUGEINT)) // count(*) AS BIGINT) AS mean_cents
+         |       FROM o GROUP BY 1)
+         |SELECT n_name AS nation, n_orders, mean_cents,
+         |  CAST(min(CASE WHEN q = 2 THEN m END) AS BIGINT) AS boot_lo,
+         |  CAST(min(CASE WHEN q = ${B - 1} THEN m END) AS BIGINT) AS boot_hi
+         |FROM pt JOIN rk USING (nk) JOIN nation ON n_nationkey = nk
+         |GROUP BY 1, 2, 3 ORDER BY nation""".stripMargin
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val o = Tables.orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"), col("o_orderkey").as("k"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("x"))
+      val u = pmod(conv(substring(
+        md5(concat(col("k").cast("string"), lit(":"), col("r").cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(1000000000L))
+      // ascending CDF thresholds folded into the CASE ladder the oracle
+      // spells out — first matching rung wins in both engines
+      val wCol = cdf.zipWithIndex.foldRight(lit(7L): Column) { case ((c, k), e) =>
+        when(u < c, k.toLong).otherwise(e)
+      }
+      val weights = o
+        .select(col("nk"), col("k"), col("x"),
+          explode(sequence(lit(1), lit(B))).as("r"))
+        .withColumn("w", wCol)
+      val reps = weights.groupBy("nk", "r")
+        .agg(expr("CAST(sum(CAST(w AS DECIMAL(38,0)) * x) div greatest(sum(w), 1) AS BIGINT)")
+          .as("m"))
+      val rk = reps.withColumn("q",
+        row_number().over(Window.partitionBy("nk").orderBy(col("m"), col("r"))))
+      val pt = o.groupBy("nk")
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(x AS DECIMAL(38,0))) div count(*) AS BIGINT)").as("mean_cents"))
+      pt.join(rk, "nk")
+        .groupBy("nk", "n_orders", "mean_cents")
+        .agg(min(when(col("q") === 2, col("m"))).as("boot_lo"),
+          min(when(col("q") === B - 1, col("m"))).as("boot_hi"))
+        .join(broadcast(Tables.nation(spark, dir)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("nk") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_orders").cast("long").as("n_orders"),
+          col("mean_cents"), col("boot_lo"), col("boot_hi"))
+        .orderBy("nation")
+    }
+  }
+
   /** Exact stratified sampler with largest-remainder apportionment —
     * the allocation step between q56's mixture rates and X1's exact-n
     * class sampler: given a total budget B = 200 over the
@@ -4870,5 +5021,5 @@ object PipelineQueries {
     q194StratifiedSample, q195Silhouette, q196CohensKappa,
     q197SkewAudit, q198JoinCardEst, q199BenfordAudit,
     q200MarkovStationary, q201AbTest, q202AnnMcnemar, q203Spearman,
-    q204KaplanMeier)
+    q204KaplanMeier, q205Attribution, q206BootstrapCi)
 }

@@ -717,7 +717,14 @@ class PlanSweepSpec extends SparkSpec {
     // q204: the per-user min/min agg, the day-keyed step agg + the
     // time-bounded reverse-cumulative window, the 1-row arrays collect +
     // presentation sort
-    "q204_kaplan_meier" -> 4)
+    "q204_kaplan_meier" -> 4,
+    // q205: the user-keyed pair join + the shared (user, purchase)
+    // window exchange + the type-keyed aggregate + presentation sort
+    "q205_attribution" -> 3,
+    // q206: the (nation, replicate) weight aggregate over the xB
+    // generator explode, the nation-keyed rank window, the point
+    // estimate aggregate + final joins and presentation sort
+    "q206_bootstrap_ci" -> 4)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

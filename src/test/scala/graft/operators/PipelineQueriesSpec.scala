@@ -790,6 +790,41 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(ss.head <= 1000000L)
   }
 
+  test("q205: attribution models agree on totals and disagree on allocation") {
+    val rows = graft.SparkEntry.queries("q205_attribution")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).sorted.toSeq ==
+      Seq("click", "signup", "view"))
+    val (f, l) = (rows.map(_.getAs[Long]("first_touch")).sum,
+      rows.map(_.getAs[Long]("last_touch")).sum)
+    assert(f == l, "every attributed purchase has exactly one first and one last touch")
+    // linear credit sums to ~1e6 per attributed purchase (short of the
+    // exact total only by the documented per-touch truncation)
+    val lin = rows.map(_.getAs[Long]("linear_micro")).sum
+    assert(lin <= f * 1000000L && lin > f * 1000000L - f * 20L,
+      s"linear credit $lin vs $f purchases")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("first_touch") > 0 && r.getAs[Long]("last_touch") > 0)
+    }
+  }
+
+  test("q206: bootstrap bands bracket the point estimate with sane width") {
+    val rows = graft.SparkEntry.queries("q206_bootstrap_ci")(spark, sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val (m, lo, hi) = (r.getAs[Long]("mean_cents"), r.getAs[Long]("boot_lo"),
+        r.getAs[Long]("boot_hi"))
+      assert(lo < hi, r.getString(0))
+      assert(lo <= m && m <= hi, s"${r.getString(0)}: point estimate inside the band")
+      // sane width even at the tiny spec-scale n (~20 orders/nation):
+      // bounded by the mean itself; sf0.01 reads ~5%
+      assert(hi - lo < m, "not absurdly wide")
+      assert(hi - lo > 0)
+    }
+    val again = graft.SparkEntry.queries("q206_bootstrap_ci")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "hash-derived weights make the bootstrap reproducible")
+  }
+
   test("q189: CUSUM argmax matches a plain-Scala reference per nation") {
     val rows = graft.SparkEntry.queries("q189_cusum_changepoint")(spark, sf).collect()
     assert(rows.nonEmpty)
