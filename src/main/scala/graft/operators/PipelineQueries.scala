@@ -4864,15 +4864,19 @@ object PipelineQueries {
     QuerySpec.oracle(
       "q206_bootstrap_ci",
       s"""WITH o AS (
-         |  SELECT c_nationkey AS nk, o_orderkey AS k,
+         |  SELECT c_nationkey AS nk,
+         |    ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+         |      % 1000000000 AS h1,
+         |    ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 16, 15))::BIGINT
+         |      % 1000000000 AS h2,
          |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
          |  FROM orders JOIN customer ON o_custkey = c_custkey),
          |w AS (
-         |  SELECT nk, r, ${wSql(s"('0x' || substring(md5(k || ':' || r), 1, 15))::BIGINT % 1000000000")} AS w, x
+         |  SELECT nk, r, ${wSql("(h1 + r * h2) % 1000000000")} AS w, x
          |  FROM o CROSS JOIN (SELECT unnest(generate_series(1, $B)) AS r)),
          |reps AS (
          |  SELECT nk, r,
-         |    CAST(sum(CAST(w AS HUGEINT) * x) // greatest(sum(w), 1) AS BIGINT) AS m
+         |    CAST(CAST(sum(w * x) AS HUGEINT) // greatest(sum(w), 1) AS BIGINT) AS m
          |  FROM w GROUP BY 1, 2),
          |rk AS (SELECT nk, m, row_number() OVER (PARTITION BY nk ORDER BY m, r) AS q
          |       FROM reps),
@@ -4886,27 +4890,35 @@ object PipelineQueries {
          |GROUP BY 1, 2, 3 ORDER BY nation""".stripMargin
     ) { (spark, dir) =>
       import org.apache.spark.sql.types.DecimalType
+      // ONE md5 per row; the B per-replicate uniforms derive from its two
+      // 60-bit halves via the Kirsch-Mitzenmacher double-hash family
+      // u_r = (h1 + r·h2) mod 10⁹ — the standard construction for many
+      // hash functions from two, and 64× cheaper than md5-per-replicate
+      // (the md5-per-(row, replicate) form measured 23 s at sf0.1)
+      def half(off: Int): Column =
+        pmod(conv(substring(md5(col("o_orderkey").cast("string")), off, 15), 16, 10)
+          .cast("long"), lit(1000000000L))
       val o = Tables.orders(spark, dir)
         .join(broadcast(Tables.customer(spark, dir)
             .select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))
-        .select(col("c_nationkey").as("nk"), col("o_orderkey").as("k"),
+        .select(col("c_nationkey").as("nk"), half(1).as("h1"), half(16).as("h2"),
           (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("x"))
-      val u = pmod(conv(substring(
-        md5(concat(col("k").cast("string"), lit(":"), col("r").cast("string"))),
-        1, 15), 16, 10).cast("long"), lit(1000000000L))
       // ascending CDF thresholds folded into the CASE ladder the oracle
-      // spells out — first matching rung wins in both engines
+      // spells out — first matching rung wins in both engines; u is a
+      // named column so the ladder tests ONE value, not 7 pmod chains
       val wCol = cdf.zipWithIndex.foldRight(lit(7L): Column) { case ((c, k), e) =>
-        when(u < c, k.toLong).otherwise(e)
+        when(col("u") < c, k.toLong).otherwise(e)
       }
       val weights = o
-        .select(col("nk"), col("k"), col("x"),
+        .select(col("nk"), col("h1"), col("h2"), col("x"),
           explode(sequence(lit(1), lit(B))).as("r"))
+        .withColumn("u", pmod(col("h1") + col("r") * col("h2"), lit(1000000000L)))
         .withColumn("w", wCol)
       val reps = weights.groupBy("nk", "r")
-        .agg(expr("CAST(sum(CAST(w AS DECIMAL(38,0)) * x) div greatest(sum(w), 1) AS BIGINT)")
-          .as("m"))
+        // w ≤ 7 and x is order cents, so Σwx stays int64-safe past 10¹⁰
+        // rows per (nation, replicate) — no decimal on the 9.6M-row path
+        .agg(expr("sum(w * x) div greatest(sum(w), 1)").cast("long").as("m"))
       val rk = reps.withColumn("q",
         row_number().over(Window.partitionBy("nk").orderBy(col("m"), col("r"))))
       val pt = o.groupBy("nk")
