@@ -95,6 +95,10 @@ object Bench {
     (Seq((2, false, true, false, 0.0, 0), (1, false, true, false, 0.0, 0),
         (1, false, true, false, 0.05, 0), (1, false, true, false, 0.2, 0),
         (1, false, true, false, 0.5, 0),
+        // past ~200 queries even a uniform ~1 s map overflows with "q"
+        // prefixes: the stripped-key rung keeps EVERY query visible at
+        // decisecond resolution before any fold drops names
+        (1, true, true, false, 0.0, 0),
         // budget-aware rungs for rounds where the threshold folds can't
         // help (every query expensive): keep the costliest K by name at
         // decisecond resolution, fold the remainder into rest/rest_n
