@@ -4937,6 +4937,99 @@ object PipelineQueries {
     }
   }
 
+  /** Mark-recapture coverage estimate for near-dup discovery — the
+    * question q164's recall audit can only answer at audit scale (exact
+    * ground truth is an all-pairs scan): at 100 TB, how many near-dup
+    * pairs exist BEYOND what the production LSH found? Ecology's answer
+    * needs no truth: run two INDEPENDENTLY SEEDED sign-LSH captures of
+    * the same pair population and apply the bias-corrected Chapman
+    * estimator N̂ = (a+1)(b+1) div (m+1) − 1 from the two catch sizes
+    * and their overlap m — small overlap between independent captures
+    * means a large unseen population, and the whole estimate is one
+    * integer expression over three pair counts. Both captures are the
+    * verified q166 integer-plane machinery (literals, banded bucket
+    * joins, never all-pairs), so a, b, m, and N̂ all hash-verify.
+    * Reported beside them: each capture's coverage Ĉ = catch·10⁶ div N̂.
+    * Shape at 100 TB: two banded bucket self-joins over the corpus (the
+    * production dedup shape) + one pair-keyed join for the overlap. */
+  val q207ChapmanCoverage: QuerySpec = {
+    val dims = 64
+    val configs = Seq(("a", intPlanes(8, 8, dims, 101L)), ("b", intPlanes(8, 8, dims, 202L)))
+    def sqlIntDot(vecExpr: String, lits: Array[Long]): String =
+      s"list_reduce(list_prepend(0, list_transform(list_zip($vecExpr, " +
+        s"[${lits.mkString(",")}]), p -> p[1]*p[2])), (acc, v) -> acc + v)"
+    val bandCtes = configs.map { case (name, planes) =>
+      val selects = planes.zipWithIndex.map { case (band, b) =>
+        val key = band.zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN ${sqlIntDot("qv", p)} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $b AS band, $key AS key FROM q"
+      }
+      s"""b_$name AS (${selects.mkString("\n  UNION ALL ")}),
+         |c_$name AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM b_$name x JOIN b_$name y
+         |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)""".stripMargin
+    }
+    QuerySpec.oracle(
+      "q207_chapman_coverage",
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |s AS (SELECT vec_id, embedding, ${VectorFns.Sql.maxAbs("embedding")} AS scale FROM v),
+         |q AS MATERIALIZED (SELECT vec_id, ${VectorFns.Sql.quantizeInt8("embedding", "scale")} AS qv FROM s),
+         |${bandCtes.mkString(",\n")},
+         |counts AS (
+         |  SELECT (SELECT count(*) FROM c_a) AS a,
+         |    (SELECT count(*) FROM c_b) AS b,
+         |    (SELECT count(*) FROM c_a JOIN c_b USING (id_a, id_b)) AS m)
+         |SELECT CAST(a AS BIGINT) AS caught_a, CAST(b AS BIGINT) AS caught_b,
+         |  CAST(m AS BIGINT) AS overlap,
+         |  CAST(CAST(a + 1 AS HUGEINT) * (b + 1) // (m + 1) - 1 AS BIGINT)
+         |    AS chapman_est,
+         |  CAST(CAST(a AS HUGEINT) * 1000000
+         |    // (CAST(a + 1 AS HUGEINT) * (b + 1) // (m + 1) - 1) AS BIGINT)
+         |    AS coverage_a_micro,
+         |  CAST(CAST(b AS HUGEINT) * 1000000
+         |    // (CAST(a + 1 AS HUGEINT) * (b + 1) // (m + 1) - 1) AS BIGINT)
+         |    AS coverage_b_micro
+         |FROM counts""".stripMargin
+    ) { (spark, dir) =>
+      def intDot(a: Column, b: Column): Column = graft.functions.LongDotExpr.dot(a, b)
+      val quant = quantizedVecsCk(spark, dir)
+      def capture(planes: Array[Array[Array[Long]]]): org.apache.spark.sql.DataFrame = {
+        val keyStructs = planes.zipWithIndex.map { case (band, b) =>
+          struct(lit(b).as("band"),
+            band.zipWithIndex.map { case (p, j) =>
+              when(intDot(col("qv"), typedlit(p.toSeq)) >= 0, lit(1L << j))
+                .otherwise(lit(0L))
+            }.reduce(_ + _).as("key"))
+        }
+        val bands = quant
+          .select(col("vec_id"), explode(array(keyStructs.toIndexedSeq: _*)).as("bk"))
+          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        bands.select(col("vec_id").as("id_a"), col("band"), col("key"))
+          .join(bands.select(col("vec_id").as("id_b"), col("band"), col("key")),
+            Seq("band", "key"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+      }
+      val ca = capture(configs(0)._2)
+      val cb = capture(configs(1)._2)
+      val a = ca.agg(count(lit(1)).as("a"))
+      val b = cb.agg(count(lit(1)).as("b"))
+      val m = ca.join(cb, Seq("id_a", "id_b")).agg(count(lit(1)).as("m"))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(m))
+        // (a+1)(b+1) exceeds int64 at corpus-scale pair counts — decimal
+        // inside, int64 out (q187 discipline)
+        .withColumn("est",
+          expr("(CAST(a + 1 AS DECIMAL(38,0)) * (b + 1)) div (m + 1) - 1"))
+        .select(col("a").cast("long").as("caught_a"), col("b").cast("long").as("caught_b"),
+          col("m").cast("long").as("overlap"), col("est").cast("long").as("chapman_est"),
+          expr("(CAST(a AS DECIMAL(38,0)) * 1000000) div est").cast("long")
+            .as("coverage_a_micro"),
+          expr("(CAST(b AS DECIMAL(38,0)) * 1000000) div est").cast("long")
+            .as("coverage_b_micro"))
+    }
+  }
+
   /** Exact stratified sampler with largest-remainder apportionment —
     * the allocation step between q56's mixture rates and X1's exact-n
     * class sampler: given a total budget B = 200 over the
@@ -5033,5 +5126,5 @@ object PipelineQueries {
     q194StratifiedSample, q195Silhouette, q196CohensKappa,
     q197SkewAudit, q198JoinCardEst, q199BenfordAudit,
     q200MarkovStationary, q201AbTest, q202AnnMcnemar, q203Spearman,
-    q204KaplanMeier, q205Attribution, q206BootstrapCi)
+    q204KaplanMeier, q205Attribution, q206BootstrapCi, q207ChapmanCoverage)
 }

@@ -167,6 +167,9 @@ class PlanSweepSpec extends SparkSpec {
     // q204 — crossJoin(broadcast(h)) where h is the 1-row horizon
     // aggregate: the q27/q45 lazy scalar-subquery idiom
     "q204_kaplan_meier",
+    // q207 — crossJoin(broadcast(x)) of the two 1-row catch-count
+    // aggregates beside the overlap count: the q27/q45 scalar idiom
+    "q207_chapman_coverage",
     // q191 — crossJoin(broadcast(grid)) over the distinct-value
     // DICTIONARY (the bounded sources × values ECDF grid, q187's
     // scaffold) + crossJoin(broadcast(tot)), the 1-row scalar idiom
@@ -724,7 +727,10 @@ class PlanSweepSpec extends SparkSpec {
     // q206: the (nation, replicate) weight aggregate over the xB
     // generator explode, the nation-keyed rank window, the point
     // estimate aggregate + final joins and presentation sort
-    "q206_bootstrap_ci" -> 4)
+    "q206_bootstrap_ci" -> 4,
+    // q207: two banded bucket self-joins (each: band explode + pair
+    // distinct) + the overlap pair join + three 1-row count aggregates
+    "q207_chapman_coverage" -> 7)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -825,6 +825,19 @@ class PipelineQueriesSpec extends SparkSpec {
       "hash-derived weights make the bootstrap reproducible")
   }
 
+  test("q207: Chapman estimate is consistent with its defining counts") {
+    val r = graft.SparkEntry.queries("q207_chapman_coverage")(spark, sf).collect().head
+    val (a, b, m) = (r.getAs[Long]("caught_a"), r.getAs[Long]("caught_b"),
+      r.getAs[Long]("overlap"))
+    assert(m <= math.min(a, b), "overlap bounded by both catches")
+    val est = (BigInt(a + 1) * (b + 1) / (m + 1) - 1).toLong
+    assert(r.getAs[Long]("chapman_est") == est)
+    assert(est >= math.max(a, b), "the union can't exceed the estimated population")
+    assert(r.getAs[Long]("coverage_a_micro") == (BigInt(a) * 1000000 / est).toLong)
+    assert(r.getAs[Long]("coverage_b_micro") == (BigInt(b) * 1000000 / est).toLong)
+    assert(r.getAs[Long]("coverage_a_micro") <= 1000000L)
+  }
+
   test("q189: CUSUM argmax matches a plain-Scala reference per nation") {
     val rows = graft.SparkEntry.queries("q189_cusum_changepoint")(spark, sf).collect()
     assert(rows.nonEmpty)
