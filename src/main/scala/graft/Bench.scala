@@ -180,9 +180,15 @@ object Bench {
             else {
               val sorted = samples.sorted
               val spreadOver3x = sorted.head <= 0.0 || sorted.last / sorted.head > 3.0
-              if (bracketsClean && spreadOver3x && sorted.size >= 2) {
+              if (bracketsClean && spreadOver3x && sorted.size >= 3) {
+                // two-smallest mean needs >= 3 samples to actually DISCARD
+                // the outlier; at exactly 2 it would average all samples,
+                // outlier included — worse than the bare min (ADVICE r18)
                 switched += k
                 (sorted(0) + sorted(1)) / 2.0
+              } else if (bracketsClean && spreadOver3x && sorted.size == 2) {
+                switched += k
+                sorted.head
               } else sorted(samples.size / 2)
             })
     }: _*)

@@ -1247,8 +1247,8 @@ object EventQueries {
          |  SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS t FROM events),
          |cells AS ($cellRows),
          |cms AS (SELECT j, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
-         |hs AS (SELECT ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
-         |       FROM (SELECT DISTINCT t FROM keys)),
+         |hs AS (SELECT DISTINCT ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+         |       FROM keys),
          |kmv AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hs)
          |SELECT CAST(j AS BIGINT) AS part, CAST(bucket AS BIGINT) AS slot,
          |  CAST(c AS BIGINT) AS val FROM cms

@@ -470,7 +470,7 @@ object Graph {
       (org.apache.spark.sql.SparkSession, String), DataFrame]()
   private def tradePairs(spark: org.apache.spark.sql.SparkSession,
                          dir: String): DataFrame =
-    tradePairsCache.computeIfAbsent((spark, dir), _ =>
+    graft.SessionMemo.cached(tradePairsCache, (spark, dir))(_._1)(_ =>
       Tables.lineitem(spark, dir)
         .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
@@ -508,7 +508,7 @@ object Graph {
     * from the cached rows thereafter (the [[tradePairs]] economics). */
   private def coSupplyEdges(spark: org.apache.spark.sql.SparkSession,
                             dir: String, minRepeat: Int = 2): DataFrame =
-    coSupplyCache.computeIfAbsent((spark, dir, minRepeat), _ => {
+    graft.SessionMemo.cached(coSupplyCache, (spark, dir, minRepeat))(_._1)(_ => {
       val p = Tables.lineitem(spark, dir)
         .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))

@@ -1659,7 +1659,7 @@ object PipelineQueries {
       (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
   private def quantizedVecsCk(spark: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    quantCkCache.computeIfAbsent((spark, dir),
+    graft.SessionMemo.cached(quantCkCache, (spark, dir))(_._1)(
       _ => quantizedVecs(spark, dir).localCheckpoint(eager = false))
 
   /** Memoized [[lloydCentroids]] per (session, dir, slice, k, dims,
@@ -1676,7 +1676,7 @@ object PipelineQueries {
   private def lloydCentroidsCached(spark: org.apache.spark.sql.SparkSession, dir: String,
                                    slice: Int, k: Int, dims: Int, rounds: Int)
       : Seq[(Long, Array[Long])] =
-    centCache.computeIfAbsent((spark, dir, slice, k, dims, rounds), _ => {
+    graft.SessionMemo.cached(centCache, (spark, dir, slice, k, dims, rounds))(_._1)(_ => {
       val quant = quantizedVecsCk(spark, dir)
       val in =
         if (slice < 0) quant
@@ -3634,8 +3634,8 @@ object PipelineQueries {
       |grid AS (SELECT s.source, s.ns, g.bucket, g.nb FROM src s CROSS JOIN gb g),
       |terms AS (
       |  SELECT gr.source, gr.ns, t.m,
-      |    CAST((CAST(coalesce(sb.o, 0)*t.n - gr.ns*gr.nb AS HUGEINT)
-      |          * (coalesce(sb.o, 0)*t.n - gr.ns*gr.nb) * 1000000)
+      |    CAST(((CAST(coalesce(sb.o, 0) AS HUGEINT)*t.n - CAST(gr.ns AS HUGEINT)*gr.nb)
+      |          * (CAST(coalesce(sb.o, 0) AS HUGEINT)*t.n - CAST(gr.ns AS HUGEINT)*gr.nb) * 1000000)
       |      // (CAST(gr.ns AS HUGEINT)*gr.nb*t.n) AS BIGINT) AS tm
       |  FROM grid gr CROSS JOIN tot t
       |  LEFT JOIN sb ON sb.source = gr.source AND sb.bucket = gr.bucket)
@@ -3655,11 +3655,14 @@ object PipelineQueries {
     val grid = src.crossJoin(broadcast(gb))
     grid.join(sb, Seq("source", "bucket"), "left")
       .crossJoin(broadcast(tot))
-      .withColumn("d", coalesce(col("o"), lit(0L)) * col("n") - col("ns") * col("nb"))
+      // o·N itself passes int64 at corpus scale — BOTH factors run in
+      // decimal before the multiply, not just the squared copy (ADVICE r18)
+      .withColumn("d", expr(
+        "CAST(coalesce(o, 0) AS DECIMAL(38,0)) * n - CAST(ns AS DECIMAL(38,0)) * nb"))
       // d² · 10⁶ exceeds int64 at corpus scale — decimal internally, the
       // int64 quotient is what leaves (PlanSweep's wide-decimal rule)
       .withColumn("tm",
-        expr("(CAST(d AS DECIMAL(38,0)) * d * 1000000) div (ns * nb * n)").cast("long"))
+        expr("(d * d * 1000000) div (CAST(ns AS DECIMAL(38,0)) * nb * n)").cast("long"))
       .groupBy("source")
       .agg(first(col("ns")).as("n_docs"),
         sum(col("tm")).cast("long").as("chi2_micro"),
@@ -4157,7 +4160,7 @@ object PipelineQueries {
          |    (SELECT n FROM $na) AS n_left, (SELECT n FROM $nb) AS n_right,
          |    (SELECT x FROM $ex) AS exact, CAST(min(s) AS BIGINT) AS est_cms,
          |    CAST(min(s) - (SELECT x FROM $ex) AS BIGINT) AS overestimate,
-         |    CAST((SELECT n FROM $na) * (SELECT n FROM $nb) // w AS BIGINT)
+         |    CAST(CAST((SELECT n FROM $na) AS HUGEINT) * (SELECT n FROM $nb) // w AS BIGINT)
          |      AS noise_bound
          |  FROM (SELECT w, j, sum(CAST(a.c AS HUGEINT) * b.c) AS s
          |        FROM $sa a JOIN $sb b USING (w, j, bucket) GROUP BY 1, 2)
@@ -4286,8 +4289,8 @@ object PipelineQueries {
          |  CAST(coalesce(o.o, 0) AS BIGINT) AS n_obs,
          |  CAST(coalesce(o.o, 0) * 1000000 // n.n AS BIGINT) AS obs_share_micro,
          |  CAST(g.p_micro AS BIGINT) AS benford_micro,
-         |  CAST(CAST(coalesce(o.o, 0)*1000000 - n.n*g.p_micro AS HUGEINT)
-         |       * (coalesce(o.o, 0)*1000000 - n.n*g.p_micro)
+         |  CAST((CAST(coalesce(o.o, 0) AS HUGEINT)*1000000 - CAST(n.n AS HUGEINT)*g.p_micro)
+         |       * (CAST(coalesce(o.o, 0) AS HUGEINT)*1000000 - CAST(n.n AS HUGEINT)*g.p_micro)
          |       // (CAST(n.n AS HUGEINT) * g.p_micro * 1000000) AS BIGINT)
          |    AS chi2_term_micro
          |FROM n CROSS JOIN g
@@ -4313,13 +4316,15 @@ object PipelineQueries {
       n.crossJoin(broadcast(g))
         .join(o, Seq("col", "digit"), "left")
         .withColumn("n_obs", coalesce(col("o"), lit(0L)))
-        // (o·10⁶ − n·p)² exceeds int64 at corpus scale — decimal inside,
-        // the int64 per-digit term out (q187 discipline)
-        .withColumn("d", col("n_obs") * 1000000L - col("n") * col("p_micro"))
+        // o·10⁶ and n·p each pass int64 at corpus scale — BOTH factors run
+        // in decimal before the multiply, not just the squared copy
+        // (ADVICE r18, the q187 fix)
+        .withColumn("d", expr(
+          "CAST(n_obs AS DECIMAL(38,0)) * 1000000 - CAST(n AS DECIMAL(38,0)) * p_micro"))
         .select(col("col"), col("digit"), col("n_obs"),
           expr("n_obs * 1000000 div n").cast("long").as("obs_share_micro"),
           col("p_micro").as("benford_micro"),
-          expr("(CAST(d AS DECIMAL(38,0)) * d) div (CAST(n AS DECIMAL(38,0)) * p_micro * 1000000)")
+          expr("(d * d) div (CAST(n AS DECIMAL(38,0)) * p_micro * 1000000)")
             .cast("long").as("chi2_term_micro"))
         .orderBy("col", "digit")
     }

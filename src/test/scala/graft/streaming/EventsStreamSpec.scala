@@ -98,9 +98,12 @@ class EventsStreamSpec extends SparkSpec {
             .cast("long"), lit(w.toLong)).as("bucket"))): _*)).as("cell"))
       .groupBy(col("cell.j"), col("cell.bucket")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    def recomputeKmv(): Seq[Long] = allKeys().distinct()
+    // set-of-HASHES semantics, matching the maintainer and the q183 oracle:
+    // a distinct-on-t recompute would keep both rows of a 60-bit md5-prefix
+    // collision between distinct keys where KMV theory keeps one (ADVICE r18)
+    def recomputeKmv(): Seq[Long] = allKeys()
       .select(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
-      .collect().map(_.getLong(0)).sorted.take(k).toSeq
+      .distinct().collect().map(_.getLong(0)).sorted.take(k).toSeq
     def stateCms(): Map[(Int, Long), Long] =
       EventsStream.latestView(spark, s"$state/cms").get.collect()
         .map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket")) -> r.getAs[Long]("c")).toMap
