@@ -381,18 +381,49 @@ object TextQueries {
       .orderBy("lang", "source")
   }
 
+  /** The corpus's cleaned (post-T1–T4) vocabulary. The testdata generator
+    * writes documents from a FIXED word list, so the distinct cleaned token
+    * set is the SAME 29 words at every scale factor (verified across
+    * sf0.001/0.01/0.1) — the boundedness that makes the stemmer
+    * oracle-expressible below. */
+  private[graft] val CorpusCleanVocab: Seq[String] = Seq(
+    "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "value", "vector", "window")
+
   /** The reference's full `_clean_tweet` end state incl. Porter stemming
-    * (T1→T5). Rows-only: DuckDB's snowball `stem(t,'porter')` would be the
-    * natural oracle but it lives in the `fts` extension, which the offline
+    * (T1→T5). DuckDB's snowball `stem(t,'porter')` would be the natural
+    * oracle but it lives in the `fts` extension, which the offline
     * environment cannot install (verified: auto-install fails with no
-    * egress) — so the stemmer is verified against the published 1980 Porter
-    * test vectors in PorterStemmerSpec instead. */
-  val q26StemmedTokens: QuerySpec = QuerySpec.rowsOnly("q26_stemmed_tokens") { (spark, dir) =>
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        concat_ws(" ", cleanStemmedTokens(col("text"))).as("stemmed"),
-        asLong(size(TextFns.cleanStemmedTokens(col("text")))).as("n_tokens"))
-      .orderBy("doc_id")
+    * egress) — instead the oracle carries a generated (token → stem)
+    * dictionary over [[CorpusCleanVocab]], the stems computed at spec
+    * construction by the SAME published-1980-test-vector-verified Scala
+    * stemmer the Spark side runs (q166's literal-embedding trick: shared
+    * constants generated once, embedded in both engines). A corpus token
+    * outside the dictionary maps to a loud '??'-prefixed sentinel, so
+    * generator drift fails the hash instead of silently passing;
+    * PorterStemmerSpec pins dictionary coverage of the real corpus. */
+  val q26StemmedTokens: QuerySpec = {
+    val dict = CorpusCleanVocab.map(t => t -> graft.functions.PorterStemmer.stem(t))
+    val keys = dict.map(x => s"'${x._1}'").mkString(", ")
+    val vals = dict.map(x => s"'${x._2}'").mkString(", ")
+    QuerySpec.oracle(
+      "q26_stemmed_tokens",
+      s"""WITH toks AS (SELECT doc_id, $CleanToksSql AS ts FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(ts,
+         |    t -> coalesce(map_extract(map([$keys], [$vals]), t)[1], '??' || t)), ' ')
+         |    AS stemmed,
+         |  CAST(len(ts) AS BIGINT) AS n_tokens
+         |FROM toks ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          concat_ws(" ", cleanStemmedTokens(col("text"))).as("stemmed"),
+          asLong(size(TextFns.cleanStemmedTokens(col("text")))).as("n_tokens"))
+        .orderBy("doc_id")
+    }
   }
 
   /** Corpus-statistics join: global token document-frequencies joined back

@@ -5,6 +5,24 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Vectors from the published Porter (1980) algorithm description. */
 class PorterStemmerSpec extends AnyFunSuite {
 
+  // q26's oracle maps tokens through a generated (token → stem) dictionary
+  // over TextQueries.CorpusCleanVocab; an out-of-dictionary corpus token
+  // would surface as a '??' sentinel hash failure at verify time. This pin
+  // catches generator drift IN-round: every cleaned corpus token at the
+  // spec and verify scales must be a dictionary word.
+  test("q26 stem dictionary covers the corpus vocabulary") {
+    val spark = graft.SparkSpec.session
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val toks = graft.sources.Tables.documents(spark, dir)
+        .select(explode(TextFns.cleanTokens(col("text"))).as("t"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val missing = toks -- graft.operators.TextQueries.CorpusCleanVocab.toSet
+      assert(missing.isEmpty,
+        s"$dir has cleaned tokens outside the q26 dictionary: $missing")
+    }
+  }
+
   val vectors: Seq[(String, String)] = Seq(
     // step 1a
     "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
