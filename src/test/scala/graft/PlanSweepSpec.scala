@@ -173,7 +173,10 @@ class PlanSweepSpec extends SparkSpec {
     // q191 — crossJoin(broadcast(grid)) over the distinct-value
     // DICTIONARY (the bounded sources × values ECDF grid, q187's
     // scaffold) + crossJoin(broadcast(tot)), the 1-row scalar idiom
-    "q191_ks_drift")
+    "q191_ks_drift",
+    // q208 — crossJoin(broadcast(tot)) of the 1-row accuracy
+    // aggregate onto the confusion matrix: the q27/q45 scalar idiom
+    "q208_langid_confusion")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -730,7 +733,11 @@ class PlanSweepSpec extends SparkSpec {
     "q206_bootstrap_ci" -> 4,
     // q207: two banded bucket self-joins (each: band explode + pair
     // distinct) + the overlap pair join + three 1-row count aggregates
-    "q207_chapman_coverage" -> 7)
+    "q207_chapman_coverage" -> 7,
+    // q208: train (lang, gram) agg + lang-keyed rank window; held-out
+    // (doc, gram) agg + profile join + (doc, lang) score agg + doc-keyed
+    // argmax window; confusion agg + 1-row accuracy agg + final sort
+    "q208_langid_confusion" -> 14)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -1118,4 +1118,36 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(planted("skewed") > planted("uniform1"),
       s"skewed source diverges more: $planted")
   }
+
+  test("q208: trigram profiles separate signal-bearing languages perfectly") {
+    // the corpus's lang labels are generator noise (q208's report honestly
+    // reads ≈ chance there) — the operator's separating POWER is pinned
+    // here on a fixture whose languages have genuinely distinct character
+    // distributions: 100% held-out accuracy is required, not hoped for
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mk = (base: String, rep: Int) => (base + " ") * rep
+    val docs = (0 until 8).flatMap { i =>
+      Seq(
+        (i * 3L, "aa", mk(s"der und das ist ein${('a' + i % 3).toChar}", 4 + i % 3)),
+        (i * 3L + 1, "bb", mk(s"le et la les une${('k' + i % 3).toChar}", 4 + i % 3)),
+        (i * 3L + 2, "cc", mk(s"xylo qwz vyx zyq${('p' + i % 3).toChar}", 4 + i % 3)))
+    }.toDF("doc_id", "lang", "text")
+    val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val heldOut = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    assert(heldOut.count() >= 3, "split must hold out docs of every language")
+    val prof = PipelineQueries.langIdProfiles(train, k = 64)
+    // profile shape: at most k rows per language, weights in [1, k]
+    val profRows = prof.collect()
+    profRows.groupBy(_.getAs[String]("p_lang")).foreach { case (l, rs) =>
+      assert(rs.length <= 64, s"$l profile exceeds k")
+      assert(rs.forall(r => r.getAs[Long]("w") >= 1 && r.getAs[Long]("w") <= 64))
+    }
+    val pred = PipelineQueries.langIdPredict(heldOut, prof).collect()
+    assert(pred.nonEmpty)
+    val wrong = pred.filter(r =>
+      r.getAs[String]("lang_true") != r.getAs[String]("lang_pred"))
+    assert(wrong.isEmpty,
+      s"distinct character distributions must classify perfectly: ${wrong.mkString(", ")}")
+  }
 }
