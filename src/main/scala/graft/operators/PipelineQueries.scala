@@ -5216,6 +5216,42 @@ object PipelineQueries {
     }
   }
 
+  /** Single-pass weighted reservoir sample (Efraimidis-Spirakis A-ES; see
+    * [[Sampling.weightedReservoir]]) — the sampling band's missing
+    * single-pass weighted form (VERDICT r18): q12 samples exact-n uniform,
+    * q143 walks PPS systematically (needs a global prefix sum), q194
+    * apportions a stratified budget — this one draws k docs proportional
+    * to length in ONE pass with O(k) state, the form streaming ingest
+    * needs. Deterministic: exponential keys
+    * E = ladder[md5(salt:id) mod L] div w over the shared integer quantile
+    * ladder (q206's discipline), so the ROSTER hash-verifies — DuckDB
+    * recomputes the identical keys and picks. Shape at 100 TB: one scan,
+    * per-partition bounded heaps, a k-row merge (bottom-k-of-union is the
+    * KMV semilattice); the oracle's global rank window is the AUDIT shape,
+    * the Spark plan carries no window and no sort at all. */
+  val q209WeightedReservoir: QuerySpec = {
+    val (k, levels, salt) = (100, 1024, "r19")
+    val ladderSql = Sampling.expLadderNano(levels).mkString("[", ", ", "]")
+    QuerySpec.oracle(
+      "q209_weighted_reservoir",
+      s"""WITH d AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
+         |e AS (SELECT doc_id, n_chars,
+         |    ($ladderSql)[CAST(('0x' || substring(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $levels AS BIGINT) + 1]
+         |      // CAST(n_chars AS BIGINT) AS e_key
+         |  FROM d),
+         |r AS (SELECT *, row_number() OVER (ORDER BY e_key, doc_id) AS pick FROM e)
+         |SELECT CAST(pick AS BIGINT) AS pick, doc_id, CAST(n_chars AS BIGINT) AS w,
+         |  CAST(e_key AS BIGINT) AS e_key
+         |FROM r WHERE pick <= $k ORDER BY pick""".stripMargin
+    ) { (spark, dir) =>
+      val d = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      Sampling.weightedReservoir(d, "doc_id", "n_chars", k, salt, levels)
+        .select(col("sample_rank").cast("long").as("pick"), col("doc_id"),
+          col("n_chars").cast("long").as("w"), col("e_key").cast("long").as("e_key"))
+        .orderBy("pick")
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -5238,5 +5274,5 @@ object PipelineQueries {
     q197SkewAudit, q198JoinCardEst, q199BenfordAudit,
     q200MarkovStationary, q201AbTest, q202AnnMcnemar, q203Spearman,
     q204KaplanMeier, q205Attribution, q206BootstrapCi, q207ChapmanCoverage,
-    q208LangId)
+    q208LangId, q209WeightedReservoir)
 }

@@ -136,6 +136,58 @@ object Sampling {
     * `idCol`, so no single task ever owns the corpus-wide ordered scan. The
     * 1-row total rides the broadcast scalar idiom.
     */
+  /** The -ln((j+1)/(levels+1)) exponential quantile ladder in NANO units —
+    * the shared integer constants that make the weighted reservoir
+    * deterministic and cross-engine exact (q206's CDF-ladder discipline):
+    * computed once here on the driver, embedded as literals in BOTH the
+    * Spark plan and the generated DuckDB SQL, so there is no libm ln() in
+    * either engine's row path to disagree about. j+1 over levels+1 keeps
+    * u strictly inside (0, 1) — no infinite key, no zero key. */
+  def expLadderNano(levels: Int): IndexedSeq[Long] =
+    (0 until levels).map(j =>
+      math.round(-math.log((j + 1).toDouble / (levels + 1)) * 1e9))
+
+  /** Single-pass weighted reservoir sample (Efraimidis & Spirakis 2006,
+    * the A-ES scheme A-ExpJ optimizes): each row draws an exponential key
+    * E_i = −ln(u_i) / w_i and the sample is the k SMALLEST keys — inclusion
+    * probability rises with weight exactly as weighted sampling without
+    * replacement requires (the two-item race resolves heavy-vs-light at
+    * w_h/(w_h+w_l)). Determinism: u_i is the salted content hash
+    * md5(salt:id) quantized onto [[expLadderNano]], so the same (salt, id)
+    * always draws the same key — reproducible across runs, partitionings,
+    * AND engines (the sample roster hash-verifies in DuckDB). A-ExpJ's
+    * exponential jumps are the SEQUENTIAL-stream optimization; the
+    * cluster form is this bottom-k-of-union, a semilattice (the KMV merge
+    * algebra): per-partition bounded heaps, merge keeps the k smallest —
+    * [[BottomKRows]], so no global sort and no per-key window exists
+    * anywhere in the plan, the same scale shape as X1. Rows with
+    * non-positive weight are excluded (a zero-weight row has E = ∞).
+    * Output: input columns + `e_key` (nano-unit exponential key) +
+    * `sample_rank` (1-based pick order). */
+  def weightedReservoir(df: DataFrame, idCol: String, weightCol: String,
+                        k: Int, salt: String, levels: Int = 1024): DataFrame = {
+    val ladder = expLadderNano(levels)
+    val j = pmod(
+      conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(levels.toLong))
+    require(!df.columns.contains("__lv"),
+      "weightedReservoir temp-column collision: rename input column __lv")
+    val keyed = df.filter(col(weightCol) > 0)
+      .withColumn("__lv", element_at(typedlit(ladder), (j + 1).cast("int")))
+      // integral div, NOT '/': ladder and weight are exact integers and the
+      // oracle's '//' truncates — a double division here would re-introduce
+      // the float the ladder exists to remove
+      .withColumn("e_key", expr(s"__lv div CAST($weightCol AS BIGINT)"))
+      .drop("__lv")
+    // e_key and id are nonnegative, so zero-padded hex IS numeric byte
+    // order (the balancedSample encoding argument)
+    val orderKey = concat(
+      lpad(hex(col("e_key")), 16, "0"),
+      lpad(hex(col(idCol)), 16, "0"))
+    sampleByOrderKey(keyed, Nil, orderKey, k)
+  }
+
   def ppsSystematic(df: DataFrame, idCol: String, weightCol: String,
                     targetN: Long, stripes: Int = 16): DataFrame = {
     require(targetN >= 1, "targetN must be positive")

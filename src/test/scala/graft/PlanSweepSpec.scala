@@ -737,7 +737,10 @@ class PlanSweepSpec extends SparkSpec {
     // q208: train (lang, gram) agg + lang-keyed rank window; held-out
     // (doc, gram) agg + profile join + (doc, lang) score agg + doc-keyed
     // argmax window; confusion agg + 1-row accuracy agg + final sort
-    "q208_langid_confusion" -> 14)
+    "q208_langid_confusion" -> 14,
+    // q209: ONE bottom-k heap aggregate (map-side bounded) + the k-row
+    // presentation sort — the no-window no-global-sort reservoir shape
+    "q209_weighted_reservoir" -> 1)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

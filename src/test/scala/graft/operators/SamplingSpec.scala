@@ -120,4 +120,38 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(ids === ids7)
   }
+
+  test("weightedReservoir: deterministic, layout-independent, weight-biased inclusion") {
+    import spark.implicits._
+    // 6 heavy (w=9) + 24 light (w=1) items, k=8 slots: heavy items carry
+    // 54/78 of the total weight, so across independent salts their
+    // inclusion RATE must dominate the light items' — the
+    // inclusion-probability property that makes A-ES a weighted sampler
+    // rather than a uniform one wearing weights
+    val items = ((0 until 6).map(i => (i.toLong, 9L)) ++
+      (6 until 30).map(i => (i.toLong, 1L))).toDF("id", "w")
+    val base = Sampling.weightedReservoir(items, "id", "w", k = 8, salt = "s0")
+    val basePicks = base.select("id").as[Long].collect().sorted.toSeq
+    assert(basePicks.size == 8)
+    // determinism + layout independence (content-hash keys, bounded heap)
+    val again = Sampling.weightedReservoir(items.repartition(7), "id", "w", k = 8, salt = "s0")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(basePicks === again)
+    // ranks are 1..k and keys nonnegative
+    val ranked = base.select("sample_rank", "e_key").collect()
+    assert(ranked.map(_.getAs[Int]("sample_rank")).sorted.toSeq == (1 to 8))
+    assert(ranked.forall(_.getAs[Long]("e_key") >= 0))
+    // inclusion-probability bound over 24 independent salts
+    val salts = (0 until 24).map(i => s"salt$i")
+    val counts = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    salts.foreach { s =>
+      Sampling.weightedReservoir(items, "id", "w", k = 8, salt = s)
+        .select("id").as[Long].collect().foreach(id => counts(id) += 1)
+    }
+    val heavyRate = (0 until 6).map(i => counts(i.toLong)).sum / (6.0 * salts.size)
+    val lightRate = (6 until 30).map(i => counts(i.toLong)).sum / (24.0 * salts.size)
+    assert(heavyRate > 2 * lightRate,
+      s"heavy items must be included far more often: heavy=$heavyRate light=$lightRate")
+    assert(heavyRate > 0.5, s"a 9x-weight item with 8 slots over 30 items: $heavyRate")
+  }
 }
