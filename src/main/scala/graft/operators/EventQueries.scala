@@ -1231,8 +1231,11 @@ object EventQueries {
     * layout, drive the AvailableNow stream through three foreachBatch
     * merge steps, mark done; repeat builds read the persisted state (the
     * q168/q179 one-time-layout economics). Output: the d=4 × w=64 CMS
-    * cell counts (part = hash row) plus the KMV bottom-64 key hashes
-    * (part = -1, slot = rank) — one int64 schema for both sketch kinds.
+    * cell counts (part = hash row), the KMV bottom-64 key hashes
+    * (part = -1, slot = rank), and since r19 the q180-style bottom-64
+    * quantile sample — its rank hashes (part = -2) and value cents
+    * (part = -3) in (h, v) pair order — one int64 schema for all three
+    * sketch kinds.
     * Shape at 100 TB: per trigger one map-side-combined batch aggregate
     * + a constant d·w + k state read-back, the property the streaming
     * band exists to prove. */
@@ -1249,17 +1252,26 @@ object EventQueries {
          |cms AS (SELECT j, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
          |hs AS (SELECT DISTINCT ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
          |       FROM keys),
-         |kmv AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hs)
+         |kmv AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hs),
+         |qv AS (SELECT DISTINCT
+         |    ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM events),
+         |qnt AS (SELECT h, v, row_number() OVER (ORDER BY h, v) AS rn FROM qv)
          |SELECT CAST(j AS BIGINT) AS part, CAST(bucket AS BIGINT) AS slot,
          |  CAST(c AS BIGINT) AS val FROM cms
          |UNION ALL SELECT -1, rn, h FROM kmv WHERE rn <= $k
+         |UNION ALL SELECT -2, rn, h FROM qnt WHERE rn <= $k
+         |UNION ALL SELECT -3, rn, v FROM qnt WHERE rn <= $k
          |ORDER BY part, slot""".stripMargin
     ) { (spark, dir) =>
       import graft.streaming.EventsStream
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val root = s"target/graft_stream_sketch_$tag"
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      val done = new org.apache.hadoop.fs.Path(s"$root/_SKETCHED")
+      // marker v2: r19 added the quantile state — a pre-r19 _SKETCHED dir
+      // lacks qnt/, so the old marker must not satisfy the new report
+      val done = new org.apache.hadoop.fs.Path(s"$root/_SKETCHED_V2")
       if (!fs.exists(done)) {
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
         val ev = Tables.events(spark, dir)
@@ -1276,11 +1288,15 @@ object EventQueries {
       }
       val cms = EventsStream.latestView(spark, s"$root/state/cms").get
       val kmv = EventsStream.latestView(spark, s"$root/state/kmv").get
+      val qnt = EventsStream.latestView(spark, s"$root/state/qnt").get
+        .withColumn("slot", row_number().over(Window.orderBy("h", "v")).cast("long"))
       cms.select(col("j").cast("long").as("part"), col("bucket").as("slot"),
           col("c").as("val"))
         .unionByName(kmv
           .withColumn("slot", row_number().over(Window.orderBy("h")).cast("long"))
           .select(lit(-1L).as("part"), col("slot"), col("h").as("val")))
+        .unionByName(qnt.select(lit(-2L).as("part"), col("slot"), col("h").as("val")))
+        .unionByName(qnt.select(lit(-3L).as("part"), col("slot"), col("v").as("val")))
         .orderBy("part", "slot")
     }
   }

@@ -218,11 +218,12 @@ object EventsStream {
 
   /** Streaming SKETCH maintenance — [[maintainDailyView]]'s exactly-once
     * versioned-merge discipline applied to the MERGEABLE sketch family
-    * (q161 KMV / q173 CMS): every micro-batch computes its PARTIAL
-    * sketches over the event keys and folds them into the persisted
-    * state. Both merges are the sketches' defining algebra — CMS by
-    * CELL-WISE ADDITION (the counts form an abelian monoid), KMV by
-    * re-taking the bottom-k of the distinct union (a semilattice) — so
+    * (q161 KMV / q173 CMS / q180's bottom-k quantile sample): every
+    * micro-batch computes its PARTIAL sketches over the event keys and
+    * folds them into the persisted state. All merges are the sketches'
+    * defining algebra — CMS by CELL-WISE ADDITION (the counts form an
+    * abelian monoid), KMV and the quantile sample by re-taking the
+    * bottom-k of the distinct union (semilattices) — so
     * maintained-state ≡ from-scratch recompute EXACTLY, cell for cell
     * and hash for hash, no approximation drift across any batch split
     * (EventsStreamSpec pins the identity). Same replay-idempotent
@@ -263,9 +264,25 @@ object EventsStream {
         case None => hs
       }).distinct().orderBy("h").limit(k)
       kmv.write.mode("overwrite").parquet(s"$stateDir/kmv/v=$id")
+      // Quantile partial (the q180 bottom-k sample): each event carries its
+      // value-cents tagged with the md5-prefix rank hash of its UNIQUE
+      // event_id; the maintained state is the k lexicographically smallest
+      // (h, v) PAIRS of the union — a total order on pairs, so bottom-k
+      // stays a semilattice even across 60-bit prefix collisions, and the
+      // sorted v column answers any quantile by integer rank arithmetic
+      // exactly as q180's batch sketch does.
+      val qv = batch.select(
+        conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      val qnt = (latestView(spark, s"$stateDir/qnt", beforeVersion = Some(id)) match {
+        case Some(prior) => prior.unionByName(qv)
+        case None => qv
+      }).distinct().orderBy("h", "v").limit(k)
+      qnt.write.mode("overwrite").parquet(s"$stateDir/qnt/v=$id")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      Seq("cms", "kmv").foreach { kind =>
+      Seq("cms", "kmv", "qnt").foreach { kind =>
         viewVersions(spark, s"$stateDir/$kind").dropRight(3).foreach { v =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$kind/v=$v"), true)
         }

