@@ -3529,7 +3529,11 @@ object PipelineQueries {
     QuerySpec.oracle(
       "q185_hybrid_rrf",
       s"""WITH toks AS (SELECT doc_id, n_chars, $LowToksSql AS ts FROM documents),
-         |feat AS (SELECT doc_id, n_chars, $BigramsSql AS bgs, $ShinglesSql AS shs FROM toks),
+         |feat0 AS (SELECT doc_id, n_chars, $BigramsSql AS bgs0, $ShinglesSql AS shs0 FROM toks),
+         |feat AS (SELECT doc_id, n_chars,
+         |    list_distinct(list_transform(bgs0, g -> ('0x' || substring(md5(g), 1, 15))::BIGINT)) AS bgs,
+         |    list_distinct(list_transform(shs0, g -> ('0x' || substring(md5(g), 1, 15))::BIGINT)) AS shs
+         |  FROM feat0),
          |qs AS (SELECT doc_id AS query_id, n_chars AS q_chars, bgs AS q_bgs, shs AS q_shs
          |       FROM feat WHERE doc_id % 50 = 0),
          |pairs AS (
@@ -3566,11 +3570,18 @@ object PipelineQueries {
         arrays_zip(slice(col("ts"), lit(1), n1).as("a"), slice(col("ts"), lit(2), n1).as("b")),
         z => concat_ws(" ", z.getField("a"), z.getField("b"))))
       import graft.functions.SortedInterExpr.interCount
-      // grams pre-SORTED once per doc: the merge-walk kernel's contract
+      // grams hashed to md5-prefix int64 ONCE per doc, then sorted — the
+      // merge-walk kernel's contract, in its long form: the 29-word vocab
+      // makes gram STRINGS share deep prefixes, so even the sorted walk
+      // was comparator-bound on UTF8 bytes (r19: 7.2 → ~4 s at sf0.1);
+      // the hash is the oracle-shared md5 encoding, so collisions (none
+      // at any tested scale) would merge identically in both engines
+      def hashedGrams(c: Column): Column = array_sort(array_distinct(
+        transform(c, g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))))
       val feat = Tables.documents(spark, dir)
         .withColumn("ts", lowToksCol)
-        .select(col("doc_id"), col("n_chars"), array_sort(bigrams).as("bgs"),
-          array_sort(Dedup.shingles(col("text"), 3)).as("shs"))
+        .select(col("doc_id"), col("n_chars"), hashedGrams(bigrams).as("bgs"),
+          hashedGrams(Dedup.shingles(col("text"), 3)).as("shs"))
       val qs = feat.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("query_id"), col("n_chars").as("q_chars"),
           col("bgs").as("q_bgs"), col("shs").as("q_shs"))
@@ -4146,13 +4157,19 @@ object PipelineQueries {
     * key dictionaries. */
   val q198JoinCardEst: QuerySpec = {
     val (d, widths) = (4, Seq(256, 2048))
-    def bSql(j: Int, k: String): String =
-      s"('0x' || substring(md5('$j:' || CAST($k AS VARCHAR)), 1, 15))::BIGINT"
+    // ONE md5 per row, d rows derived by Kirsch-Mitzenmacher double
+    // hashing (h1 + j·h2, h2 forced odd — the q206 bootstrap's trick,
+    // published for exactly this Bloom/CMS use): the per-j md5 form cost
+    // ~5M hashes per pass (VERDICT r18's trio audit) where this costs
+    // ~1.25M plus integer arithmetic, identical estimator guarantees.
     def sketchSql(src: String, key: String, name: String): String = {
-      val rows = (for { w <- widths; j <- 0 until d } yield
-        s"SELECT $w AS w, $j AS j, ${bSql(j, key)} % $w AS bucket FROM $src")
-        .mkString("\n      |    UNION ALL ")
-      s"$name AS (SELECT w, j, bucket, count(*) AS c FROM ($rows) GROUP BY 1, 2, 3)"
+      val grid = (for { w <- widths; j <- 0 until d } yield s"($w, $j)").mkString(", ")
+      s"""$name AS (
+         |    SELECT w, j, (h1 + j * h2) % w AS bucket, count(*) AS c FROM (
+         |      SELECT ('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT AS h1,
+         |        ('0x' || substring(md5(CAST($key AS VARCHAR)), 17, 15))::BIGINT | 1 AS h2
+         |      FROM $src) CROSS JOIN (VALUES $grid) AS g(w, j)
+         |    GROUP BY 1, 2, 3)""".stripMargin
     }
     def ipSql(sa: String, sb: String, ex: String, na: String, nb: String,
               label: String): String =
@@ -4190,17 +4207,20 @@ object PipelineQueries {
     ) { (spark, dir) =>
       import org.apache.spark.sql.DataFrame
       def sketchOf(df: DataFrame, key: String): DataFrame = {
-        // q173's two-stage explode: d md5 hash rows once per row, then
-        // the widths fan out with a cheap pmod each
-        val hashOf = (j: Int) => conv(substring(
-          md5(concat(lit(s"$j:"), col(key).cast("string"))), 1, 15), 16, 10)
-          .cast("long")
-        df.select(explode(array((0 until d).map(j =>
-            struct(lit(j).as("j"), hashOf(j).as("h"))): _*)).as("jh"))
-          .select(col("jh.j").as("j"), explode(array(widths.map(w =>
-            struct(lit(w.toLong).as("w"), pmod(col("jh.h"), lit(w.toLong)).as("bucket"))): _*))
-            .as("wb"))
-          .select(col("wb.w").as("w"), col("j"), col("wb.bucket").as("bucket"))
+        // ONE md5 per row; the d hash rows and both widths fan out with
+        // Kirsch-Mitzenmacher arithmetic only (h1 + j·h2 mod w, h2 odd).
+        // Both substrings read the same md5 subtree — codegen CSE
+        // evaluates it once. h1 + 3·h2 < 2^62: no overflow, stays nonneg.
+        val md = md5(col(key).cast("string"))
+        df.select(
+            conv(substring(md, 1, 15), 16, 10).cast("long").as("h1"),
+            conv(substring(md, 17, 15), 16, 10).cast("long")
+              .bitwiseOR(lit(1L)).as("h2"))
+          .select(explode(array((for { w <- widths; j <- 0 until d } yield
+            struct(lit(w.toLong).as("w"), lit(j).as("j"),
+              pmod(col("h1") + lit(j.toLong) * col("h2"), lit(w.toLong))
+                .as("bucket"))): _*)).as("wjb"))
+          .select(col("wjb.w").as("w"), col("wjb.j").as("j"), col("wjb.bucket").as("bucket"))
           .groupBy("w", "j", "bucket").agg(count(lit(1)).as("c"))
       }
       def keyCounts(df: DataFrame, key: String): DataFrame =
@@ -4955,8 +4975,12 @@ object PipelineQueries {
     * verified q166 integer-plane machinery (literals, banded bucket
     * joins, never all-pairs), so a, b, m, and N̂ all hash-verify.
     * Reported beside them: each capture's coverage Ĉ = catch·10⁶ div N̂.
-    * Shape at 100 TB: two banded bucket self-joins over the corpus (the
-    * production dedup shape) + one pair-keyed join for the overlap. */
+    * Shape at 100 TB: ONE capture-tagged banded bucket self-join over the
+    * corpus (the production dedup shape) whose pairs fold straight into a
+    * per-pair capture-flag aggregate — a, b, and the overlap m are three
+    * sums of that one relation, so candidate pairs cross the wire once
+    * (r19; the per-capture form shipped the pair set through four
+    * un-reused exchanges). */
   val q207ChapmanCoverage: QuerySpec = {
     val dims = 64
     val configs = Seq(("a", intPlanes(8, 8, dims, 101L)), ("b", intPlanes(8, 8, dims, 202L)))
@@ -4999,29 +5023,44 @@ object PipelineQueries {
     ) { (spark, dir) =>
       def intDot(a: Column, b: Column): Column = graft.functions.LongDotExpr.dot(a, b)
       val quant = quantizedVecsCk(spark, dir)
-      def capture(planes: Array[Array[Array[Long]]]): org.apache.spark.sql.DataFrame = {
-        val keyStructs = planes.zipWithIndex.map { case (band, b) =>
-          struct(lit(b).as("band"),
+      // BOTH captures ride ONE tagged explode + ONE banded self-join
+      // (r19): the per-capture form computed each capture's pair set
+      // TWICE — once under its count, once under the overlap join — and
+      // the executed plan showed four un-reused pair exchanges. Tagging
+      // bucket rows with their capture and folding the distinct + overlap
+      // join into one (id_a, id_b) flag aggregate makes the candidate
+      // pairs cross the wire exactly once: a = Σ fa, b = Σ fb,
+      // m = Σ fa·fb — identical counts, half the heavy work, and the
+      // map-side combine absorbs same-pair duplicates from multiple
+      // bands before the shuffle.
+      val keyStructs = configs.flatMap { case (cap, planes) =>
+        planes.zipWithIndex.map { case (band, b) =>
+          struct(lit(cap).as("cap"), lit(b).as("band"),
             band.zipWithIndex.map { case (p, j) =>
               when(intDot(col("qv"), typedlit(p.toSeq)) >= 0, lit(1L << j))
                 .otherwise(lit(0L))
             }.reduce(_ + _).as("key"))
         }
-        val bands = quant
-          .select(col("vec_id"), explode(array(keyStructs.toIndexedSeq: _*)).as("bk"))
-          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        bands.select(col("vec_id").as("id_a"), col("band"), col("key"))
-          .join(bands.select(col("vec_id").as("id_b"), col("band"), col("key")),
-            Seq("band", "key"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
       }
-      val ca = capture(configs(0)._2)
-      val cb = capture(configs(1)._2)
-      val a = ca.agg(count(lit(1)).as("a"))
-      val b = cb.agg(count(lit(1)).as("b"))
-      val m = ca.join(cb, Seq("id_a", "id_b")).agg(count(lit(1)).as("m"))
-      a.crossJoin(broadcast(b)).crossJoin(broadcast(m))
+      // the 16-band × 8-plane key expression is ~128 LongDotExpr calls
+      // over 64-long literals — big enough that evaluating it on BOTH
+      // join sides costs more than the dots are worth; the bands relation
+      // is |corpus| × 16 skinny rows, so cut it once (lazy checkpoint,
+      // the q136/q172 encode-once contract; eagerByDesign-listed)
+      val bands = quant
+        .select(col("vec_id"), explode(array(keyStructs.toIndexedSeq: _*)).as("bk"))
+        .select(col("vec_id"), col("bk.cap").as("cap"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+        .localCheckpoint(eager = false)
+      val flags = bands.select(col("vec_id").as("id_a"), col("cap"), col("band"), col("key"))
+        .join(bands.select(col("vec_id").as("id_b"), col("cap"), col("band"), col("key")),
+          Seq("cap", "band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(max(when(col("cap") === configs(0)._1, 1L).otherwise(0L)).as("fa"),
+          max(when(col("cap") === configs(1)._1, 1L).otherwise(0L)).as("fb"))
+      flags.agg(sum(col("fa")).as("a"), sum(col("fb")).as("b"),
+          sum(col("fa") * col("fb")).as("m"))
         // (a+1)(b+1) exceeds int64 at corpus-scale pair counts — decimal
         // inside, int64 out (q187 discipline)
         .withColumn("est",

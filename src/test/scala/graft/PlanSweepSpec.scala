@@ -647,9 +647,10 @@ class PlanSweepSpec extends SparkSpec {
     // q184: the (nation, day) revenue agg + the per-nation series
     // collect + the broadcast nation join
     "q184_holt_trend" -> 3,
-    // q183: the declared plan reads the persisted d·w + k sketch state
-    // (the stream ran at first build) — the KMV rank window + the union
-    "q183_stream_sketch_state" -> 2,
+    // q183: the declared plan reads the persisted d·w + 2k sketch state
+    // (the stream ran at first build) — the KMV rank window, the quantile
+    // (h, v) rank window feeding BOTH its part rows (r19), + the unions
+    "q183_stream_sketch_state" -> 4,
     // q185: the three rank windows share the query_id exchange of the
     // broadcast-query pair scan; + the (query,cand) fused agg + the pick
     // window

@@ -35,4 +35,20 @@ class SortedInterSpec extends SparkSpec {
       .select(SortedInterExpr.interCount(col("a"), col("b"))).head
     assert(n.isNullAt(0))
   }
+
+  test("long-element form equals array_intersect, including negatives") {
+    val rnd = new scala.util.Random(11)
+    def arr(): Seq[Long] =
+      (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(60).toLong - 30).distinct.sorted
+    val rows = (1 to 200).map(_ => (arr(), arr()))
+    val df = rows.toDF("a", "b")
+      .withColumn("kernel", SortedInterExpr.interCount(col("a"), col("b")))
+      .withColumn("builtin", size(array_intersect(col("a"), col("b"))).cast("long"))
+    val bad = df.filter(col("kernel") =!= col("builtin")).count()
+    assert(bad == 0, s"$bad long rows diverge from array_intersect")
+    val edge = Seq((Seq(Long.MinValue, -1L, 7L), Seq(-1L, 7L, Long.MaxValue)))
+      .toDF("a", "b")
+      .select(SortedInterExpr.interCount(col("a"), col("b"))).head.getLong(0)
+    assert(edge == 2L, "signed numeric order, not unsigned")
+  }
 }
