@@ -49,7 +49,7 @@ object Bench {
     // stay visible on the driver channel by name.
     def render(scale: Int, stripQ: Boolean, withCpar: Boolean,
                minimal: Boolean = false, restBelow: Double = 0.0,
-               topK: Int = 0): String = {
+               topK: Int = 0, failedArray: Boolean = false): String = {
       val f = fmtAt(scale) _
       def key(k: String) = {
         val short = k.takeWhile(_ != '_')
@@ -65,8 +65,18 @@ object Bench {
         if (topK <= 0) results.keySet.toSet
         else results.toSeq.sortBy { case (k, v) => (-v, k) }
           .take(topK).map(_._1).toSet
-      val (kept, rest) = results.partition { case (k, v) =>
+      val (kept0, rest) = results.partition { case (k, v) =>
         v < 0 || (topK > 0 && topKeep(k)) || (topK <= 0 && v >= restBelow) }
+      // failedArray: sentinels leave the map for a terser top-level
+      // "failed" name list (6 chars/query vs 9+) — the rung that keeps a
+      // catastrophic many-failure round parseable WITH every failing
+      // query still named on the driver channel
+      val (failed, kept) =
+        if (failedArray) kept0.partition { case (_, v) => v < 0 }
+        else (scala.collection.immutable.ListMap.empty[String, Double], kept0)
+      val failedField =
+        if (failed.isEmpty) ""
+        else failed.keys.map("\"" + key(_) + "\"").mkString(""","failed":[""", ",", "]")
       val restEntry =
         if (rest.isEmpty) Seq.empty
         else Seq("\"rest\":" + fmtAt(2)(rest.values.sum))
@@ -74,7 +84,7 @@ object Bench {
       val qs = (kept.map { case (k, v) => "\"" + key(k) + "\":" + f(v) } ++ restEntry)
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmtAt(2)(total)}$unitField,"queries":$qs,"sf":"$sfVal"$cparField$restN}"""
+      s"""{"metric":"total","value":${fmtAt(2)(total)}$unitField,"queries":$qs,"sf":"$sfVal"$cparField$restN$failedField}"""
     }
     // degradation rungs. r17 showed the old scale-only ladder failing its
     // purpose at 180 queries: the line degraded to WHOLE seconds and
@@ -92,21 +102,26 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val emptyMapRung =
       s"""{"metric":"total","value":${fmtAt(2)(total)},"unit":"sec","queries":{},"sf":"$sfDir"}"""
-    (Seq((2, false, true, false, 0.0, 0), (1, false, true, false, 0.0, 0),
-        (1, false, true, false, 0.05, 0), (1, false, true, false, 0.2, 0),
-        (1, false, true, false, 0.5, 0),
+    (Seq((2, false, true, false, 0.0, 0, false), (1, false, true, false, 0.0, 0, false),
+        (1, false, true, false, 0.05, 0, false), (1, false, true, false, 0.2, 0, false),
+        (1, false, true, false, 0.5, 0, false),
         // past ~200 queries even a uniform ~1 s map overflows with "q"
         // prefixes: the stripped-key rung keeps EVERY query visible at
         // decisecond resolution before any fold drops names
-        (1, true, true, false, 0.0, 0),
+        (1, true, true, false, 0.0, 0, false),
         // budget-aware rungs for rounds where the threshold folds can't
         // help (every query expensive): keep the costliest K by name at
         // decisecond resolution, fold the remainder into rest/rest_n
-        (1, false, true, false, 0.0, 140), (1, false, true, false, 0.0, 80),
-        (0, false, true, false, 0.0, 0),
-        (0, true, true, false, 0.0, 0), (0, true, false, false, 0.0, 0),
-        (0, true, false, true, 0.0, 0))
-      .map { case (sc, sq, wc, mn, rb, tk) => render(sc, sq, wc, mn, rb, tk) } :+ emptyMapRung)
+        (1, false, true, false, 0.0, 140, false), (1, false, true, false, 0.0, 80, false),
+        (0, false, true, false, 0.0, 0, false),
+        (0, true, true, false, 0.0, 0, false), (0, true, false, false, 0.0, 0, false),
+        (0, true, false, true, 0.0, 0, false),
+        // many-failure rung: sentinels move to a terser top-level name
+        // list, sub-threshold survivors fold — 200+ simultaneous -1s
+        // (a catastrophic round) still names every failure in-budget
+        (1, true, true, false, 0.5, 0, true),
+        (0, true, false, true, 0.0, 0, true))
+      .map { case (sc, sq, wc, mn, rb, tk, fa) => render(sc, sq, wc, mn, rb, tk, fa) } :+ emptyMapRung)
       .find(_.length <= LineBudget)
       .getOrElse(emptyMapRung)
   }

@@ -5291,6 +5291,210 @@ object PipelineQueries {
     }
   }
 
+  /** Autocorrelation audit in exact integers — the diagnostic the series
+    * band's estimators presuppose a value for: q177's EWMA half-life,
+    * q184/q186's trend/seasonal smoothing and q189's changepoint window
+    * all implicitly assume HOW correlated consecutive days are; this
+    * reports it. Per nation over the q189 daily shipped-revenue series,
+    * lag-k autocorrelation r_k = Σ d_t·d_{t−k} / Σ d_t² at k ∈ {1,2,3,7}
+    * (7 = the weekly seasonality q186 models), with d = x − (S div n) —
+    * the INTEGER-truncated mean (q136's discipline) so every term is
+    * exact cross-engine. Quantization: the micro ratio divides by the
+    * pre-truncated denominator (num div greatest(den div 10⁶, 1)) so no
+    * intermediate ever exceeds max(num, den) — at 100 TB the products
+    * run in decimal (q187) but the ×10⁶ blow-up that would breach 38
+    * digits never happens. beyond_noise is the classic |r| > 2/√n white-
+    * noise band, squared into integers (documented heuristic, q187's
+    * χ²/dof style). Shape at 100 TB: the corpus contributes ONE
+    * map-side-combined (nation, day) aggregate; the lag windows and the
+    * final sums all ride one nation-keyed exchange over the calendar-
+    * bounded series. */
+  val q210AcfAudit: QuerySpec = {
+    val lags = Seq(1, 2, 3, 7)
+    val lagColsSql = lags.map(k =>
+      s"lag(d, $k) OVER (PARTITION BY nk ORDER BY day) AS d$k").mkString(",\n      |    ")
+    val numColsSql = lags.map(k =>
+      s"sum(CAST(d AS HUGEINT) * d$k) AS n$k").mkString(",\n      |    ")
+    val valsSql = lags.map(k => s"($k, n$k)").mkString(", ")
+    QuerySpec.oracle(
+      "q210_acf_audit",
+      s"""WITH rev AS (
+         |  SELECT s_nationkey AS nk, CAST(l_shipdate AS DATE) AS day,
+         |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS x
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY 1, 2),
+         |st AS (SELECT nk, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+         |       FROM rev GROUP BY 1),
+         |c AS (SELECT r.nk, day, x - (s // n) AS d, n FROM rev r JOIN st ON st.nk = r.nk),
+         |w AS (SELECT nk, n, d,
+         |    $lagColsSql
+         |  FROM c),
+         |agg AS (SELECT nk, any_value(n) AS n, sum(CAST(d AS HUGEINT) * d) AS den,
+         |    $numColsSql
+         |  FROM w GROUP BY nk),
+         |lg AS (SELECT nk, n, CAST(l.nm // greatest(den // 1000000, 1) AS BIGINT) AS acf,
+         |    l.k
+         |  FROM agg, LATERAL (VALUES $valsSql) AS l(k, nm))
+         |SELECT nn.n_name AS nation, CAST(k AS BIGINT) AS lag, n AS n_days,
+         |  acf AS acf_micro, acf * acf * n > 4000000000000 AS beyond_noise
+         |FROM lg JOIN nation nn ON nn.n_nationkey = lg.nk
+         |ORDER BY nation, lag""".stripMargin
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
+      val rev = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.supplier(spark, dir)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
+        .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+      val st = rev.groupBy("nk")
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("x")).cast("long").as("s"))
+      val byDay = Window.partitionBy("nk").orderBy("day")
+      val w = rev.join(broadcast(st), "nk")
+        .withColumn("d", col("x") - expr("s div n"))
+      val lagged = lags.foldLeft(w)((df, k) =>
+        df.withColumn(s"d$k", lag(col("d"), k).over(byDay)))
+      // d² passes int64 at corpus scale — decimal inside (q187), and the
+      // div-first micro ratio keeps everything under 38 digits
+      val aggCols = Seq(first(col("n")).as("n"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("den")) ++
+        lags.map(k => sum(expr(s"CAST(d AS DECIMAL(38,0)) * d$k")).as(s"n$k"))
+      val agg = lagged.groupBy("nk").agg(aggCols.head, aggCols.tail: _*)
+      val lg = agg.select(col("nk"), col("n"), col("den"),
+          explode(array(lags.map(k =>
+            struct(lit(k.toLong).as("k"), col(s"n$k").as("nm"))): _*)).as("l"))
+        .select(col("nk"), col("n"), col("l.k").as("lag"),
+          expr("l.nm div greatest(den div 1000000, 1)").cast("long").as("acf_micro"))
+      lg.join(broadcast(Tables.nation(spark, dir)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("nk") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("lag"), col("n").as("n_days"),
+          col("acf_micro"),
+          expr("acf_micro * acf_micro * n > 4000000000000").as("beyond_noise"))
+        .orderBy("nation", "lag")
+    }
+  }
+
+  /** KMV set-OPERATION estimates — the sketch family's missing algebra:
+    * q161 estimates ONE set's cardinality, but the questions a 100 TB
+    * pipeline actually asks are pairwise ("how much do these feeds
+    * overlap", "is this segment a subset of that one"). Theta-sketch
+    * style over the order sets of the six (returnflag, linestatus)
+    * segments: per segment the k=128 smallest md5 hashes of its order
+    * keys; for each segment pair, Û = (k'−1)·2⁶⁰ div h_(k') from the
+    * bottom-k' of the sketch UNION, and Ĵ = m div k' where m counts
+    * union-sample members present in BOTH sketches — sound because any
+    * union-bottom-k hash belonging to A is necessarily in bottom-k(A),
+    * so sketch membership is exact for the sample. Intersection
+    * estimate = Ĵ·Û. Everything is md5-prefix integer arithmetic, so
+    * estimates AND their exact audits (the per-pair distinct joins the
+    * sketch replaces at scale) hash-verify. Shape at 100 TB: one
+    * (segment, key) distinct + one bounded-heap bottom-k per segment
+    * (constant state, the KMV semilattice); ALL pair arithmetic lives on
+    * the 6×128-row sketch dictionary; the exact side is the audit
+    * reference, like q180's striped ranks. */
+  val q211KmvSetOps: QuerySpec = {
+    val k = 128
+    val M = 1152921504606846976L // 2^60, the md5-prefix-15 hash space
+    QuerySpec.oracle(
+      "q211_kmv_set_ops",
+      s"""WITH base AS (SELECT DISTINCT l_returnflag || l_linestatus AS t, l_orderkey AS p
+         |  FROM lineitem),
+         |u AS (SELECT DISTINCT t,
+         |    ('0x' || substring(md5(CAST(p AS VARCHAR)), 1, 15))::BIGINT AS h FROM base),
+         |sk AS (SELECT t, h FROM
+         |    (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM u)
+         |  WHERE rn <= $k),
+         |tp AS (SELECT a.t AS ta, b.t AS tb
+         |  FROM (SELECT DISTINCT t FROM base) a
+         |  JOIN (SELECT DISTINCT t FROM base) b ON a.t < b.t),
+         |us AS (SELECT ta, tb, h, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT p.ta, p.tb, s.h FROM tp p
+         |        JOIN sk s ON s.t = p.ta OR s.t = p.tb)),
+         |kth AS (SELECT ta, tb, max(h) AS hk, count(*) AS ks FROM us WHERE rn <= $k
+         |        GROUP BY 1, 2),
+         |mm AS (SELECT us.ta, us.tb, count(*) AS m
+         |  FROM us
+         |  JOIN sk a ON a.t = us.ta AND a.h = us.h
+         |  JOIN sk b ON b.t = us.tb AND b.h = us.h
+         |  WHERE us.rn <= $k GROUP BY 1, 2),
+         |cnt AS (SELECT t, count(*) AS n FROM base GROUP BY 1),
+         |ix AS (SELECT x.t AS ta, y.t AS tb, count(*) AS i
+         |  FROM base x JOIN base y ON x.p = y.p AND x.t < y.t GROUP BY 1, 2)
+         |SELECT kth.ta AS type_a, kth.tb AS type_b,
+         |  CAST(ca.n AS BIGINT) AS n_a_exact, CAST(cb.n AS BIGINT) AS n_b_exact,
+         |  CAST(CAST(ks - 1 AS HUGEINT) * $M // hk AS BIGINT) AS union_est,
+         |  CAST(ca.n + cb.n - coalesce(ix.i, 0) AS BIGINT) AS union_exact,
+         |  CAST(coalesce(mm.m, 0) * 1000000 // ks AS BIGINT) AS jaccard_micro,
+         |  CAST(CAST(coalesce(mm.m, 0) AS HUGEINT)
+         |    * (CAST(ks - 1 AS HUGEINT) * $M // hk) // ks AS BIGINT) AS inter_est,
+         |  CAST(coalesce(ix.i, 0) AS BIGINT) AS inter_exact
+         |FROM kth
+         |LEFT JOIN mm ON mm.ta = kth.ta AND mm.tb = kth.tb
+         |JOIN cnt ca ON ca.t = kth.ta
+         |JOIN cnt cb ON cb.t = kth.tb
+         |LEFT JOIN ix ON ix.ta = kth.ta AND ix.tb = kth.tb
+         |ORDER BY type_a, type_b""".stripMargin
+    ) { (spark, dir) =>
+      import graft.functions.BottomKRows
+      val base = Tables.lineitem(spark, dir)
+        .select(concat(col("l_returnflag"), col("l_linestatus")).as("t"),
+          col("l_orderkey").as("p"))
+        .distinct()
+      val u = base.select(col("t"),
+          conv(substring(md5(col("p").cast("string")), 1, 15), 16, 10).cast("long").as("h"))
+        .distinct()
+      // per-segment bottom-k: ONE bounded-heap aggregate, no per-segment
+      // window sort (hashes nonneg → zero-padded hex IS numeric order)
+      val sk = u.groupBy("t")
+        .agg(BottomKRows.bottomK(lpad(hex(col("h")), 16, "0"), struct(col("h")), k)
+          .as("mins"))
+        .select(col("t"), explode(col("mins")).as("m"))
+        .select(col("t"), col("m.h").as("h"))
+      val types = base.select("t").distinct()
+      val tp = types.select(col("t").as("ta"))
+        .join(types.select(col("t").as("tb")), col("ta") < col("tb"))
+      val us = tp.join(broadcast(sk),
+          col("t") === col("ta") || col("t") === col("tb"))
+        .select("ta", "tb", "h").distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("ta", "tb").orderBy("h")))
+        .filter(col("rn") <= k)
+      val kth = us.groupBy("ta", "tb").agg(max(col("h")).as("hk"), count(lit(1)).as("ks"))
+      val mm = us.select(col("ta"), col("tb"), col("h").as("uh"))
+        .join(broadcast(sk.select(col("t").as("at"), col("h").as("ah"))),
+          col("at") === col("ta") && col("ah") === col("uh"))
+        .join(broadcast(sk.select(col("t").as("bt"), col("h").as("bh"))),
+          col("bt") === col("tb") && col("bh") === col("uh"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("m"))
+      val cnt = base.groupBy("t").agg(count(lit(1)).as("n"))
+      val ix = base.select(col("t").as("xt"), col("p"))
+        .join(base.select(col("t").as("yt"), col("p")), "p")
+        .filter(col("xt") < col("yt"))
+        .groupBy(col("xt").as("ta"), col("yt").as("tb")).agg(count(lit(1)).as("i"))
+      kth
+        .join(mm, Seq("ta", "tb"), "left")
+        .join(broadcast(cnt.select(col("t").as("ta"), col("n").as("na"))), "ta")
+        .join(broadcast(cnt.select(col("t").as("tb"), col("n").as("nb"))), "tb")
+        .join(ix, Seq("ta", "tb"), "left")
+        // (k−1)·2⁶⁰ and m·Û exceed int64 — decimal inside, int64 out
+        .withColumn("union_est",
+          expr(s"(CAST(ks - 1 AS DECIMAL(38,0)) * $M) div hk"))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("na").cast("long").as("n_a_exact"), col("nb").cast("long").as("n_b_exact"),
+          col("union_est").cast("long").as("union_est"),
+          (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("long").as("union_exact"),
+          expr("coalesce(m, 0) * 1000000 div ks").cast("long").as("jaccard_micro"),
+          expr("(CAST(coalesce(m, 0) AS DECIMAL(38,0)) * union_est) div ks")
+            .cast("long").as("inter_est"),
+          coalesce(col("i"), lit(0L)).cast("long").as("inter_exact"))
+        .orderBy("type_a", "type_b")
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -5313,5 +5517,5 @@ object PipelineQueries {
     q197SkewAudit, q198JoinCardEst, q199BenfordAudit,
     q200MarkovStationary, q201AbTest, q202AnnMcnemar, q203Spearman,
     q204KaplanMeier, q205Attribution, q206BootstrapCi, q207ChapmanCoverage,
-    q208LangId, q209WeightedReservoir)
+    q208LangId, q209WeightedReservoir, q210AcfAudit, q211KmvSetOps)
 }

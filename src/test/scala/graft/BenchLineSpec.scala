@@ -28,12 +28,24 @@ class BenchLineSpec extends AnyFunSuite {
       assert(line.length <= Bench.LineBudget,
         s"bench line ${line.length} chars at value $v — driver tail will truncate its head")
     }
-    for (v <- Seq(99.99, 9.99, -1.0, 0.5)) {
+    for (v <- Seq(99.99, 9.99, 0.5)) {
       val line = worstCase(v)
       assert(!line.contains("\"queries\":{}"),
         s"value width $v must not need the empty-map rung")
       assert(line.length <= Bench.LineBudget)
     }
+    // the catastrophic all-fail round: the failed-array rung must name
+    // EVERY query on the driver channel (sentinels are never anonymous),
+    // parse as JSON, and still fit
+    val allFail = worstCase(-1.0)
+    assert(allFail.length <= Bench.LineBudget)
+    val parsedFail = org.json4s.jackson.JsonMethods.parse(allFail)
+    val failedNames = (parsedFail \ "failed").asInstanceOf[org.json4s.JArray]
+      .arr.map(_.asInstanceOf[org.json4s.JString].s).toSet
+    val wantNames = SparkEntry.queries.keys
+      .map(_.takeWhile(_ != '_').stripPrefix("q")).toSet
+    assert(failedNames == wantNames,
+      s"every failing query must stay named: missing ${wantNames -- failedNames}")
   }
 
   test("stdout line is valid JSON with every query present") {

@@ -176,7 +176,11 @@ class PlanSweepSpec extends SparkSpec {
     "q191_ks_drift",
     // q208 — crossJoin(broadcast(tot)) of the 1-row accuracy
     // aggregate onto the confusion matrix: the q27/q45 scalar idiom
-    "q208_langid_confusion")
+    "q208_langid_confusion",
+    // q211 — the segment-pair grid (6-row dictionary < against itself)
+    // and the OR-condition sketch membership join over the 6×128-row
+    // sketch dictionary: both dictionary-bounded, never corpus rows
+    "q211_kmv_set_ops")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -741,7 +745,15 @@ class PlanSweepSpec extends SparkSpec {
     "q208_langid_confusion" -> 14,
     // q209: ONE bottom-k heap aggregate (map-side bounded) + the k-row
     // presentation sort — the no-window no-global-sort reservoir shape
-    "q209_weighted_reservoir" -> 1)
+    "q209_weighted_reservoir" -> 1,
+    // q210: the (nation, day) series aggregate + the per-nation stats
+    // aggregate + the shared nation-keyed lag window + the final sums
+    // + presentation sort — all on the calendar-bounded series
+    "q210_acf_audit" -> 5,
+    // q211: the (segment, key) distinct + per-segment bottom-k heap +
+    // the exact-audit distinct/counts/pair join (the reference half the
+    // sketch replaces at scale) + dictionary-sized pair windows/aggs
+    "q211_kmv_set_ops" -> 22)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -1119,6 +1119,40 @@ class PipelineQueriesSpec extends SparkSpec {
       s"skewed source diverges more: $planted")
   }
 
+  test("q210: ACF values bounded, full lag grid per nation") {
+    val rows = PipelineQueries.q210AcfAudit.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // |r| ≤ 1 in exact arithmetic; div-first quantization can overshoot
+    // by at most 1 part in 10⁶ of the denominator
+    rows.foreach { r =>
+      val a = r.getAs[Long]("acf_micro")
+      assert(math.abs(a) <= 1000001L, s"ACF out of range: $r")
+      assert(r.getAs[Long]("n_days") > 0)
+    }
+    rows.groupBy(_.getAs[String]("nation")).foreach { case (n, rs) =>
+      assert(rs.map(_.getAs[Long]("lag")).sorted.toSeq == Seq(1L, 2L, 3L, 7L),
+        s"$n missing lags")
+    }
+  }
+
+  test("q211: KMV union/Jaccard estimates land inside their sampling-error envelopes") {
+    val rows = PipelineQueries.q211KmvSetOps.build(spark, sf).collect()
+    assert(rows.length >= 3, "at least the returnflag segment pairs")
+    rows.foreach { r =>
+      val (ue, ux) = (r.getAs[Long]("union_est"), r.getAs[Long]("union_exact"))
+      val (ie, ix) = (r.getAs[Long]("inter_est"), r.getAs[Long]("inter_exact"))
+      val jm = r.getAs[Long]("jaccard_micro")
+      // KMV σ ≈ 1/√(k−1) ≈ 9% at k=128 — 35% is a ~4σ acceptance band
+      assert(math.abs(ue - ux) <= 0.35 * ux, s"union estimate too far: $r")
+      assert(jm >= 0 && jm <= 1000000, s"Jaccard out of [0,1]: $r")
+      // Jaccard σ = √(J(1−J)/k) ≤ 4.5% — 25 points ≈ 5σ+; intersection
+      // inherits both errors, so bound it by the union-scaled J band
+      val jx = if (ux == 0) 0.0 else ix.toDouble / ux
+      assert(math.abs(jm / 1e6 - jx) <= 0.25, s"Jaccard too far from exact: $r")
+      assert(math.abs(ie - ix) <= 0.35 * ux, s"intersection estimate too far: $r")
+    }
+  }
+
   test("q208: trigram profiles separate signal-bearing languages perfectly") {
     // the corpus's lang labels are generator noise (q208's report honestly
     // reads ≈ chance there) — the operator's separating POWER is pinned
