@@ -451,6 +451,47 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Deterministic synthetic Y4M clip: a real, decodable YUV4MPEG2 stream
+    * whose luma planes are xorshift noise seeded by (id, frame) — every
+    * clip's frames are far apart in dHash space from every other clip's,
+    * which is exactly what a near-dup fixture needs (exact clones collide
+    * at hamming 0, independent clips land ~32 bits apart). 4:2:0 chroma
+    * planes are flat 128 (grey). */
+  def syntheticY4m(id: Long, w: Int = 24, h: Int = 16, nFrames: Int = 6,
+                   fps: (Int, Int) = (25, 1)): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F${fps._1}:${fps._2} Ip A1:1 C420\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val chroma = ((w + 1) / 2) * ((h + 1) / 2)
+    var f = 0
+    while (f < nFrames) {
+      out.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      var x = id * 2654435761L + f * 40503L + 88172645463325252L
+      var i = 0
+      while (i < w * h) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        out.write(((x >>> 32) & 0xFF).toInt)
+        i += 1
+      }
+      i = 0
+      while (i < 2 * chroma) { out.write(128); i += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Synthetic media table whose video payloads are REAL Y4M streams
+    * ([[syntheticY4m]]) — the fixture that drives the decode path proper
+    * (frame dHash, luma envelope), where [[syntheticMedia]]'s md5 payloads
+    * exercise the fallback seam. */
+  def syntheticY4mMedia(spark: SparkSession, n: Int, w: Int = 24, h: Int = 16,
+                        nFrames: Int = 6): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map(id => MediaRecord(id, "video", syntheticY4m(id, w, h, nFrames), w, h, nFrames))
+    }
+  }
+
   /** Decode + feature-extract, one partition at a time (batch shape =
     * partition; the iterator is lazy so memory stays bounded). */
   def decodeFeatures(media: Dataset[MediaRecord], dims: Int = 64): Dataset[MediaFeatures] = {

@@ -76,6 +76,40 @@ object MultimodalQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Video near-dup detection over REAL decoded frames — the q148/q150
+    * shape completed for the last modality (r19, on the Y4M decoder):
+    * every sampled frame's luma plane gets the shared 9×8 gradient dHash,
+    * frame hashes ride the SAME pigeonhole hamming join, and a clip pair
+    * is scored by HOW MANY same-position frames match — the per-position
+    * frame-matching rule real video dedup uses (a clip that shares one
+    * establishing shot is not a duplicate; one sharing every sampled
+    * frame is). Clones planted as in q148 (every 25th clip re-ids'd)
+    * must surface with ALL sampled frames at hamming 0; independent
+    * noise clips must not pair at all. Shape at 100 TB: decode is
+    * per-row mapPartitions work, frame hashes are 64-bit ints, and the
+    * pair discovery is the banded hamming join — never all-pairs. */
+  val q212VideoDedup: QuerySpec = QuerySpec.rowsOnly("q212_video_dedup") { (spark, dir) =>
+    import spark.implicits._
+    val media = Multimodal.syntheticY4mMedia(spark, 500)
+    val clones = media.filter(col("media_id") % 25 === 0)
+      .map(m => m.copy(media_id = m.media_id + 1000000))
+    val frames = Multimodal.sampleFrames(media.union(clones), everyN = 2).toDF()
+      // frame identity = (clip, position): encode both in one id so the
+      // banded join stays a single (id, hash) relation
+      .select((col("media_id") * 1000 + col("frame_idx")).as("fid"), col("frame_fp"))
+    graft.operators.Dedup.hammingPairs(frames, "fid", "frame_fp",
+        bits = 64, maxHamming = 4)
+      .select((col("id_a") / 1000).cast("long").as("vid_a"),
+        (col("id_b") / 1000).cast("long").as("vid_b"),
+        pmod(col("id_a"), lit(1000)).as("pos_a"), pmod(col("id_b"), lit(1000)).as("pos_b"))
+      // per-position matching: frame i pairs with frame i, clips differ
+      .filter(col("pos_a") === col("pos_b") && col("vid_a") =!= col("vid_b"))
+      .groupBy("vid_a", "vid_b")
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= 2) // half the sampled frames
+      .orderBy("vid_a", "vid_b")
+  }
+
   val all: Seq[QuerySpec] = Seq(q70DecodeFeatures, q71FrameSample, q72VideoMeta,
-    q148ImageDedup, q150AudioDedup)
+    q148ImageDedup, q150AudioDedup, q212VideoDedup)
 }

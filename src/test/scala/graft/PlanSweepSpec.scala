@@ -753,7 +753,10 @@ class PlanSweepSpec extends SparkSpec {
     // q211: the (segment, key) distinct + per-segment bottom-k heap +
     // the exact-audit distinct/counts/pair join (the reference half the
     // sketch replaces at scale) + dictionary-sized pair windows/aggs
-    "q211_kmv_set_ops" -> 22)
+    "q211_kmv_set_ops" -> 22,
+    // q212: the banded hamming frame join (hammingPairs' pigeonhole
+    // exchange) + the (clip, clip) match-count agg + presentation sort
+    "q212_video_dedup" -> 3)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

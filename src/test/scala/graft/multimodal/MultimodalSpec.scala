@@ -242,6 +242,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.VideoCodec.parse("not a video".getBytes).isEmpty)
   }
 
+  test("q212: planted Y4M clones surface with every sampled frame matched, noise clips never pair") {
+    val rows = graft.SparkEntry.queries("q212_video_dedup")(spark, sf).collect()
+    // 500 clips, every 25th cloned → exactly 20 pairs, no false positives
+    // among the 480 independent noise clips
+    assert(rows.length == 20, s"expected exactly the 20 planted clone pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vid_b") == r.getAs[Long]("vid_a") + 1000000,
+        s"non-clone pair surfaced: $r")
+      // 6 frames sampled every 2 → positions 0, 2, 4 all at hamming 0
+      assert(r.getAs[Long]("n_frames_matched") == 3, s"clone must match all sampled frames: $r")
+    }
+  }
+
   test("Y4M flows through the Dataset operators: real frame samples and parsed metadata") {
     import spark.implicits._
     val vid = y4m(16, 8, 5, (24, 1))((fr, x, y) => (x * 16 + y * 3 + fr * 7) % 256)
