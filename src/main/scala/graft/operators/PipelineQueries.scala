@@ -5495,6 +5495,151 @@ object PipelineQueries {
     }
   }
 
+  /** Repetition quality rules (Rae et al. 2021's Gopher filters, the
+    * occurrence-fraction form) — the ingest gate q21's char/token ratios
+    * and q146's compression signal bracket but never state directly: per
+    * doc the fraction of duplicate 2-gram and 3-gram OCCURRENCES
+    * ((total − distinct)·10⁶ div total) and the most-common-token share,
+    * with repetitive/top-heavy flags at documented thresholds (the
+    * published rules threshold character fractions; occurrence fractions
+    * are the exact-integer variant — same signal, no length weighting).
+    * The top-token share folds IN-ROW over the sorted token array (max
+    * run length, a two-slot integer state — q184's homogeneous-list
+    * fold), so the whole report is one embarrassingly parallel scan: no
+    * shuffle except the presentation sort, the q21 shape. */
+  val q213RepetitionRules: QuerySpec = QuerySpec.oracle(
+    "q213_repetition_rules",
+    s"""WITH toks AS (SELECT doc_id, $LowToksSql AS ts FROM documents),
+       |g AS (SELECT doc_id, ts, list_sort(ts) AS tss, len(ts) AS n,
+       |    CASE WHEN len(ts) >= 2 THEN list_transform(generate_series(1, len(ts) - 1),
+       |      i -> concat_ws(' ', ts[i], ts[i+1])) ELSE [] END AS g2,
+       |    CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2),
+       |      i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) ELSE [] END AS g3
+       |  FROM toks),
+       |m AS (SELECT doc_id, n,
+       |    len(g2) AS t2, len(list_distinct(g2)) AS d2,
+       |    len(g3) AS t3, len(list_distinct(g3)) AS d3,
+       |    CASE WHEN n = 0 THEN 0 ELSE
+       |      list_reduce(list_prepend([1, 1], list_transform(generate_series(2, n),
+       |        i -> [i, 0])),
+       |        (acc, e) -> CASE WHEN tss[e[1]] = tss[e[1] - 1]
+       |          THEN [acc[1] + 1, greatest(acc[2], acc[1] + 1)]
+       |          ELSE [1, acc[2]] END)[2] END AS topc
+       |  FROM g)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(CASE WHEN t2 = 0 THEN 0 ELSE (t2 - d2) * 1000000 // t2 END AS BIGINT)
+       |    AS dup2_micro,
+       |  CAST(CASE WHEN t3 = 0 THEN 0 ELSE (t3 - d3) * 1000000 // t3 END AS BIGINT)
+       |    AS dup3_micro,
+       |  CAST(CASE WHEN n = 0 THEN 0 ELSE topc * 1000000 // n END AS BIGINT)
+       |    AS top_token_micro,
+       |  CASE WHEN t3 = 0 THEN false ELSE (t3 - d3) * 1000000 // t3 > 180000 END
+       |    AS repetitive,
+       |  CASE WHEN n = 0 THEN false ELSE topc * 1000000 // n > 200000 END
+       |    AS top_heavy
+       |FROM m ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    def grams(k: Int): Column =
+      when(size(col("ts")) >= k,
+        transform(sequence(lit(1), size(col("ts")) - (k - 1)), i =>
+          concat_ws(" ", (0 until k).map(o => element_at(col("ts"), i + o)): _*)))
+        .otherwise(typedlit(Seq.empty[String]))
+    // max run length over the sorted tokens: a [run, best] integer fold,
+    // bit-identical to the DuckDB list_reduce (q184's array-state shape)
+    val topc = when(size(col("tss")) === 0, lit(0)).otherwise(
+      element_at(aggregate(
+        sequence(lit(2), size(col("tss"))),
+        typedlit(Seq(1, 1)),
+        (acc, i) => when(element_at(col("tss"), i) === element_at(col("tss"), i - 1),
+            array(element_at(acc, 1) + 1,
+              greatest(element_at(acc, 2), element_at(acc, 1) + 1)))
+          .otherwise(array(lit(1), element_at(acc, 2)))), 2))
+    Tables.documents(spark, dir)
+      .withColumn("ts", lowToksCol)
+      .withColumn("tss", array_sort(col("ts")))
+      .withColumn("n", size(col("ts")))
+      .withColumn("t2", greatest(col("n") - 1, lit(0)))
+      .withColumn("d2", size(array_distinct(grams(2))))
+      .withColumn("t3", greatest(col("n") - 2, lit(0)))
+      .withColumn("d3", size(array_distinct(grams(3))))
+      .withColumn("topc", topc)
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        when(col("t2") === 0, 0L)
+          .otherwise(expr("(t2 - d2) * 1000000 div t2")).cast("long").as("dup2_micro"),
+        when(col("t3") === 0, 0L)
+          .otherwise(expr("(t3 - d3) * 1000000 div t3")).cast("long").as("dup3_micro"),
+        when(col("n") === 0, 0L)
+          .otherwise(expr("topc * 1000000 div n")).cast("long").as("top_token_micro"),
+        when(col("t3") === 0, lit(false))
+          .otherwise(expr("(t3 - d3) * 1000000 div t3 > 180000")).as("repetitive"),
+        when(col("n") === 0, lit(false))
+          .otherwise(expr("topc * 1000000 div n > 200000")).as("top_heavy"))
+      .orderBy("doc_id")
+  }
+
+  /** Hard-negative mining for contrastive/triplet training — the
+    * training-data op the ANN band's machinery exists to serve: for each
+    * anchor (the q166 1-in-25 slice), the top-3 most-similar candidates
+    * of a DIFFERENT label (lang) by exact int8 inner product, reported
+    * beside the best SAME-label candidate and the triplet margin
+    * pos_sim − neg_sim — negatives with small or negative margins are
+    * the ones a triplet loss learns from (Schroff et al. 2015's
+    * semi-hard ordering falls out of sorting this report). Exactness:
+    * the sims are the q166 integer dots, labels join on vec_id = doc_id,
+    * so the entire mining roster hash-verifies. Shape at 100 TB: the
+    * brute-force sim scan is the broadcast-anchor audit contract
+    * (anchors ≪ corpus); production swaps the candidate generator for
+    * q43/q171's IVF cells unchanged — the mining rule only consumes
+    * (anchor, cand, sim, label). */
+  val q214HardNegatives: QuerySpec = QuerySpec.oracle(
+    "q214_hard_negatives",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |s AS (SELECT vec_id, embedding, ${VectorFns.Sql.maxAbs("embedding")} AS scale FROM v),
+       |q AS (SELECT vec_id, ${VectorFns.Sql.quantizeInt8("embedding", "scale")} AS qv FROM s),
+       |ql AS (SELECT q.vec_id, qv, lang FROM q JOIN documents d ON d.doc_id = q.vec_id),
+       |sim AS (
+       |  SELECT a.vec_id AS anchor_id, a.lang AS a_lang,
+       |    c.vec_id AS cand_id, c.lang AS c_lang,
+       |    list_reduce(list_prepend(0, list_transform(list_zip(a.qv, c.qv),
+       |      p -> p[1]*p[2])), (acc, v) -> acc + v) AS sim
+       |  FROM ql a JOIN ql c ON c.vec_id <> a.vec_id
+       |  WHERE a.vec_id % 25 = 0),
+       |neg AS (SELECT anchor_id, cand_id, sim,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, cand_id) AS rk
+       |  FROM sim WHERE c_lang <> a_lang),
+       |pos AS (SELECT anchor_id, cand_id AS pos_id, sim AS pos_sim,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, cand_id) AS rk
+       |  FROM sim WHERE c_lang = a_lang)
+       |SELECT n.anchor_id, CAST(n.rk AS BIGINT) AS rank, n.cand_id AS neg_id,
+       |  CAST(n.sim AS BIGINT) AS neg_sim, p.pos_id, CAST(p.pos_sim AS BIGINT) AS pos_sim,
+       |  CAST(p.pos_sim - n.sim AS BIGINT) AS margin
+       |FROM neg n JOIN pos p ON p.anchor_id = n.anchor_id AND p.rk = 1
+       |WHERE n.rk <= 3 ORDER BY n.anchor_id, rank""".stripMargin
+  ) { (spark, dir) =>
+    def intDot(a: Column, b: Column): Column = graft.functions.LongDotExpr.dot(a, b)
+    val labels = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val ql = quantizedVecsCk(spark, dir)
+      .join(labels, col("doc_id") === col("vec_id")).drop("doc_id")
+    val anchors = ql.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("anchor_id"), col("qv").as("aqv"), col("lang").as("a_lang"))
+    val sim = ql.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_lang"), col("vec_id").as("cand_id"),
+        col("lang").as("c_lang"), intDot(col("aqv"), col("qv")).as("sim"))
+    // both rank windows partition on anchor_id — one exchange, reused
+    val byAnchor = Window.partitionBy("anchor_id").orderBy(col("sim").desc, col("cand_id"))
+    val neg = sim.filter(col("c_lang") =!= col("a_lang"))
+      .withColumn("rk", row_number().over(byAnchor)).filter(col("rk") <= 3)
+    val pos = sim.filter(col("c_lang") === col("a_lang"))
+      .withColumn("rk", row_number().over(byAnchor)).filter(col("rk") === 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"), col("sim").as("pos_sim"))
+    neg.join(pos, "anchor_id")
+      .select(col("anchor_id"), col("rk").cast("long").as("rank"),
+        col("cand_id").as("neg_id"), col("sim").cast("long").as("neg_sim"),
+        col("pos_id"), col("pos_sim").cast("long").as("pos_sim"),
+        (col("pos_sim") - col("sim")).cast("long").as("margin"))
+      .orderBy("anchor_id", "rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30DedupExact, q31NgramJaccard, q32MinHash, q33SimHash,
     q34CosinePairs, q35DedupGroups, q123SemanticDedup, q36SequencePack, q38Contamination,
@@ -5517,5 +5662,6 @@ object PipelineQueries {
     q197SkewAudit, q198JoinCardEst, q199BenfordAudit,
     q200MarkovStationary, q201AbTest, q202AnnMcnemar, q203Spearman,
     q204KaplanMeier, q205Attribution, q206BootstrapCi, q207ChapmanCoverage,
-    q208LangId, q209WeightedReservoir, q210AcfAudit, q211KmvSetOps)
+    q208LangId, q209WeightedReservoir, q210AcfAudit, q211KmvSetOps,
+    q213RepetitionRules, q214HardNegatives)
 }

@@ -70,6 +70,9 @@ class ConstructionSweepSpec extends SparkSpec {
     // q195/q202 serve q170's memoized Lloyd centroids — a cold cache
     // fits them at build (the q43/q78/q127 eager-index rationale)
     "q195_silhouette", "q202_ann_mcnemar",
+    // q214 serves the memoized quantized-corpus checkpoint — a cold
+    // cache materializes it at build (q207's rationale)
+    "q214_hard_negatives",
     // q207 builds from the memoized quantized-corpus checkpoint — a cold
     // cache materializes it at build (the same shared-index economics)
     "q207_chapman_coverage",

@@ -180,7 +180,10 @@ class PlanSweepSpec extends SparkSpec {
     // q211 — the segment-pair grid (6-row dictionary < against itself)
     // and the OR-condition sketch membership join over the 6×128-row
     // sketch dictionary: both dictionary-bounded, never corpus rows
-    "q211_kmv_set_ops")
+    "q211_kmv_set_ops",
+    // q214 — the broadcast-anchor sim scan (anchors = the 1-in-25 audit
+    // slice, q166/q202's bounded contract), joined on <> by design
+    "q214_hard_negatives")
 
   /** Builders that EXECUTE heavyweight work eagerly (q50 trains and
     * evaluates four classifiers at build time): skipped here — a plan-string
@@ -756,7 +759,12 @@ class PlanSweepSpec extends SparkSpec {
     "q211_kmv_set_ops" -> 22,
     // q212: the banded hamming frame join (hammingPairs' pigeonhole
     // exchange) + the (clip, clip) match-count agg + presentation sort
-    "q212_video_dedup" -> 3)
+    "q212_video_dedup" -> 3,
+    // q213: one embarrassingly parallel scan + the presentation sort
+    "q213_repetition_rules" -> 1,
+    // q214: the label join onto the quantized corpus + the shared
+    // anchor-keyed rank exchange (neg and pos windows) + the pos join
+    "q214_hard_negatives" -> 3)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -1153,6 +1153,42 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q213: planted repetitive and top-heavy docs flag; diverse prose does not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark data " * 30, "en", "s", 0L),            // one 2-gram looped
+      (2L, ("a " * 40) + "big fast slow", "en", "s", 0L), // 'a' dominates
+      (3L, "big fast slow small query table join scan sort merge", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q213").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val rows = PipelineQueries.q213RepetitionRules.build(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("repetitive"), s"looped 2-gram doc: ${rows(1L)}")
+    assert(rows(2L).getAs[Boolean]("top_heavy"), s"one-token-dominant doc: ${rows(2L)}")
+    assert(!rows(3L).getAs[Boolean]("repetitive") && !rows(3L).getAs[Boolean]("top_heavy"),
+      s"all-distinct prose must pass: ${rows(3L)}")
+    assert(rows(3L).getAs[Long]("dup3_micro") == 0L)
+  }
+
+  test("q214: hard negatives rank by similarity, margins consistent, labels differ") {
+    val rows = PipelineQueries.q214HardNegatives.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("anchor_id")).foreach { case (a, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to byRank.length),
+        s"anchor $a ranks not dense")
+      // negatives descend in similarity; margin = pos_sim − neg_sim
+      val sims = byRank.map(_.getAs[Long]("neg_sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, s"anchor $a not sorted")
+      byRank.foreach { r =>
+        assert(r.getAs[Long]("margin") ==
+          r.getAs[Long]("pos_sim") - r.getAs[Long]("neg_sim"))
+        assert(r.getAs[Long]("neg_id") != a && r.getAs[Long]("pos_id") != a)
+      }
+    }
+  }
+
   test("q208: trigram profiles separate signal-bearing languages perfectly") {
     // the corpus's lang labels are generator noise (q208's report honestly
     // reads ≈ chance there) — the operator's separating POWER is pinned
