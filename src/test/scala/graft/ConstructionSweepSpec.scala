@@ -71,8 +71,10 @@ class ConstructionSweepSpec extends SparkSpec {
     // fits them at build (the q43/q78/q127 eager-index rationale)
     "q195_silhouette", "q202_ann_mcnemar",
     // q214 serves the memoized quantized-corpus checkpoint — a cold
-    // cache materializes it at build (q207's rationale)
-    "q214_hard_negatives",
+    // cache materializes it at build (q207's rationale); q166 joined the
+    // same contract in r19 when its ground truth moved to the memoized
+    // exactTop5Cached checkpoint
+    "q214_hard_negatives", "q166_ann_recall_exact",
     // q207 builds from the memoized quantized-corpus checkpoint — a cold
     // cache materializes it at build (the same shared-index economics)
     "q207_chapman_coverage",
