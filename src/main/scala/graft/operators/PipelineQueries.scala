@@ -5382,6 +5382,98 @@ object PipelineQueries {
     }
   }
 
+  /** Partial autocorrelation at lags 1–3 — q210's ACF says how much an
+    * MA signature persists; the PACF says the AR order (the pair is the
+    * Box-Jenkins identification toolkit, and quoting one without the
+    * other is how series get mis-modeled). Closed-form Durbin-Levinson,
+    * exact integers in micro units with the SAME truncation both
+    * engines: φ₁₁ = r₁; φ₂₂ = (r₂·10⁶ − r₁²)·10⁶ div (10¹² − r₁²);
+    * φ₂₁ = r₁(10⁶ − φ₂₂) div 10⁶; φ₃₃ = (r₃·10⁶ − φ₂₁r₂ − φ₂₂r₁)·10⁶
+    * div (10¹² − φ₂₁r₁ − φ₂₂r₂). Every micro value is ≤ ~10⁶ in
+    * magnitude, so products cap at 10¹² and the ×10⁶ numerators at
+    * ~10¹⁸ — inside int64 at ANY corpus scale (the inputs are already
+    * ratios; this is the rare statistic with no decimal-inside need).
+    * Degenerate denominators (|r| → 1) emit 0, both engines. Shape: the
+    * whole query is q210's one (nation, day) aggregate + lag exchange;
+    * the recursion runs on the 25-row ACF dictionary. */
+  val q215PacfAudit: QuerySpec = QuerySpec.oracle(
+    "q215_pacf_audit",
+    s"""WITH rev AS (
+       |  SELECT s_nationkey AS nk, CAST(l_shipdate AS DATE) AS day,
+       |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS x
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |st AS (SELECT nk, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+       |       FROM rev GROUP BY 1),
+       |c AS (SELECT r.nk, day, x - (s // n) AS d, n FROM rev r JOIN st ON st.nk = r.nk),
+       |w AS (SELECT nk, n, d,
+       |    lag(d, 1) OVER (PARTITION BY nk ORDER BY day) AS d1,
+       |    lag(d, 2) OVER (PARTITION BY nk ORDER BY day) AS d2,
+       |    lag(d, 3) OVER (PARTITION BY nk ORDER BY day) AS d3
+       |  FROM c),
+       |agg AS (SELECT nk, any_value(n) AS n, sum(CAST(d AS HUGEINT) * d) AS den,
+       |    sum(CAST(d AS HUGEINT) * d1) AS n1, sum(CAST(d AS HUGEINT) * d2) AS n2,
+       |    sum(CAST(d AS HUGEINT) * d3) AS n3
+       |  FROM w GROUP BY nk),
+       |acf AS (SELECT nk, n,
+       |    CAST(n1 // greatest(den // 1000000, 1) AS BIGINT) AS r1,
+       |    CAST(n2 // greatest(den // 1000000, 1) AS BIGINT) AS r2,
+       |    CAST(n3 // greatest(den // 1000000, 1) AS BIGINT) AS r3
+       |  FROM agg),
+       |p2 AS (SELECT *, CASE WHEN 1000000000000 - r1*r1 = 0 THEN 0
+       |    ELSE (r2*1000000 - r1*r1) * 1000000 // (1000000000000 - r1*r1) END AS pacf2
+       |  FROM acf),
+       |p3 AS (SELECT *, r1 * (1000000 - pacf2) // 1000000 AS f21 FROM p2)
+       |SELECT nn.n_name AS nation, n AS n_days,
+       |  r1 AS pacf1_micro, CAST(pacf2 AS BIGINT) AS pacf2_micro,
+       |  CAST(CASE WHEN 1000000000000 - f21*r1 - pacf2*r2 = 0 THEN 0
+       |    ELSE (r3*1000000 - f21*r2 - pacf2*r1) * 1000000
+       |         // (1000000000000 - f21*r1 - pacf2*r2) END AS BIGINT) AS pacf3_micro
+       |FROM p3 JOIN nation nn ON nn.n_nationkey = p3.nk
+       |ORDER BY nation""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
+      .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+    val st = rev.groupBy("nk")
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("x")).cast("long").as("s"))
+    val byDay = Window.partitionBy("nk").orderBy("day")
+    val lagged = (1 to 3).foldLeft(
+        rev.join(broadcast(st), "nk").withColumn("d", col("x") - expr("s div n")))(
+      (df, k) => df.withColumn(s"d$k", lag(col("d"), k).over(byDay)))
+    val acf = lagged.groupBy("nk")
+      .agg(first(col("n")).as("n"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("den"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d1")).as("n1"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d2")).as("n2"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d3")).as("n3"))
+      .select(col("nk"), col("n"),
+        expr("n1 div greatest(den div 1000000, 1)").cast("long").as("r1"),
+        expr("n2 div greatest(den div 1000000, 1)").cast("long").as("r2"),
+        expr("n3 div greatest(den div 1000000, 1)").cast("long").as("r3"))
+    acf
+      .withColumn("pacf2", when(expr("1000000000000 - r1*r1") === 0L, 0L)
+        .otherwise(expr("(r2*1000000 - r1*r1) * 1000000 div (1000000000000 - r1*r1)")))
+      .withColumn("f21", expr("r1 * (1000000 - pacf2) div 1000000"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n").as("n_days"),
+        col("r1").as("pacf1_micro"), col("pacf2").cast("long").as("pacf2_micro"),
+        when(expr("1000000000000 - f21*r1 - pacf2*r2") === 0L, 0L)
+          .otherwise(expr(
+            "(r3*1000000 - f21*r2 - pacf2*r1) * 1000000 div (1000000000000 - f21*r1 - pacf2*r2)"))
+          .cast("long").as("pacf3_micro"))
+      .orderBy("nation")
+  }
+
   /** KMV set-OPERATION estimates — the sketch family's missing algebra:
     * q161 estimates ONE set's cardinality, but the questions a 100 TB
     * pipeline actually asks are pairwise ("how much do these feeds
@@ -5667,5 +5759,5 @@ object PipelineQueries {
     q200MarkovStationary, q201AbTest, q202AnnMcnemar, q203Spearman,
     q204KaplanMeier, q205Attribution, q206BootstrapCi, q207ChapmanCoverage,
     q208LangId, q209WeightedReservoir, q210AcfAudit, q211KmvSetOps,
-    q213RepetitionRules, q214HardNegatives)
+    q213RepetitionRules, q214HardNegatives, q215PacfAudit)
 }

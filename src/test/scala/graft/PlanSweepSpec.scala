@@ -764,7 +764,11 @@ class PlanSweepSpec extends SparkSpec {
     "q213_repetition_rules" -> 1,
     // q214: the label join onto the quantized corpus + the shared
     // anchor-keyed rank exchange (neg and pos windows) + the pos join
-    "q214_hard_negatives" -> 3)
+    "q214_hard_negatives" -> 3,
+    // q215: q210's series aggregate + per-nation stats + the shared
+    // nation-keyed lag exchange + final sums + presentation sort —
+    // the Durbin-Levinson recursion itself is shuffle-free column math
+    "q215_pacf_audit" -> 5)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
