@@ -1135,6 +1135,21 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q215: pacf1 equals q210's lag-1 ACF per nation (Durbin-Levinson base case)") {
+    val acf1 = PipelineQueries.q210AcfAudit.build(spark, sf).collect()
+      .filter(_.getAs[Long]("lag") == 1L)
+      .map(r => r.getAs[String]("nation") -> r.getAs[Long]("acf_micro")).toMap
+    val pacf = PipelineQueries.q215PacfAudit.build(spark, sf).collect()
+    assert(pacf.nonEmpty)
+    pacf.foreach { r =>
+      val n = r.getAs[String]("nation")
+      assert(r.getAs[Long]("pacf1_micro") == acf1(n),
+        s"$n: phi11 must be the lag-1 autocorrelation")
+      assert(math.abs(r.getAs[Long]("pacf2_micro")) <= 1000001L)
+      assert(math.abs(r.getAs[Long]("pacf3_micro")) <= 1000001L)
+    }
+  }
+
   test("q211: KMV union/Jaccard estimates land inside their sampling-error envelopes") {
     val rows = PipelineQueries.q211KmvSetOps.build(spark, sf).collect()
     assert(rows.length >= 3, "at least the returnflag segment pairs")
