@@ -1652,6 +1652,48 @@ object PipelineQueries {
     graft.SessionMemo.cached(quantCkCache, (spark, dir))(_._1)(
       _ => quantizedVecs(spark, dir).localCheckpoint(eager = false))
 
+  /** Memoized (nation, day) daily shipped-revenue series per (session,
+    * dir) — the shared input of the whole series-diagnostics band. Seven
+    * queries (q177 EWMA, q184 Holt, q186 Holt-Winters, q189 CUSUM, q203
+    * Spearman, q210 ACF, q215 PACF) each rebuilt the identical
+    * lineitem⋈supplier daily aggregate from scratch, paying the same
+    * ~1 s scan+join+agg per build and per bench pass (VERDICT r19 item
+    * 2); one checkpointed evaluation serves them all — the
+    * exactTop5Cached fit-once/serve-many economics applied to the series
+    * base. Carries BOTH measures the band uses: `x` = Σ extended-price
+    * cents × (100 − discount cents) (every consumer) and `y` = Σ
+    * quantity cents (q203's rank pair), so the Spearman superset rides
+    * the same relation via a column select. Scale shape: the aggregate
+    * output is |nations| × |ship days| — calendar-bounded (≈25 × 2.5k
+    * rows at ANY corpus size), so the checkpoint materializes a
+    * dictionary-sized relation while the corpus-sized scan+join runs
+    * once per session instead of once per consumer. */
+  private val dailyRevCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  private def dailyRevenueCached(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.SessionMemo.cached(dailyRevCache, (spark, dir))(_._1) { _ =>
+      import org.apache.spark.sql.types.DecimalType
+      def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.supplier(spark, dir)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"),
+          cents(col("l_quantity")).as("q"))
+        .groupBy("nk", "day")
+        .agg(sum(col("r")).cast("long").as("x"), sum(col("q")).cast("long").as("y"))
+        .localCheckpoint(eager = false)
+    }
+
+  /** The (nk, day, x) slice of [[dailyRevenueCached]] every
+    * single-measure series consumer reads. */
+  private def dailyRevenue(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    dailyRevenueCached(spark, dir).select(col("nk"), col("day"), col("x"))
+
   /** Memoized exact integer top-5 ground truth per (session, dir) — the
     * (query → 5 nearest by int8 inner product, ties by neighbor id)
     * relation every verified-ANN audit compares against. q166, q171 and
@@ -3183,15 +3225,7 @@ object PipelineQueries {
       |FROM ew e JOIN nation n ON n.n_nationkey = e.nk
       |ORDER BY nation""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.types.DecimalType
-    def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
-    val rev = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)
-          .select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
-        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
-      .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+    val rev = dailyRevenue(spark, dir)
     val ser = rev.groupBy("nk")
       .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
         array_sort(collect_list(struct(col("day"), col("x")))).as("vs"))
@@ -3262,18 +3296,10 @@ object PipelineQueries {
          |FROM ho h JOIN nation n ON n.n_nationkey = h.nk
          |ORDER BY nation""".stripMargin
     ) { (spark, dir) =>
-      import org.apache.spark.sql.types.DecimalType
-      def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
       // exactly-divisible truncating quarter: c - (c % 4) is a multiple of
       // 4, so the arithmetic shift is exact even for negative trends
       def q4c(c: Column): Column = shiftright(c - (c % lit(4L)), 2)
-      val rev = Tables.lineitem(spark, dir)
-        .join(broadcast(Tables.supplier(spark, dir)
-            .select(col("s_suppkey"), col("s_nationkey"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
-          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
-        .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+      val rev = dailyRevenue(spark, dir)
       val ser = rev.groupBy("nk")
         .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
           array_sort(collect_list(struct(col("day"), col("x")))).as("vs"))
@@ -3346,16 +3372,8 @@ object PipelineQueries {
          |FROM hw h JOIN nation n ON n.n_nationkey = h.nk
          |ORDER BY nation""".stripMargin
     ) { (spark, dir) =>
-      import org.apache.spark.sql.types.DecimalType
-      def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
       def q4c(c: Column): Column = shiftright(c - (c % lit(4L)), 2)
-      val rev = Tables.lineitem(spark, dir)
-        .join(broadcast(Tables.supplier(spark, dir)
-            .select(col("s_suppkey"), col("s_nationkey"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
-          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
-        .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+      val rev = dailyRevenue(spark, dir)
       val ser = rev.groupBy("nk")
         .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
           array_sort(collect_list(struct(col("day"), col("x")))).as("vs"))
@@ -3740,15 +3758,7 @@ object PipelineQueries {
       |FROM cp JOIN nation nn ON nn.n_nationkey = cp.nk
       |WHERE rk = 1 ORDER BY nation""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.types.DecimalType
-    def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
-    val rev = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)
-          .select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
-        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
-      .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+    val rev = dailyRevenue(spark, dir)
     val byDay = Window.partitionBy("nk").orderBy("day")
     val whole = Window.partitionBy("nk")
     val d = rev
@@ -4697,17 +4707,7 @@ object PipelineQueries {
       |    // (CAST(n AS HUGEINT) * (n*n - 1)) AS BIGINT) AS spearman_micro
       |FROM s JOIN nation ON n_nationkey = nk ORDER BY nation""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.types.DecimalType
-    def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
-    val rev = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)
-          .select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
-        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"),
-        cents(col("l_quantity")).as("q"))
-      .groupBy("nk", "day")
-      .agg(sum(col("r")).cast("long").as("x"), sum(col("q")).cast("long").as("y"))
+    val rev = dailyRevenueCached(spark, dir)
     // both rank windows share the nation-keyed exchange (same partition
     // key, different sort)
     rev
@@ -5345,15 +5345,7 @@ object PipelineQueries {
          |FROM lg JOIN nation nn ON nn.n_nationkey = lg.nk
          |ORDER BY nation, lag""".stripMargin
     ) { (spark, dir) =>
-      import org.apache.spark.sql.types.DecimalType
-      def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
-      val rev = Tables.lineitem(spark, dir)
-        .join(broadcast(Tables.supplier(spark, dir)
-            .select(col("s_suppkey"), col("s_nationkey"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
-          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
-        .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+      val rev = dailyRevenue(spark, dir)
       val st = rev.groupBy("nk")
         .agg(count(lit(1)).cast("long").as("n"), sum(col("x")).cast("long").as("s"))
       val byDay = Window.partitionBy("nk").orderBy("day")
@@ -5393,7 +5385,13 @@ object PipelineQueries {
     * magnitude, so products cap at 10¹² and the ×10⁶ numerators at
     * ~10¹⁸ — inside int64 at ANY corpus scale (the inputs are already
     * ratios; this is the rare statistic with no decimal-inside need).
-    * Degenerate denominators (|r| → 1) emit 0, both engines. Shape: the
+    * Degenerate denominators (|r| → 1) emit 0, both engines; and since
+    * a near-degenerate denominator (|r₁| just under 10⁶) can make the
+    * raw φ₂₂ ratio blow past 10⁶ — re-breaching int64 in the φ₃₃
+    * numerator, where Spark would wrap and ANSI DuckDB would raise —
+    * φ₂₂ is clamped to [−10⁶, 10⁶] in BOTH engines (principled: a
+    * partial autocorrelation is a correlation), which restores the
+    * ≤4·10¹⁸ bound on every downstream term. Shape: the
     * whole query is q210's one (nation, day) aggregate + lag exchange;
     * the recursion runs on the 25-row ACF dictionary. */
   val q215PacfAudit: QuerySpec = QuerySpec.oracle(
@@ -5421,8 +5419,9 @@ object PipelineQueries {
        |    CAST(n2 // greatest(den // 1000000, 1) AS BIGINT) AS r2,
        |    CAST(n3 // greatest(den // 1000000, 1) AS BIGINT) AS r3
        |  FROM agg),
-       |p2 AS (SELECT *, CASE WHEN 1000000000000 - r1*r1 = 0 THEN 0
-       |    ELSE (r2*1000000 - r1*r1) * 1000000 // (1000000000000 - r1*r1) END AS pacf2
+       |p2 AS (SELECT *, greatest(least(CASE WHEN 1000000000000 - r1*r1 = 0 THEN 0
+       |    ELSE (r2*1000000 - r1*r1) * 1000000 // (1000000000000 - r1*r1) END,
+       |    1000000), -1000000) AS pacf2
        |  FROM acf),
        |p3 AS (SELECT *, r1 * (1000000 - pacf2) // 1000000 AS f21 FROM p2)
        |SELECT nn.n_name AS nation, n AS n_days,
@@ -5433,15 +5432,7 @@ object PipelineQueries {
        |FROM p3 JOIN nation nn ON nn.n_nationkey = p3.nk
        |ORDER BY nation""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.types.DecimalType
-    def cents(c: Column): Column = (c.cast(DecimalType(18, 2)) * 100).cast("long")
-    val rev = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)
-          .select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_nationkey").as("nk"), to_date(col("l_shipdate")).as("day"),
-        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("r"))
-      .groupBy("nk", "day").agg(sum(col("r")).cast("long").as("x"))
+    val rev = dailyRevenue(spark, dir)
     val st = rev.groupBy("nk")
       .agg(count(lit(1)).cast("long").as("n"), sum(col("x")).cast("long").as("s"))
     val byDay = Window.partitionBy("nk").orderBy("day")
@@ -5459,8 +5450,10 @@ object PipelineQueries {
         expr("n2 div greatest(den div 1000000, 1)").cast("long").as("r2"),
         expr("n3 div greatest(den div 1000000, 1)").cast("long").as("r3"))
     acf
-      .withColumn("pacf2", when(expr("1000000000000 - r1*r1") === 0L, 0L)
-        .otherwise(expr("(r2*1000000 - r1*r1) * 1000000 div (1000000000000 - r1*r1)")))
+      .withColumn("pacf2", greatest(least(
+        when(expr("1000000000000 - r1*r1") === 0L, 0L)
+          .otherwise(expr("(r2*1000000 - r1*r1) * 1000000 div (1000000000000 - r1*r1)")),
+        lit(1000000L)), lit(-1000000L)))
       .withColumn("f21", expr("r1 * (1000000 - pacf2) div 1000000"))
       .join(broadcast(Tables.nation(spark, dir)
           .select(col("n_nationkey"), col("n_name"))),
@@ -5641,8 +5634,11 @@ object PipelineQueries {
           concat_ws(" ", (0 until k).map(o => element_at(col("ts"), i + o)): _*)))
         .otherwise(typedlit(Seq.empty[String]))
     // max run length over the sorted tokens: a [run, best] integer fold,
-    // bit-identical to the DuckDB list_reduce (q184's array-state shape)
-    val topc = when(size(col("tss")) === 0, lit(0)).otherwise(
+    // bit-identical to the DuckDB list_reduce (q184's array-state shape).
+    // Guard size<=1, not ==0: sequence(2, 1) is DESCENDING (the q141
+    // pitfall) and would evaluate element_at(tss, 0) on a 1-token doc;
+    // DuckDB's generate_series(2, 1) is empty and returns topc=1 there.
+    val topc = when(size(col("tss")) <= 1, size(col("tss"))).otherwise(
       element_at(aggregate(
         sequence(lit(2), size(col("tss"))),
         typedlit(Seq(1, 1)),
@@ -5653,12 +5649,16 @@ object PipelineQueries {
     Tables.documents(spark, dir)
       .withColumn("ts", lowToksCol)
       .withColumn("tss", array_sort(col("ts")))
-      .withColumn("n", size(col("ts")))
-      .withColumn("t2", greatest(col("n") - 1, lit(0)))
-      .withColumn("d2", size(array_distinct(grams(2))))
-      .withColumn("t3", greatest(col("n") - 2, lit(0)))
-      .withColumn("d3", size(array_distinct(grams(3))))
-      .withColumn("topc", topc)
+      // long BEFORE the micro arithmetic: size() is 32-bit, and
+      // (t2 - d2) * 1000000 wraps silently past ~2147 duplicate gram
+      // occurrences while the DuckDB len() side computes in BIGINT —
+      // the q187 decimal-inside discipline applied to int32.
+      .withColumn("n", size(col("ts")).cast("long"))
+      .withColumn("t2", greatest(col("n") - 1, lit(0L)))
+      .withColumn("d2", size(array_distinct(grams(2))).cast("long"))
+      .withColumn("t3", greatest(col("n") - 2, lit(0L)))
+      .withColumn("d3", size(array_distinct(grams(3))).cast("long"))
+      .withColumn("topc", topc.cast("long"))
       .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
         when(col("t2") === 0, 0L)
           .otherwise(expr("(t2 - d2) * 1000000 div t2")).cast("long").as("dup2_micro"),

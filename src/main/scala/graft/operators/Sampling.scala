@@ -162,6 +162,10 @@ object Sampling {
     * [[BottomKRows]], so no global sort and no per-key window exists
     * anywhere in the plan, the same scale shape as X1. Rows with
     * non-positive weight are excluded (a zero-weight row has E = ∞).
+    * Contract: `idCol` must be NONNEGATIVE (validated) — a negative long
+    * hex-encodes as its two's complement (16 F-leading digits) and would
+    * sort after every positive id, silently diverging from the oracle's
+    * numeric (e_key, id) tie order (the BottomKRows encoding note).
     * Output: input columns + `e_key` (nano-unit exponential key) +
     * `sample_rank` (1-based pick order). */
   def weightedReservoir(df: DataFrame, idCol: String, weightCol: String,

@@ -134,6 +134,70 @@ class BenchLineSpec extends AnyFunSuite {
       s"pass-2 ratio 10 corrects 40.0 -> 4.0; median of [1,4,1] is 1, got ${dirty("q1")}")
   }
 
+  test("segment estimator attributes a mid-pass dip to its segment only (r19 failure mode)") {
+    // r19's driver artifact: q123 read 20.6 s (true ~3.5 s) because a
+    // contention dip sat INSIDE a pass where whole-pass brackets (min of
+    // first/last canary) read clean. With interleaved canaries the dip's
+    // segment shows hot brackets and ONLY that segment's queries are
+    // corrected; the clean segment's queries are untouched.
+    def rec(a: Double, b: Double, cs: Seq[Double]) =
+      Bench.PassRecord(Map("qa" -> a, "qb" -> b), cs, Map("qa" -> 0, "qb" -> 1))
+    val passes = Seq(
+      rec(1.0, 1.0, Seq(0.7, 0.7, 0.7)),
+      rec(1.0, 4.0, Seq(0.7, 2.8, 2.8)), // seg-1 contaminated: ratio 4
+      rec(1.0, 1.0, Seq(0.7, 0.7, 0.7)))
+    val (est, minRule, suspects) = Bench.segmentEstimates(Seq("qa", "qb"), passes)
+    assert(math.abs(est("qa") - 1.0) < 1e-9, s"clean segment's query moved: ${est("qa")}")
+    assert(math.abs(est("qb") - 1.0) < 1e-9,
+      s"contaminated segment's 4.0 must normalize to 1.0 before the median: ${est("qb")}")
+    assert(minRule.isEmpty && suspects.isEmpty)
+    // the OLD whole-pass view of the same run (brackets = pass ends only)
+    // reads clean and lets the polluted median through — the regression
+    // this estimator exists to kill
+    val old = Bench.canaryNormalizedMedians(Seq("qb"),
+      Seq(Map("qb" -> 1.0), Map("qb" -> 4.0), Map("qb" -> 1.0)), Seq(0.7, 0.7, 0.7, 0.7))
+    assert(math.abs(old("qb") - 1.0) < 1e-9, "sanity: median-of-3 survives one outlier")
+  }
+
+  test("post-pass re-measure out-votes a twice-contaminated query") {
+    // contamination inside one segment window on TWO passes leaves clean
+    // brackets and spread > 3x: the first call flags the suspect, the
+    // re-measure mini-pass contributes a 4th independent sample, and the
+    // two-smallest mean then reads the clean figure.
+    def rec(v: Double) =
+      Bench.PassRecord(Map("q" -> v), Seq(0.7, 0.7), Map("q" -> 0))
+    val base = Seq(rec(8.0), rec(1.0), rec(7.5))
+    val (_, _, suspects) = Bench.segmentEstimates(Seq("q"), base)
+    assert(suspects == Seq("q"), s"spread 8x must be flagged for re-measure, got $suspects")
+    // a centisecond query 3x-spreading from noise must NOT burn a
+    // re-measure slot (the min_rule estimator still covers it)
+    val tiny = Seq(rec(0.08), rec(0.01), rec(0.07))
+    val (estT, minRuleT, suspectsT) = Bench.segmentEstimates(Seq("q"), tiny)
+    assert(suspectsT.isEmpty, s"immaterial spread re-measured: $suspectsT")
+    assert(minRuleT == Seq("q") && math.abs(estT("q") - (0.01 + 0.07) / 2) < 1e-9)
+    val (est, minRule, _) =
+      Bench.segmentEstimates(Seq("q"), base :+ rec(1.1))
+    assert(math.abs(est("q") - (1.0 + 1.1) / 2) < 1e-9,
+      s"4-sample two-smallest mean should read ~1.05, got ${est("q")}")
+    assert(minRule == Seq("q"))
+    // dirty-bracket spread: the median rules, but the 4th sample still
+    // moves it off the contaminated tail (lower median of 4 = 2nd smallest)
+    def hot(v: Double, c: Double) =
+      Bench.PassRecord(Map("q" -> v), Seq(c, c), Map("q" -> 0))
+    val dirty = Seq(hot(1.0, 0.7), hot(12.0, 2.8), hot(9.0, 0.7))
+    val (estD, _, suspectsD) = Bench.segmentEstimates(Seq("q"), dirty)
+    assert(suspectsD == Seq("q"))
+    val (estD4, _, _) = Bench.segmentEstimates(Seq("q"), dirty :+ hot(1.1, 0.7))
+    assert(estD4("q") < estD("q") + 1e-9 && math.abs(estD4("q") - 1.1) < 1e-9,
+      s"4th sample must pull the dirty-bracket estimate to the 2nd smallest: ${estD4("q")}")
+    // a key absent from every pass (defensive) reports the failure sentinel
+    val (estM, _, _) = Bench.segmentEstimates(Seq("q", "ghost"), base :+ rec(1.1))
+    assert(estM("ghost") == -1.0)
+    // failure sentinel in any pass propagates regardless of other samples
+    val (estF, _, _) = Bench.segmentEstimates(Seq("q"), Seq(rec(1.0), rec(-1.0), rec(1.0)))
+    assert(estF("q") == -1.0)
+  }
+
   test("realistic mixed-cost round keeps >=0.1s resolution for every query >=0.5s") {
     // the r17 failure: at 180 queries the ladder coarsened EVERY value to
     // whole seconds (131/180 printed 0 or 1). The rest-fold rungs must

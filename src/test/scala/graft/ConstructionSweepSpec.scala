@@ -70,6 +70,14 @@ class ConstructionSweepSpec extends SparkSpec {
     // q195/q202 serve q170's memoized Lloyd centroids — a cold cache
     // fits them at build (the q43/q78/q127 eager-index rationale)
     "q195_silhouette", "q202_ann_mcnemar",
+    // the series band serves the memoized (nation, day) daily-revenue
+    // checkpoint (dailyRevenueCached) — whichever consumer builds first
+    // on a cold cache materializes the dictionary-sized series at build
+    // (the q214/q166 shared-checkpoint rationale); listing all seven
+    // keeps the sweep order-independent
+    "q177_ewma_trend", "q184_holt_trend", "q186_holt_winters",
+    "q189_cusum_changepoint", "q203_spearman", "q210_acf_audit",
+    "q215_pacf_audit",
     // q214 serves the memoized quantized-corpus checkpoint — a cold
     // cache materializes it at build (q207's rationale); q166 joined the
     // same contract in r19 when its ground truth moved to the memoized
