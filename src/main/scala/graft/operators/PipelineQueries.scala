@@ -5467,6 +5467,160 @@ object PipelineQueries {
       .orderBy("nation")
   }
 
+  /** Yule-Walker AR(p≤3) fit + one-step backtest — the band's missing
+    * FITTING step (VERDICT r19 item 4): q210/q215 identify the order
+    * (ACF/PACF); this fits the AR coefficients those statistics imply
+    * and answers "which model" with an out-of-the-box backtest against
+    * the naive lag-1 forecast. The coefficients are free: Durbin-Levinson
+    * forward coefficients ARE the Yule-Walker solution, and q215's
+    * closed forms already compute them — φ(1)=(r₁); φ(2)=(φ₂₁,φ₂₂);
+    * φ(3)ₖ = φ(2)ₖ − φ₃₃·φ(2)₃₋ₖ, all exact micro-unit integers with the
+    * same truncation both engines. One-step forecast at day t:
+    * x̂ = mean + Σ φᵢ·d_{t−i} div 10⁶ (per-term truncation, the q200
+    * discipline); backtest over every day with 3 lags available; per
+    * (nation, p) the report carries SSE(AR_p) as a micro ratio of
+    * SSE(naive) via div-first quantization (q210's trick — int128-safe
+    * at ANY corpus scale), so beats_naive is the decision a forecasting
+    * pipeline reads. On near-white daily revenue the AR forecast ≈ the
+    * mean, halving the naive differencing variance — the fixture pin.
+    * Shape at 100 TB: the corpus-sized work is the ONE memoized
+    * (nation, day) aggregate ([[dailyRevenueCached]]); lags, fit, and
+    * backtest all live on the calendar-bounded series. Reference analog:
+    * /root/reference/src/main.py:192-194 (fit → transform → score). */
+  val q217ArFit: QuerySpec = QuerySpec.oracle(
+    "q217_ar_fit",
+    s"""WITH rev AS (
+       |  SELECT s_nationkey AS nk, CAST(l_shipdate AS DATE) AS day,
+       |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS x
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |st AS (SELECT nk, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+       |       FROM rev GROUP BY 1),
+       |c AS (SELECT r.nk, day, x - (s // n) AS d, n FROM rev r JOIN st ON st.nk = r.nk),
+       |w AS (SELECT nk, n, d,
+       |    lag(d, 1) OVER (PARTITION BY nk ORDER BY day) AS d1,
+       |    lag(d, 2) OVER (PARTITION BY nk ORDER BY day) AS d2,
+       |    lag(d, 3) OVER (PARTITION BY nk ORDER BY day) AS d3
+       |  FROM c),
+       |agg AS (SELECT nk, any_value(n) AS n, sum(CAST(d AS HUGEINT) * d) AS den,
+       |    sum(CAST(d AS HUGEINT) * d1) AS n1, sum(CAST(d AS HUGEINT) * d2) AS n2,
+       |    sum(CAST(d AS HUGEINT) * d3) AS n3
+       |  FROM w GROUP BY nk),
+       |acf AS (SELECT nk, n,
+       |    CAST(n1 // greatest(den // 1000000, 1) AS BIGINT) AS r1,
+       |    CAST(n2 // greatest(den // 1000000, 1) AS BIGINT) AS r2,
+       |    CAST(n3 // greatest(den // 1000000, 1) AS BIGINT) AS r3
+       |  FROM agg),
+       |p2 AS (SELECT *, greatest(least(CASE WHEN 1000000000000 - r1*r1 = 0 THEN 0
+       |    ELSE (r2*1000000 - r1*r1) * 1000000 // (1000000000000 - r1*r1) END,
+       |    1000000), -1000000) AS pacf2
+       |  FROM acf),
+       |p3 AS (SELECT *, r1 * (1000000 - pacf2) // 1000000 AS f21 FROM p2),
+       |coef AS (SELECT nk, r1 AS a1, f21 AS b1, pacf2 AS b2,
+       |    greatest(least(CASE WHEN 1000000000000 - f21*r1 - pacf2*r2 = 0 THEN 0
+       |      ELSE (r3*1000000 - f21*r2 - pacf2*r1) * 1000000
+       |           // (1000000000000 - f21*r1 - pacf2*r2) END, 1000000), -1000000) AS c3
+       |  FROM p3),
+       |coef3 AS (SELECT *, b1 - (c3 * b2 // 1000000) AS c1,
+       |    b2 - (c3 * b1 // 1000000) AS c2 FROM coef),
+       |err AS (
+       |  SELECT w.nk,
+       |    CAST(d - d1 AS HUGEINT) AS e0,
+       |    CAST(d - (CAST(a1 AS HUGEINT) * d1 // 1000000) AS HUGEINT) AS e1,
+       |    CAST(d - (CAST(b1 AS HUGEINT) * d1 // 1000000)
+       |           - (CAST(b2 AS HUGEINT) * d2 // 1000000) AS HUGEINT) AS e2,
+       |    CAST(d - (CAST(c1 AS HUGEINT) * d1 // 1000000)
+       |           - (CAST(c2 AS HUGEINT) * d2 // 1000000)
+       |           - (CAST(c3 AS HUGEINT) * d3 // 1000000) AS HUGEINT) AS e3
+       |  FROM w JOIN coef3 ON coef3.nk = w.nk WHERE d3 IS NOT NULL),
+       |sse AS (SELECT nk, count(*) AS n_eval,
+       |    sum(e0*e0) AS s0, sum(e1*e1) AS s1, sum(e2*e2) AS s2, sum(e3*e3) AS s3
+       |  FROM err GROUP BY nk)
+       |SELECT nn.n_name AS nation, CAST(p.p AS BIGINT) AS p,
+       |  CAST(n_eval AS BIGINT) AS n_eval,
+       |  CAST(p.f1 AS BIGINT) AS phi1_micro, CAST(p.f2 AS BIGINT) AS phi2_micro,
+       |  CAST(p.f3 AS BIGINT) AS phi3_micro,
+       |  CAST(p.sp // greatest(s0 // 1000000, 1) AS BIGINT) AS sse_ratio_micro,
+       |  p.sp // greatest(s0 // 1000000, 1) <= 1000000 AS beats_naive
+       |FROM sse JOIN coef3 co ON co.nk = sse.nk
+       |JOIN nation nn ON nn.n_nationkey = sse.nk,
+       |LATERAL (VALUES (1, co.a1, 0, 0, s1), (2, co.b1, co.b2, 0, s2),
+       |  (3, co.c1, co.c2, co.c3, s3)) AS p(p, f1, f2, f3, sp)
+       |ORDER BY nation, p""".stripMargin
+  ) { (spark, dir) =>
+    val rev = dailyRevenue(spark, dir)
+    val st = rev.groupBy("nk")
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("x")).cast("long").as("s"))
+    val byDay = Window.partitionBy("nk").orderBy("day")
+    val lagged = (1 to 3).foldLeft(
+        rev.join(broadcast(st), "nk").withColumn("d", col("x") - expr("s div n")))(
+      (df, k) => df.withColumn(s"d$k", lag(col("d"), k).over(byDay)))
+    val coef = lagged.groupBy("nk")
+      .agg(sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("den"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d1")).as("n1"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d2")).as("n2"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d3")).as("n3"))
+      .select(col("nk"),
+        expr("n1 div greatest(den div 1000000, 1)").cast("long").as("r1"),
+        expr("n2 div greatest(den div 1000000, 1)").cast("long").as("r2"),
+        expr("n3 div greatest(den div 1000000, 1)").cast("long").as("r3"))
+      .withColumn("pacf2", greatest(least(
+        when(expr("1000000000000 - r1*r1") === 0L, 0L)
+          .otherwise(expr("(r2*1000000 - r1*r1) * 1000000 div (1000000000000 - r1*r1)")),
+        lit(1000000L)), lit(-1000000L)))
+      .withColumn("f21", expr("r1 * (1000000 - pacf2) div 1000000"))
+      .withColumn("c3", greatest(least(
+        when(expr("1000000000000 - f21*r1 - pacf2*r2") === 0L, 0L)
+          .otherwise(expr(
+            "(r3*1000000 - f21*r2 - pacf2*r1) * 1000000 div (1000000000000 - f21*r1 - pacf2*r2)")),
+        lit(1000000L)), lit(-1000000L)))
+      .select(col("nk"), col("r1").as("a1"), col("f21").as("b1"),
+        col("pacf2").as("b2"), col("c3"))
+      .withColumn("c1", expr("b1 - (c3 * b2 div 1000000)"))
+      .withColumn("c2", expr("b2 - (c3 * b1 div 1000000)"))
+    // the backtest walks the SAME lagged relation the fit aggregated —
+    // the memoized checkpoint base makes the second walk dictionary-cheap
+    val sse = lagged.filter(col("d3").isNotNull)
+      .join(broadcast(coef), "nk")
+      .select(col("nk"),
+        expr("CAST(d - d1 AS DECIMAL(38,0))").as("e0"),
+        expr("CAST(d - (CAST(a1 AS DECIMAL(38,0)) * d1 div 1000000) AS DECIMAL(38,0))")
+          .as("e1"),
+        expr("""CAST(d - (CAST(b1 AS DECIMAL(38,0)) * d1 div 1000000)
+               |       - (CAST(b2 AS DECIMAL(38,0)) * d2 div 1000000) AS DECIMAL(38,0))"""
+          .stripMargin).as("e2"),
+        expr("""CAST(d - (CAST(c1 AS DECIMAL(38,0)) * d1 div 1000000)
+               |       - (CAST(c2 AS DECIMAL(38,0)) * d2 div 1000000)
+               |       - (CAST(c3 AS DECIMAL(38,0)) * d3 div 1000000) AS DECIMAL(38,0))"""
+          .stripMargin).as("e3"))
+      .groupBy("nk")
+      .agg(count(lit(1)).cast("long").as("n_eval"),
+        sum(expr("e0 * e0")).as("s0"), sum(expr("e1 * e1")).as("s1"),
+        sum(expr("e2 * e2")).as("s2"), sum(expr("e3 * e3")).as("s3"))
+    sse.join(broadcast(coef), "nk")
+      .select(col("nk"), col("n_eval"), col("s0"),
+        explode(array(
+          struct(lit(1).as("p"), col("a1").as("f1"), lit(0L).as("f2"),
+            lit(0L).as("f3"), col("s1").as("sp")),
+          struct(lit(2).as("p"), col("b1").as("f1"), col("b2").as("f2"),
+            lit(0L).as("f3"), col("s2").as("sp")),
+          struct(lit(3).as("p"), col("c1").as("f1"), col("c2").as("f2"),
+            col("c3").as("f3"), col("s3").as("sp")))).as("pp"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("pp.p").cast("long").as("p"),
+        col("n_eval"),
+        col("pp.f1").cast("long").as("phi1_micro"),
+        col("pp.f2").cast("long").as("phi2_micro"),
+        col("pp.f3").cast("long").as("phi3_micro"),
+        expr("pp.sp div greatest(s0 div 1000000, 1)").cast("long")
+          .as("sse_ratio_micro"),
+        expr("pp.sp div greatest(s0 div 1000000, 1) <= 1000000").as("beats_naive"))
+      .orderBy("nation", "p")
+  }
+
   /** KMV set-OPERATION estimates — the sketch family's missing algebra:
     * q161 estimates ONE set's cardinality, but the questions a 100 TB
     * pipeline actually asks are pairwise ("how much do these feeds
@@ -5759,5 +5913,5 @@ object PipelineQueries {
     q200MarkovStationary, q201AbTest, q202AnnMcnemar, q203Spearman,
     q204KaplanMeier, q205Attribution, q206BootstrapCi, q207ChapmanCoverage,
     q208LangId, q209WeightedReservoir, q210AcfAudit, q211KmvSetOps,
-    q213RepetitionRules, q214HardNegatives, q215PacfAudit)
+    q213RepetitionRules, q214HardNegatives, q215PacfAudit, q217ArFit)
 }

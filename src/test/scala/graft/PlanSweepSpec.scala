@@ -768,7 +768,14 @@ class PlanSweepSpec extends SparkSpec {
     // q215: q210's series aggregate + per-nation stats + the shared
     // nation-keyed lag exchange + final sums + presentation sort —
     // the Durbin-Levinson recursion itself is shuffle-free column math
-    "q215_pacf_audit" -> 5)
+    "q215_pacf_audit" -> 5,
+    // q217: the memoized series base is checkpointed, so the plan carries
+    // the per-nation stats agg + the nation-keyed lag exchange (appearing
+    // twice statically — fit walk and backtest walk — AQE reuses the
+    // canonicalized exchange at runtime) + the fit agg + the backtest agg
+    // + the presentation sort; the Yule-Walker solve itself is
+    // shuffle-free column math on 25 rows
+    "q217_ar_fit" -> 7)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -1150,6 +1150,27 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q217: every AR order beats the naive lag-1 backtest; phi1 is q215's pacf1 (Yule-Walker base)") {
+    val pacf1 = PipelineQueries.q215PacfAudit.build(spark, sf).collect()
+      .map(r => r.getAs[String]("nation") -> r.getAs[Long]("pacf1_micro")).toMap
+    val rows = PipelineQueries.q217ArFit.build(spark, sf).collect()
+    assert(rows.length == pacf1.size * 3, "three AR orders per nation")
+    rows.foreach { r =>
+      val n = r.getAs[String]("nation")
+      // near-white daily revenue: the AR forecast ≈ the mean, roughly
+      // halving the naive differencing variance — every order must beat
+      // the lag-1 baseline (the VERDICT r19 'which model' criterion)
+      assert(r.getAs[Boolean]("beats_naive") &&
+        r.getAs[Long]("sse_ratio_micro") <= 1000000L,
+        s"$n p=${r.getAs[Long]("p")}: AR backtest lost to naive: $r")
+      assert(r.getAs[Long]("n_eval") > 0)
+      // the AR(1) coefficient IS the lag-1 PACF (Durbin-Levinson base)
+      if (r.getAs[Long]("p") == 1L)
+        assert(r.getAs[Long]("phi1_micro") == pacf1(n),
+          s"$n: Yule-Walker AR(1) coefficient must equal phi11")
+    }
+  }
+
   test("q211: KMV union/Jaccard estimates land inside their sampling-error envelopes") {
     val rows = PipelineQueries.q211KmvSetOps.build(spark, sf).collect()
     assert(rows.length >= 3, "at least the returnflag segment pairs")
