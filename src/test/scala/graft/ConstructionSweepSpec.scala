@@ -67,6 +67,10 @@ class ConstructionSweepSpec extends SparkSpec {
     // index-build-shaped step
     "q188_weighted_hops", "q190_kcore", "q193_ktruss",
     "q191_ks_drift", "q192_mann_kendall",
+    // q219 cuts each HITS half-step's raw sums behind a lazy checkpoint
+    // (the q136 per-round plan-doubling guard) — creation executes the
+    // node-sized upstream at build, the documented index-build shape
+    "q219_hits",
     // q195/q202 serve q170's memoized Lloyd centroids — a cold cache
     // fits them at build (the q43/q78/q127 eager-index rationale)
     "q195_silhouette", "q202_ann_mcnemar",

@@ -31,6 +31,9 @@ class PlanSweepSpec extends SparkSpec {
     // q45 — crossJoin(broadcast(g)) where g is the 1-row corpus statistics
     // aggregate: the same lazy scalar-subquery idiom as q27's nDocs
     "q45_keyword_rank",
+    // q219 — each HITS half-step normalizes by crossJoin(broadcast(m))
+    // where m is the 1-row max aggregate of the checkpointed sums
+    "q219_hits",
     // q53/q55/q56 — crossJoin(broadcast(x)) where x is a 1-row aggregate
     // (the ≤k candidate array / the 15 stripe cut-points / the max source
     // token total): same idiom
@@ -775,7 +778,12 @@ class PlanSweepSpec extends SparkSpec {
     // canonicalized exchange at runtime) + the fit agg + the backtest agg
     // + the presentation sort; the Yule-Walker solve itself is
     // shuffle-free column math on 25 rows
-    "q217_ar_fit" -> 7)
+    "q217_ar_fit" -> 7,
+    // q219: the HITS rounds are materialized behind per-half-step
+    // checkpoints at build, so the static plan carries only the LAST
+    // half-steps' normalization (two 1-row max aggregates broadcast
+    // back) + the two top-25 takes + the presentation sort
+    "q219_hits" -> 5)
 
   test("no unbounded nested-loop joins; every query within its shuffle budget") {
     val exchange = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r

@@ -97,6 +97,49 @@ class GraphSpec extends SparkSpec {
     ranks
   }
 
+  /** Plain-Scala reference for [[Graph.hits]]: the same alternating
+    * integer recurrence with per-node truncating L∞ normalization. */
+  private def refHits(edges: Seq[(Long, Long)], rounds: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    var h: Map[Long, Long] = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var a: Map[Long, Long] = Map.empty
+    for (_ <- 1 to rounds) {
+      val ar = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      val am = ar.values.max
+      a = ar.view.mapValues(v => v * 1000000L / am).toMap
+      val hr = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+      val hm = hr.values.max
+      h = hr.view.mapValues(v => v * 1000000L / hm).toMap
+    }
+    (h, a)
+  }
+
+  test("hits matches a plain-Scala recurrence; mutual reinforcement ranks the shared supplier") {
+    // customer 3 buys from BOTH suppliers; supplier 10 serves everyone —
+    // the hub and the authority the recurrence must surface
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 20L))
+    val df = edges.toDF("cust", "supp")
+    val (h, a) = Graph.hits(df, rounds = 4)
+    val hubGot = h.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val authGot = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (hubRef, authRef) = refHits(edges, 4)
+    assert(hubGot == hubRef, s"hubs diverge: $hubGot vs $hubRef")
+    assert(authGot == authRef, s"authorities diverge: $authGot vs $authRef")
+    // L-infinity normalization: exactly one max at unit per side
+    assert(hubGot.values.max == 1000000L && authGot.values.max == 1000000L)
+    assert(hubGot(3L) == 1000000L, "the two-supplier customer is the top hub")
+    assert(authGot(10L) == 1000000L && authGot(20L) < 1000000L,
+      "the everyone's supplier is the top authority")
+    // a random bipartite graph agrees too (seeded)
+    val rnd = new scala.util.Random(7)
+    val rndEdges = (for (_ <- 1 to 60)
+      yield (rnd.nextInt(8).toLong, 100L + rnd.nextInt(5))).distinct
+    val (h2, a2) = Graph.hits(rndEdges.toDF("cust", "supp"), rounds = 3)
+    val (hr2, ar2) = refHits(rndEdges, 3)
+    assert(h2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == hr2)
+    assert(a2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == ar2)
+  }
+
   test("personalized PageRank concentrates mass near the seed set, matches the reference") {
     // path graph 1 - 2 - 3 - 4 (undirected), seed = node 1: proximity must
     // decay with hop distance; an out-of-graph seed (99) must be ignored
