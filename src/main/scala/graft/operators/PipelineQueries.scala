@@ -5621,6 +5621,285 @@ object PipelineQueries {
       .orderBy("nation", "p")
   }
 
+  /** RAG SERVING capstone — the retrieval twin of q157's corpus-
+    * construction chain (VERDICT r19 item 3): every stage existed in
+    * isolation (q84 chunks, q174 BM25, q166 integer ANN, q185 RRF, q169
+    * integer MMR, q149 eval) but nothing composed the serving side end
+    * to end, the way a deployed RAG system actually runs a query.
+    * Pipeline, one oracle-verified relation: (1) chunk the corpus with
+    * q84's 128/96 overlapping windows; (2) SPARSE arm: q174's BM25 over
+    * the CHUNK corpus (chunk-level tf/df/dl, sorted-term pivot order for
+    * float exactness), doc score = max over its chunks (the standard
+    * MaxP aggregation), top-10 docs; (3) DENSE arm: exact int8 inner-
+    * product top-10 over the memoized quantized corpus (the q166 audit
+    * contract — production swaps q43/q171's IVF candidates, the rule
+    * only consumes (query, cand, rank)); (4) q185's RRF fuses the two
+    * rank lists (Σ 10⁶ div (60+rank)), top-8 shortlist; (5) q169's
+    * integer MMR (λ=70) re-ranks the shortlist for diversity, picking 5
+    * — in-row via the codegen'd kernel, unrolled greedy CTEs in the
+    * oracle (the one-definition discipline); (6) q149's per-query
+    * MRR/NDCG@5 against the label ground truth, shared float literals.
+    * Reference analog: the inference chain /root/reference/src/main.py:
+    * 192-194 (fetch → transform → score), scaled to a retrieval stack.
+    * Shape at 100 TB: term-at-a-time BM25 (no doc×query product), the
+    * dense scan is the broadcast-query audit form, fusion/MMR/eval live
+    * on |Q|×shortlist relations. */
+  /** Memoized chunk index per (session, dir): q84's 128/96 overlapping
+    * windows with the chunk token count — the serving-side retrieval
+    * index q216's BM25 arm reads four ways (corpus stats, tf, df, dl).
+    * A deployed RAG system materializes exactly this relation once per
+    * corpus version; the memo is that contract in session form. */
+  private val chunkCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  private def chunkIndexCached(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.SessionMemo.cached(chunkCache, (spark, dir))(_._1) { _ =>
+      val (width, stride) = (128, 96)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), lowToksCol.as("ts"))
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(1), greatest(size(col("ts")), lit(1)), lit(stride))).as("s"))
+        .select(col("doc_id"),
+          ((col("s") - 1).cast("long") / stride).cast("long").as("chunk_idx"),
+          slice(col("ts"), col("s"), lit(width)).as("chunk"))
+        .filter(size(col("chunk")) > 0)
+        .withColumn("dl", size(col("chunk")).cast("long"))
+        .localCheckpoint(eager = false)
+    }
+
+  val q216RagServe: QuerySpec = {
+    val (nQTerms, short, fuse, kPick, lam) = (4, 10, 8, 5, 70)
+    def dotSql(a: String, b: String): String =
+      s"list_reduce(list_prepend(0, list_transform(list_zip($a, $b), " +
+        "p -> p[1]*p[2])), (acc, v) -> acc + v)"
+    val sSql =
+      """((CAST(n_chunks AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        | * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)
+        |      + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |               / (CAST(sum_dl AS DOUBLE) / CAST(n_chunks AS DOUBLE)))))"""
+        .stripMargin.replace("\n", "")
+    val pivSql = (1 to nQTerms)
+      .map(i => s"max(CASE WHEN ti = $i THEN s END) AS s$i").mkString(", ")
+    val totSql = (1 to nQTerms).map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+    val stepCtes = (2 to kPick).map { t =>
+      s"""m$t AS (
+         |  SELECT c.query_id, c.cand_id, c.rel, max(ps.s) AS maxsim
+         |  FROM cands c
+         |  LEFT JOIN pk${t - 1} x ON x.query_id = c.query_id AND x.cand_id = c.cand_id
+         |  JOIN psim ps ON ps.query_id = c.query_id AND ps.id_a = c.cand_id
+         |  JOIN pk${t - 1} p ON p.query_id = ps.query_id AND p.cand_id = ps.id_b
+         |  WHERE x.cand_id IS NULL
+         |  GROUP BY 1, 2, 3),
+         |p$t AS MATERIALIZED (
+         |  SELECT query_id, cand_id, rel, obj FROM (
+         |    SELECT query_id, cand_id, rel, $lam * rel - ${100 - lam} * maxsim AS obj,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY $lam * rel - ${100 - lam} * maxsim DESC, cand_id) AS rn
+         |    FROM m$t) WHERE rn = 1),
+         |pk$t AS MATERIALIZED (SELECT * FROM pk${t - 1}
+         |  UNION ALL SELECT query_id, cand_id FROM p$t)""".stripMargin
+    }
+    val unionAll = (1 to kPick)
+      .map(t => s"SELECT query_id, $t AS pick_order, cand_id, rel, obj FROM p$t")
+      .mkString(" UNION ALL ")
+    def dl(v: Double): String = s"'$v'::DOUBLE"
+    val rels = (1 to 5)
+      .map(i => s"max(CASE WHEN pick_order = $i THEN rel01 END) AS rel$i").mkString(", ")
+    val nRel = (1 to 5).map(i => s"rel$i").mkString(" + ")
+    val dcg = (1 to 5).map(i => s"rel$i * ${dl(NdcgW(i - 1))}").mkString(" + ")
+    val mrr = (1 to 5).map(i => s"WHEN rel$i = 1 THEN ${dl(InvRank(i - 1))}").mkString(" ")
+    val idcg = (1 to 5).map(i => s"WHEN $i THEN ${dl(NdcgCum(i - 1))}").mkString(" ")
+    val sql =
+      s"""WITH toks AS (SELECT doc_id, $LowToksSql AS ts FROM documents),
+         |starts AS (SELECT doc_id, ts,
+         |    unnest(generate_series(1, greatest(len(ts), 1), 96)) AS s FROM toks),
+         |cdl AS MATERIALIZED (SELECT doc_id, CAST((s - 1) // 96 AS BIGINT) AS chunk_idx,
+         |    ts[s:s+127] AS chunk, CAST(len(ts[s:s+127]) AS BIGINT) AS dl
+         |  FROM starts WHERE len(ts[s:s+127]) > 0),
+         |cst AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM cdl),
+         |cpair AS MATERIALIZED (SELECT doc_id, chunk_idx, unnest(chunk) AS token FROM cdl),
+         |ctf AS (SELECT doc_id, chunk_idx, token, count(*) AS tf FROM cpair GROUP BY 1, 2, 3),
+         |cdf AS (SELECT token, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, chunk_idx, token FROM cpair) GROUP BY 1),
+         |qt AS (SELECT doc_id AS query_id,
+         |    unnest(list_sort(list_distinct(ts))[1:$nQTerms]) AS token
+         |  FROM toks WHERE doc_id % 50 = 0),
+         |qti AS (SELECT query_id, token,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY token) AS ti FROM qt),
+         |sc AS (SELECT q.query_id, t.doc_id, t.chunk_idx, q.ti, $sSql AS s
+         |  FROM qti q
+         |  JOIN ctf t ON t.token = q.token
+         |  JOIN cdf ON cdf.token = q.token
+         |  JOIN (SELECT doc_id, chunk_idx, dl FROM cdl) l
+         |    ON l.doc_id = t.doc_id AND l.chunk_idx = t.chunk_idx
+         |  CROSS JOIN cst
+         |  WHERE t.doc_id <> q.query_id),
+         |piv AS (SELECT query_id, doc_id, chunk_idx, $pivSql FROM sc GROUP BY 1, 2, 3),
+         |cscore AS (SELECT query_id, doc_id, max($totSql) AS score FROM piv GROUP BY 1, 2),
+         |ra AS (SELECT query_id, doc_id AS cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS rnk FROM cscore),
+         |v AS (SELECT vec_id, embedding FROM embeddings),
+         |sv AS (SELECT vec_id, embedding, ${VectorFns.Sql.maxAbs("embedding")} AS scale FROM v),
+         |qz AS MATERIALIZED (SELECT vec_id,
+         |    ${VectorFns.Sql.quantizeInt8("embedding", "scale")} AS qv FROM sv),
+         |qh AS MATERIALIZED (SELECT vec_id AS query_id, qv AS qv_q FROM qz WHERE vec_id % 50 = 0),
+         |dsim AS (SELECT qh.query_id, c.vec_id AS cand_id, ${dotSql("qh.qv_q", "c.qv")} AS rel
+         |  FROM qh JOIN qz c ON c.vec_id <> qh.query_id),
+         |rb AS (SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, cand_id) AS rnk FROM dsim),
+         |tops AS (
+         |  SELECT query_id, cand_id, rnk FROM ra WHERE rnk <= $short
+         |  UNION ALL SELECT query_id, cand_id, rnk FROM rb WHERE rnk <= $short),
+         |fused AS (SELECT query_id, cand_id,
+         |    CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_micro,
+         |    CAST(count(*) AS BIGINT) AS n_arms
+         |  FROM tops GROUP BY 1, 2),
+         |fsh AS MATERIALIZED (SELECT query_id, cand_id, rrf_micro, n_arms FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_micro DESC, cand_id) AS rn FROM fused) WHERE rn <= $fuse),
+         |cands AS MATERIALIZED (SELECT f.query_id, f.cand_id, z.qv,
+         |    ${dotSql("q.qv_q", "z.qv")} AS rel
+         |  FROM fsh f JOIN qz z ON z.vec_id = f.cand_id
+         |  JOIN qh q ON q.query_id = f.query_id),
+         |psim AS MATERIALIZED (SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b,
+         |    ${dotSql("a.qv", "b.qv")} AS s
+         |  FROM cands a JOIN cands b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+         |p1 AS MATERIALIZED (SELECT query_id, cand_id, rel, rel AS obj FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, cand_id) AS rn FROM cands) WHERE rn = 1),
+         |pk1 AS MATERIALIZED (SELECT query_id, cand_id FROM p1),
+         |${stepCtes.mkString(",\n")},
+         |picks AS ($unionAll),
+         |lab AS MATERIALIZED (SELECT vec_id, label FROM embeddings),
+         |pkr AS MATERIALIZED (SELECT p.query_id, p.pick_order, p.cand_id, p.rel, p.obj,
+         |    f.rrf_micro, f.n_arms,
+         |    CASE WHEN cl2.label = ql.label THEN 1 ELSE 0 END AS rel01
+         |  FROM picks p
+         |  JOIN fsh f ON f.query_id = p.query_id AND f.cand_id = p.cand_id
+         |  JOIN lab ql ON ql.vec_id = p.query_id
+         |  JOIN lab cl2 ON cl2.vec_id = p.cand_id),
+         |met AS (SELECT query_id, $rels FROM pkr GROUP BY 1),
+         |mq AS (SELECT query_id,
+         |    CAST($nRel AS BIGINT) AS n_rel,
+         |    CASE $mrr ELSE 0.0 END AS mrr,
+         |    CASE WHEN $nRel = 0 THEN 0.0
+         |         ELSE ($dcg) / (CASE ($nRel) $idcg END) END AS ndcg
+         |  FROM met)
+         |SELECT p.query_id, CAST(p.pick_order AS BIGINT) AS pick_order, p.cand_id,
+         |  CAST(p.rel AS BIGINT) AS rel, p.rrf_micro, p.n_arms,
+         |  CAST(p.obj AS BIGINT) AS obj, p.rel01 = 1 AS relevant,
+         |  m.n_rel, m.mrr, m.ndcg
+         |FROM pkr p JOIN mq m ON m.query_id = p.query_id
+         |ORDER BY p.query_id, p.pick_order""".stripMargin
+    QuerySpec.oracle("q216_rag_serve", sql) { (spark, dir) =>
+      // (1) the memoized chunk index — q84's windows, materialized once
+      // per session (four consumers read it: stats, tf, df, the dl join)
+      val toks = Tables.documents(spark, dir).select(col("doc_id"), lowToksCol.as("ts"))
+      val cdl = chunkIndexCached(spark, dir)
+      val cst = cdl.agg(count(lit(1)).as("n_chunks"), sum(col("dl")).as("sum_dl"))
+      val cpair = cdl.select(col("doc_id"), col("chunk_idx"), explode(col("chunk")).as("token"))
+      val ctf = cpair.groupBy("doc_id", "chunk_idx", "token").agg(count(lit(1)).as("tf"))
+      val cdf = cpair.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      // (2) sparse arm: q174's BM25, chunk-level, MaxP to doc rank
+      val qt = toks.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(array_sort(array_distinct(col("ts"))), 1, nQTerms)).as("token"))
+        .withColumn("ti",
+          row_number().over(Window.partitionBy("query_id").orderBy("token")))
+      val idf = (col("n_chunks").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val avgdl = col("sum_dl").cast("double") / col("n_chunks").cast("double")
+      val tfn = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+      val sc = broadcast(qt).join(ctf, "token").join(cdf, "token")
+        .join(cdl.select("doc_id", "chunk_idx", "dl"), Seq("doc_id", "chunk_idx"))
+        .crossJoin(broadcast(cst))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"), col("chunk_idx"), col("ti"),
+          (idf * tfn).as("s"))
+      val piv = sc.groupBy("query_id", "doc_id", "chunk_idx")
+        .agg(max(when(col("ti") === 1, col("s"))).as("s1"),
+          (2 to nQTerms).map(i => max(when(col("ti") === i, col("s"))).as(s"s$i")): _*)
+      val total = (1 to nQTerms).map(i => coalesce(col(s"s$i"), lit(0.0))).reduce(_ + _)
+      val cscore = piv.select(col("query_id"), col("doc_id"), total.as("st"))
+        .groupBy("query_id", "doc_id").agg(max(col("st")).as("score"))
+      val ra = cscore.withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rnk") <= short)
+        .select(col("query_id"), col("doc_id").as("cand_id"), col("rnk"))
+      // (3) dense arm: exact int8 dots over the memoized quantized corpus
+      val quant = quantizedVecsCk(spark, dir)
+      val qh = quant.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("qv_q"))
+      val rb = quant.join(broadcast(qh), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          graft.functions.LongDotExpr.dot(col("qv_q"), col("qv")).as("rel"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rel").desc, col("cand_id"))))
+        .filter(col("rnk") <= short)
+        .select("query_id", "cand_id", "rnk")
+      // (4) RRF fuse, top-8 shortlist
+      // |Q|×8 rows, referenced twice (MMR input + pick provenance join):
+      // without the cut both retrieval arms re-execute per reference
+      val fsh = ra.unionByName(rb)
+        .groupBy("query_id", "cand_id")
+        .agg(sum(expr("1000000 div (60 + rnk)")).cast("long").as("rrf_micro"),
+          count(lit(1)).cast("long").as("n_arms"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rrf_micro").desc, col("cand_id"))))
+        .filter(col("rn") <= fuse).drop("rn")
+        .localCheckpoint(eager = false)
+      // (5) integer MMR over the fused shortlist — q169's in-row kernel
+      val picks = fsh
+        .join(quant.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(broadcast(qh), "query_id")
+        .select(col("query_id"), col("cand_id"), col("qv"),
+          graft.functions.LongDotExpr.dot(col("qv_q"), col("qv")).as("rel"))
+        .groupBy("query_id")
+        .agg(collect_list(struct(col("cand_id").as("id"), col("rel"), col("qv"))).as("cs"))
+        .select(col("query_id"), posexplode(
+          graft.functions.IntMmrExpression.intMmr(col("cs"), kPick, lam)))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("pick_order"),
+          col("col.id").as("cand_id"), col("col.rel").as("rel"), col("col.obj").as("obj"))
+        .join(fsh, Seq("query_id", "cand_id"))
+      // (6) q149's per-query MRR/NDCG@5 against the label ground truth
+      val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      // |Q|×5 rows, referenced twice (metric pivot + final join) with the
+      // whole MMR chain upstream — same cut rationale as fsh
+      val pkr = picks
+        .join(broadcast(lab.select(col("vec_id").as("query_id"), col("label").as("qlabel"))),
+          "query_id")
+        .join(lab.select(col("vec_id").as("cand_id"), col("label").as("clabel")), "cand_id")
+        .withColumn("rel01", when(col("clabel") === col("qlabel"), 1).otherwise(0))
+        .localCheckpoint(eager = false)
+      val met = pkr.groupBy("query_id")
+        .agg(max(when(col("pick_order") === 1, col("rel01"))).as("rel1"),
+          (2 to 5).map(i => max(when(col("pick_order") === i, col("rel01"))).as(s"rel$i")): _*)
+      val nRelC = (1 to 5).map(i => col(s"rel$i")).reduce(_ + _)
+      val dcgC = (1 to 5).map(i => col(s"rel$i") * lit(NdcgW(i - 1))).reduce(_ + _)
+      val mrrC = (1 to 5).foldLeft(null: Column) { (acc, i) =>
+        if (acc == null) when(col(s"rel$i") === 1, InvRank(i - 1))
+        else acc.when(col(s"rel$i") === 1, InvRank(i - 1))
+      }.otherwise(0.0)
+      val idcgC = (1 to 5).foldLeft(null: Column) { (acc, i) =>
+        if (acc == null) when(nRelC === i, NdcgCum(i - 1))
+        else acc.when(nRelC === i, NdcgCum(i - 1))
+      }
+      val mq = met.select(col("query_id"), nRelC.cast("long").as("n_rel"),
+        mrrC.as("mrr"),
+        when(nRelC === 0, 0.0).otherwise(dcgC / idcgC).as("ndcg"))
+      pkr.join(mq, "query_id")
+        .select(col("query_id"), col("pick_order"), col("cand_id"),
+          col("rel").cast("long").as("rel"), col("rrf_micro"), col("n_arms"),
+          col("obj").cast("long").as("obj"), (col("rel01") === 1).as("relevant"),
+          col("n_rel"), col("mrr"), col("ndcg"))
+        .orderBy("query_id", "pick_order")
+    }
+  }
+
   /** KMV set-OPERATION estimates — the sketch family's missing algebra:
     * q161 estimates ONE set's cardinality, but the questions a 100 TB
     * pipeline actually asks are pairwise ("how much do these feeds
@@ -5913,5 +6192,6 @@ object PipelineQueries {
     q200MarkovStationary, q201AbTest, q202AnnMcnemar, q203Spearman,
     q204KaplanMeier, q205Attribution, q206BootstrapCi, q207ChapmanCoverage,
     q208LangId, q209WeightedReservoir, q210AcfAudit, q211KmvSetOps,
-    q213RepetitionRules, q214HardNegatives, q215PacfAudit, q217ArFit)
+    q213RepetitionRules, q214HardNegatives, q215PacfAudit, q216RagServe,
+    q217ArFit)
 }

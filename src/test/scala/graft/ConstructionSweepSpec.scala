@@ -87,6 +87,9 @@ class ConstructionSweepSpec extends SparkSpec {
     // same contract in r19 when its ground truth moved to the memoized
     // exactTop5Cached checkpoint
     "q214_hard_negatives", "q166_ann_recall_exact",
+    // q216's dense arm serves the memoized quantized-corpus checkpoint —
+    // a cold cache materializes it at build (q214's rationale)
+    "q216_rag_serve",
     // q207 builds from the memoized quantized-corpus checkpoint — a cold
     // cache materializes it at build (the same shared-index economics)
     "q207_chapman_coverage",

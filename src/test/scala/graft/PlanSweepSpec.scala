@@ -34,6 +34,9 @@ class PlanSweepSpec extends SparkSpec {
     // q219 — each HITS half-step normalizes by crossJoin(broadcast(m))
     // where m is the 1-row max aggregate of the checkpointed sums
     "q219_hits",
+    // q216 — BM25's crossJoin(broadcast(cst)): the 1-row chunk-corpus
+    // statistics aggregate, q174's exact idiom
+    "q216_rag_serve",
     // q53/q55/q56 — crossJoin(broadcast(x)) where x is a 1-row aggregate
     // (the ≤k candidate array / the 15 stripe cut-points / the max source
     // token total): same idiom
@@ -772,6 +775,12 @@ class PlanSweepSpec extends SparkSpec {
     // nation-keyed lag exchange + final sums + presentation sort —
     // the Durbin-Levinson recursion itself is shuffle-free column math
     "q215_pacf_audit" -> 5,
+    // q216: the serving chain end to end — chunk stats (cst) + chunk
+    // tf/df aggs + the term-at-a-time BM25 joins + two query-keyed rank
+    // windows + RRF agg + MMR collect + eval pivots; every exchange is
+    // either a chunk/token-keyed aggregate or a query-keyed window, no
+    // doc×query product anywhere
+    "q216_rag_serve" -> 14,
     // q217: the memoized series base is checkpointed, so the plan carries
     // the per-nation stats agg + the nation-keyed lag exchange (appearing
     // twice statically — fit walk and backtest walk — AQE reuses the

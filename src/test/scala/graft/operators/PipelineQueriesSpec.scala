@@ -1150,6 +1150,38 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q216: the serving chain is internally consistent (picks, fusion provenance, metrics)") {
+    val rows = PipelineQueries.q216RagServe.build(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length % 5 == 0, "five picks per query")
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("pick_order")).sorted.toSeq == (1L to 5L),
+        s"query $q: missing pick orders")
+      // no candidate is served twice, and the query never retrieves itself
+      val cands = rs.map(_.getAs[Long]("cand_id"))
+      assert(cands.distinct.length == 5 && !cands.contains(q), s"query $q: $cands")
+      // MMR pick 1 is the raw-relevance argmax (the kernel's round 0)
+      val byPick = rs.sortBy(_.getAs[Long]("pick_order"))
+      assert(byPick.head.getAs[Long]("rel") == rs.map(_.getAs[Long]("rel")).max,
+        s"query $q: pick 1 must maximize relevance")
+      // metrics agree with the relevant flags they summarize
+      val nRel = rs.count(_.getAs[Boolean]("relevant"))
+      assert(rs.forall(_.getAs[Long]("n_rel") == nRel.toLong), s"query $q: n_rel drift")
+      val firstRel = byPick.indexWhere(_.getAs[Boolean]("relevant"))
+      val wantMrr = if (firstRel < 0) 0.0 else 1.0 / (firstRel + 1)
+      assert(rs.forall(r => math.abs(r.getAs[Double]("mrr") - wantMrr) < 1e-12),
+        s"query $q: mrr mismatch")
+      rs.foreach { r =>
+        // every pick came through the RRF fusion: at least one arm ranked
+        // it in its top-10, so its score has at least one reciprocal term
+        assert(r.getAs[Long]("n_arms") >= 1L &&
+          r.getAs[Long]("rrf_micro") >= 1000000L / 70L,
+          s"query $q: pick outside the fused shortlist: $r")
+        val nd = r.getAs[Double]("ndcg")
+        assert(nd >= 0.0 && nd <= 1.0 + 1e-12, s"query $q: ndcg out of range")
+      }
+    }
+  }
+
   test("q217: every AR order beats the naive lag-1 backtest; phi1 is q215's pacf1 (Yule-Walker base)") {
     val pacf1 = PipelineQueries.q215PacfAudit.build(spark, sf).collect()
       .map(r => r.getAs[String]("nation") -> r.getAs[Long]("pacf1_micro")).toMap
