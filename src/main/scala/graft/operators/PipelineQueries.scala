@@ -207,6 +207,37 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Full-corpus semantic dedup, the PRODUCTION path q123 documents —
+    * promoted from comment to declared query (VERDICT r19 item 5): q41's
+    * banded sign-LSH generates candidates over ALL embeddings (16 bands ×
+    * 4 bits, pinned like q41 so the declared output is scale-stable;
+    * production derives bits from |corpus| via the occupancy heuristic),
+    * each candidate is cosine-VERIFIED at the same ≥ 0.3 threshold as
+    * q123's exact audit region, and the surviving pairs feed the SAME
+    * [[Dedup.connectedComponents]] resolution tail — keep-list out, one
+    * row per vector, q123's exact schema. Float LSH planes keep it
+    * rows-only (SURVEY §5's float-seed exclusion); honesty comes from the
+    * spec: within the vec_id < 200 region the LSH candidate set is pinned
+    * to a recall floor against q123's exact quadratic, and — because the
+    * verify step applies the identical cosine expression — to PERFECT
+    * precision (every banded pair the region yields is a true ≥ 0.3
+    * pair). Shape at 100 TB: candidates per band are bucket-local (never
+    * all-pairs), verification shrinks rows to (id, id) before any
+    * shuffle, CC is the delta-friendly pointer-jumping loop. */
+  val q218SemanticDedupFull: QuerySpec =
+    QuerySpec.rowsOnly("q218_semantic_dedup_full") { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val cand = Similarity.signLshNearDupPairs(emb, minCosine = 0.3,
+        numBands = 16, bitsPerBand = 4)
+      val groups = Dedup.dedupGroups(emb.select("vec_id"), "vec_id",
+        cand.select("id_a", "id_b"))
+      val sizes = groups.groupBy("canonical_id").agg(count(lit(1)).as("n_in_group"))
+      groups.join(sizes, "canonical_id")
+        .select(col("vec_id"), col("canonical_id"), col("n_in_group"),
+          (col("vec_id") === col("canonical_id")).as("keep"))
+        .orderBy("vec_id")
+    }
+
   /** Sequence packing: chunk each language's doc stream (doc_id order) into
     * fixed 512-token training-example budgets — the concatenate-then-chunk
     * preprocessing that assembles LM training sequences. pack_id =
@@ -6193,5 +6224,5 @@ object PipelineQueries {
     q204KaplanMeier, q205Attribution, q206BootstrapCi, q207ChapmanCoverage,
     q208LangId, q209WeightedReservoir, q210AcfAudit, q211KmvSetOps,
     q213RepetitionRules, q214HardNegatives, q215PacfAudit, q216RagServe,
-    q217ArFit)
+    q217ArFit, q218SemanticDedupFull)
 }

@@ -56,6 +56,8 @@ class ConstructionSweepSpec extends SparkSpec {
     "q80_dedup_incremental",
     // q123 iterates CC over the cosine-pair graph at build, like q35
     "q123_semantic_dedup",
+    // q218 iterates the same CC over the FULL-corpus LSH candidate graph
+    "q218_semantic_dedup_full",
     // q200 collects the |event_type|² transition matrix at build and
     // power-iterates eagerly over integer micro units — the Lloyd/BPE
     // dictionary-bounded-state contract

@@ -472,6 +472,9 @@ class PlanSweepSpec extends SparkSpec {
     // labels/sizes subtrees planned under two branches (the CC rounds
     // themselves execute at build time exactly as q35's do)
     "q123_semantic_dedup" -> 7,
+    // q218: q123's resolution shape over the full-corpus LSH candidate
+    // graph (CC rounds execute at build); same labels/sizes branches
+    "q218_semantic_dedup_full" -> 7,
     // q121: one n_name window exchange shared by both window specs (two
     // sorts, one partitioning) + presentation sort; dims broadcast
     "q121_rank_distribution" -> 2,

@@ -1150,6 +1150,34 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q218: LSH candidate recall vs the exact audit region; verified precision is perfect") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Similarity => Sim}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Sim.cosinePairs(emb.filter(col("vec_id") < 200), 0.3))
+    val lshRegion = pairSet(Sim.signLshNearDupPairs(emb, minCosine = 0.3,
+        numBands = 16, bitsPerBand = 4))
+      .filter(p => p._1 < 200 && p._2 < 200)
+    assert(exact.nonEmpty, "audit region must contain >=0.3 pairs")
+    // precision 1.0 by construction: the verify step applies the SAME
+    // cosine expression as the exact audit, so no false pair can survive
+    assert((lshRegion -- exact).isEmpty,
+      s"unverified pair leaked: ${(lshRegion -- exact).take(3)}")
+    val recall = lshRegion.size.toDouble / exact.size
+    assert(recall >= 0.6,
+      s"LSH candidate recall $recall below the declared floor (caught ${lshRegion.size}/${exact.size})")
+    // the declared query resolves the full corpus: one row per vector,
+    // canonical ids are group minima, keeps count the groups
+    val rows = PipelineQueries.q218SemanticDedupFull.build(spark, sf).collect()
+    assert(rows.length == emb.count())
+    assert(rows.forall(r => r.getAs[Long]("canonical_id") <= r.getAs[Long]("vec_id")))
+    val keeps = rows.count(_.getAs[Boolean]("keep"))
+    assert(keeps == rows.map(_.getAs[Long]("canonical_id")).distinct.length)
+  }
+
   test("q216: the serving chain is internally consistent (picks, fusion provenance, metrics)") {
     val rows = PipelineQueries.q216RagServe.build(spark, sf).collect()
     assert(rows.nonEmpty && rows.length % 5 == 0, "five picks per query")
