@@ -1316,4 +1316,41 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(wrong.isEmpty,
       s"distinct character distributions must classify perfectly: ${wrong.mkString(", ")}")
   }
+
+  test("q208: OVERLAPPING character distributions stay inside an accuracy band (VERDICT r19)") {
+    // the perfect-separation fixture above cannot distinguish 'learned
+    // something' from 'fixture trivially separable'. This one can: three
+    // dialects share a dominant common core (most trigrams identical —
+    // the Spanish/Portuguese regime) and differ only in a minority of
+    // function words, so rank profiles overlap heavily and accuracy must
+    // land WELL above 1/3 chance without being handed disjoint alphabets.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val core = "the data in the table and the rows of the set"
+    val tails = Map(
+      "aa" -> Seq("haus und zeit", "zug mit wald", "berg vom dorf"),
+      "bb" -> Seq("casa y tiempo", "tren con bosque", "monte del pueblo"),
+      "cc" -> Seq("maison et temps", "train au bois", "mont du village"))
+    val docs = (0 until 12).flatMap { i =>
+      tails.toSeq.sortBy(_._1).zipWithIndex.map { case ((lang, ts), j) =>
+        val text = (core + " " + ts(i % 3) + " ") * (3 + i % 2)
+        (i * 3L + j, lang, text)
+      }
+    }.toDF("doc_id", "lang", "text")
+    val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val heldOut = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val nHeld = heldOut.count()
+    assert(nHeld >= 6, "split must hold out several docs")
+    val prof = PipelineQueries.langIdProfiles(train, k = 64)
+    val pred = PipelineQueries.langIdPredict(heldOut, prof).collect()
+    assert(pred.length == nHeld)
+    val acc = pred.count(r =>
+      r.getAs[String]("lang_true") == r.getAs[String]("lang_pred")).toDouble / nHeld
+    assert(acc >= 0.6,
+      s"overlapping-distribution accuracy $acc fell below the band floor (chance = 1/3)")
+    // the classifier must actually use more than one output class —
+    // a constant predictor can reach 1/3 here
+    assert(pred.map(_.getAs[String]("lang_pred")).distinct.length >= 2,
+      "degenerate constant prediction")
+  }
 }
