@@ -238,6 +238,104 @@ object PipelineQueries {
         .orderBy("vec_id")
     }
 
+  /** Calibration audit (reliability table + ECE) — the inference-toolkit
+    * step between scoring and THRESHOLDING: a pipeline that filters on a
+    * cheap quality score needs to know whether score 0.8 actually means
+    * "80% of these pass the expensive gate" before it picks a cutoff
+    * (the FineWeb-Edu-style classifier-threshold workflow; Guo et al.
+    * 2017's ECE, here in exact integers). Confidence = the one-pass
+    * distinct-token ratio (micro units); outcome = the q213 Gopher gate
+    * (neither repetitive nor top-heavy). Decile bins by confidence; per
+    * bin the mean confidence, observed pass rate, and |gap|, all by
+    * truncating div; ECE = Σ n_b·gap_b div N rides every row. The
+    * corpus reads as badly UNDER-confident (low scores still pass) —
+    * exactly the audit finding that justifies threshold tuning. Shape:
+    * one embarrassingly parallel scan + a 10-row bin aggregate; the
+    * 1-row ECE broadcast is q27's scalar idiom. */
+  val q220CalibrationEce: QuerySpec = QuerySpec.oracle(
+    "q220_calibration_ece",
+    s"""WITH toks AS (SELECT doc_id, $LowToksSql AS ts FROM documents),
+       |g AS (SELECT doc_id, ts, list_sort(ts) AS tss, len(ts) AS n,
+       |    CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2),
+       |      i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) ELSE [] END AS g3
+       |  FROM toks),
+       |m AS (SELECT doc_id, n,
+       |    CAST(len(list_distinct(ts)) AS BIGINT) AS nd,
+       |    len(g3) AS t3, len(list_distinct(g3)) AS d3,
+       |    CASE WHEN n <= 1 THEN n ELSE
+       |      list_reduce(list_prepend([1, 1], list_transform(generate_series(2, n),
+       |        i -> [i, 0])),
+       |        (acc, e) -> CASE WHEN tss[e[1]] = tss[e[1] - 1]
+       |          THEN [acc[1] + 1, greatest(acc[2], acc[1] + 1)]
+       |          ELSE [1, acc[2]] END)[2] END AS topc
+       |  FROM g),
+       |sc AS (SELECT doc_id,
+       |    CAST(nd * 1000000 // greatest(n, 1) AS BIGINT) AS conf_micro,
+       |    (NOT (CASE WHEN t3 = 0 THEN false ELSE (t3 - d3) * 1000000 // t3 > 180000 END)
+       |     AND NOT (CASE WHEN n = 0 THEN false ELSE topc * 1000000 // n > 200000 END))
+       |      AS pass
+       |  FROM m),
+       |b AS (SELECT least(conf_micro // 100000, 9) AS bin, conf_micro, pass FROM sc),
+       |agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(conf_micro) // count(*) AS BIGINT) AS mean_conf_micro,
+       |    CAST(count(*) FILTER (pass) * 1000000 // count(*) AS BIGINT) AS obs_rate_micro
+       |  FROM b GROUP BY bin),
+       |tot AS (SELECT
+       |    CAST(sum(n_docs * abs(mean_conf_micro - obs_rate_micro)) // sum(n_docs)
+       |      AS BIGINT) AS ece
+       |  FROM agg)
+       |SELECT bin, n_docs, mean_conf_micro, obs_rate_micro,
+       |  CAST(abs(mean_conf_micro - obs_rate_micro) AS BIGINT) AS gap_micro,
+       |  tot.ece AS ece_micro
+       |FROM agg, tot ORDER BY bin""".stripMargin
+  ) { (spark, dir) =>
+    // the q213 in-row machinery: sorted-run fold for the top-token count,
+    // 3-gram construction for the duplicate fraction
+    def grams3: Column =
+      when(size(col("ts")) >= 3,
+        transform(sequence(lit(1), size(col("ts")) - 2), i =>
+          concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1),
+            element_at(col("ts"), i + 2))))
+        .otherwise(typedlit(Seq.empty[String]))
+    val topc = when(size(col("tss")) <= 1, size(col("tss"))).otherwise(
+      element_at(aggregate(
+        sequence(lit(2), size(col("tss"))),
+        typedlit(Seq(1, 1)),
+        (acc, i) => when(element_at(col("tss"), i) === element_at(col("tss"), i - 1),
+            array(element_at(acc, 1) + 1,
+              greatest(element_at(acc, 2), element_at(acc, 1) + 1)))
+          .otherwise(array(lit(1), element_at(acc, 2)))), 2))
+    val sc = Tables.documents(spark, dir)
+      .withColumn("ts", lowToksCol)
+      .withColumn("tss", array_sort(col("ts")))
+      .withColumn("n", size(col("ts")).cast("long"))
+      .withColumn("nd", size(array_distinct(col("ts"))).cast("long"))
+      .withColumn("t3", greatest(col("n") - 2, lit(0L)))
+      .withColumn("d3", size(array_distinct(grams3)).cast("long"))
+      .withColumn("topc", topc.cast("long"))
+      .select(
+        expr("nd * 1000000 div greatest(n, 1)").as("conf_micro"),
+        (!when(col("t3") === 0, lit(false))
+            .otherwise(expr("(t3 - d3) * 1000000 div t3 > 180000")) &&
+         !when(col("n") === 0, lit(false))
+            .otherwise(expr("topc * 1000000 div n > 200000"))).as("pass"))
+    val agg = sc
+      .withColumn("bin", least(expr("conf_micro div 100000"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        expr("sum(conf_micro) div count(1)").cast("long").as("mean_conf_micro"),
+        expr("count(CASE WHEN pass THEN 1 END) * 1000000 div count(1)")
+          .cast("long").as("obs_rate_micro"))
+    val tot = agg.agg(
+      expr("sum(n_docs * abs(mean_conf_micro - obs_rate_micro)) div sum(n_docs)")
+        .cast("long").as("ece"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_docs"), col("mean_conf_micro"), col("obs_rate_micro"),
+        abs(col("mean_conf_micro") - col("obs_rate_micro")).cast("long").as("gap_micro"),
+        col("ece").as("ece_micro"))
+      .orderBy("bin")
+  }
+
   /** Sequence packing: chunk each language's doc stream (doc_id order) into
     * fixed 512-token training-example budgets — the concatenate-then-chunk
     * preprocessing that assembles LM training sequences. pack_id =
@@ -3818,6 +3916,124 @@ object PipelineQueries {
       .orderBy("nation")
   }
 
+  /** Piecewise (segmented) trend fit at the CUSUM changepoint — q217's
+    * identify→fit theme applied to the changepoint band: q189 LOCATES the
+    * shift (max |n·cum − t·total|); this FITS what the series did on each
+    * side — per nation an OLS slope over the day index before and after
+    * t*, plus their difference, the "did the trend actually change, and
+    * by how much" readout a monitoring pipeline acts on (Muggeo-style
+    * segmented regression with the breakpoint supplied by the CUSUM
+    * statistic). Exactness: sufficient statistics in exact DECIMAL and
+    * the slope QUANTIZED to integer micro units by truncating div —
+    * q159's double ratios are fine at event-value magnitudes, but this
+    * band's statistics sit above 2^53 where decimal→double and
+    * HUGEINT→double round differently; the integer quotient is
+    * magnitude-proof. Degenerate segments (n < 2 or zero x-variance)
+    * emit NULL slopes in both engines. Shape: the memoized series base + the q189
+    * windows + one (nation, segment) aggregate on the calendar-bounded
+    * relation; the 25-row changepoint dictionary broadcasts. */
+  val q221PiecewiseTrend: QuerySpec = QuerySpec.oracle(
+    "q221_piecewise_trend",
+    """WITH rev AS (
+      |  SELECT s_nationkey AS nk, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS x
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT nk, day, x,
+      |    CAST(sum(x) OVER (PARTITION BY nk ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    row_number() OVER (PARTITION BY nk ORDER BY day) AS t,
+      |    CAST(sum(x) OVER (PARTITION BY nk) AS BIGINT) AS total,
+      |    count(*) OVER (PARTITION BY nk) AS n
+      |  FROM rev),
+      |d AS (SELECT *, abs(CAST(n AS HUGEINT) * cum - CAST(t AS HUGEINT) * total) AS absd
+      |      FROM w),
+      |cp AS (SELECT nk, t AS t_star FROM (
+      |  SELECT nk, t, row_number() OVER (PARTITION BY nk ORDER BY absd DESC, day) AS rk
+      |  FROM d) WHERE rk = 1),
+      |seg AS (SELECT d.nk, cp.t_star,
+      |    CASE WHEN d.t <= cp.t_star THEN 'before' ELSE 'after' END AS s,
+      |    CAST(d.t AS BIGINT) AS xv, d.x AS yv
+      |  FROM d JOIN cp ON cp.nk = d.nk),
+      |st AS (SELECT nk, t_star, s, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(xv) AS HUGEINT) AS sx, CAST(sum(xv * xv) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(yv AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(xv AS HUGEINT) * yv) AS HUGEINT) AS sxy
+      |  FROM seg GROUP BY 1, 2, 3),
+      |f AS (SELECT nk, t_star, s, n,
+      |    n * sxy - sx * sy AS num,
+      |    n * sxx - sx * sx AS denx
+      |  FROM st),
+      |sl AS (SELECT nk, t_star, s, n,
+      |    CASE WHEN n < 2 OR denx = 0 THEN NULL
+      |      ELSE CAST(num * 1000000 // denx AS BIGINT) END AS slope
+      |  FROM f),
+      |p AS (SELECT nk, t_star,
+      |    max(CASE WHEN s = 'before' THEN n END) AS n_before,
+      |    max(CASE WHEN s = 'after' THEN n END) AS n_after,
+      |    max(CASE WHEN s = 'before' THEN slope END) AS slope_before_micro,
+      |    max(CASE WHEN s = 'after' THEN slope END) AS slope_after_micro
+      |  FROM sl GROUP BY 1, 2)
+      |SELECT nn.n_name AS nation, CAST(t_star AS BIGINT) AS cp_t,
+      |  coalesce(n_before, 0) AS n_before, coalesce(n_after, 0) AS n_after,
+      |  slope_before_micro, slope_after_micro,
+      |  slope_after_micro - slope_before_micro AS slope_shift_micro
+      |FROM p JOIN nation nn ON nn.n_nationkey = p.nk
+      |ORDER BY nation""".stripMargin
+  ) { (spark, dir) =>
+    val rev = dailyRevenue(spark, dir)
+    val byDay = Window.partitionBy("nk").orderBy("day")
+    val whole = Window.partitionBy("nk")
+    val d = rev
+      .withColumn("cum", sum(col("x")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .withColumn("t", row_number().over(byDay))
+      .withColumn("total", sum(col("x")).over(whole).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("absd",
+        expr("abs(CAST(n AS DECIMAL(38,0)) * cum - CAST(t AS DECIMAL(38,0)) * total)"))
+    val cp = d.withColumn("rk",
+        row_number().over(Window.partitionBy("nk").orderBy(col("absd").desc, col("day"))))
+      .filter(col("rk") === 1).select(col("nk"), col("t").as("t_star"))
+    val st = d.join(broadcast(cp), "nk")
+      .select(col("nk"), col("t_star"),
+        when(col("t") <= col("t_star"), "before").otherwise("after").as("s"),
+        col("t").cast("long").as("xv"), col("x").as("yv"))
+      .groupBy("nk", "t_star", "s")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("xv")).cast("decimal(38,0)").as("sx"),
+        sum(col("xv") * col("xv")).cast("decimal(38,0)").as("sxx"),
+        sum(col("yv").cast("decimal(38,0)")).as("sy"),
+        sum(expr("CAST(xv AS DECIMAL(38,0)) * yv")).as("sxy"))
+    // integer micro slopes, not doubles: the sufficient statistics sit
+    // above 2^53, where Spark's decimal→double and DuckDB's
+    // HUGEINT→double can round the last bit differently — the truncating
+    // div is bit-identical at any magnitude (found by a 1-row hash
+    // mismatch at sf0.01)
+    val sl = st
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("denx", expr("n * sxx - sx * sx"))
+      .withColumn("slope", when(col("n") < 2 || col("denx") === 0,
+        lit(null).cast("long"))
+        .otherwise(expr("(num * 1000000) div denx").cast("long")))
+    sl.groupBy("nk", "t_star")
+      .agg(max(when(col("s") === "before", col("n"))).as("n_before"),
+        max(when(col("s") === "after", col("n"))).as("n_after"),
+        max(when(col("s") === "before", col("slope"))).as("slope_before_micro"),
+        max(when(col("s") === "after", col("slope"))).as("slope_after_micro"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("t_star").cast("long").as("cp_t"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        col("slope_before_micro"), col("slope_after_micro"),
+        (col("slope_after_micro") - col("slope_before_micro")).as("slope_shift_micro"))
+      .orderBy("nation")
+  }
+
   /** Two-sample Kolmogorov-Smirnov drift test — the binning-FREE member
     * of the drift family: q187's χ² needs a bucket width (and a wrong
     * one hides shift inside a bucket); KS compares each source's raw
@@ -6224,5 +6440,5 @@ object PipelineQueries {
     q204KaplanMeier, q205Attribution, q206BootstrapCi, q207ChapmanCoverage,
     q208LangId, q209WeightedReservoir, q210AcfAudit, q211KmvSetOps,
     q213RepetitionRules, q214HardNegatives, q215PacfAudit, q216RagServe,
-    q217ArFit, q218SemanticDedupFull)
+    q217ArFit, q218SemanticDedupFull, q220CalibrationEce, q221PiecewiseTrend)
 }

@@ -37,6 +37,9 @@ class PlanSweepSpec extends SparkSpec {
     // q216 — BM25's crossJoin(broadcast(cst)): the 1-row chunk-corpus
     // statistics aggregate, q174's exact idiom
     "q216_rag_serve",
+    // q220 — crossJoin(broadcast(tot)): the 1-row ECE aggregate over the
+    // 10-row bin table
+    "q220_calibration_ece",
     // q53/q55/q56 — crossJoin(broadcast(x)) where x is a 1-row aggregate
     // (the ≤k candidate array / the 15 stripe cut-points / the max source
     // token total): same idiom
@@ -475,6 +478,13 @@ class PlanSweepSpec extends SparkSpec {
     // q218: q123's resolution shape over the full-corpus LSH candidate
     // graph (CC rounds execute at build); same labels/sizes branches
     "q218_semantic_dedup_full" -> 7,
+    // q220: one embarrassingly parallel scan + the 10-row bin aggregate
+    // (+ its 1-row ECE broadcast subtree) + presentation sort
+    "q220_calibration_ece" -> 5,
+    // q221: the memoized series base + the shared nation-keyed window
+    // exchange + the changepoint rank + the (nation, segment) OLS agg +
+    // pivot + presentation sort
+    "q221_piecewise_trend" -> 8,
     // q121: one n_name window exchange shared by both window specs (two
     // sorts, one partitioning) + presentation sort; dims broadcast
     "q121_rank_distribution" -> 2,

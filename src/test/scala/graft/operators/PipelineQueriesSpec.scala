@@ -1178,6 +1178,45 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(keeps == rows.map(_.getAs[Long]("canonical_id")).distinct.length)
   }
 
+  test("q220: reliability table is self-consistent and ECE re-derives from its own bins") {
+    val rows = PipelineQueries.q220CalibrationEce.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    rows.foreach { r =>
+      val (c, o) = (r.getAs[Long]("mean_conf_micro"), r.getAs[Long]("obs_rate_micro"))
+      assert(c >= 0 && c <= 1000000 && o >= 0 && o <= 1000000, s"out of unit range: $r")
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 9)
+      // mean confidence must land inside its own decile (bin 9 absorbs 1.0)
+      assert(c >= bin * 100000 && (bin == 9 || c < (bin + 1) * 100000),
+        s"mean confidence escaped its bin: $r")
+      assert(r.getAs[Long]("gap_micro") == math.abs(c - o))
+    }
+    val eceWant = rows.map(r =>
+      r.getAs[Long]("n_docs") * r.getAs[Long]("gap_micro")).sum / n
+    assert(rows.forall(_.getAs[Long]("ece_micro") == eceWant),
+      s"ECE must re-derive from the bin rows: want $eceWant")
+  }
+
+  test("q221: the piecewise fit splits exactly at q189's changepoint") {
+    val cp = PipelineQueries.q189CusumChangepoint.build(spark, sf).collect()
+      .map(r => r.getAs[String]("nation") ->
+        (r.getAs[Long]("cp_t"), r.getAs[Long]("n_days"))).toMap
+    val rows = PipelineQueries.q221PiecewiseTrend.build(spark, sf).collect()
+    assert(rows.length == cp.size)
+    rows.foreach { r =>
+      val nation = r.getAs[String]("nation")
+      val (t, n) = cp(nation)
+      assert(r.getAs[Long]("cp_t") == t, s"$nation: breakpoint drifted from q189")
+      assert(r.getAs[Long]("n_before") == t &&
+        r.getAs[Long]("n_before") + r.getAs[Long]("n_after") == n,
+        s"$nation: segment sizes must partition the series: $r")
+      if (r.getAs[Long]("n_before") >= 2 && r.getAs[Long]("n_after") >= 2)
+        assert(!r.isNullAt(r.fieldIndex("slope_shift_micro")),
+          s"$nation: non-degenerate segments must fit slopes")
+    }
+  }
+
   test("q216: the serving chain is internally consistent (picks, fusion provenance, metrics)") {
     val rows = PipelineQueries.q216RagServe.build(spark, sf).collect()
     assert(rows.nonEmpty && rows.length % 5 == 0, "five picks per query")
