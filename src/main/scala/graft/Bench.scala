@@ -170,12 +170,26 @@ object Bench {
       : (scala.collection.immutable.ListMap[String, Double], Seq[String], Seq[String]) = {
     require(passes.nonEmpty && passes.forall(p => p.canaries.size >= 2),
       "each pass needs at least one leading and one trailing canary")
-    val globalBest = passes.flatMap(_.canaries).min
+    // Baseline = the LOWER-QUARTILE canary, not the minimum: with ~30
+    // canaries per run, single samples vary ~2× even on an idle host
+    // (residual executor/GC activity inflates the odd mid-pass window —
+    // measured idle spread 0.67–1.28 s), and a min-baseline turned that
+    // noise into ratios that DEFLATED genuinely clean queries by up to
+    // 1.9×. The quartile is robust both ways: flukes on the fast side
+    // don't lower it, and contamination must cover >75% of the run to
+    // raise it (at which point no in-guest estimator can help — the
+    // documented floor).
+    val sortedCanaries = passes.flatMap(_.canaries).sorted
+    val base = sortedCanaries(sortedCanaries.size / 4)
     def ratio(p: PassRecord, seg: Int): Double = {
       val bracket = math.min(p.canaries(seg), p.canaries(seg + 1))
-      // a sub-1 ratio would INFLATE samples from the cleanest segment; the
-      // cap keeps one absurd canary reading from scaling a segment toward 0
-      math.min(math.max(bracket / globalBest, 1.0), 8.0)
+      val r = bracket / base
+      // noise floor: idle-host canary spread reaches ~1.6× of the
+      // quartile, so sub-1.75 ratios are indistinguishable from noise and
+      // must not rescale anything; real dips (r9/r19: 3–11× phantoms)
+      // read ≥ 2.5×. The cap keeps one absurd reading from scaling a
+      // segment toward 0.
+      if (r < 1.75) 1.0 else math.min(r, 8.0)
     }
     val minRule = scala.collection.mutable.ArrayBuffer.empty[String]
     val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
