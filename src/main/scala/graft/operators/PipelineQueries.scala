@@ -1752,6 +1752,84 @@ object PipelineQueries {
     }
   }
 
+  /** SemDeDup — cluster-then-dedup semantic deduplication (Abbas et al.
+    * 2023; the D4/SemDeDup pipeline op), the CLUSTERED alternative to
+    * q218's LSH candidates and this band's only fully ORACLE-CHECKED
+    * semantic dedup: q170's integer k-means partitions the corpus, pair
+    * comparison happens ONLY within a cluster (the published method's
+    * scale contract — candidate pairs are cluster-local, never corpus-
+    * quadratic), near-duplicates resolve by connected components, and
+    * each group keeps its MOST PROTOTYPICAL member (min distance to the
+    * cluster centroid — SemDeDup's keep-the-representative rule, vs the
+    * min-id convention of the exact bands). Exactness end to end: the
+    * centroids are q170's integer literals, the duplicate predicate
+    * avoids the cosine's sqrt entirely — dot ≥ 0 AND 100·dot² ≥ 9·|a|²|b|²
+    * ⟺ cos ≥ 0.3 in pure int64 — and the CC recursion mirrors as q123's
+    * recursive CTE, so groups, keeps, and sizes all hash-match. Shape at
+    * 100 TB: one in-row assignment over centroid literals, one
+    * cluster-keyed self-join whose pair mass is Σ|cluster|² (bounded by
+    * the quantizer's balance, the SemDeDup argument), pointer-jumping CC
+    * on the near-dup subgraph. */
+  val q222SemDedupClusters: QuerySpec = {
+    val (k, dims, rounds) = (8, 64, 3)
+    def dotSql(a: String, b: String): String =
+      s"list_reduce(list_prepend(0, list_transform(list_zip($a, $b), " +
+        "p -> p[1]*p[2])), (acc, v) -> acc + v)"
+    val sql =
+      s"""${kmeansSqlCtes(k, dims, rounds).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |nv AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cid, a.dist, q.qv, ${dotSql("q.qv", "q.qv")} AS n2
+         |  FROM af a JOIN q ON q.vec_id = a.vec_id),
+         |pairs AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dotSql("a.qv", "b.qv")} AS d, a.n2 AS na, b.n2 AS nb
+         |  FROM nv a JOIN nv b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |  WHERE d >= 0 AND 100 * d * d >= 9 * na * nb),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT vec_id, vec_id FROM nv
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |cc AS (SELECT node AS vec_id, min(lbl) AS group_id FROM reach GROUP BY node)
+         |SELECT n.vec_id, CAST(n.cid AS BIGINT) AS cluster, cc.group_id,
+         |  count(*) OVER (PARTITION BY cc.group_id) AS n_in_group,
+         |  row_number() OVER (PARTITION BY cc.group_id
+         |                     ORDER BY n.dist, n.vec_id) = 1 AS keep
+         |FROM nv n JOIN cc ON cc.vec_id = n.vec_id
+         |ORDER BY n.vec_id""".stripMargin
+    QuerySpec.oracle("q222_semdedup_clusters", sql) { (spark, dir) =>
+      val quant = quantizedVecsCk(spark, dir)
+      val cents = lloydCentroidsCached(spark, dir, -1, k, dims, rounds)
+      val intDot = graft.functions.LongDotExpr.dot _
+      // assignment + norms once; the relation feeds the self-join twice
+      // and the final report — cut it (the q207 skinny-relation rule)
+      val nv = quant.withColumn("m", intAssign(cents))
+        .select(col("vec_id"), col("qv"), col("m.cid").as("cid"),
+          col("m.dist").as("dist"), intDot(col("qv"), col("qv")).as("n2"))
+        .localCheckpoint(eager = false)
+      val a = nv.select(col("cid"), col("vec_id").as("id_a"),
+        col("qv").as("qv_a"), col("n2").as("na"))
+      val b = nv.select(col("cid"), col("vec_id").as("id_b"),
+        col("qv").as("qv_b"), col("n2").as("nb"))
+      val pairs = a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          intDot(col("qv_a"), col("qv_b")).as("d"), col("na"), col("nb"))
+        .filter(col("d") >= 0 && expr("100 * d * d >= 9 * na * nb"))
+        .select("id_a", "id_b")
+      val groups = Dedup.dedupGroups(
+        nv.select("vec_id", "cid", "dist"), "vec_id", pairs)
+      groups
+        .withColumn("n_in_group",
+          count(lit(1)).over(Window.partitionBy("canonical_id")))
+        .withColumn("keep", row_number().over(
+          Window.partitionBy("canonical_id").orderBy("dist", "vec_id")) === 1)
+        .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+          col("canonical_id").as("group_id"), col("n_in_group"), col("keep"))
+        .orderBy("vec_id")
+    }
+  }
+
   /** Squared-L2 between two integer lists, DuckDB rendering (shared by the
     * q170/q171 oracles). */
   private def d2Sql(a: String, b: String): String =
@@ -6440,5 +6518,6 @@ object PipelineQueries {
     q204KaplanMeier, q205Attribution, q206BootstrapCi, q207ChapmanCoverage,
     q208LangId, q209WeightedReservoir, q210AcfAudit, q211KmvSetOps,
     q213RepetitionRules, q214HardNegatives, q215PacfAudit, q216RagServe,
-    q217ArFit, q218SemanticDedupFull, q220CalibrationEce, q221PiecewiseTrend)
+    q217ArFit, q218SemanticDedupFull, q220CalibrationEce, q221PiecewiseTrend,
+    q222SemDedupClusters)
 }

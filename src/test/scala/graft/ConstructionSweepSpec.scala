@@ -58,6 +58,9 @@ class ConstructionSweepSpec extends SparkSpec {
     "q123_semantic_dedup",
     // q218 iterates the same CC over the FULL-corpus LSH candidate graph
     "q218_semantic_dedup_full",
+    // q222 fits the Lloyd quantizer (memoized) and iterates CC over the
+    // within-cluster near-dup graph at build — q170 + q123's contracts
+    "q222_semdedup_clusters",
     // q200 collects the |event_type|² transition matrix at build and
     // power-iterates eagerly over integer micro units — the Lloyd/BPE
     // dictionary-bounded-state contract

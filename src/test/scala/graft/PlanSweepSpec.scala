@@ -485,6 +485,10 @@ class PlanSweepSpec extends SparkSpec {
     // exchange + the changepoint rank + the (nation, segment) OLS agg +
     // pivot + presentation sort
     "q221_piecewise_trend" -> 8,
+    // q222: the CC labels join + the group-keyed window exchange +
+    // presentation sort over the checkpointed assignment relation (the
+    // cluster-local pair join and CC rounds execute at build)
+    "q222_semdedup_clusters" -> 6,
     // q121: one n_name window exchange shared by both window specs (two
     // sorts, one partitioning) + presentation sort; dims broadcast
     "q121_rank_distribution" -> 2,

@@ -1178,6 +1178,25 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(keeps == rows.map(_.getAs[Long]("canonical_id")).distinct.length)
   }
 
+  test("q222: SemDeDup groups are cluster-local and keep the most prototypical member") {
+    val rows = PipelineQueries.q222SemDedupClusters.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byGroup = rows.groupBy(_.getAs[Long]("group_id"))
+    byGroup.foreach { case (g, rs) =>
+      // pairs only form within a cluster, so no group can span clusters
+      assert(rs.map(_.getAs[Long]("cluster")).distinct.length == 1,
+        s"group $g spans clusters: ${rs.mkString(";")}")
+      assert(rs.forall(_.getAs[Long]("n_in_group") == rs.length.toLong))
+      assert(rs.count(_.getAs[Boolean]("keep")) == 1,
+        s"group $g must keep exactly one representative")
+      assert(rs.forall(r => r.getAs[Long]("group_id") <= r.getAs[Long]("vec_id")))
+    }
+    // keeps partition the corpus: one representative per group, all docs
+    // accounted for
+    assert(rows.count(_.getAs[Boolean]("keep")) == byGroup.size)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+  }
+
   test("q220: reliability table is self-consistent and ECE re-derives from its own bins") {
     val rows = PipelineQueries.q220CalibrationEce.build(spark, sf).collect()
     assert(rows.nonEmpty)
