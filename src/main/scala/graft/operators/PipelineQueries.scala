@@ -5878,9 +5878,13 @@ object PipelineQueries {
     val st = rev.groupBy("nk")
       .agg(count(lit(1)).cast("long").as("n"), sum(col("x")).cast("long").as("s"))
     val byDay = Window.partitionBy("nk").orderBy("day")
+    // the fit aggregate AND the backtest both walk this lagged relation —
+    // cut the calendar-bounded window result once instead of executing
+    // the lag window per consumer
     val lagged = (1 to 3).foldLeft(
         rev.join(broadcast(st), "nk").withColumn("d", col("x") - expr("s div n")))(
       (df, k) => df.withColumn(s"d$k", lag(col("d"), k).over(byDay)))
+      .localCheckpoint(eager = false)
     val coef = lagged.groupBy("nk")
       .agg(sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("den"),
         sum(expr("CAST(d AS DECIMAL(38,0)) * d1")).as("n1"),
