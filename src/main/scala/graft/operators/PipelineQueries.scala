@@ -5950,6 +5950,107 @@ object PipelineQueries {
       .orderBy("nation", "p")
   }
 
+  /** Ljung-Box whiteness test on the AR(1) residuals — the CHECK step
+    * that completes Box-Jenkins (q210/q215 identify, q217 fits, nothing
+    * verified the fit left white noise behind): per nation, residuals
+    * e_t = d_t − φ̂₁·d_{t−1} div 10⁶ (q217's AR(1) forecast error over
+    * every day with a lag), their lag-{1,2,3} autocorrelations by the
+    * same div-first micro quantization, and
+    * Q = n(n+2)·Σ_k r_k²/(n−k) with per-term truncating division —
+    * whiteness rejected when Q_micro exceeds the χ²(3) α=0.05 critical
+    * value 7.815 (the documented-constant flag discipline, q187/q192).
+    * The report is the fit's acceptance test: residual r₁ collapses to
+    * ≈0 (the AR(1) removed exactly the lag-1 structure it models,
+    * spec-pinned), and a rejection names the nation whose series needs a
+    * richer model. int128-safe: every product runs in decimal/HUGEINT
+    * before the ÷10⁶. Shape: the memoized series base + two nation-keyed
+    * lag windows (d, then e) + two 25-row aggregates. */
+  val q223LjungBox: QuerySpec = QuerySpec.oracle(
+    "q223_ljung_box",
+    """WITH rev AS (
+      |  SELECT s_nationkey AS nk, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS x
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2),
+      |st AS (SELECT nk, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      |       FROM rev GROUP BY 1),
+      |c AS (SELECT r.nk, day, x - (s // n) AS d FROM rev r JOIN st ON st.nk = r.nk),
+      |w AS (SELECT nk, day, d, lag(d, 1) OVER (PARTITION BY nk ORDER BY day) AS d1
+      |      FROM c),
+      |agg AS (SELECT nk, sum(CAST(d AS HUGEINT) * d) AS den,
+      |    sum(CAST(d AS HUGEINT) * d1) AS n1
+      |  FROM w GROUP BY nk),
+      |acf AS (SELECT nk, CAST(n1 // greatest(den // 1000000, 1) AS BIGINT) AS a1
+      |        FROM agg),
+      |e AS (SELECT w.nk, day, d - (CAST(a1 AS HUGEINT) * d1 // 1000000) AS e
+      |  FROM w JOIN acf ON acf.nk = w.nk WHERE d1 IS NOT NULL),
+      |ew AS (SELECT nk, e,
+      |    lag(e, 1) OVER (PARTITION BY nk ORDER BY day) AS e1,
+      |    lag(e, 2) OVER (PARTITION BY nk ORDER BY day) AS e2,
+      |    lag(e, 3) OVER (PARTITION BY nk ORDER BY day) AS e3
+      |  FROM e),
+      |ra AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(e AS HUGEINT) * e) AS den,
+      |    sum(CAST(e AS HUGEINT) * e1) AS m1, sum(CAST(e AS HUGEINT) * e2) AS m2,
+      |    sum(CAST(e AS HUGEINT) * e3) AS m3
+      |  FROM ew GROUP BY nk),
+      |rr AS (SELECT nk, n,
+      |    CAST(m1 // greatest(den // 1000000, 1) AS BIGINT) AS r1,
+      |    CAST(m2 // greatest(den // 1000000, 1) AS BIGINT) AS r2,
+      |    CAST(m3 // greatest(den // 1000000, 1) AS BIGINT) AS r3
+      |  FROM ra),
+      |q AS (SELECT nk, n, r1, r2, r3,
+      |    CAST(CAST(n AS HUGEINT) * (n + 2)
+      |      * (r1*r1 // (n-1) + r2*r2 // (n-2) + r3*r3 // (n-3)) // 1000000 AS BIGINT)
+      |      AS q_lb
+      |  FROM rr)
+      |SELECT nn.n_name AS nation, n AS n_resid, r1 AS racf1_micro,
+      |  r2 AS racf2_micro, r3 AS racf3_micro, q_lb AS q_lb_micro,
+      |  q_lb > 7815000 AS whiteness_rejected
+      |FROM q JOIN nation nn ON nn.n_nationkey = q.nk
+      |ORDER BY nation""".stripMargin
+  ) { (spark, dir) =>
+    val rev = dailyRevenue(spark, dir)
+    val st = rev.groupBy("nk")
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("x")).cast("long").as("s"))
+    val byDay = Window.partitionBy("nk").orderBy("day")
+    val w = rev.join(broadcast(st), "nk")
+      .withColumn("d", col("x") - expr("s div n"))
+      .withColumn("d1", lag(col("d"), 1).over(byDay))
+    val a1 = w.groupBy("nk")
+      .agg(sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("den"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d1")).as("n1"))
+      .select(col("nk"),
+        expr("n1 div greatest(den div 1000000, 1)").cast("long").as("a1"))
+    val e = w.filter(col("d1").isNotNull).join(broadcast(a1), "nk")
+      .select(col("nk"), col("day"),
+        expr("d - (CAST(a1 AS DECIMAL(38,0)) * d1 div 1000000)").cast("long").as("e"))
+    val ew = (1 to 3).foldLeft(e)((df, k) =>
+      df.withColumn(s"e$k", lag(col("e"), k).over(byDay)))
+    ew.groupBy("nk")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(expr("CAST(e AS DECIMAL(38,0)) * e")).as("den"),
+        sum(expr("CAST(e AS DECIMAL(38,0)) * e1")).as("m1"),
+        sum(expr("CAST(e AS DECIMAL(38,0)) * e2")).as("m2"),
+        sum(expr("CAST(e AS DECIMAL(38,0)) * e3")).as("m3"))
+      .select(col("nk"), col("n"),
+        expr("m1 div greatest(den div 1000000, 1)").cast("long").as("r1"),
+        expr("m2 div greatest(den div 1000000, 1)").cast("long").as("r2"),
+        expr("m3 div greatest(den div 1000000, 1)").cast("long").as("r3"))
+      .withColumn("q_lb", expr(
+        """CAST(CAST(n AS DECIMAL(38,0)) * (n + 2)
+          |  * (r1*r1 div (n-1) + r2*r2 div (n-2) + r3*r3 div (n-3)) div 1000000
+          |  AS BIGINT)""".stripMargin))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n").as("n_resid"),
+        col("r1").as("racf1_micro"), col("r2").as("racf2_micro"),
+        col("r3").as("racf3_micro"), col("q_lb").as("q_lb_micro"),
+        (col("q_lb") > 7815000L).as("whiteness_rejected"))
+      .orderBy("nation")
+  }
+
   /** RAG SERVING capstone — the retrieval twin of q157's corpus-
     * construction chain (VERDICT r19 item 3): every stage existed in
     * isolation (q84 chunks, q174 BM25, q166 integer ANN, q185 RRF, q169
@@ -6523,5 +6624,5 @@ object PipelineQueries {
     q208LangId, q209WeightedReservoir, q210AcfAudit, q211KmvSetOps,
     q213RepetitionRules, q214HardNegatives, q215PacfAudit, q216RagServe,
     q217ArFit, q218SemanticDedupFull, q220CalibrationEce, q221PiecewiseTrend,
-    q222SemDedupClusters)
+    q222SemDedupClusters, q223LjungBox)
 }

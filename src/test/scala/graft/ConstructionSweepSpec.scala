@@ -87,6 +87,7 @@ class ConstructionSweepSpec extends SparkSpec {
     "q177_ewma_trend", "q184_holt_trend", "q186_holt_winters",
     "q189_cusum_changepoint", "q203_spearman", "q210_acf_audit",
     "q215_pacf_audit", "q217_ar_fit", "q221_piecewise_trend",
+    "q223_ljung_box",
     // q214 serves the memoized quantized-corpus checkpoint — a cold
     // cache materializes it at build (q207's rationale); q166 joined the
     // same contract in r19 when its ground truth moved to the memoized

@@ -489,6 +489,10 @@ class PlanSweepSpec extends SparkSpec {
     // presentation sort over the checkpointed assignment relation (the
     // cluster-local pair join and CC rounds execute at build)
     "q222_semdedup_clusters" -> 6,
+    // q223: the memoized series base + per-nation stats + the shared
+    // nation-keyed lag windows (d, then e) + two 25-row aggregates +
+    // presentation sort
+    "q223_ljung_box" -> 8,
     // q121: one n_name window exchange shared by both window specs (two
     // sorts, one partitioning) + presentation sort; dims broadcast
     "q121_rank_distribution" -> 2,

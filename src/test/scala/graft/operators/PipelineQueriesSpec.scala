@@ -1178,6 +1178,26 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(keeps == rows.map(_.getAs[Long]("canonical_id")).distinct.length)
   }
 
+  test("q223: AR(1) residuals lose the lag-1 structure the fit models") {
+    val acf1 = PipelineQueries.q210AcfAudit.build(spark, sf).collect()
+      .filter(_.getAs[Long]("lag") == 1L)
+      .map(r => r.getAs[String]("nation") -> r.getAs[Long]("acf_micro")).toMap
+    val rows = PipelineQueries.q223LjungBox.build(spark, sf).collect()
+    assert(rows.length == acf1.size)
+    rows.foreach { r =>
+      val n = r.getAs[String]("nation")
+      // the residual lag-1 autocorrelation must collapse relative to the
+      // series' own — the fit removed exactly what it models (Box-Jenkins
+      // residual diagnostics); quantization leaves a small floor
+      assert(math.abs(r.getAs[Long]("racf1_micro")) <=
+        math.max(math.abs(acf1(n)) / 2, 5000L),
+        s"$n: AR(1) residuals kept the lag-1 structure: ${r.getAs[Long]("racf1_micro")} vs series ${acf1(n)}")
+      assert(r.getAs[Long]("q_lb_micro") >= 0)
+      assert(r.getAs[Boolean]("whiteness_rejected") ==
+        (r.getAs[Long]("q_lb_micro") > 7815000L))
+    }
+  }
+
   test("q222: SemDeDup groups are cluster-local and keep the most prototypical member") {
     val rows = PipelineQueries.q222SemDedupClusters.build(spark, sf).collect()
     assert(rows.nonEmpty)
