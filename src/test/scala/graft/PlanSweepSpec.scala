@@ -493,6 +493,10 @@ class PlanSweepSpec extends SparkSpec {
     // nation-keyed lag windows (d, then e) + two 25-row aggregates +
     // presentation sort
     "q223_ljung_box" -> 8,
+    // q224: two (label, half, dim) sufficient-statistic aggregates +
+    // the centroid/shift/inertia joins on the dictionary-sized cent
+    // relation + presentation sort
+    "q224_embedding_drift" -> 9,
     // q121: one n_name window exchange shared by both window specs (two
     // sorts, one partitioning) + presentation sort; dims broadcast
     "q121_rank_distribution" -> 2,

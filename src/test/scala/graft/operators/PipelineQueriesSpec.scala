@@ -1178,6 +1178,35 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(keeps == rows.map(_.getAs[Long]("canonical_id")).distinct.length)
   }
 
+  test("q224: parity halves read A/A (no drift); a planted shift fires the flag") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the declared query: random halves of ONE distribution — an A/A
+    // harness test, every label must read non-drifted
+    val rows = PipelineQueries.q224EmbeddingDrift.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[Boolean]("drifted") &&
+        r.getAs[Long]("drift_micro") < 250000L,
+        s"A/A parity split must not read drifted: $r")
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    }
+    // planted drift: half 1 of label "s" is the same cloud translated by
+    // +20 per dim — between-centroid distance ~64*400 dwarfs the scatter
+    val rnd = new scala.util.Random(11)
+    def vec(off: Long) = Seq.fill(8)(rnd.nextInt(21).toLong - 10 + off)
+    val planted = ((0 until 40).map(i => ("s", i.toLong % 2,
+        if (i % 2 == 1) vec(20) else vec(0))) ++
+      (0 until 40).map(i => ("n", i.toLong % 2, vec(0))))
+      .toDF("label", "half", "qv")
+    val out = PipelineQueries.embeddingDrift(planted).collect()
+      .map(r => r.getAs[String]("label") -> r).toMap
+    assert(out("s").getAs[Boolean]("drifted"),
+      s"planted +20/dim shift must flag: ${out("s")}")
+    assert(!out("n").getAs[Boolean]("drifted"),
+      s"untranslated control must not flag: ${out("n")}")
+  }
+
   test("q223: AR(1) residuals lose the lag-1 structure the fit models") {
     val acf1 = PipelineQueries.q210AcfAudit.build(spark, sf).collect()
       .filter(_.getAs[Long]("lag") == 1L)
