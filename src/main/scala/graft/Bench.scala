@@ -30,8 +30,23 @@ object Bench {
     * 0.1 s resolution is still below host noise, and a parseable coarse
     * line beats a truncated precise one (four rounds of parsed:null). The
     * full-precision record stays in target/bench.json. */
+  /** Clean-machine parallel-canary anchor (seconds — BASELINE.md's measured
+    * idle value): the divisor of the cpar-normalization rule below. */
+  val CleanCanaryPar: Double = 0.70
+
+  /** Median-canary threshold above which the stdout line ALSO carries a
+    * normalized total: 1.05 s = 1.5× the clean anchor. The MEDIAN, not the
+    * max (`cpar`): idle-host single-window canary spread reaches 1.28 s
+    * (BASELINE.md) and a first clean r21 run proved a max-based rule fires
+    * on one hot window (cpar 1.16, every other canary 0.63–0.92 — the
+    * "correction" would have rewritten a clean 112 s as 67 s). Sustained
+    * contention — the only case the correction exists for (r9/r19/r20's
+    * uniformly hot runs) — raises the median; a spike cannot. */
+  val CparNormThreshold: Double = 1.05
+
   def stdoutLine(results: scala.collection.immutable.ListMap[String, Double],
-                 sfDir: String, cpar: Double = -1.0): String = {
+                 sfDir: String, cpar: Double = -1.0,
+                 cparMed: Double = -1.0): String = {
     def fmtAt(scale: Int)(v: Double): String = {
       val s = s"%.${scale}f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
@@ -57,6 +72,22 @@ object Bench {
         if (stripQ) short.stripPrefix("q") else short
       }
       val cparField = if (withCpar && cpar >= 0) s""","cpar":${fmtAt(2)(cpar)}""" else ""
+      // Self-correcting headline under SUSTAINED contention (VERDICT r20
+      // item 4): three rounds (r9, r19, r20) recorded raw totals 22-54%
+      // hot because uniform ~1.3-1.6× contention sits under the per-
+      // segment 1.75× noise floor BY DESIGN. When the MEDIAN parallel
+      // canary shows the host granting measurably less throughput than
+      // the clean anchor for most of the run, the artifact carries its
+      // own correction (value × clean/median — BASELINE.md's canary rule
+      // with the robust estimator; see [[CparNormThreshold]] for why not
+      // the max) NEXT TO the raw total, so a contended official run no
+      // longer needs a judge re-run to be read. Raw `value` stays the
+      // primary headline.
+      val totalHere = if (results.nonEmpty) results.values.sum else 0.0
+      val valueNormField =
+        if (withCpar && cparMed > CparNormThreshold)
+          s""","value_norm":${fmtAt(2)(totalHere * CleanCanaryPar / cparMed)}"""
+        else ""
       val unitField = if (minimal) "" else ""","unit":"sec""""
       val sfVal = if (minimal) sfDir.split('/').last else sfDir
       // topK > 0: keep the K most expensive queries by NAME and fold all
@@ -85,7 +116,7 @@ object Bench {
       val qs = (kept.map { case (k, v) => "\"" + key(k) + "\":" + f(v) } ++ restEntry)
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmtAt(2)(total)}$unitField,"queries":$qs,"sf":"$sfVal"$cparField$restN$failedField}"""
+      s"""{"metric":"total","value":${fmtAt(2)(total)}$valueNormField$unitField,"queries":$qs,"sf":"$sfVal"$cparField$restN$failedField}"""
     }
     // degradation rungs. r17 showed the old scale-only ladder failing its
     // purpose at 180 queries: the line degraded to WHOLE seconds and
@@ -192,7 +223,12 @@ object Bench {
       if (r < 1.75) 1.0 else math.min(r, 8.0)
     }
     val minRule = scala.collection.mutable.ArrayBuffer.empty[String]
-    val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
+    // (name, largest normalized sample) — sorted by magnitude descending at
+    // the end so the bounded re-measure (take(MaxRemeasure)) spends its
+    // slots on the multi-second phantoms first, not declaration order
+    // (ADVICE r20: a real 4 s phantom must not lose its slot to a 0.25 s
+    // query that merely cleared the materiality floor)
+    val suspects = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val out = scala.collection.immutable.ListMap(keys.map { k =>
       val obs = passes.flatMap { p =>
         p.samples.get(k).map { v =>
@@ -209,7 +245,7 @@ object Bench {
               // centisecond query 3x-spreads from pure noise, and a slot
               // spent there is a slot a real multi-second phantom (q123
               // read 20.6 s vs 3.5 s true) might not get under the cap
-              if (spreadOver3x && sorted.last >= 0.25) suspects += k
+              if (spreadOver3x && sorted.last >= 0.25) suspects += (k -> sorted.last)
               if (clean && spreadOver3x && sorted.size >= 3) {
                 // two-smallest mean needs >= 3 samples to actually DISCARD
                 // the outlier; at exactly 2 it would average all samples,
@@ -222,7 +258,8 @@ object Bench {
               } else sorted((sorted.size - 1) / 2) // lower median
             })
     }: _*)
-    (out, minRule.toSeq, suspects.toSeq)
+    (out, minRule.toSeq,
+      suspects.sortBy { case (k, mag) => (-mag, k) }.map(_._1).toSeq)
   }
 
   /** Canary-normalized per-query medians. r15 showed median-of-3 alone
@@ -481,7 +518,8 @@ object Bench {
       // reported the clean-bracket two-smallest mean instead of the median
       s""""remeasured":${suspects.map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")},""" +
       s""""min_rule":${minRuleKeys.map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")}"""
-    println(stdoutLine(results, sfDir, cpar = passCanaries.max))
+    println(stdoutLine(results, sfDir, cpar = passCanaries.max,
+      cparMed = passCanaries.sorted.apply(passCanaries.size / 2)))
     // The file carries the full-fidelity record: 3-decimal medians plus the
     // raw per-pass samples ("passes") so a contaminated round can be
     // attributed query-by-query instead of argued from totals. The stdout

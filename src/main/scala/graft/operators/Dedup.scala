@@ -180,15 +180,30 @@ object Dedup {
     * A~B, B~C collapses into ONE keep-one group even when A~C was never
     * emitted as a pair.
     *
-    * Algorithm: iterative min-label propagation with pointer jumping
-    * (label(n) ← label(label(n)) each round), so convergence is
+    * Algorithm: iterative min-label propagation — TWO neighbor hops plus one
+    * pointer jump (label(n) ← label(label(n))) per round, so convergence is
     * O(log diameter) rounds, not O(diameter) — near-dup graphs are mostly
     * tiny cliques plus the occasional long chain, and the jump step is what
-    * keeps the chain case from serializing the whole job. Each round is two
-    * key-partitioned joins + an aggregate (no all-pairs, nothing on the
-    * driver but a 1-row convergence checksum). `localCheckpoint` severs the
-    * otherwise exponentially growing lineage each round (on a real cluster
-    * with executor churn, set a checkpoint dir and swap for `checkpoint`).
+    * keeps the chain case from serializing the whole job. Each round is
+    * three key-partitioned joins + two aggregates (no all-pairs, nothing on
+    * the driver but a 1-row convergence checksum). `localCheckpoint` severs
+    * the otherwise exponentially growing lineage each round (on a real
+    * cluster with executor churn, set a checkpoint dir and swap for
+    * `checkpoint`).
+    *
+    * Two hops per round, and min-over-neighbors WITHOUT a per-step
+    * least(own) (r21): a round's fixed costs — the label checkpoint write,
+    * the convergence action, the AQE stage scheduling — dominate its join
+    * work, and on the straggly-chain graphs that set the round count
+    * (q123's 117-node component) two hops + jump converge in 6 rounds where
+    * one hop + jump took 11, for the same total edge-join count. Dropping
+    * the per-step least is sound because both edge orientations are
+    * present and the INITIAL labels already fold self in: every neighbor m
+    * of n then satisfies lbl(m) ≤ lbl₀(m) ≤ n (n ∈ N(m)), so
+    * min-over-neighbors alone is monotone non-increasing and its fixpoint
+    * is the component min (a stable non-constant labeling is impossible:
+    * the component's max label would have to exceed all its neighbors'
+    * labels and equal their min at once).
     *
     * Convergence detection: labels only ever decrease, so the label sum
     * (decimal — an ANSI long sum can overflow) is strictly monotone until
@@ -236,14 +251,17 @@ object Dedup {
     var checksum = checksumOf(labels)
     var converged = false
     var iter = 0
+    // one neighbor hop: min label over neighbors (both orientations are in
+    // `edges` and every node is a src, so the groupBy covers every node and
+    // the self term is subsumed — see the monotonicity note above)
+    def hop(lbls: DataFrame): DataFrame =
+      edges.join(lbls.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy("src").agg(min(col("lbl")).as("lbl"))
+        .select(col("src").as("node"), col("lbl"))
     while (!converged && iter < maxIter) {
-      // min label over neighbors, then take label-of-label (pointer jump);
-      // labels are always existing node ids, so the jump join always hits
-      val viaNbr = edges.join(labels.select(col("node").as("dst"), col("lbl")), "dst")
-        .groupBy("src").agg(min(col("lbl")).as("nlbl"))
-        .select(col("src").as("node"), col("nlbl"))
-      val stepped = labels.join(viaNbr, Seq("node"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // two neighbor hops, then label-of-label (pointer jump); labels are
+      // always existing node ids, so the jump join always hits
+      val stepped = hop(hop(labels))
       val next = stepped.as("x")
         .join(stepped.select(col("node").as("p"), col("lbl").as("plbl")),
           col("x.lbl") === col("p"), "left")
@@ -438,8 +456,15 @@ object Dedup {
     * corpus on a doc-keyed left join, and one array pass drops covered
     * positions. The corpus is never shuffled on anything but its own id. */
   def spanScrub(docs: DataFrame, idCol: String, textCol: String,
-                k: Int = 3, minSpan: Int = 20, maxOcc: Int = 1000): DataFrame = {
-    val spans = spanPairs(docs, idCol, textCol, k, minSpan, maxOcc)
+                k: Int = 3, minSpan: Int = 20, maxOcc: Int = 1000): DataFrame =
+    spanScrubFrom(docs, idCol, textCol,
+      spanPairs(docs, idCol, textCol, k, minSpan, maxOcc))
+
+  /** [[spanScrub]] over a PRECOMPUTED span relation (the [[spanPairs]]
+    * schema) — so a caller holding a materialized span set (q125/q126's
+    * shared memo) applies the scrub without re-running the gram machinery. */
+  def spanScrubFrom(docs: DataFrame, idCol: String, textCol: String,
+                    spans: DataFrame): DataFrame = {
     val iv = spans.select(col("id_b").as("doc"), col("start_b").as("s"),
       (col("start_b") + col("span_toks") - 1).as("e"))
     val wOrd = org.apache.spark.sql.expressions.Window

@@ -62,10 +62,23 @@ object Graph {
     * build-time node-sized action and take the lean single-reference
     * lazy chain — no per-round checkpoints, one job end to end.
     */
-  def pageRank(edges: DataFrame, iterations: Int, dampingPct: Int = 85,
-               unit: Long = 1000000L): DataFrame = {
-    require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
-    val teleport = unit * (100 - dampingPct) / 100
+  /** One cached materialization of a PageRank-family graph: the caller's
+    * edge relation cut behind its own checkpoint, the degree /
+    * contribution / flagged-node relations derived from it, and the
+    * one-action structure counts. A pure function of the edge relation —
+    * built once per [[pageRank]]/[[personalizedPageRank]] call, and
+    * MEMOIZED per (session, dir) for the trade graph ([[tradeGraphBase]])
+    * so its two consumers (q136, q162) share ONE materialization per
+    * session instead of each evaluation re-running the |E|-sized
+    * checkpoint chain + structure probe (r21; the tradePairs economics
+    * one level up). */
+  private[operators] final case class PrGraphBase(
+      deg: DataFrame, nodesFlagged: DataFrame, contribEdges: DataFrame,
+      nNodes: Long, hasDangling: Boolean, allReceive: Boolean) {
+    def nodes: DataFrame = nodesFlagged.select("t", "id")
+  }
+
+  private[operators] def prGraphBase(edges: DataFrame): PrGraphBase = {
     // the caller's edge subtree (scans, joins, the dedup-to-dictionary
     // distinct) is cut behind ITS OWN checkpoint first: deg, nodes and
     // contribEdges below each materialize against the cached |E| rows —
@@ -125,10 +138,23 @@ object Graph {
         count(when(col("has_out").isNull, 1)).as("n_dangling"),
         count(when(col("has_in").isNull, 1)).as("n_no_in"))
       .collect().head
-    val nNodes = structureRow.getLong(0)
-    val hasDangling = structureRow.getLong(1) > 0
-    val allReceive = !hasDangling && structureRow.getLong(2) == 0
-    val nodes = nodesFlagged.select("t", "id")
+    PrGraphBase(deg, nodesFlagged, contribEdges,
+      nNodes = structureRow.getLong(0),
+      hasDangling = structureRow.getLong(1) > 0,
+      allReceive = structureRow.getLong(1) == 0 && structureRow.getLong(2) == 0)
+  }
+
+  def pageRank(edges: DataFrame, iterations: Int, dampingPct: Int = 85,
+               unit: Long = 1000000L): DataFrame =
+    pageRankFrom(prGraphBase(edges), iterations, dampingPct, unit)
+
+  private[operators] def pageRankFrom(base: PrGraphBase, iterations: Int,
+                                      dampingPct: Int = 85,
+                                      unit: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
+    val teleport = unit * (100 - dampingPct) / 100
+    val PrGraphBase(deg, _, contribEdges, nNodes, hasDangling, allReceive) = base
+    val nodes = base.nodes
     var ranks = nodes
       .select(col("t").as("src_t"), col("id").as("src"),
         lit(unit).cast("long").as("rank_units"))
@@ -187,44 +213,27 @@ object Graph {
     * ignored (they could receive no mass and would distort the |S|
     * divisor). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
-                           dampingPct: Int = 85, unit: Long = 1000000L): DataFrame = {
+                           dampingPct: Int = 85, unit: Long = 1000000L): DataFrame =
+    personalizedPageRankFrom(prGraphBase(edges), seeds, iterations, dampingPct, unit)
+
+  private[operators] def personalizedPageRankFrom(
+      base: PrGraphBase, seeds: DataFrame, iterations: Int,
+      dampingPct: Int = 85, unit: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
-    // same base-subtree cut as [[pageRank]]: everything derives from ONE
-    // cached materialization of the caller's edge relation
-    val edgesCk = edges.localCheckpoint(eager = false)
-    val deg = edgesCk.groupBy("src_t", "src").agg(count(lit(1)).as("deg"))
+    val PrGraphBase(deg, _, contribEdges, nNodes, hasDangling, allReceive) = base
+    val nodes = base.nodes
+    // seed ∩ node set, one node-sized cut (referenced by the count below
+    // and by every round's seed-flag join); the collected divisors bake
+    // into the plan as literals (Scala Long floor division ≡ both
+    // engines' integral division on non-negatives) instead of per-round
+    // scalar cross joins
+    val seedsInGraph = nodes
+      .join(broadcast(seeds.select(col("src_t").as("t"), col("src").as("id")).distinct()),
+        Seq("t", "id"), "left_semi")
       .localCheckpoint(eager = false)
-    // same folded node build as [[pageRank]] — node set, structure flags
-    // and seed membership in ONE cached node-sized relation, so the single
-    // build-time action below aggregates it instead of re-walking |E|;
-    // the collected divisors bake into the plan as literals (Scala Long
-    // floor division ≡ both engines' integral division on non-negatives)
-    // instead of per-round scalar cross joins
-    val nodesFlagged = deg
-      .select(col("src_t").as("t"), col("src").as("id"), lit(1).as("has_out"))
-      .join(edgesCk.select(col("dst_t").as("t"), col("dst").as("id")).distinct()
-          .withColumn("has_in", lit(1)),
-        Seq("t", "id"), "full_outer")
-      .join(broadcast(seeds.select(col("src_t").as("t"), col("src").as("id")).distinct()
-          .withColumn("seed_flag", lit(1))),
-        Seq("t", "id"), "left")
-      .localCheckpoint(eager = false)
-    val contribEdges = edgesCk.join(deg, Seq("src_t", "src"))
-      .localCheckpoint(eager = false)
-    val structureRow = nodesFlagged
-      .agg(count(lit(1)).as("n_nodes"),
-        count(when(col("has_out").isNull, 1)).as("n_dangling"),
-        count(when(col("has_in").isNull, 1)).as("n_no_in"),
-        count(when(col("seed_flag").isNotNull, 1)).as("n_seeds"))
-      .collect().head
-    val nNodes = structureRow.getLong(0)
-    val hasDangling = structureRow.getLong(1) > 0
-    val allReceive = !hasDangling && structureRow.getLong(2) == 0
-    val nSeeds = structureRow.getLong(3)
+    val nSeeds = seedsInGraph.count()
     require(nSeeds > 0, "personalizedPageRank: no seed intersects the graph's node set")
-    val nodes = nodesFlagged.select("t", "id")
-    val seedFlag = broadcast(nodesFlagged.filter(col("seed_flag").isNotNull)
-      .select(col("t"), col("id"), lit(1L).as("is_seed")))
+    val seedFlag = broadcast(seedsInGraph.withColumn("is_seed", lit(1L)))
     // r0: all mass on the seeds — |V|·unit split equally (integral)
     var ranks = nodes
       .join(seedFlag, Seq("t", "id"), "left")
@@ -240,12 +249,12 @@ object Graph {
         .groupBy(col("dst_t").as("t"), col("dst").as("id"))
         .agg(sum(col("contrib")).cast("long").as("contrib_sum"))
       if (!hasDangling) {
-        val base =
+        val kept =
           if (allReceive) contribs
           else nodes.join(contribs, Seq("t", "id"), "left")
             .select(col("t"), col("id"),
               coalesce(col("contrib_sum"), lit(0L)).as("contrib_sum"))
-        ranks = base
+        ranks = kept
           .join(seedFlag, Seq("t", "id"), "left")
           .select(col("t").as("src_t"), col("id").as("src"),
             (when(col("is_seed").isNotNull, lit(cleanSeedTerm)).otherwise(lit(0L))
@@ -331,7 +340,7 @@ object Graph {
   val q136PageRank: QuerySpec = QuerySpec.oracle(
     "q136_pagerank", pageRankOracleSql(5)
   ) { (spark, dir) =>
-    pageRank(tradeEdges(spark, dir), iterations = 5)
+    pageRankFrom(tradeGraphBase(spark, dir), iterations = 5)
       .orderBy(col("rank_units").desc, col("node_type"), col("node_id"))
       .limit(50)
   }
@@ -404,7 +413,7 @@ object Graph {
     val seeds = Tables.customer(spark, dir)
       .filter(col("c_nationkey") === 1)
       .select(lit("c").as("src_t"), col("c_custkey").as("src"))
-    personalizedPageRank(tradeEdges(spark, dir), seeds, iterations = 3)
+    personalizedPageRankFrom(tradeGraphBase(spark, dir), seeds, iterations = 3)
       .filter(col("rank_units") > 0)
       .orderBy(col("rank_units").desc, col("node_type"), col("node_id"))
       .limit(50)
@@ -476,6 +485,19 @@ object Graph {
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
         .localCheckpoint(eager = false))
+
+  /** Memoized [[PrGraphBase]] of the trade graph per (session, dir) — one
+    * |E|-sized materialization + structure probe shared by q136 and q162
+    * (r21): each PageRank evaluation previously re-ran the four-checkpoint
+    * build chain over the (already memoized) tradePairs rows. Eager by the
+    * index-build contract (the structure probe is one action). */
+  private val prBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), PrGraphBase]()
+  private def tradeGraphBase(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): PrGraphBase =
+    graft.SessionMemo.cached(prBaseCache, (spark, dir))(_._1)(
+      _ => prGraphBase(tradeEdges(spark, dir)))
 
   /** Both orientations of the [[tradePairs]] dictionary — the q136/q162
     * input graph. */

@@ -185,10 +185,17 @@ object Sampling {
       .withColumn("e_key", expr(s"__lv div CAST($weightCol AS BIGINT)"))
       .drop("__lv")
     // e_key and id are nonnegative, so zero-padded hex IS numeric byte
-    // order (the balancedSample encoding argument)
+    // order (the balancedSample encoding argument). The id's half of the
+    // contract is ENFORCED, not assumed (ADVICE r20: the scaladoc said
+    // "(validated)" while nothing validated) — a negative id would
+    // hex-encode as two's complement and silently sort after every
+    // positive id; raise_error makes the divergence loud instead.
+    val idOk = when(col(idCol) >= 0, col(idCol)).otherwise(raise_error(
+      concat(lit(s"weightedReservoir: negative $idCol violates the nonnegative-id contract: "),
+        col(idCol).cast("string"))))
     val orderKey = concat(
       lpad(hex(col("e_key")), 16, "0"),
-      lpad(hex(col(idCol)), 16, "0"))
+      lpad(hex(idOk), 16, "0"))
     sampleByOrderKey(keyed, Nil, orderKey, k)
   }
 

@@ -307,13 +307,27 @@ object EventsStream {
 
   /** Run a watermarked windowed aggregate to completion (AvailableNow),
     * sink append-mode results to parquet, and persist the per-trigger
-    * late-data accounting derived from the query's progress events. */
+    * late-data accounting derived from the query's progress events.
+    *
+    * `recentProgress` is a ring buffer bounded by
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100) — a run
+    * with more triggers than the bound would silently lose the EARLIEST
+    * triggers' drop counts (ADVICE r20). The conf is raised to
+    * `maxTriggers` for the duration of the run (and restored after), so
+    * the audit trail is complete for any run up to that many triggers;
+    * a run past it should stream the accounting via a
+    * StreamingQueryListener instead. */
   def runWindowedWithAccounting(events: DataFrame, outDir: String,
                                 checkpointDir: String, accountingDir: String,
                                 window_ : String = "1 hour",
-                                watermark: String = "2 hours")
+                                watermark: String = "2 hours",
+                                maxTriggers: Int = 100000)
       : Seq[TriggerAccounting] = {
     val spark = events.sparkSession
+    val ProgressConf = "spark.sql.streaming.numRecentProgressUpdates"
+    val prevProgressConf = spark.conf.getOption(ProgressConf)
+    spark.conf.set(ProgressConf, maxTriggers.toString)
+    try {
     val q = tumblingCounts(events, window_, watermark).writeStream
       .outputMode(OutputMode.Append)
       .format("parquet")
@@ -333,6 +347,12 @@ object EventsStream {
     import spark.implicits._
     acct.toDF().coalesce(1).write.mode("overwrite").parquet(accountingDir)
     acct
+    } finally {
+      prevProgressConf match {
+        case Some(v) => spark.conf.set(ProgressConf, v)
+        case None => spark.conf.unset(ProgressConf)
+      }
+    }
   }
 
   /** Committed (\_SUCCESS-marked) view versions, ascending. */

@@ -234,6 +234,33 @@ class BenchLineSpec extends AnyFunSuite {
     assert(withFail.contains("\"" + results.keys.head.takeWhile(_ != '_') + "\":-1"))
   }
 
+  test("value_norm appears only under sustained (median-canary) contention") {
+    val results = ListMap(SparkEntry.queries.keys.map(_ -> 0.5).toSeq: _*)
+    // clean run: median canary at the anchor — no correction field, even
+    // with ONE hot canary window driving cpar past the threshold (the
+    // false-positive a max-based rule produced on a clean r21 run)
+    val clean = Bench.stdoutLine(results, "/root/testdata/sf0.1",
+      cpar = 1.16, cparMed = 0.68)
+    assert(!clean.contains("value_norm"), s"clean run must not self-correct: $clean")
+    assert(clean.length <= Bench.LineBudget)
+    // sustained contention: median canary well past the threshold — the
+    // line carries value_norm = value × clean/median beside the raw value
+    val hot = Bench.stdoutLine(results, "/root/testdata/sf0.1",
+      cpar = 1.35, cparMed = 1.20)
+    assert(hot.length <= Bench.LineBudget)
+    def num(v: org.json4s.JValue): Double = v match {
+      case org.json4s.JDouble(d) => d
+      case org.json4s.JInt(n) => n.toDouble
+      case other => fail(s"unexpected JSON number: $other")
+    }
+    val parsed = org.json4s.jackson.JsonMethods.parse(hot)
+    val raw = num(parsed \ "value")
+    val norm = num(parsed \ "value_norm")
+    assert(math.abs(raw - results.values.sum) < 0.01)
+    assert(math.abs(norm - raw * Bench.CleanCanaryPar / 1.20) < 0.01,
+      s"value_norm must apply the canary rule: raw=$raw norm=$norm")
+  }
+
   test("values render compactly and parse back to the same number") {
     val line = Bench.stdoutLine(
       ListMap("q01_x" -> 0.5, "q02_y" -> 1.0, "q03_z" -> -1.0, "q04_w" -> 12.34),

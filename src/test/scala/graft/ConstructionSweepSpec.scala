@@ -168,7 +168,20 @@ class ConstructionSweepSpec extends SparkSpec {
     // q183's FIRST build copies events into the 3-file stream source and
     // drives the AvailableNow sketch-maintenance stream (one-time,
     // _SKETCHED-marked; repeat builds read the persisted state)
-    "q183_stream_sketch_state")
+    "q183_stream_sketch_state",
+    // r21 shared-relation memos: a COLD cache materializes the memoized
+    // relation at build (checkpoint creation executes the upstream stages
+    // under AQE — the q136/q175 documented index-build-shaped step); a
+    // warm cache is job-free. q31/q35-family share ngramPairs200Cached,
+    // q125/q126 share spanPairsCached, q174/q185 their retrieval feature/
+    // posting indexes, q208 its trained profile table (a fit, the Lloyd
+    // rationale)
+    "q31_dedup_ngram_pairs", "q125_span_pairs", "q126_span_scrub",
+    "q174_bm25_topk", "q185_hybrid_rrf", "q208_langid_confusion",
+    // r21 in-query skinny-relation cuts (the q191/q192 rationale): the
+    // shared dictionary/base relation each sits behind a lazy checkpoint
+    // whose creation executes the upstream aggregate at build
+    "q173_cms_sketch", "q211_kmv_set_ops")
 
   test("every declared query constructs with zero Spark jobs (except the eager set)") {
     val sc = spark.sparkContext

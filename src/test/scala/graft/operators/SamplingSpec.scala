@@ -154,4 +154,19 @@ class SamplingSpec extends SparkSpec {
       s"heavy items must be included far more often: heavy=$heavyRate light=$lightRate")
     assert(heavyRate > 0.5, s"a 9x-weight item with 8 slots over 30 items: $heavyRate")
   }
+
+  test("weightedReservoir: negative id fails loudly (the validated contract)") {
+    import spark.implicits._
+    // ADVICE r20: the scaladoc promised "(validated)" — a negative id
+    // hex-encodes as two's complement and would silently sort after every
+    // positive id. The guard must RAISE, not mis-order.
+    val items = Seq((-1L, 5L), (2L, 5L), (3L, 5L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedReservoir(items, "id", "w", k = 2, salt = "s0").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("nonnegative-id contract")),
+      s"expected the contract violation to surface, got: $e")
+  }
 }
