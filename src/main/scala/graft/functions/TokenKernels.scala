@@ -73,7 +73,92 @@ case class TopTokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `size(array_distinct(transform(sequence(1, n-k+1), i -> concat_ws(" ",
+  * ts[i], …, ts[i+k-1]))))` — the distinct k-gram count (0 when the doc has
+  * fewer than k tokens) — as one kernel call: no gram-string construction,
+  * no interpreted transform lambda, no O(grams) array materialization. The
+  * null-free fast path maps tokens to dense ids and counts distinct packed
+  * id tuples (exact: tokens contain no separator, so join is bijective);
+  * arrays carrying nulls (or pathologically long docs) fall back to
+  * building the joined strings with concat_ws's skip-null semantics, so the
+  * count is value-identical to the expression form in every case. */
+case class DistinctGramCountExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 2 && k <= 8, s"k out of range: $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TokenKernelChecks.requireStringArray("graft_distinct_gram_count", child)
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernel.distinctGramCount(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenKernel.distinctGramCount($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctGramCountExpr =
+    copy(child = newChild)
+}
+
 object TokenKernel {
+
+  /** Exact distinct k-gram count — see [[DistinctGramCountExpr]]. */
+  def distinctGramCount(tokens: ArrayData, k: Int): Int = {
+    val n = tokens.numElements()
+    if (n < k) return 0
+    val grams = n - k + 1
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = tokens.isNullAt(i); i += 1 }
+    // id packing needs (n+1)^k < 2^63; token counts beyond 2^20 (k=3) use
+    // the string path — unreachable for real documents, exact either way
+    if (!hasNull && math.pow(n + 1.0, k.toDouble) < 9.2e18) {
+      val dict = new java.util.HashMap[UTF8String, Integer](n * 2)
+      val ids = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        val t = tokens.getUTF8String(i)
+        var id = dict.get(t)
+        if (id == null) { id = dict.size(); dict.put(t, id) }
+        ids(i) = id.longValue()
+        i += 1
+      }
+      val base = n + 1L
+      val seen = new java.util.HashSet[java.lang.Long](grams * 2)
+      var g = 0
+      var cnt = 0
+      while (g < grams) {
+        var packed = 0L
+        var j = 0
+        while (j < k) { packed = packed * base + ids(g + j); j += 1 }
+        if (seen.add(packed)) cnt += 1
+        g += 1
+      }
+      cnt
+    } else {
+      // concat_ws semantics: null elements are SKIPPED, never rendered
+      val seen = new java.util.HashSet[UTF8String](grams * 2)
+      var g = 0
+      var cnt = 0
+      while (g < grams) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        var first = true
+        while (j < k) {
+          if (!tokens.isNullAt(g + j)) {
+            if (!first) sb.append(' ')
+            sb.append(tokens.getUTF8String(g + j).toString)
+            first = false
+          }
+          j += 1
+        }
+        if (seen.add(UTF8String.fromString(sb.toString))) cnt += 1
+        g += 1
+      }
+      cnt
+    }
+  }
 
   /** First 15 hex digits of md5(token) as a 60-bit long, mod vocab —
     * bit-identical to TextFns.tokenId / its DuckDB rendering. Null elements
@@ -127,4 +212,9 @@ object TokenIdsExpr {
 object TopTokenCountExpr {
   def topTokenCount(tokens: Column): Column =
     ColumnBridge.column(TopTokenCountExpr(ColumnBridge.expression(tokens)))
+}
+
+object DistinctGramCountExpr {
+  def distinctGramCount(tokens: Column, k: Int): Column =
+    ColumnBridge.column(DistinctGramCountExpr(ColumnBridge.expression(tokens), k))
 }

@@ -258,15 +258,18 @@ object Dedup {
       edges.join(lbls.select(col("node").as("dst"), col("lbl")), "dst")
         .groupBy("src").agg(min(col("lbl")).as("lbl"))
         .select(col("src").as("node"), col("lbl"))
-    while (!converged && iter < maxIter) {
-      // two neighbor hops, then label-of-label (pointer jump); labels are
-      // always existing node ids, so the jump join always hits
-      val stepped = hop(hop(labels))
-      val next = stepped.as("x")
+    // label-of-label (pointer jump); labels are always existing node ids,
+    // so the jump join always hits
+    def jump(stepped: DataFrame): DataFrame =
+      stepped.as("x")
         .join(stepped.select(col("node").as("p"), col("lbl").as("plbl")),
           col("x.lbl") === col("p"), "left")
         .select(col("x.node").as("node"), coalesce(col("plbl"), col("x.lbl")).as("lbl"))
-        .localCheckpoint(eager = false)
+    while (!converged && iter < maxIter) {
+      // two neighbor hops, then the pointer jump (measured r21: one extra
+      // hop per round saves a round on straggly graphs but costs more than
+      // it saves; a second jump does not reduce rounds at all)
+      val next = jump(hop(hop(labels))).localCheckpoint(eager = false)
       val nextSum = checksumOf(next)
       converged = nextSum.compareTo(checksum) == 0
       checksum = nextSum

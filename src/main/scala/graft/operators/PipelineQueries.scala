@@ -308,30 +308,18 @@ object PipelineQueries {
        |  tot.ece AS ece_micro
        |FROM agg, tot ORDER BY bin""".stripMargin
   ) { (spark, dir) =>
-    // the q213 in-row machinery: sorted-run fold for the top-token count,
-    // 3-gram construction for the duplicate fraction
-    def grams3: Column =
-      when(size(col("ts")) >= 3,
-        transform(sequence(lit(1), size(col("ts")) - 2), i =>
-          concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1),
-            element_at(col("ts"), i + 2))))
-        .otherwise(typedlit(Seq.empty[String]))
-    val topc = when(size(col("tss")) <= 1, size(col("tss"))).otherwise(
-      element_at(aggregate(
-        sequence(lit(2), size(col("tss"))),
-        typedlit(Seq(1, 1)),
-        (acc, i) => when(element_at(col("tss"), i) === element_at(col("tss"), i - 1),
-            array(element_at(acc, 1) + 1,
-              greatest(element_at(acc, 2), element_at(acc, 1) + 1)))
-          .otherwise(array(lit(1), element_at(acc, 2)))), 2))
+    // the q213 in-row machinery, r21 kernel form: distinct 3-grams and the
+    // top-token count (≡ max sorted-run length) via the native kernels —
+    // values bit-identical, no gram strings or sort materialized
     val sc = Tables.documents(spark, dir)
       .withColumn("ts", lowToksCol)
-      .withColumn("tss", array_sort(col("ts")))
       .withColumn("n", size(col("ts")).cast("long"))
       .withColumn("nd", size(array_distinct(col("ts"))).cast("long"))
       .withColumn("t3", greatest(col("n") - 2, lit(0L)))
-      .withColumn("d3", size(array_distinct(grams3)).cast("long"))
-      .withColumn("topc", topc.cast("long"))
+      .withColumn("d3", graft.functions.DistinctGramCountExpr
+        .distinctGramCount(col("ts"), 3).cast("long"))
+      .withColumn("topc", graft.functions.TopTokenCountExpr
+        .topTokenCount(col("ts")).cast("long"))
       .select(
         expr("nd * 1000000 div greatest(n, 1)").as("conf_micro"),
         (!when(col("t3") === 0, lit(false))
@@ -4637,16 +4625,21 @@ object PipelineQueries {
         // adds a genuine key shuffle to save md5s that aren't the
         // bottleneck.
         val md = md5(col(key).cast("string"))
+        // all d·|widths| cells in ONE fused buffer aggregate (r21): the
+        // explode form materialized 8 struct rows per input row through a
+        // hash aggregate; CmsCellsAggregate does 8 array increments into
+        // fixed Σd·w state — identical cells (same Kirsch-Mitzenmacher
+        // arithmetic, per-bucket addition is order-free), measured ~1.9×
+        // on the lineitem sketch stages
         df.select(
             conv(substring(md, 1, 15), 16, 10).cast("long").as("h1"),
             conv(substring(md, 17, 15), 16, 10).cast("long")
               .bitwiseOR(lit(1L)).as("h2"))
-          .select(explode(array((for { w <- widths; j <- 0 until d } yield
-            struct(lit(w.toLong).as("w"), lit(j).as("j"),
-              pmod(col("h1") + lit(j.toLong) * col("h2"), lit(w.toLong))
-                .as("bucket"))): _*)).as("wjb"))
-          .select(col("wjb.w").as("w"), col("wjb.j").as("j"), col("wjb.bucket").as("bucket"))
-          .groupBy("w", "j", "bucket").agg(count(lit(1)).as("c"))
+          .agg(graft.functions.CmsCells.cmsCells(col("h1"), col("h2"), widths, d)
+            .as("cells"))
+          .select(explode(col("cells")).as("wjbc"))
+          .select(col("wjbc.w").as("w"), col("wjbc.j").as("j"),
+            col("wjbc.bucket").as("bucket"), col("wjbc.c").as("c"))
       }
       def keyCounts(df: DataFrame, key: String): DataFrame =
         df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
@@ -6686,37 +6679,26 @@ object PipelineQueries {
        |    AS top_heavy
        |FROM m ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
-    def grams(k: Int): Column =
-      when(size(col("ts")) >= k,
-        transform(sequence(lit(1), size(col("ts")) - (k - 1)), i =>
-          concat_ws(" ", (0 until k).map(o => element_at(col("ts"), i + o)): _*)))
-        .otherwise(typedlit(Seq.empty[String]))
-    // max run length over the sorted tokens: a [run, best] integer fold,
-    // bit-identical to the DuckDB list_reduce (q184's array-state shape).
-    // Guard size<=1, not ==0: sequence(2, 1) is DESCENDING (the q141
-    // pitfall) and would evaluate element_at(tss, 0) on a 1-token doc;
-    // DuckDB's generate_series(2, 1) is empty and returns topc=1 there.
-    val topc = when(size(col("tss")) <= 1, size(col("tss"))).otherwise(
-      element_at(aggregate(
-        sequence(lit(2), size(col("tss"))),
-        typedlit(Seq(1, 1)),
-        (acc, i) => when(element_at(col("tss"), i) === element_at(col("tss"), i - 1),
-            array(element_at(acc, 1) + 1,
-              greatest(element_at(acc, 2), element_at(acc, 1) + 1)))
-          .otherwise(array(lit(1), element_at(acc, 2)))), 2))
+    // r21: the gram construction + array_distinct + sorted-run fold now run
+    // as native kernels — DistinctGramCountExpr counts distinct k-grams
+    // without materializing gram strings, and the max sorted-run length IS
+    // the max token multiplicity (TopTokenCountExpr's hash count), so the
+    // sort disappears. Values bit-identical; oracle SQL unchanged.
     Tables.documents(spark, dir)
       .withColumn("ts", lowToksCol)
-      .withColumn("tss", array_sort(col("ts")))
       // long BEFORE the micro arithmetic: size() is 32-bit, and
       // (t2 - d2) * 1000000 wraps silently past ~2147 duplicate gram
       // occurrences while the DuckDB len() side computes in BIGINT —
       // the q187 decimal-inside discipline applied to int32.
       .withColumn("n", size(col("ts")).cast("long"))
       .withColumn("t2", greatest(col("n") - 1, lit(0L)))
-      .withColumn("d2", size(array_distinct(grams(2))).cast("long"))
+      .withColumn("d2", graft.functions.DistinctGramCountExpr
+        .distinctGramCount(col("ts"), 2).cast("long"))
       .withColumn("t3", greatest(col("n") - 2, lit(0L)))
-      .withColumn("d3", size(array_distinct(grams(3))).cast("long"))
-      .withColumn("topc", topc.cast("long"))
+      .withColumn("d3", graft.functions.DistinctGramCountExpr
+        .distinctGramCount(col("ts"), 3).cast("long"))
+      .withColumn("topc", graft.functions.TopTokenCountExpr
+        .topTokenCount(col("ts")).cast("long"))
       .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
         when(col("t2") === 0, 0L)
           .otherwise(expr("(t2 - d2) * 1000000 div t2")).cast("long").as("dup2_micro"),

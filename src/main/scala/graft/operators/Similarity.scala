@@ -264,8 +264,20 @@ object Similarity {
                           seed: Long = 42): DataFrame = {
     val bits = if (bitsPerBand > 0) bitsPerBand else autoBitsPerBand(vecs.count())
     val nb = if (numBands > 0) numBands else autoNumBands(minCosine, bits)
+    // EXPLICIT-N repartition on the bucket key (N = the session's shuffle
+    // partitions — the deployment's scale knob): the bucket self-join is an
+    // EXPLODING join (map-side bytes are |corpus|×bands rows, join output is
+    // the candidate-pair mass), and AQE's byte-based coalescing only sees
+    // the small map output — measured at sf0.1 it folded the join read to
+    // ONE partition and ran the ~2M verify dots serially in a 1.3 s task
+    // (guide §2/§3: give compute-dense exploding joins their parallelism
+    // explicitly; an explicit partition count is exempt from coalescing).
+    // Both join sides reference this one relation, so the exchange is
+    // planned once and reused.
+    val shufN = vecs.sparkSession.sessionState.conf.numShufflePartitions
     val bands = bandAssignments(vecs, dims, nb, bits, seed)
       .withColumn("norm", sqrt(VectorFns.normSq(col("embedding"))))
+      .repartition(shufN, col("band"), col("key"))
     val a = bands.select(col("band"), col("key"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = bands.select(col("band"), col("key"), col("vec_id").as("id_b"),

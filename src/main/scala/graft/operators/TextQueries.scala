@@ -1247,9 +1247,21 @@ object TextQueries {
       .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val evalTexts = docs.filter(col("source") === "src0").select("text").distinct()
+    // the gate→dedup→decon prefix cut behind ONE lazy checkpoint (r21):
+    // three consumers reference the survivor set — the span-pair gram
+    // machinery, the scrub's own re-tokenization, and the pack stage's
+    // (doc_id, lang) join — and each re-ran the stats scan + text groupBy +
+    // two joins per evaluation. The materialized cut is the gated survivor
+    // relation a production capstone persists anyway before sharding.
+    // (An explicit-N repartition before the cut — the q218 exploding-stage
+    // fix — was tried and MEASURED far slower here, 3.2 → 8.4 s steady:
+    // the gram BottomKRows aggregate then runs 32 partial heaps whose
+    // merge shuffles ~32× the single-partition state. The serial gram
+    // stage is the lesser cost at this corpus size.)
     val survivors = r.join(winners, Seq("doc_id"))
       .join(evalTexts, Seq("text"), "left_anti")
       .select("doc_id", "lang", "text")
+      .localCheckpoint(eager = false)
     // sub-document dedup over the survivor set: only (n_toks, n_removed)
     // are consumed, so the scrub's clean_text column prunes away
     val scrubbed = Dedup.spanScrub(survivors, "doc_id", "text",

@@ -72,6 +72,11 @@ class ConstructionSweepSpec extends SparkSpec {
     // index-build-shaped step
     "q188_weighted_hops", "q190_kcore", "q193_ktruss",
     "q191_ks_drift", "q192_mann_kendall",
+    // q157 cuts the gated survivor relation behind a lazy checkpoint (r21:
+    // three consumers — span pairs, the scrub, the pack join — re-ran the
+    // gate→dedup→decon prefix per evaluation); creation executes the
+    // upstream gate at build under AQE, the q191/q192 shared-cut shape
+    "q157_corpus_shards",
     // q219 cuts each HITS half-step's raw sums behind a lazy checkpoint
     // (the q136 per-round plan-doubling guard) — creation executes the
     // node-sized upstream at build, the documented index-build shape

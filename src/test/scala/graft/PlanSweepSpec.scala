@@ -231,7 +231,12 @@ class PlanSweepSpec extends SparkSpec {
     "q35_dedup_groups" -> 7, "q36_sequence_pack" -> 6,
     "q37_vocab_oov" -> 3, "q38_contamination" -> 3,
     "q39_quality_filter" -> 1, "q40_knn_bruteforce" -> 2,
-    "q41_ann_lsh" -> 2, "q42_knn_classify" -> 2,
+    // q41: +2 in r21 — the explicit-N (band, key) repartition that keeps
+    // the exploding bucket self-join out of AQE's byte-based coalescing
+    // (it folded the ~2M-dot verify to ONE serial task); the subtree is
+    // referenced by both join sides, so the static plan counts it twice
+    // while execution reuses one exchange
+    "q41_ann_lsh" -> 4, "q42_knn_classify" -> 2,
     "q43_ann_ivf" -> 3, "q44_embedding_quantize" -> 1,
     "q45_keyword_rank" -> 1, "q47_repetition_signals" -> 1,
     "q48_pii_scrub" -> 1, "q49_label_centroids" -> 2,
@@ -276,7 +281,9 @@ class PlanSweepSpec extends SparkSpec {
     // LSH/IVF candidate joins (+2 in r15 for the PQ row's shortlist agg and
     // its 1-row corpus count); every exchange carries either one row or a
     // bounded candidate set, never the corpus
-    "q78_ann_recall" -> 25,
+    // +3 in r21: the q41 explicit-N band repartition (statically counted
+    // per join-side reference, executed once via ReusedExchange)
+    "q78_ann_recall" -> 28,
     // q79: per-lang agg (partial→final) + the presentation sort over the
     // merged two-generation scan
     "q79_schema_evolution" -> 2,

@@ -145,4 +145,28 @@ class TextFnsSpec extends SparkSpec {
     assert(out(2).getSeq[String](0) === Seq.empty)
     assert(out(2).getInt(1) === 0)
   }
+
+  test("distinctGramCount equals size(array_distinct(concat_ws grams)) — the q213/q220 form") {
+    // planted arrays + a null-bearing one (concat_ws SKIPS nulls) + short docs
+    val cases = Seq(
+      Seq("a", "b", "a", "b", "a"),
+      Seq("x", "x", "x", "x"),
+      Seq("solo"), Seq("p", "q"), Seq.empty[String],
+      Seq("a", null, "a", "b"),
+      Seq("café", "naïve", "café", "naïve", "中文"))
+    val df = spark.createDataFrame(cases.map(Tuple1(_))).toDF("ts")
+    for (k <- Seq(2, 3)) {
+      def expectedGrams: org.apache.spark.sql.Column =
+        when(size(col("ts")) >= k,
+          transform(sequence(lit(1), size(col("ts")) - (k - 1)), i =>
+            concat_ws(" ", (0 until k).map(o => element_at(col("ts"), i + o)): _*)))
+          .otherwise(typedlit(Seq.empty[String]))
+      val rows = df.select(
+        DistinctGramCountExpr.distinctGramCount(col("ts"), k).as("kernel"),
+        size(array_distinct(expectedGrams)).as("composed")).collect()
+      rows.zip(cases).foreach { case (r, c) =>
+        assert(r.getInt(0) === r.getInt(1), s"k=$k on $c")
+      }
+    }
+  }
 }
