@@ -6684,7 +6684,11 @@ object PipelineQueries {
     // without materializing gram strings, and the max sorted-run length IS
     // the max token multiplicity (TopTokenCountExpr's hash count), so the
     // sort disappears. Values bit-identical; oracle SQL unchanged.
+    // doc_id sort BEFORE the kernel projection (the q23 pattern): the
+    // global orderBy's range-bound sampling re-executes its child, and
+    // above the sort the kernels run once.
     Tables.documents(spark, dir)
+      .orderBy("doc_id")
       .withColumn("ts", lowToksCol)
       // long BEFORE the micro arithmetic: size() is 32-bit, and
       // (t2 - d2) * 1000000 wraps silently past ~2147 duplicate gram
@@ -6710,7 +6714,6 @@ object PipelineQueries {
           .otherwise(expr("(t3 - d3) * 1000000 div t3 > 180000")).as("repetitive"),
         when(col("n") === 0, lit(false))
           .otherwise(expr("topc * 1000000 div n > 200000")).as("top_heavy"))
-      .orderBy("doc_id")
   }
 
   /** Hard-negative mining for contrastive/triplet training — the

@@ -68,11 +68,15 @@ object TextQueries {
        |FROM toks ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     val toks = cleanTokens(col("text"))
+    // sort before the heavy projection (r21, the q23 pattern): a global
+    // orderBy samples its child to pick range bounds and then executes it
+    // again — below the projection, the expensive per-doc expressions run
+    // once; doc_id is unique so the order is identical
     Tables.documents(spark, dir)
+      .orderBy("doc_id")
       .select(col("doc_id"),
         concat_ws(" ", toks).as("cleaned"),
         asLong(size(toks)).as("n_tokens"))
-      .orderBy("doc_id")
   }
 
   val q21TextStats: QuerySpec = QuerySpec.oracle(
@@ -88,7 +92,9 @@ object TextQueries {
        |  (n_chars - n_tokens + 1) / greatest(n_tokens, 1) AS avg_token_len
        |FROM t ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
+    // sort-first, the q23 pattern (see q20)
     Tables.documents(spark, dir)
+      .orderBy("doc_id")
       .select(Seq(col("doc_id"), col("lang"), col("source")) ++ rawStatsCols: _*)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("n_tokens"),
         // unrounded quotients: the single double division is bit-identical
@@ -98,7 +104,6 @@ object TextQueries {
         (col("n_upper") / greatest(col("n_chars"), lit(1))).as("upper_ratio"),
         (col("n_stop") / greatest(col("n_tokens"), lit(1))).as("stop_ratio"),
         ((col("n_chars") - col("n_tokens") + 1) / greatest(col("n_tokens"), lit(1))).as("avg_token_len"))
-      .orderBy("doc_id")
   }
 
   /** Tiny per-language function-word lists for the n-gram/langid heuristic. */
@@ -158,12 +163,18 @@ object TextQueries {
   ) { (spark, dir) =>
     val toks = cleanTokens(col("text"))
     val padded = padIds(encodeTokens(toks, Vocab), MaxLen)
+    // sort BEFORE the heavy projection (r21): a global orderBy samples its
+    // child once to pick range bounds and then executes it again for the
+    // sort itself — with the projection above the sort, the per-token
+    // md5 encode runs ONCE (the sample job reads only the narrow scan);
+    // doc_id is unique, so the final order is identical
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
       .select(col("doc_id"),
         csv(padded).as("ids_csv"),
         csv(attentionMask(padded)).as("mask_csv"),
         asLong(size(toks)).as("n_tokens"))
-      .orderBy("doc_id")
   }
 
   /** Per-document fingerprints: content md5 (H1, src/main.py:71-72 semantic)
@@ -176,10 +187,11 @@ object TextQueries {
        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
        |FROM toks ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
+    // sort-first, the q23 pattern (see q20)
     Tables.documents(spark, dir)
+      .orderBy("doc_id")
       .select(col("doc_id"), md5(col("text")).as("content_md5"),
         rollingFingerprint(encodeTokens(cleanTokens(col("text")), Vocab)).as("rolling_fp"))
-      .orderBy("doc_id")
   }
 
   /** Whole-dataset content fingerprint (H1): order-independent aggregate of
@@ -418,11 +430,12 @@ object TextQueries {
          |  CAST(len(ts) AS BIGINT) AS n_tokens
          |FROM toks ORDER BY doc_id""".stripMargin
     ) { (spark, dir) =>
+      // sort-first, the q23 pattern (see q20)
       Tables.documents(spark, dir)
+        .orderBy("doc_id")
         .select(col("doc_id"),
           concat_ws(" ", cleanStemmedTokens(col("text"))).as("stemmed"),
           asLong(size(TextFns.cleanStemmedTokens(col("text")))).as("n_tokens"))
-        .orderBy("doc_id")
     }
   }
 
@@ -482,12 +495,13 @@ object TextQueries {
     }
   ) { (spark, dir) =>
     val bpe = "'[sdmt]| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+    // sort-first, the q23 pattern (see q20)
     Tables.documents(spark, dir)
+      .orderBy("doc_id")
       .select(col("doc_id"),
         asLong(size(filter(split(col("text"), "\\s+"), t => t =!= ""))).as("n_ws_tokens"),
         asLong(regexp_count(col("text"), lit(bpe))).as("n_bpe_tokens"),
         asLong(length(col("text"))).as("n_chars"))
-      .orderBy("doc_id")
   }
 
   /** Context/document assembly: per (lang, source), concatenate texts in
@@ -608,7 +622,9 @@ object TextQueries {
        |FROM t ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     val ts = filter(split(lower(col("text")), "\\W+"), t => t =!= "")
+    // sort-first, the q23 pattern (see q20)
     Tables.documents(spark, dir)
+      .orderBy("doc_id")
       .select(col("doc_id"), ts.as("ts"))
       .select(col("doc_id"), col("ts"),
         asLong(size(col("ts"))).as("n_tokens"),
@@ -621,7 +637,6 @@ object TextQueries {
         asLong(size(col("bgs"))).as("n_bigrams"),
         ((asLong(size(col("bgs"))) - asLong(size(array_distinct(col("bgs")))))
           / greatest(asLong(size(col("bgs"))), lit(1))).as("dup_bigram_frac"))
-      .orderBy("doc_id")
   }
 
   /** PII detection + redaction: emails, IPv4 addresses, and phone-shaped
@@ -661,10 +676,11 @@ object TextQueries {
       lit(".com or 555-"), lpad(((col("doc_id") * 37) % 10000).cast("string"), 4, "0"),
       lit(" ip 10."), (col("doc_id") % 256).cast("string"),
       lit(".0."), ((col("doc_id") * 3) % 256).cast("string"))
+    // sort-first, the q23 pattern (see q20)
     Tables.documents(spark, dir)
+      .orderBy("doc_id")
       .select(col("doc_id"), aug.as("aug"))
       .select(col("doc_id") +: (piiCounts(col("aug")) :+ scrubPii(col("aug")).as("scrubbed")): _*)
-      .orderBy("doc_id")
   }
 
   /** Schema-evolution-tolerant scan (`Tables.readMergedParquet`) as a
